@@ -1,0 +1,117 @@
+"""Merge / UPSERT writer (SURVEY.md §2.9, K4/J3; M4).
+
+The reference gets idempotent, last-write-wins-by-key loads only at
+the warehouse boundary, via Redshift's ``S3ToRedshiftOperator(
+method='UPSERT', upsert_keys=[pk])``
+(reference: init_2_s3_to_redshifht_dag.py:63-74;
+proc_2_s3_to_redshifht_dag.py:13-39,64-75) — its own Parquet zone just
+appends and hopes (journey-data-transformation.py:106,156,160). This
+engine owns MERGE semantics on plain Parquet (Delta/Iceberg jars are
+not in the image; the same API would delegate to ``MERGE INTO`` when
+they are):
+
+    upsert = new ∪ (old ⟕anti new on pk)   — new rows win
+
+Scale design: the table is hash-partitioned on a derived bucket of the
+primary key (``pk_bucket = pmod(hash(pk), n_buckets)``) and written
+with dynamic partition overwrite, so an incremental batch rewrites
+ONLY the buckets it touches — never the whole table. The anti-join
+reads just those buckets back (partition pruning on ``pk_bucket``),
+and the new side is bucket-tagged with the same function, so at
+100 TB a weekly increment costs O(increment × touched-buckets), not
+O(table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__pk_bucket"
+
+
+def upsert_frames(
+    old: DataFrame, new: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Pure-frame MERGE: rows of ``new`` replace same-key rows of
+    ``old``; unmatched old rows survive. The relational core of the
+    writer, exposed separately so it is oracle-testable without I/O.
+
+    ``new`` must be unique per key (enforce upstream with
+    dedup_deterministic — the reference's dropDuplicates-before-write
+    plays this role, journey-data-transformation.py:102,150).
+    """
+    on = [new[k] == old[k] for k in keys]
+    survivors = old.join(new, on=on, how="left_anti")
+    return new.unionByName(survivors)
+
+
+class MergeWriter:
+    """Idempotent keyed writer over bucket-partitioned Parquet.
+
+    ``n_buckets`` controls incremental-rewrite granularity: more
+    buckets ⇒ smaller rewrites but more files. For a 100 TB table with
+    ~weekly 0.1% increments, thousands of buckets keep each rewrite in
+    the tens-of-GB range.
+    """
+
+    def __init__(self, path: str, keys: Sequence[str], n_buckets: int = 32):
+        self.path = path
+        self.keys = list(keys)
+        self.n_buckets = n_buckets
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        b = F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
+        return df.withColumn(BUCKET_COL, b)
+
+    def _exists(self, spark: SparkSession) -> bool:
+        # Cheap existence probe via the JVM Hadoop FS API (works for
+        # local paths and object stores alike).
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        return p.getFileSystem(conf).exists(p)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path).drop(BUCKET_COL)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """K1 — full refresh (reference: init-data-transformation.py:43,92)."""
+        (
+            self._bucketed(df)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.path)
+        )
+
+    def upsert(self, spark: SparkSession, new: DataFrame) -> None:
+        """K4/J3 — keyed merge of an increment.
+
+        Reads back only the buckets the increment touches (partition
+        pruning on ``BUCKET_COL``), anti-joins survivors, and rewrites
+        those buckets alone via dynamic partition overwrite
+        (``spark.sql.sources.partitionOverwriteMode=dynamic`` — set in
+        session.py). Running the same increment twice yields an
+        identical table: the idempotency contract the reference
+        delegates to Redshift.
+        """
+        if not self._exists(spark):
+            self.overwrite(new)
+            return
+        new_b = self._bucketed(new)
+        touched = [r[BUCKET_COL] for r in new_b.select(BUCKET_COL).distinct().collect()]
+        old = spark.read.parquet(self.path).where(F.col(BUCKET_COL).isin(touched))
+        on = [new_b[k] == old[k] for k in self.keys]
+        survivors = old.join(new_b, on=on, how="left_anti")
+        merged = new_b.unionByName(survivors)
+        # Spark (correctly) refuses to overwrite a path its own plan is
+        # reading; materialize the merged buckets first to cut lineage.
+        # The checkpoint holds only the touched buckets, not the table.
+        # (With Delta/Iceberg on the classpath this whole method becomes
+        # a single MERGE INTO and the checkpoint disappears.)
+        merged = merged.localCheckpoint(eager=True)
+        # Dynamic overwrite replaces only partitions present in `merged`
+        # = exactly the touched buckets.
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path)

@@ -1,0 +1,179 @@
+"""Near-duplicate detection (M8): MinHash+LSH, SimHash, n-gram Jaccard.
+
+All three are built from JVM-side array/hash built-ins — no Python
+UDFs. Shapes and shuffle budgets at scale:
+
+- **MinHash signatures**: pure projection (shingle → per-seed min
+  hash). Banded LSH groups docs by (band_id, band_hash) — one shuffle
+  keyed on the band value, O(docs × bands) rows moved; candidate pairs
+  come out of same-bucket groups, never a cross product.
+- **SimHash**: pure projection to a 64-bit signature; near-dup =
+  Hamming distance ≤ t, checked only within LSH candidate groups.
+- **n-gram Jaccard**: exact verification on candidate pairs only.
+
+Hashing uses md5 (via ``F.md5`` on seed-prefixed shingles) rather than
+``F.hash`` so signatures are engine-portable (the DuckDB oracle can
+reproduce them bit-for-bit); xxhash64 would be the faster production
+choice and is a one-line swap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) of a text column: array of
+    space-joined n-token windows. Empty/short docs yield their full
+    token join as a single shingle so they still participate."""
+    toks = tokens(col)
+    k = F.size(toks)
+    joined = F.array_join(toks, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(k <= n, F.array(joined)).otherwise(F.array_distinct(grams))
+
+
+def _min_hash(sh: Column, seed: int) -> Column:
+    """Min over shingles of a seed-prefixed md5, as a hex string.
+    min(md5) over hex strings is order-isomorphic to min over the
+    128-bit integers, and portable across engines."""
+    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Projection: (doc_id, mh_0..mh_{n-1}) MinHash signature."""
+    sh = shingles(F.col(text_col), shingle_n)
+    return df.select(
+        id_col, *[_min_hash(sh, i).alias(f"mh_{i}") for i in range(n_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Signature split into ``bands`` bands of ``n_hashes/bands`` rows;
+    docs sharing any band hash become a candidate pair. The band
+    explode keeps the shuffle key small (band_id, md5-of-band) and the
+    self-join runs per bucket — at 100 TB this is the standard
+    fuzzy-dedup plan (cf. the public MinHashLSH in Spark MLlib, which
+    this mirrors without the ML pipeline wrapper).
+
+    Output: (doc_id_a, doc_id_b) with a < b, distinct.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col).alias("doc"), F.explode(band_structs).alias("band")
+    ).select("doc", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc") < F.col("b.doc"),
+            ],
+        )
+        .select(
+            F.col("a.doc").alias("doc_id_a"), F.col("b.doc").alias("doc_id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(col: Column, shingle_n: int = 3, n_bits: int = 32) -> Column:
+    """SimHash over shingles: bit j of the signature = sign of the sum
+    over shingles of ±1 according to bit j of each shingle's hash.
+    Uses xxhash64 (engine-local; used for grouping, not for
+    cross-engine comparison). ``n_bits ≤ 62`` so the signature stays a
+    positive long."""
+    sh = shingles(col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def bit_sum(j: int) -> Column:
+        # Closure (not a default arg): F.aggregate requires 2-arg lambdas.
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_sums = [bit_sum(j) for j in range(n_bits)]
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays (size of intersection /
+    size of union), null-safe for empty docs."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs by exact n-gram Jaccard; keep those at or
+    above ``threshold``. Joins shingle arrays to both sides of the
+    pair list — at scale the pair list is ≪ corpus, so both joins
+    broadcast the pairs side."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("__id", "doc_id_a").withColumnRenamed("__sh", "sh_a"), "doc_id_a")
+        .join(sh.withColumnRenamed("__id", "doc_id_b").withColumnRenamed("__sh", "sh_b"), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)

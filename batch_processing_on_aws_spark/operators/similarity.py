@@ -1,0 +1,147 @@
+"""Embedding similarity search (extension surface; SURVEY.md §7 M8).
+
+Brute-force cosine top-k as the correctness baseline, and an
+LSH-bucketed variant (random hyperplane signatures) as the scale path.
+All arithmetic runs JVM-side via higher-order array functions
+(``zip_with`` + ``aggregate``) — no Python in the hot loop.
+
+Scale: brute force is O(Q·N) pairs; with Q broadcast it never shuffles
+the corpus and is the right answer for small query sets. The LSH
+variant buckets both sides on a b-bit hyperplane signature so
+candidate generation is an equi-join on the bucket id — shuffle
+O(N + Q) instead of a cross product — then exact-rescores candidates.
+Recall is tunable via (n_planes, n_tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<double> columns, as a single
+    codegen'd expression."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine similarity.
+
+    ``queries`` (columns: query_id_col, vec_col) is broadcast — the
+    corpus streams through unshuffled; the only shuffle is the final
+    per-query top-k (tiny: k rows per query per partition after the
+    window's partial rank pruning).
+
+    Output: (query_id, vec_id, cos_sim, rank), rank 1..k, ties broken
+    by vec_id for determinism.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplane_signature(vec_col, planes: list[list[float]]):
+    """b-bit random-hyperplane (SimHash for vectors) bucket id: bit i =
+    sign(v · plane_i). Returns an int column in [0, 2^b)."""
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(p) for p in plane])) >= 0, 1).otherwise(0)
+        * (2**i)
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane
+    signature, equi-join on the bucket, exact-rescore candidates.
+
+    At 100 TB the bucket join replaces the cross product; candidates
+    per query ≈ N / 2^b. Multi-probe / multi-table extensions raise
+    recall by unioning candidate sets before the rescore.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("bucket", hyperplane_signature(F.col("c_vec"), planes))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+        ).withColumn("bucket", hyperplane_signature(F.col("q_vec"), planes))
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,119 @@
+"""Text analysis operators for training-data pipelines (M8).
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting,
+and document fingerprinting over the ``documents`` table — all
+expressed with built-in JVM functions (split / regexp / array ops /
+md5), zero Python UDFs, so they whole-stage-codegen and scale
+linearly with no shuffle (they are pure projections).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/number/punct splitter for token *estimation* — groups
+# letter-runs, digit-runs, and single punctuation marks.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny built-in stopword inventories for the n-gram/stopword language
+# heuristic. Deliberately short: the point is a deterministic,
+# SQL-expressible scorer, not linguistic completeness.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "fr": ("le", "la", "les", "de", "des", "et", "est", "que", "pour", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"),
+    "es": ("el", "la", "los", "de", "que", "y", "es", "en", "por", "para"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text ⇒ empty array."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, TOKEN_SPLIT_RE)
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of BPE-ish sub-word units (letter runs / digit runs /
+    punctuation marks) — a cheap proxy for tokenizer cost accounting."""
+    return F.size(
+        F.filter(F.split(col, f"({BPE_ISH_RE})|\\s+"), lambda x: x != "")
+    ).cast("long")
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    """Number of matches of ``pattern`` = chars removed when stripping
+    them, for single-char classes."""
+    return (F.length(col) - F.length(F.regexp_replace(col, pattern, ""))).cast("long")
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring projection: length, token stats, punctuation /
+    digit / uppercase ratios, mean word length. Heuristics follow the
+    public C4/Gopher-style filters (length + symbol ratios)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_toks = F.greatest(n_tokens, F.lit(1)).cast("double")
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            )
+            / safe_toks,
+            4,
+        ).alias("mean_token_len"),
+        F.round(_count_matches(t, r"[^A-Za-z0-9\s]") / safe_chars, 4).alias(
+            "punct_ratio"
+        ),
+        F.round(_count_matches(t, r"[0-9]") / safe_chars, 4).alias("digit_ratio"),
+        F.round(_count_matches(t, r"[A-Z]") / safe_chars, 4).alias("upper_ratio"),
+    )
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: fraction of tokens that are stopwords of
+    each candidate language; predicted language = argmax (threshold
+    0 ⇒ 'und'). Pure array built-ins; one projection, no shuffle."""
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    score_cols = {
+        lang: F.round(
+            F.size(F.filter(toks, lambda x: x.isin(*sw))) / n, 4
+        ).alias(f"score_{lang}")
+        for lang, sw in STOPWORDS.items()
+    }
+    scored = df.select("doc_id", F.col(text_col).alias("__text"), *score_cols.values())
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id", *[f"score_{lang}" for lang in langs], pred.alias("pred_lang")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-text md5 plus a normalized md5
+    (lowercased, whitespace-collapsed) that catches
+    formatting-only duplicates."""
+    t = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    return df.select(
+        "doc_id",
+        F.md5(t).alias("md5"),
+        F.md5(norm).alias("md5_normalized"),
+    )

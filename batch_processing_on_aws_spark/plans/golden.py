@@ -1,0 +1,543 @@
+"""Golden-query registry: every operator from SURVEY.md §2 as a
+(spark callable, DuckDB oracle SQL) pair.
+
+The driver runs each Spark query and its oracle side-by-side at
+sf0.01 and hash-compares (row count + schema + order-insensitive value
+hash, columns sorted by name). Rules observed throughout:
+
+- every computed column is aliased identically in both engines;
+- Spark ``dayofweek`` (1=Sunday) ↔ DuckDB ``dayofweek + 1`` (0=Sunday);
+- double aggregates are ``round``-ed in both engines so accumulation
+  order can't flip low bits;
+- DuckDB ``SUM(int)`` returns HUGEINT and ``COUNT`` BIGINT — integer
+  aggregates are cast to BIGINT in the SQL to match Spark's LongType;
+- cross-engine hashing (minhash, fingerprints) uses md5, which both
+  engines compute identically.
+
+Queries with no SQL-expressible twin (LSH bucketing with engine-local
+xxhash, streaming/stateful ops) register ``oracle=None`` → the driver
+records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import datetime_parts
+from ..operators.antijoin import unknown_keys
+from ..operators.audit import missing_value_counts
+from ..operators.conformance import ConformanceSpec, conform
+from ..operators.dedup import dedup_deterministic
+from ..operators.merge import upsert_frames
+from ..operators.neardup import minhash_lsh_pairs, minhash_signatures, simhash
+from ..operators.setops import union_distinct
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.textstats import (
+    STOPWORDS,
+    fingerprint,
+    language_scores,
+    text_quality,
+    token_count,
+)
+from ..sources import load_table
+from . import dashboard, tpch
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+
+
+# ---------------------------------------------------------------------------
+# Operator-level golden queries (conformance / antijoin / setops / dedup /
+# audit / merge) — SURVEY.md §2.3-2.9
+# ---------------------------------------------------------------------------
+
+def _lineitem_spec() -> ConformanceSpec:
+    # Built lazily: Column expressions need an active SparkContext.
+    return ConformanceSpec(
+        renames={
+            "l_orderkey": "order_id",
+            "l_partkey": "part_id",
+            "l_suppkey": "supplier_id",
+            "l_quantity": "quantity",
+            "l_returnflag": "return_flag",
+        },
+        drops=("l_linenumber", "l_linestatus", "l_tax"),
+        casts={"ship_date": "date"},
+        derived={
+            # decimal(18,4) is exact: price (2dp) × (1 − discount) (2dp)
+            # has exactly 4 decimals, so both engines cast the double
+            # product to the identical decimal value.
+            "disc_price": (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(18,4)"),
+            "ship_date": F.col("l_shipdate"),
+        },
+    )
+
+
+def conform_lineitem(spark, sf_dir):
+    """P1/P2/P4/P5 — the reference's rename→drop→cast→derive chain
+    (journey-data-transformation.py:38-46,110) as one projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return conform(li, _lineitem_spec())
+
+
+_CONFORM_SQL = """
+SELECT l_orderkey AS order_id, l_partkey AS part_id, l_suppkey AS supplier_id,
+       l_quantity AS quantity, l_extendedprice, l_discount,
+       l_returnflag AS return_flag, l_shipdate,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS disc_price
+FROM lineitem
+"""
+
+
+def antijoin_unknown_suppliers(spark, sf_dir):
+    """J1 — NOT IN new-key discovery (journey-data-transformation.py:65-90):
+    distinct lineitem supplier keys absent from the supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return unknown_keys(li, "l_suppkey", supp, "s_suppkey")
+
+
+_ANTIJOIN_SQL = """
+SELECT DISTINCT l_suppkey FROM lineitem
+WHERE l_suppkey IS NOT NULL
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)
+"""
+
+
+def datetime_dim(spark, sf_dir):
+    """U1+A3+F3 — build dim_datetime the reference's way
+    (journey-data-transformation.py:117-156): union the two timestamp
+    sources, dedup, project parts."""
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("ts"))
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("ts"))
+    return datetime_parts(union_distinct(orders, li), "ts")
+
+
+_DATETIME_SQL = """
+SELECT ts AS datetime_id,
+       CAST(date_part('second', ts) AS BIGINT) AS second,
+       CAST(date_part('minute', ts) AS BIGINT) AS minute,
+       CAST(date_part('hour', ts) AS BIGINT) AS hour,
+       CAST(date_part('day', ts) AS BIGINT) AS day,
+       CAST(date_part('month', ts) AS BIGINT) AS month,
+       CAST(date_part('dow', ts) + 1 AS BIGINT) AS week_day,
+       CAST(date_part('year', ts) AS BIGINT) AS year
+FROM (SELECT o_orderdate AS ts FROM orders UNION SELECT l_shipdate FROM lineitem)
+"""
+
+
+def latest_event_per_user(spark, sf_dir):
+    """A4, deterministic — last event per user via row_number
+    (replaces the reference's arbitrary-winner dropDuplicates,
+    journey-data-transformation.py:102,150)."""
+    events = load_table(spark, sf_dir, "events")
+    return dedup_deterministic(
+        events, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+
+
+_LATEST_EVENT_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def audit_missing_events(spark, sf_dir):
+    """A1 — one-pass per-column null/NaN audit
+    (init-data-transformation.py:41,67-77)."""
+    return missing_value_counts(load_table(spark, sf_dir, "events"))
+
+
+_AUDIT_SQL = """
+SELECT CAST(COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS BIGINT) AS event_id,
+       CAST(COUNT(CASE WHEN ts IS NULL THEN 1 END) AS BIGINT) AS ts,
+       CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT) AS user_id,
+       CAST(COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS BIGINT) AS event_type,
+       CAST(COUNT(CASE WHEN value IS NULL OR isnan(value) THEN 1 END) AS BIGINT) AS value,
+       CAST(COUNT(CASE WHEN props IS NULL THEN 1 END) AS BIGINT) AS props
+FROM events
+"""
+
+
+def upsert_events(spark, sf_dir):
+    """§2.9 — MERGE semantics, relational core: re-deliver all 'click'
+    events with doubled value; upsert into the full table keyed on
+    event_id. New rows win, unmatched old rows survive — the
+    Redshift-UPSERT contract (init_2_s3_to_redshifht_dag.py:63-74)."""
+    events = load_table(spark, sf_dir, "events")
+    new = events.where(F.col("event_type") == "click").withColumn(
+        "value", F.round(F.col("value") * 2, 2)
+    )
+    return upsert_frames(events, new, ["event_id"])
+
+
+_UPSERT_SQL = """
+SELECT event_id, ts, user_id, event_type,
+       CASE WHEN event_type = 'click' THEN ROUND(value * 2, 2) ELSE value END AS value,
+       props
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dashboard + TPC-H-shaped analytics (§2.5 A5) — oracles
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT hour_of_day, ROUND(AVG(n), 2) AS avg_events FROM (
+  SELECT CAST(ts AS DATE) AS d, CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+) GROUP BY hour_of_day
+"""
+
+_Q2_SQL = """
+SELECT n_name AS nation, r_name AS region,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+_Q3_SQL = """
+SELECT CAST(date_part('dow', o_orderdate) + 1 AS BIGINT) AS week_day,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+_MONEY = "CAST(ROUND(SUM(CAST({expr} AS DECIMAL(30,6))), 2) AS DECIMAL(18,2))"
+
+_Q4_SQL = f"""
+SELECT CAST(l_shipdate AS DATE) AS ship_day,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {_MONEY.format(expr="l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+_Q4_ROLLING_SQL = f"""
+SELECT ship_day, n_items, revenue,
+       ROUND(AVG(CAST(revenue AS DOUBLE)) OVER (ORDER BY ship_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         AS revenue_7d_avg
+FROM ({_Q4_SQL})
+"""
+
+_PRICING_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_MONEY.format(expr="l_quantity")} AS sum_qty,
+       {_MONEY.format(expr="l_extendedprice")} AS sum_base_price,
+       {_MONEY.format(expr="l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {_MONEY.format(expr="l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_TOP_PARTS_SQL = """
+SELECT p_brand, p_partkey, p_name, p_retailprice,
+       CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT)
+         AS price_rank
+FROM part
+QUALIFY price_rank <= 3
+"""
+
+_PRIORITY_REVENUE_SQL = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {_MONEY.format(expr="l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: text analysis / fingerprints / dedup / similarity (M8)
+# ---------------------------------------------------------------------------
+
+def doc_token_stats(spark, sf_dir):
+    """Token counting over documents (whitespace tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+_TOKEN_STATS_SQL = r"""
+SELECT doc_id, lang,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+         AS n_tokens
+FROM documents
+"""
+
+
+def doc_quality(spark, sf_dir):
+    """Quality-scoring projection (C4/Gopher-style heuristics)."""
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, trim(text) AS tt,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       ROUND(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+             / GREATEST(len(toks), 1), 4) AS mean_token_len,
+       ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE
+             / GREATEST(length(text), 1), 4) AS punct_ratio,
+       ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             / GREATEST(length(text), 1), 4) AS digit_ratio,
+       ROUND((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+             / GREATEST(length(text), 1), 4) AS upper_ratio
+FROM t
+"""
+
+
+def doc_fingerprints(spark, sf_dir):
+    """md5 fingerprints, raw + whitespace/case-normalized."""
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(text) AS md5,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS md5_normalized
+FROM documents
+"""
+
+
+def exact_dup_groups(spark, sf_dir):
+    """Exact dedup via hash-groupBy: texts appearing more than once.
+    (Zero rows at sf0.01 — the corpus is distinct there — nonzero at
+    sf0.1; the oracle agrees either way.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+_EXACT_DUP_SQL = """
+SELECT md5(text) AS text_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def doc_language_scores(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit ratio per language, argmax."""
+    return language_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    score_exprs = ",\n       ".join(
+        "ROUND(len(list_filter(toks, x -> list_contains({lst}, x)))::DOUBLE"
+        " / GREATEST(len(toks), 1), 4) AS score_{lang}".format(
+            lst="[" + ", ".join(f"'{w}'" for w in sw) + "]", lang=lang
+        )
+        for lang, sw in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END
+           AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, {score_exprs} FROM t
+)
+SELECT doc_id, {', '.join('score_' + lang for lang in langs)}, {pred} AS pred_lang FROM s
+"""
+
+
+def doc_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 md5 permutations over 3-gram shingles) —
+    engine-portable, so fully oracle-checked."""
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_sql(n_hashes: int = 8, shingle_n: int = 3) -> str:
+    mins = ",\n       ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(n_hashes)
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) <= {shingle_n} THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(
+                     range(0, len(toks) - {shingle_n} + 1),
+                     i -> array_to_string(toks[i + 1 : i + {shingle_n}], ' ')))
+         END AS sh
+  FROM t
+)
+SELECT doc_id, {mins} FROM sh
+"""
+
+
+def doc_minhash_lsh_pairs(spark, sf_dir):
+    """Banded MinHash-LSH candidate pairs (4 bands × 2 rows)."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_pairs_sql(n_hashes: int = 8, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    band_rows = ", ".join(
+        "({b}, md5({cols}))".format(
+            b=b,
+            cols=" || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS ({_minhash_sql(n_hashes)}),
+bands AS (
+  SELECT doc_id AS doc, b.* FROM sig,
+  LATERAL (VALUES {band_rows}) AS b(band_id, band_hash)
+)
+SELECT DISTINCT a.doc AS doc_id_a, b.doc AS doc_id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc < b.doc
+"""
+
+
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.q_vec), 4) AS cos_sim
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT)
+         AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
+def embedding_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (8 deterministic hyperplanes) — the scale path.
+    Engine-local plan (hyperplanes are generated constants): rows-only
+    check; recall vs the exact top-k is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planes = _deterministic_planes(n_planes=8, dim=64)
+    return lsh_topk(emb, queries, planes, k=10)
+
+
+def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Pseudo-random hyperplanes from a fixed LCG seed — deterministic
+    across runs/engines without numpy's global RNG."""
+    state = 42
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+            row.append(((state >> 33) / 2**31) - 1.0)  # in [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def doc_simhash(spark, sf_dir):
+    """SimHash signatures (32-bit, xxhash64-based — engine-local):
+    rows-only check; invariance properties are asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text")).alias("simhash32"))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: list[QueryDef] = [
+    # dashboard (A5)
+    QueryDef("q1_avg_events_per_hour", dashboard.q1_avg_events_per_hour, _Q1_SQL),
+    QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
+    QueryDef("q3_orders_by_weekday", dashboard.q3_orders_by_weekday, _Q3_SQL),
+    QueryDef("q4_daily_shipments_1996", dashboard.q4_daily_shipments_1996, _Q4_SQL),
+    QueryDef("q4_rolling_7day", dashboard.q4_rolling_7day, _Q4_ROLLING_SQL),
+    # TPC-H-shaped
+    QueryDef("pricing_summary", tpch.pricing_summary, _PRICING_SQL),
+    QueryDef("top_parts_per_brand", tpch.top_parts_per_brand, _TOP_PARTS_SQL),
+    QueryDef("priority_revenue", tpch.priority_revenue, _PRIORITY_REVENUE_SQL),
+    # operator-level (§2.3-2.9)
+    QueryDef("conform_lineitem", conform_lineitem, _CONFORM_SQL),
+    QueryDef("antijoin_unknown_suppliers", antijoin_unknown_suppliers, _ANTIJOIN_SQL),
+    QueryDef("datetime_dim", datetime_dim, _DATETIME_SQL),
+    QueryDef("latest_event_per_user", latest_event_per_user, _LATEST_EVENT_SQL),
+    QueryDef("audit_missing_events", audit_missing_events, _AUDIT_SQL),
+    QueryDef("upsert_events", upsert_events, _UPSERT_SQL),
+    # extension surface (M8)
+    QueryDef("doc_token_stats", doc_token_stats, _TOKEN_STATS_SQL),
+    QueryDef("doc_quality", doc_quality, _QUALITY_SQL),
+    QueryDef("doc_fingerprints", doc_fingerprints, _FINGERPRINT_SQL),
+    QueryDef("exact_dup_groups", exact_dup_groups, _EXACT_DUP_SQL),
+    QueryDef("doc_language_scores", doc_language_scores, _lang_sql()),
+    QueryDef("doc_minhash_signatures", doc_minhash_signatures, _minhash_sql()),
+    QueryDef("doc_minhash_lsh_pairs", doc_minhash_lsh_pairs, _minhash_pairs_sql()),
+    QueryDef("embedding_topk", embedding_topk, _TOPK_SQL),
+    QueryDef("embedding_lsh_topk", embedding_lsh_topk, None),
+    QueryDef("doc_simhash", doc_simhash, None),
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.fn for q in QUERIES}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {q.name: q.oracle for q in QUERIES if q.oracle is not None}

@@ -1,0 +1,66 @@
+"""SparkSession factory for the engine.
+
+The reference runs Spark 2.4.8 on ephemeral EMR clusters
+(reference: airflow/dags/init_1_spark_emr_dag.py:30, proc_1_spark_emr_dag.py:38-66)
+with zero tuning beyond cluster shape. We centralize session
+construction so every entry point (tests, bench, driver contract,
+pipeline) gets the same scale-aware defaults:
+
+- AQE on (runtime coalescing, skew-join splitting) — replaces the
+  reference's hardcoded ``repartition(10)`` output sizing
+  (init-data-transformation.py:90).
+- ``spark.sql.shuffle.partitions`` sized to cores for local mode; on a
+  real cluster AQE coalesces from a high initial number.
+- UTC session timezone so timestamp semantics are portable (and match
+  the DuckDB oracle, which is UTC-naive).
+- Arrow enabled for the Pandas-UDF extension surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "batch_processing_on_aws_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    Local-mode defaults; on a cluster the master/memory settings are
+    supplied by spark-submit and everything here still applies.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Parquet TIMESTAMP(NANOS) (the events table) has no native
+        # Spark type; read as long and convert in the reader
+        # (sources/readers.py truncates to micros, matching what
+        # DuckDB/Arrow do when casting ns → us).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Dynamic partition overwrite: the merge writer (operators/merge.py)
+        # rewrites only affected partitions, never the whole table.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,112 @@
+"""Scan operators (SURVEY.md §2.1, S1-S4, S7).
+
+The reference's scans are one-liners with schema inference
+(reference: init-data-transformation.py:23,48;
+journey-data-transformation.py:28,57). Here every scan takes an
+explicit schema by default — at 100 TB, inference means an extra full
+pass over CSV and nondeterministic column types. Filters/projections
+applied after these readers push down to the parquet scan via Catalyst
+(verify with ``df.explain('formatted')`` → ``PushedFilters`` /
+``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TABLE_NAMES, TESTDATA
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S4 — parquet scan (reference: journey-data-transformation.py:57)."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """S1/S2 — CSV scan with header (reference: journey-data-transformation.py:28).
+
+    Globs work as in the reference (``raw/cycling-journey/*/*``), but at
+    scale prefer a partitioned table + partition pruning (SURVEY.md §4).
+    ``infer=True`` reproduces the reference's dev behavior; never in prod.
+    """
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    explode_field: str | None = None,
+) -> DataFrame:
+    """S3/S7 — JSON scan, optionally unnesting an array-of-struct field.
+
+    The reference flattens the weather envelope's ``days`` array in
+    driver-side Python before Spark ever sees it
+    (reference: init_0_ingestion_to_s3_dag.py:41-55). In-engine this is
+    ``explode`` + struct star-expansion, which runs distributed and
+    keeps the raw file as the source of truth.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if explode_field is not None:
+        df = df.select(F.explode(F.col(explode_field)).alias("_d")).select("_d.*")
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic testdata table with its declared schema.
+
+    The schema is asserted (names + order), not re-inferred: parquet
+    carries its own types, so we read natively and verify against the
+    registry to fail fast on drift.
+    """
+    if name not in TESTDATA:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Parquet TIMESTAMP(NANOS) columns arrive as long (nanos since
+    # epoch) under spark.sql.legacy.parquet.nanosAsLong; truncate to
+    # micros — the same conversion DuckDB/Arrow apply on ns → us.
+    for field in TESTDATA[name].fields:
+        if isinstance(field.dataType, T.TimestampType) and isinstance(
+            df.schema[field.name].dataType, T.LongType
+        ):
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+            )
+    expected = [f.name for f in TESTDATA[name].fields]
+    if df.columns != expected:
+        raise ValueError(f"{name}: columns {df.columns} != declared {expected}")
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view for the SQL entry
+    point (reference: journey-data-transformation.py:60-61)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs
