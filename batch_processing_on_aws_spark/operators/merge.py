@@ -42,10 +42,16 @@ def upsert_frames(
     ``new`` must be unique per key (enforce upstream with
     dedup_deterministic — the reference's dropDuplicates-before-write
     plays this role, journey-data-transformation.py:102,150).
+
+    Frames are explicitly aliased: ``new`` is often derived from
+    ``old`` (same lineage), and unaliased ``new[k] == old[k]`` would
+    resolve both sides to the same attribute.
     """
-    on = [new[k] == old[k] for k in keys]
-    survivors = old.join(new, on=on, how="left_anti")
-    return new.unionByName(survivors)
+    o = old.alias("__old")
+    n = new.alias("__new")
+    on = [F.col(f"__old.{k}").eqNullSafe(F.col(f"__new.{k}")) for k in keys]
+    survivors = o.join(n, on=on, how="left_anti")
+    return new.unionByName(survivors.select(*old.columns))
 
 
 class MergeWriter:

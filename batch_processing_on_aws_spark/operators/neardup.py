@@ -39,13 +39,6 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.when(k <= n, F.array(joined)).otherwise(F.array_distinct(grams))
 
 
-def _min_hash(sh: Column, seed: int) -> Column:
-    """Min over shingles of a seed-prefixed md5, as a hex string.
-    min(md5) over hex strings is order-isomorphic to min over the
-    128-bit integers, and portable across engines."""
-    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -53,10 +46,31 @@ def minhash_signatures(
     n_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Projection: (doc_id, mh_0..mh_{n-1}) MinHash signature."""
-    sh = shingles(F.col(text_col), shingle_n)
-    return df.select(
-        id_col, *[_min_hash(sh, i).alias(f"mh_{i}") for i in range(n_hashes)]
+    """(doc_id, mh_0..mh_{n-1}) MinHash signature.
+
+    Shape: explode shingles → hash-aggregate ``min(md5(seed || s))``
+    per doc. The explode+groupBy form beats the tempting
+    ``array_min(transform(...))`` projection by ~10× because
+    higher-order array functions are interpreted per element, while
+    the md5s and min-aggregates here run inside whole-stage codegen
+    with map-side partial mins (only n_hashes values per doc cross the
+    shuffle). min over md5 hex strings is order-isomorphic to min over
+    the 128-bit integers, and portable across engines (the DuckDB
+    oracle reproduces it bit-for-bit).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
+    )
+    return (
+        exploded.groupBy("__id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"mh_{i}")
+                for i in range(n_hashes)
+            ]
+        )
+        .withColumnRenamed("__id", id_col)
     )
 
 
@@ -119,29 +133,43 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(col: Column, shingle_n: int = 3, n_bits: int = 32) -> Column:
-    """SimHash over shingles: bit j of the signature = sign of the sum
-    over shingles of ±1 according to bit j of each shingle's hash.
-    Uses xxhash64 (engine-local; used for grouping, not for
-    cross-engine comparison). ``n_bits ≤ 62`` so the signature stays a
-    positive long."""
-    sh = shingles(col, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    n_bits: int = 32,
+) -> DataFrame:
+    """(doc_id, simhash) SimHash signatures: bit j of the signature =
+    sign of the sum over shingles of ±1 according to bit j of the
+    shingle's xxhash64 (engine-local; used for grouping, not
+    cross-engine comparison). ``n_bits ≤ 62`` keeps the signature a
+    positive long.
 
-    def bit_sum(j: int) -> Column:
-        # Closure (not a default arg): F.aggregate requires 2-arg lambdas.
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    Shape: explode shingles → one xxhash64 per (doc, shingle) → n_bits
+    codegen'd sum-aggregates (map-side partial) → final bit assembly.
+    The array-fold formulation of the same thing runs interpreted per
+    element and is ~100× slower.
+    """
+    h = F.xxhash64(F.col("__s"))
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
+    )
+    sums = exploded.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{j}")
+            for j in range(n_bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(n_bits):
+        sig = sig + F.when(F.col(f"__b{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-
-    bit_sums = [bit_sum(j) for j in range(n_bits)]
-    out = F.lit(0).cast("long")
-    for j, s in enumerate(bit_sums):
-        out = out + F.when(s > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    return sums.select(F.col("__id").alias(id_col), sig.alias("simhash"))
 
 
 def jaccard(a: Column, b: Column) -> Column:

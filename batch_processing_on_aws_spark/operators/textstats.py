@@ -43,9 +43,7 @@ def token_count(col: Column) -> Column:
 def bpe_ish_token_count(col: Column) -> Column:
     """Count of BPE-ish sub-word units (letter runs / digit runs /
     punctuation marks) — a cheap proxy for tokenizer cost accounting."""
-    return F.size(
-        F.filter(F.split(col, f"({BPE_ISH_RE})|\\s+"), lambda x: x != "")
-    ).cast("long")
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0)).cast("long")
 
 
 def _count_matches(col: Column, pattern: str) -> Column:

@@ -33,7 +33,11 @@ from ..operators.audit import missing_value_counts
 from ..operators.conformance import ConformanceSpec, conform
 from ..operators.dedup import dedup_deterministic
 from ..operators.merge import upsert_frames
-from ..operators.neardup import minhash_lsh_pairs, minhash_signatures, simhash
+from ..operators.neardup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
 from ..operators.setops import union_distinct
 from ..operators.similarity import brute_force_topk, lsh_topk
 from ..operators.textstats import (
@@ -495,8 +499,7 @@ def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
 def doc_simhash(spark, sf_dir):
     """SimHash signatures (32-bit, xxhash64-based — engine-local):
     rows-only check; invariance properties are asserted in tests."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash(F.col("text")).alias("simhash32"))
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

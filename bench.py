@@ -1,0 +1,65 @@
+"""Benchmark harness: run the golden queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end into a `noop` sink (full plan runs,
+no driver-side collect cost, no output I/O) — the standard way to
+measure Spark plan execution without materialization artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from batch_processing_on_aws_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+    spark = get_spark(app_name="bench")
+
+    qs = entrymod.queries()
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # plan, not first-call JIT+classload.
+    run_query(next(iter(qs.values()))(spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        run_query(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "golden_query_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_num if sf_num is not None else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""Contract checks on the golden registry itself + an end-to-end smoke
+of entry() — the driver's t1 gate."""
+
+import __spark_entry__ as entrymod
+
+
+def test_registry_shape():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 20
+    # every oracle key has a query
+    assert set(oracles) <= set(qs)
+    # rows-only queries are the documented engine-local ones
+    assert set(qs) - set(oracles) == {"embedding_lsh_topk", "doc_simhash"}
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 24
+    assert df.columns == ["hour_of_day", "avg_events"]
+
+
+def test_all_queries_run_at_smoke_scale(spark):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0, name

@@ -1,0 +1,78 @@
+import os
+
+from pyspark.sql import functions as F
+
+from batch_processing_on_aws_spark.operators.merge import (
+    BUCKET_COL,
+    MergeWriter,
+    upsert_frames,
+)
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_upsert_frames_new_wins_old_survives(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    new = spark.createDataFrame([(2, "B"), (3, "C")], ["k", "v"])
+    assert _rows(upsert_frames(old, new, ["k"])) == [(1, "a"), (2, "B"), (3, "C")]
+
+
+def test_upsert_frames_same_lineage(spark):
+    """new derived from old (shared lineage) must not collapse the join
+    condition to a trivially-true self-compare."""
+    old = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["k", "v"])
+    new = old.where(F.col("k") == 2).withColumn("v", F.col("v") * 100)
+    assert _rows(upsert_frames(old, new, ["k"])) == [(1, 10), (2, 2000), (3, 30)]
+
+
+def test_merge_writer_idempotent(spark, tmp_path):
+    """The §2.9 contract: re-running an increment must not change the
+    table (the reference delegates this to Redshift UPSERT)."""
+    path = os.path.join(str(tmp_path), "t")
+    w = MergeWriter(path, keys=["k"], n_buckets=4)
+    base = spark.createDataFrame([(i, "v0") for i in range(20)], ["k", "v"])
+    w.overwrite(base)
+    inc = spark.createDataFrame([(5, "v1"), (21, "v1")], ["k", "v"])
+    w.upsert(spark, inc)
+    first = _rows(w.read(spark))
+    w.upsert(spark, inc)  # idempotent re-run
+    assert _rows(w.read(spark)) == first
+    expected = [(i, "v1" if i == 5 else "v0") for i in range(20)] + [(21, "v1")]
+    assert first == expected
+
+
+def test_merge_writer_rewrites_only_touched_buckets(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t")
+    w = MergeWriter(path, keys=["k"], n_buckets=8)
+    base = spark.createDataFrame([(i, "v0") for i in range(100)], ["k", "v"])
+    w.overwrite(base)
+    before = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith(BUCKET_COL)
+    }
+    inc = spark.createDataFrame([(7, "v1")], ["k", "v"])
+    touched = inc.withColumn(
+        BUCKET_COL, F.pmod(F.hash("k"), F.lit(8))
+    ).collect()[0][BUCKET_COL]
+    w.upsert(spark, inc)
+    after = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith(BUCKET_COL)
+    }
+    untouched = [d for d in before if d != f"{BUCKET_COL}={touched}"]
+    assert untouched, "expected >1 bucket"
+    for d in untouched:
+        assert before[d] == after[d], f"bucket {d} was rewritten needlessly"
+    assert before[f"{BUCKET_COL}={touched}"] != after[f"{BUCKET_COL}={touched}"]
+
+
+def test_merge_writer_first_write_via_upsert(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t")
+    w = MergeWriter(path, keys=["k"])
+    inc = spark.createDataFrame([(1, "a")], ["k", "v"])
+    w.upsert(spark, inc)  # table doesn't exist yet → plain write
+    assert _rows(w.read(spark)) == [(1, "a")]

@@ -1,0 +1,112 @@
+from pyspark.sql import functions as F
+
+from batch_processing_on_aws_spark.operators.neardup import (
+    jaccard,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_signatures,
+)
+from batch_processing_on_aws_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from batch_processing_on_aws_spark.plans.golden import _deterministic_planes
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the tall green hills of the quiet northern valley tonight"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE.replace("quick", "swift")),  # near-dup of 1
+            (3, "completely different content about database query engines and "
+                "distributed shuffle execution plans running at large scale"),
+            (4, BASE),  # exact dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_minhash_exact_dup_same_signature(spark):
+    sig = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8))
+           for r in minhash_signatures(_docs(spark)).collect()}
+    assert sig[1] == sig[4]
+    assert sig[1] != sig[3]
+
+
+def test_lsh_finds_planted_near_dups(spark):
+    pairs = {(r["doc_id_a"], r["doc_id_b"])
+             for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (1, 4) in pairs          # exact dup always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup shares a band
+    assert not any(3 in p for p in pairs)      # unrelated doc never pairs
+
+
+def test_ngram_jaccard_verification(spark):
+    docs = _docs(spark)
+    pairs = minhash_lsh_pairs(docs)
+    verified = ngram_jaccard_pairs(docs, pairs, threshold=0.5)
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in verified.collect()}
+    assert got[(1, 4)] == 1.0
+    for (a, b), j in got.items():
+        assert j >= 0.5
+
+
+def test_jaccard_empty_docs(spark):
+    df = spark.createDataFrame([("", "")], ["a", "b"]).select(
+        jaccard(shingles(F.col("a")), shingles(F.col("b"))).alias("j")
+    )
+    assert df.collect()[0]["j"] == 1.0
+
+
+def test_simhash_dup_invariance_and_separation(spark):
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs(spark)).collect()}
+    assert sig[1] == sig[4]
+    ham_near = bin(sig[1] ^ sig[2]).count("1")
+    ham_far = bin(sig[1] ^ sig[3]).count("1")
+    assert ham_near < ham_far
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),   # closest to 2
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    corpus = _vecs(spark)
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(corpus, queries, k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["rank"] == 1 and out[0]["cos_sim"] > 0.99
+
+
+def test_lsh_recall_vs_exact_on_testdata(spark):
+    """LSH ANN must recover a reasonable fraction of the exact top-10
+    on the real embeddings table (recall is the operator's contract)."""
+    from batch_processing_on_aws_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, queries, k=10).collect()}
+    planes = _deterministic_planes(n_planes=8, dim=64)
+    approx = {(r["query_id"], r["vec_id"])
+              for r in lsh_topk(emb, queries, planes, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"

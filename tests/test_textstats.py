@@ -1,0 +1,62 @@
+from pyspark.sql import functions as F
+
+from batch_processing_on_aws_spark.operators.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_scores,
+    text_quality,
+    token_count,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "one two  three"), (2, ""), (3, "   "), (4, "single")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 3, 2: 0, 3: 0, 4: 1}
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([(1, "don't stop, 42 times!")], ["doc_id", "text"])
+    n = df.select(bpe_ish_token_count(F.col("text")).alias("n")).collect()[0]["n"]
+    # don / ' / t / stop / , / 42 / times / !
+    assert n == 8
+
+
+def test_quality_ratios(spark):
+    df = spark.createDataFrame([(1, "Ab1!")], ["doc_id", "text"])
+    r = text_quality(df).collect()[0]
+    assert r["n_chars"] == 4
+    assert r["punct_ratio"] == 0.25
+    assert r["digit_ratio"] == 0.25
+    assert r["upper_ratio"] == 0.25
+    assert r["n_tokens"] == 1 and r["mean_token_len"] == 4.0
+
+
+def test_language_scores_pick_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy in the sun"),
+            (2, "le chat est dans la maison et il est content pour le moment"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in language_scores(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "fr"
+    assert got[3] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "goodbye")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in fingerprint(df).collect()}
+    assert rows[1]["md5"] != rows[2]["md5"]
+    assert rows[1]["md5_normalized"] == rows[2]["md5_normalized"]
+    assert rows[1]["md5_normalized"] != rows[3]["md5_normalized"]
