@@ -1,0 +1,174 @@
+"""End-to-end pipelines (SURVEY.md §3, M5/M6).
+
+Two pipelines live here:
+
+1. ``JourneyPipeline`` — the reference's exact flow over its own
+   domain (stations/weather bootstrap + weekly journey increments),
+   re-expressed with engine operators. The reference splits this
+   across four Airflow DAGs and two EMR scripts
+   (init_0/1/2, proc_0/1/2 — SURVEY.md §3.1-3.2); here each stage is
+   a pure DataFrame function and the orchestration is plain Python.
+
+2. ``build_star_schema`` — the same shapes over the driver's
+   synthetic tables, used by tests/bench.
+
+Scale design vs the reference:
+- the reference re-scans ALL weekly files every week
+  (``raw/cycling-journey/*/*`` glob, journey-data-transformation.py:28)
+  — a scaling bug. Here each increment processes ONLY its own batch
+  and merges by key (partition-pruned bucket rewrite, operators/merge.py).
+- warehouse-boundary UPSERT (Redshift in the reference,
+  init_2_s3_to_redshifht_dag.py:63-74) is owned in-engine by
+  MergeWriter, so the processed zone itself is idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.datetime_parts import datetime_parts, parse_timestamp
+from .operators.antijoin import new_keys
+from .operators.conformance import JOURNEY_SPEC, STATIONS_SPEC, conform
+from .operators.dedup import dedup_deterministic
+from .operators.merge import MergeWriter
+from .operators.setops import union_all_by_name
+from .schemas import JOURNEY_RAW, STATIONS_RAW, WEATHER_ENVELOPE
+from .sources.readers import read_csv, read_json
+
+
+@dataclass
+class WarehousePaths:
+    root: str
+
+    @property
+    def dim_station(self) -> str:
+        return os.path.join(self.root, "dim_station")
+
+    @property
+    def dim_weather(self) -> str:
+        return os.path.join(self.root, "dim_weather")
+
+    @property
+    def dim_datetime(self) -> str:
+        return os.path.join(self.root, "dim_datetime")
+
+    @property
+    def fact_journey(self) -> str:
+        return os.path.join(self.root, "fact_journey")
+
+
+class JourneyPipeline:
+    """The reference pipeline, stage for stage.
+
+    Bootstrap (reference init_1, init-data-transformation.py):
+      stations CSV → conform → dim_station (overwrite)
+      weather JSON → unnest days → conform → drop sparse → dim_weather
+
+    Weekly increment (reference proc_1, journey-data-transformation.py):
+      journey CSV → conform → parse timestamps → derive weather_date
+      → discover unknown stations → pad + append to dim_station
+      → datetime dim rows from start/end timestamps → dedup → upsert
+      → fact rows keyed by rental_id → upsert (idempotent re-run safe)
+    """
+
+    def __init__(self, spark: SparkSession, paths: WarehousePaths):
+        self.spark = spark
+        self.paths = paths
+        self._stations = MergeWriter(paths.dim_station, keys=["station_id"], n_buckets=4)
+        self._weather = MergeWriter(paths.dim_weather, keys=["weather_date"], n_buckets=4)
+        self._datetime = MergeWriter(paths.dim_datetime, keys=["datetime_id"], n_buckets=8)
+        self._fact = MergeWriter(paths.fact_journey, keys=["rental_id"], n_buckets=16)
+
+    # -- bootstrap (init_0/init_1/init_2) ---------------------------------
+
+    def bootstrap_stations(self, stations_csv: str) -> DataFrame:
+        """reference init-data-transformation.py:23-43."""
+        raw = read_csv(self.spark, stations_csv, schema=STATIONS_RAW)
+        dim = conform(raw, STATIONS_SPEC)
+        self._stations.overwrite(dim)
+        return dim
+
+    def bootstrap_weather(self, weather_json: str, max_missing: float = 0.7) -> DataFrame:
+        """reference init-data-transformation.py:48-92 + the envelope
+        unnest the reference does driver-side (init_0…py:41-55)."""
+        from .operators.audit import drop_sparse_columns
+
+        days = read_json(
+            self.spark, weather_json, schema=WEATHER_ENVELOPE, explode_field="days"
+        )
+        dim = days.withColumnRenamed("datetime", "weather_date").withColumn(
+            "weather_date", F.col("weather_date").cast("date")
+        )
+        dim = drop_sparse_columns(dim, max_missing)
+        self._weather.overwrite(dim)
+        return dim
+
+    # -- weekly increment (proc_0/proc_1/proc_2) --------------------------
+
+    def process_journey_batch(self, journey_csv: str) -> DataFrame:
+        """One weekly file through the whole flow; safe to re-run
+        (merge keys make it idempotent — the §2.9 contract)."""
+        raw = read_csv(self.spark, journey_csv, schema=JOURNEY_RAW)
+        j = conform(raw, JOURNEY_SPEC)
+        j = (
+            j.withColumn("start_date", parse_timestamp("start_date"))
+            .withColumn("end_date", parse_timestamp("end_date"))
+            .withColumn("weather_date", F.to_date("start_date"))
+        )
+
+        # New-station discovery (journey-data-transformation.py:65-106):
+        # stations seen in the fact but absent from dim_station get
+        # padded placeholder rows (the reference zero-fills lon/lat/…,
+        # :95) so the FK always resolves.
+        dim = self._stations.read(self.spark)
+        unknown = new_keys(j, ["start_station", "end_station"], dim, "station_id")
+        padded = unknown.select(
+            F.col("key").cast("int").alias("station_id"),
+            F.lit(None).cast("string").alias("station_name"),
+            *[
+                F.lit(0.0).cast("double").alias(c)
+                for c in ("longitude", "latitude", "easting", "northing")
+            ],
+        )
+        self._stations.upsert(self.spark, padded)
+
+        # Datetime dimension from both timestamp columns
+        # (journey-data-transformation.py:117-156): union (by name),
+        # deterministic dedup, upsert.
+        dt = union_all_by_name(
+            datetime_parts(j, "start_date"), datetime_parts(j, "end_date")
+        )
+        dt = dedup_deterministic(dt, ["datetime_id"], [F.col("datetime_id")])
+        self._datetime.upsert(self.spark, dt)
+
+        # Fact upsert keyed on rental_id (proc_2…py:64-75). The batch
+        # itself may carry duplicate rental_ids → deterministic dedup
+        # first (latest start_date wins).
+        fact = dedup_deterministic(
+            j.select(
+                "rental_id", "bike_id", "end_date", "end_station",
+                "start_date", "start_station", "weather_date",
+            ),
+            ["rental_id"],
+            [F.col("start_date").desc()],
+        )
+        self._fact.upsert(self.spark, fact)
+        return fact
+
+    # -- serving reads ----------------------------------------------------
+
+    def fact(self) -> DataFrame:
+        return self._fact.read(self.spark)
+
+    def stations(self) -> DataFrame:
+        return self._stations.read(self.spark)
+
+    def datetime_dim(self) -> DataFrame:
+        return self._datetime.read(self.spark)
+
+    def weather(self) -> DataFrame:
+        return self._weather.read(self.spark)

@@ -1,0 +1,111 @@
+"""End-to-end test of the reference-shaped pipeline on fixture data
+built to FIXTURES.md §A: unknown station ids (anti-join path),
+duplicate rental ids across weeks (upsert idempotency), shared
+start/end timestamps (datetime dedup), sparse weather columns
+(the >70%-null drop rule)."""
+
+import json
+import os
+
+import pytest
+
+from batch_processing_on_aws_spark.pipeline import JourneyPipeline, WarehousePaths
+
+STATIONS_CSV = """Station.Id,StationName,longitude,latitude,easting,northing
+1,Kings Cross,-0.12,51.53,530000,182000
+2,Waterloo,-0.11,51.50,531000,180000
+"""
+
+# Week 1: rental 100 + 101; station 9 unknown; shared timestamp 12:00
+WEEK1_CSV = """Rental Id,Duration,Bike Id,End Date,EndStation Id,EndStation Name,Start Date,StartStation Id,StartStation Name
+100,600,11,31/01/2021 12:10,2,Waterloo,31/01/2021 12:00,1,Kings Cross
+101,300,12,31/01/2021 12:05,9,Mystery St,31/01/2021 12:00,1,Kings Cross
+"""
+
+# Week 2: rental 101 re-delivered with corrected end station (upsert
+# must replace, not duplicate), plus a new rental.
+WEEK2_CSV = """Rental Id,Duration,Bike Id,End Date,EndStation Id,EndStation Name,Start Date,StartStation Id,StartStation Name
+101,300,12,01/02/2021 09:05,2,Waterloo,01/02/2021 09:00,1,Kings Cross
+102,900,13,01/02/2021 10:15,1,Kings Cross,01/02/2021 10:00,2,Waterloo
+"""
+
+WEATHER_JSON = {
+    "latitude": 51.5,
+    "longitude": -0.12,
+    "timezone": "Europe/London",
+    "days": [
+        {"datetime": "2021-01-31", "temp": 4.5, "tempmax": 6.0, "tempmin": 2.0,
+         "humidity": 80.0, "precip": 0.0, "snow": None, "snowdepth": None},
+        {"datetime": "2021-02-01", "temp": 5.5, "tempmax": 7.0, "tempmin": 3.0,
+         "humidity": 75.0, "precip": 1.2, "snow": None, "snowdepth": None},
+    ],
+}
+
+
+@pytest.fixture()
+def pipe(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "stations.csv").write_text(STATIONS_CSV)
+    (raw / "week1.csv").write_text(WEEK1_CSV)
+    (raw / "week2.csv").write_text(WEEK2_CSV)
+    (raw / "weather.json").write_text(json.dumps(WEATHER_JSON))
+    p = JourneyPipeline(spark, WarehousePaths(str(tmp_path / "wh")))
+    p.bootstrap_stations(str(raw / "stations.csv"))
+    p.bootstrap_weather(str(raw / "weather.json"))
+    return p, raw
+
+
+def test_full_flow_and_idempotency(pipe):
+    p, raw = pipe
+    p.process_journey_batch(str(raw / "week1.csv"))
+
+    # unknown station 9 discovered and padded (reference :95)
+    st = {r["station_id"]: r for r in p.stations().collect()}
+    assert set(st) == {1, 2, 9}
+    assert st[9]["station_name"] is None and st[9]["longitude"] == 0.0
+    assert st[1]["station_name"] == "Kings Cross"
+
+    # shared 12:00 timestamp appears once in dim_datetime
+    dts = [r["datetime_id"] for r in p.datetime_dim().collect()]
+    assert len(dts) == len(set(dts)) == 3  # 12:00, 12:05, 12:10
+
+    p.process_journey_batch(str(raw / "week2.csv"))
+    fact = {r["rental_id"]: r for r in p.fact().collect()}
+    assert set(fact) == {100, 101, 102}
+    # rental 101 replaced by the week-2 version (end station corrected)
+    assert fact[101]["end_station"] == 2
+    assert fact[101]["start_date"].day == 1
+
+    # re-running week 2 changes nothing (§2.9 idempotency contract)
+    before = sorted(map(tuple, p.fact().collect()))
+    p.process_journey_batch(str(raw / "week2.csv"))
+    assert sorted(map(tuple, p.fact().collect())) == before
+    assert p.datetime_dim().count() == 7  # 3 from week1 + 4 from week2
+
+
+def test_weather_sparse_columns_dropped(pipe):
+    p, _ = pipe
+    cols = p.weather().columns
+    assert "snow" not in cols and "snowdepth" not in cols  # 100% null → dropped
+    assert "temp" in cols and "weather_date" in cols
+
+
+def test_star_join_serves_dashboard_shape(pipe, spark):
+    """The serving query shape (README.md:35-41): fact ⋈ dims."""
+    from pyspark.sql import functions as F
+
+    p, raw = pipe
+    p.process_journey_batch(str(raw / "week1.csv"))
+    p.process_journey_batch(str(raw / "week2.csv"))
+    out = (
+        p.fact()
+        .join(F.broadcast(p.stations()), F.col("start_station") == F.col("station_id"))
+        .join(F.broadcast(p.weather()), "weather_date")
+        .groupBy("station_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("temp"), 2).alias("avg_temp"))
+        .collect()
+    )
+    got = {r["station_name"]: (r["n"], r["avg_temp"]) for r in out}
+    assert got["Kings Cross"] == (2, 5.0)  # rentals 100 (4.5°) + 101 (5.5°)
+    assert got["Waterloo"] == (1, 5.5)

@@ -1,0 +1,89 @@
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from batch_processing_on_aws_spark.streaming import (
+    incremental_merge_stream,
+    windowed_event_counts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows, name):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_incremental_stream_exactly_once_per_key(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, inp, [(1, "a"), (2, "b")], "b1")
+    incremental_merge_stream(spark, inp, SCHEMA, table, ["k"], ckpt)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # second run with no new files: checkpoint prevents reprocessing
+    incremental_merge_stream(spark, inp, SCHEMA, table, ["k"], ckpt)
+    assert spark.read.parquet(table).count() == 2
+
+    # a late re-delivery of key 2 plus a new key → merge, not append
+    _write_batch(spark, inp, [(2, "B"), (3, "c")], "b2")
+    incremental_merge_stream(spark, inp, SCHEMA, table, ["k"], ckpt)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(table).drop("__pk_bucket").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_incremental_stream_with_transform(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    table = str(tmp_path / "t")
+    _write_batch(spark, inp, [(1, "x")], "b1")
+    incremental_merge_stream(
+        spark, inp, SCHEMA, table, ["k"], str(tmp_path / "ck"),
+        transform=lambda df: df.withColumn("v", F.upper("v")),
+    )
+    assert spark.read.parquet(table).collect()[0]["v"] == "X"
+
+
+def test_windowed_counts_streaming_memory_sink(spark, tmp_path):
+    """Drive the watermarked windowed aggregate through an actual
+    streaming query (file source → memory sink, availableNow)."""
+    inp = str(tmp_path / "ev")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = [
+        ("2024-01-01 00:01:00", "click", 1.0),
+        ("2024-01-01 00:02:00", "click", 2.0),
+        ("2024-01-01 00:07:00", "view", 3.0),
+    ]
+    spark.createDataFrame(rows, "ts string, event_type string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "event_type", "value"
+    ).coalesce(1).write.parquet(inp)
+
+    stream = spark.readStream.schema(schema).parquet(inp)
+    agg = windowed_event_counts(stream, window="5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wincounts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        (r["window_start"].minute, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    assert out == {(0, "click"): (2, 3.0), (5, "view"): (1, 3.0)}
