@@ -187,21 +187,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    decimals: int | None = None,
 ) -> DataFrame:
     """Verify candidate pairs by exact n-gram Jaccard; keep those at or
     above ``threshold``. Joins shingle arrays to both sides of the
     pair list — at scale the pair list is ≪ corpus, so both joins
-    broadcast the pairs side."""
+    broadcast the pairs side.
+
+    ``decimals=None`` leaves the ratio unrounded: a division of two
+    identical integers is bit-identical across engines, while rounding
+    can tie (1/32 = 0.03125 at 4 decimals)."""
     sh = df.select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
     )
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    if decimals is not None:
+        j = F.round(j, decimals)
     out = (
         pairs.join(sh.withColumnRenamed("__id", "doc_id_a").withColumnRenamed("__sh", "sh_a"), "doc_id_a")
         .join(sh.withColumnRenamed("__id", "doc_id_b").withColumnRenamed("__sh", "sh_b"), "doc_id_b")
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
-        )
+        .select("doc_id_a", "doc_id_b", j.alias("jaccard"))
     )
     return out.where(F.col("jaccard") >= threshold)

@@ -87,6 +87,45 @@ def brute_force_topk(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_by: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
+    cosine ≥ threshold.
+
+    With ``bucket_by`` set (a cluster/label/LSH-bucket column), the
+    self-join is an equi-join on the bucket — candidates stay within
+    buckets and the plan shuffles O(N), the standard scale path for
+    embedding dedup. ``bucket_by=None`` is the exact O(N²) cross join:
+    correct at any recall, affordable only for small corpora or as the
+    verification oracle.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+        *([F.col(bucket_by).alias("__b")] if bucket_by else []),
+    )
+    a = base.select(*[F.col(c).alias(f"a{c}") for c in base.columns])
+    b = base.select(*[F.col(c).alias(f"b{c}") for c in base.columns])
+    if bucket_by:
+        joined = a.join(b, F.col("a__b") == F.col("b__b"))
+    else:
+        joined = a.crossJoin(b)
+    return (
+        joined.where(F.col("a__id") < F.col("b__id"))
+        .select(
+            F.col("a__id").alias("vec_id_a"),
+            F.col("b__id").alias("vec_id_b"),
+            F.round(cosine(F.col("a__v"), F.col("b__v")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def hyperplane_signature(vec_col, planes: list[list[float]]):
     """b-bit random-hyperplane (SimHash for vectors) bucket id: bit i =
     sign(v · plane_i). Returns an int column in [0, 2^b)."""

@@ -503,6 +503,236 @@ def doc_simhash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Windowed / grouped analytics beyond the reference (sessions, pivot,
+# rollup, semi-join) — the "engine skeleton exposes Spark's full enum"
+# stance of SURVEY.md §2.4/§2.8
+# ---------------------------------------------------------------------------
+
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30 min) + per-session rollup."""
+    from ..operators.sessions import session_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(events, gap_minutes=30, tiebreak_col="event_id")
+
+
+_SESSIONS_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev IS NULL
+                  OR floor(epoch(ts)) - floor(epoch(prev)) > 1800 THEN 1 ELSE 0 END AS flag
+  FROM lagged
+), tagged AS (
+  SELECT *, CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DECIMAL(18,2)) AS sum_value,
+       CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+FROM tagged GROUP BY user_id, session_id
+"""
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(spark, sf_dir):
+    """Pivot: events per day × event_type (missing cells → 0)."""
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return out.na.fill(0, subset=list(_EVENT_TYPES))
+
+
+_PIVOT_SQL = f"""
+SELECT CAST(ts AS DATE) AS day,
+       {", ".join(f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
+def orders_rollup(spark, sf_dir):
+    """ROLLUP (region → nation) order counts with subtotal rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(region.r_name.alias("region"), nation.n_name.alias("nation"))
+    )
+    return joined.rollup("region", "nation").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT r_name AS region, n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def active_customers_semi(spark, sf_dir):
+    """LEFT SEMI join (EXISTS): customers with ≥1 order in 1996."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    )
+
+
+_SEMI_SQL = """
+SELECT * FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1997-01-01')
+"""
+
+
+def events_daily_stats(spark, sf_dir):
+    """The dim_weather analog (FIXTURES.md §B): daily rollup of the
+    events table — count, exact-decimal-based mean, min/max."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_DAILY_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+def distinct_users_per_type(spark, sf_dir):
+    """Exact + approximate distinct: distinct users per event type
+    (the approx twin is checked rows-only via a tolerance test)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def doc_bpe_tokens(spark, sf_dir):
+    """BPE-ish sub-word token counts (letter runs / digit runs /
+    punctuation marks)."""
+    from ..operators.textstats import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+def neardup_verified_pairs(spark, sf_dir):
+    """Full fuzzy-dedup chain: MinHash-LSH candidates → exact n-gram
+    Jaccard verification at 0.5. Jaccard left unrounded — integer
+    division is bit-identical across engines."""
+    from ..operators.neardup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    return ngram_jaccard_pairs(docs, pairs, threshold=0.5, decimals=None)
+
+
+def _neardup_verified_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_pairs_sql()}),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(
+                     range(0, len(toks) - 2),
+                     i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+         END AS sh
+  FROM (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+    FROM documents
+  )
+), scored AS (
+  SELECT p.doc_id_a, p.doc_id_b,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_id_a
+  JOIN sh b ON b.doc_id = p.doc_id_b
+)
+SELECT doc_id_a, doc_id_b,
+       CASE WHEN uni = 0 THEN 1.0 ELSE CAST(inter AS DOUBLE) / uni END AS jaccard
+FROM scored
+WHERE (CASE WHEN uni = 0 THEN 1.0 ELSE CAST(inter AS DOUBLE) / uni END) >= 0.5
+"""
+
+
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within label buckets (the
+    cluster-bucketed scale path; threshold tuned to the synthetic
+    corpus's cosine range)."""
+    from ..operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.35, bucket_by="label")
+
+
+_EMB_NEARDUP_SQL = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -535,6 +765,16 @@ QUERIES: list[QueryDef] = [
     QueryDef("embedding_topk", embedding_topk, _TOPK_SQL),
     QueryDef("embedding_lsh_topk", embedding_lsh_topk, None),
     QueryDef("doc_simhash", doc_simhash, None),
+    # windowed / grouped analytics beyond the reference
+    QueryDef("sessionize_events", sessionize_events, _SESSIONS_SQL),
+    QueryDef("event_type_pivot", event_type_pivot, _PIVOT_SQL),
+    QueryDef("orders_rollup", orders_rollup, _ROLLUP_SQL),
+    QueryDef("active_customers_semi", active_customers_semi, _SEMI_SQL),
+    QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),
+    QueryDef("distinct_users_per_type", distinct_users_per_type, _DISTINCT_SQL),
+    QueryDef("doc_bpe_tokens", doc_bpe_tokens, _BPE_SQL),
+    QueryDef("neardup_verified_pairs", neardup_verified_pairs, _neardup_verified_sql()),
+    QueryDef("embedding_neardup", embedding_neardup, _EMB_NEARDUP_SQL),
 ]
 
 
