@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
 from .textstats import tokens
 
 
@@ -48,25 +49,42 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}) MinHash signature.
 
-    Shape: explode shingles → hash-aggregate ``min(md5(seed || s))``
-    per doc. The explode+groupBy form beats the tempting
+    Shape: explode shingles → hash-aggregate ``min(hash_i(s))`` per
+    doc. The explode+groupBy form beats the tempting
     ``array_min(transform(...))`` projection by ~10× because
     higher-order array functions are interpreted per element, while
-    the md5s and min-aggregates here run inside whole-stage codegen
+    the hashing and min-aggregates here run inside whole-stage codegen
     with map-side partial mins (only n_hashes values per doc cross the
-    shuffle). min over md5 hex strings is order-isomorphic to min over
-    the 128-bit integers, and portable across engines (the DuckDB
-    oracle reproduces it bit-for-bit).
+    shuffle).
+
+    One md5 yields 128 independent bits = FOUR 32-bit hash functions
+    (8-hex-char substrings), so ``ceil(n/4)`` seeded md5 calls cover n
+    hash functions — 4× less hashing than one md5 per function. min
+    over fixed-width lowercase-hex strings is order-isomorphic to min
+    over the 32-bit integers, and portable across engines (the DuckDB
+    oracle reproduces it bit-for-bit). ``fan_out`` parallelizes the
+    shingle+hash projection past a low-split upstream scan.
     """
+    n_seeds = (n_hashes + 3) // 4
+    df = fan_out(df)
     exploded = df.select(
         F.col(id_col).alias("__id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
     )
+    hashed = exploded.select(
+        "__id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("__s"))).alias(f"__h{s}")
+            for s in range(n_seeds)
+        ],
+    )
     return (
-        exploded.groupBy("__id")
+        hashed.groupBy("__id")
         .agg(
             *[
-                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"mh_{i}")
+                F.min(
+                    F.substring(F.col(f"__h{i // 4}"), 1 + 8 * (i % 4), 8)
+                ).alias(f"mh_{i}")
                 for i in range(n_hashes)
             ]
         )
@@ -152,6 +170,7 @@ def simhash_signatures(
     element and is ~100× slower.
     """
     h = F.xxhash64(F.col("__s"))
+    df = fan_out(df)
     exploded = df.select(
         F.col(id_col).alias("__id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
@@ -197,7 +216,7 @@ def ngram_jaccard_pairs(
     ``decimals=None`` leaves the ratio unrounded: a division of two
     identical integers is bit-identical across engines, while rounding
     can tie (1/32 = 0.03125 at 4 decimals)."""
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
     )
     j = jaccard(F.col("sh_a"), F.col("sh_b"))

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -65,7 +67,7 @@ def brute_force_topk(
             _as_double(F.col(vec_col)).alias("q_vec"),
         )
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
     scored = (
@@ -93,6 +95,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_by: str | None = "label",
+    broadcast_right: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
     cosine ≥ threshold.
@@ -103,14 +106,25 @@ def embedding_neardup_pairs(
     embedding dedup. ``bucket_by=None`` is the exact O(N²) cross join:
     correct at any recall, affordable only for small corpora or as the
     verification oracle.
+
+    The right side is broadcast when ``broadcast_right`` (default):
+    bucket ids are few (labels / LSH bands), so a shuffle-on-bucket
+    join lands each bucket on ONE reducer and the cosine scoring
+    serializes per bucket. Broadcasting the right side keeps the left
+    side's fan-out partitioning through the join, so scoring
+    parallelizes across all cores regardless of bucket skew. At
+    corpus sizes past the broadcast limit, flip it off and rely on
+    AQE skew-join splitting instead.
     """
     base = corpus.select(
         F.col(id_col).alias("__id"),
         _as_double(F.col(vec_col)).alias("__v"),
         *([F.col(bucket_by).alias("__b")] if bucket_by else []),
     )
-    a = base.select(*[F.col(c).alias(f"a{c}") for c in base.columns])
+    a = fan_out(base).select(*[F.col(c).alias(f"a{c}") for c in base.columns])
     b = base.select(*[F.col(c).alias(f"b{c}") for c in base.columns])
+    if broadcast_right:
+        b = F.broadcast(b)
     if bucket_by:
         joined = a.join(b, F.col("a__b") == F.col("b__b"))
     else:
@@ -158,7 +172,7 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
     ).withColumn("bucket", hyperplane_signature(F.col("c_vec"), planes))
     q = F.broadcast(

@@ -396,7 +396,7 @@ def doc_minhash_signatures(spark, sf_dir):
 
 def _minhash_sql(n_hashes: int = 8, shingle_n: int = 3) -> str:
     mins = ",\n       ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh_{i}"
+        f"list_min(list_transform(sh, s -> substr(md5('{i // 4}:' || s), {1 + 8 * (i % 4)}, 8))) AS mh_{i}"
         for i in range(n_hashes)
     )
     return rf"""
