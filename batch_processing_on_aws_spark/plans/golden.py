@@ -733,6 +733,325 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.35
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins (as-of, range), grouping sets, ranking windows, set
+# ops, string/JSON functions, percentiles — extension surface
+# ---------------------------------------------------------------------------
+
+def purchase_attribution(spark, sf_dir):
+    """As-of join: each purchase event gets the user's most recent
+    strictly-earlier click (last-touch attribution). One sort-based
+    window pass; DuckDB's native ASOF LEFT JOIN is the oracle."""
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        strict=True,
+        payload=["ts"],
+        suffix="_click",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_click").alias("last_click_ts"),
+        (F.unix_micros("ts") - F.unix_micros("ts_click")).alias("gap_us"),
+    )
+
+
+_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts > c.ts
+"""
+
+
+def clicks_before_purchase(spark, sf_dir):
+    """Range join: clicks in the hour up to each purchase, per user,
+    aggregated to a per-purchase count (0 for none). The Spark side is
+    the bucketed equi-join plan; the oracle is a theta BETWEEN join."""
+    from ..operators.rangejoin import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    matches = range_join(
+        purchases, clicks, on="user_id", lower_s=-3600, upper_s=0,
+        payload=["click_id"],
+    )
+    counts = matches.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_1h")
+    )
+    return (
+        purchases.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce(F.col("n_clicks_1h"), F.lit(0).cast("long")).alias(
+                "n_clicks_1h"
+            ),
+        )
+    )
+
+
+_RANGE_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_clicks_1h
+  FROM p JOIN c ON p.user_id = c.user_id
+              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+  GROUP BY 1
+)
+SELECT p.event_id, p.user_id, p.ts,
+       COALESCE(m.n_clicks_1h, 0) AS n_clicks_1h
+FROM p LEFT JOIN m ON p.event_id = m.event_id
+"""
+
+
+def cube_order_status(spark, sf_dir):
+    """CUBE over (priority, status) with explicit grouping flags."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def top_suppliers_per_nation(spark, sf_dir, k: int = 3):
+    """dense_rank ≤ k suppliers by lineitem revenue within each
+    nation. Revenue is summed as decimal so the rank order is
+    bit-stable across engines."""
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = lineitem.groupBy("l_suppkey").agg(
+        tpch.money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), scale_in=4
+        ).alias("revenue")
+    )
+    joined = (
+        rev.join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            nation.n_name.alias("nation"),
+            supplier.s_name.alias("supplier"),
+            "revenue",
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("revenue").desc(), F.col("supplier").asc()
+    )
+    return (
+        joined.withColumn("rnk", F.dense_rank().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+_TOP_SUPP_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))), 2)
+              AS DECIMAL(18,2)) AS revenue
+  FROM lineitem GROUP BY 1
+), joined AS (
+  SELECT n_name AS nation, s_name AS supplier, revenue
+  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT nation, supplier, revenue,
+       CAST(DENSE_RANK() OVER (PARTITION BY nation
+                               ORDER BY revenue DESC, supplier ASC) AS BIGINT) AS rnk
+FROM joined QUALIFY rnk <= 3
+"""
+
+
+def monthly_order_growth(spark, sf_dir):
+    """Month-over-month order counts with lag deltas."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.lag("n_orders").over(w).alias("prev_n_orders"),
+        (F.col("n_orders") - F.lag("n_orders").over(w)).alias("delta"),
+    )
+
+
+_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders,
+       lag(n_orders) OVER (ORDER BY month) AS prev_n_orders,
+       n_orders - lag(n_orders) OVER (ORDER BY month) AS delta
+FROM monthly
+"""
+
+
+def lapsed_customers(spark, sf_dir):
+    """EXCEPT (distinct): customers who ordered in 1995 but not 1996."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _keys(year):
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+        ).select("o_custkey")
+
+    return _keys(1995).subtract(_keys(1996))
+
+
+_LAPSED_SQL = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def retained_customers(spark, sf_dir):
+    """INTERSECT (distinct): customers who ordered in both 1995 and 1996."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _keys(year):
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+        ).select("o_custkey")
+
+    return _keys(1995).intersect(_keys(1996))
+
+
+_RETAINED_SQL = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def part_name_features(spark, sf_dir):
+    """String-function battery (SURVEY.md §2.6 F8): split, upper,
+    length, concat_ws, lpad, substring, regexp_extract."""
+    part = load_table(spark, sf_dir, "part")
+    name_parts = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        name_parts.getItem(0).alias("color"),
+        name_parts.getItem(1).alias("noun"),
+        F.upper(name_parts.getItem(0)).alias("color_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+    )
+
+
+_PART_STR_SQL = r"""
+SELECT p_partkey,
+       string_split(p_name, ' ')[1] AS color,
+       string_split(p_name, ' ')[2] AS noun,
+       upper(string_split(p_name, ' ')[1]) AS color_upper,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       concat_ws('-', p_brand, p_type) AS brand_type,
+       lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+       substring(p_type, 1, 3) AS type_prefix,
+       regexp_extract(p_name, '^(\w+)', 1) AS first_word
+FROM part
+"""
+
+
+def value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of event value per type (Spark
+    ``percentile`` ↔ DuckDB ``quantile_cont``), rounded so the
+    interpolation arithmetic can't flip low bits."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
+_PCTL_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+def event_props_extract(spark, sf_dir):
+    """JSON extraction from the string ``props`` column
+    (``get_json_object`` ↔ DuckDB ``json_extract_string``), plus a
+    per-type aggregate over the extracted value."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_PROPS_SQL = """
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -775,6 +1094,17 @@ QUERIES: list[QueryDef] = [
     QueryDef("doc_bpe_tokens", doc_bpe_tokens, _BPE_SQL),
     QueryDef("neardup_verified_pairs", neardup_verified_pairs, _neardup_verified_sql()),
     QueryDef("embedding_neardup", embedding_neardup, _EMB_NEARDUP_SQL),
+    # temporal joins, grouping sets, ranking, set ops, string/JSON, percentiles
+    QueryDef("purchase_attribution", purchase_attribution, _ASOF_SQL),
+    QueryDef("clicks_before_purchase", clicks_before_purchase, _RANGE_SQL),
+    QueryDef("cube_order_status", cube_order_status, _CUBE_SQL),
+    QueryDef("top_suppliers_per_nation", top_suppliers_per_nation, _TOP_SUPP_SQL),
+    QueryDef("monthly_order_growth", monthly_order_growth, _GROWTH_SQL),
+    QueryDef("lapsed_customers", lapsed_customers, _LAPSED_SQL),
+    QueryDef("retained_customers", retained_customers, _RETAINED_SQL),
+    QueryDef("part_name_features", part_name_features, _PART_STR_SQL),
+    QueryDef("value_percentiles", value_percentiles, _PCTL_SQL),
+    QueryDef("event_props_extract", event_props_extract, _PROPS_SQL),
 ]
 
 
