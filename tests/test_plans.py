@@ -1,0 +1,110 @@
+"""Physical-plan audits: the properties that make queries survive a
+100×–1000× scale-up, asserted on the actual executed plans.
+
+- no BroadcastNestedLoopJoin / CartesianProduct anywhere (a theta or
+  null-aware join sneaking in would blow up off small-scale tests) —
+  except the brute-force similarity baseline, whose broadcast cross
+  product is the documented point of the operator;
+- dimension joins resolve to BroadcastHashJoin (tiny dims must never
+  shuffle the fact side);
+- filters reach the parquet scan (PushedFilters non-empty when the
+  query filters a scanned column);
+- column pruning reaches the scan (the FileScan column list carries
+  only needed columns — a 16-column lineitem scan for a 7-column
+  aggregate is a 10× I/O regression at 100 TB).
+
+Plan strings truncate long field lists with '…', so assertions match
+prefixes ("PushedFilters: [" + non-]) rather than full bracket bodies.
+"""
+
+import re
+
+import pytest
+
+from batch_processing_on_aws_spark.plans.golden import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+QMAP = {q.name: q.fn for q in QUERIES}
+
+
+def _plan(spark, name, materialize=False):
+    df = QMAP[name](spark, SF_DIR)
+    if materialize:
+        df.collect()  # finalize AQE so codegen stages appear
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+NO_NESTED_LOOP = [
+    "q1_avg_events_per_hour",
+    "q2_orders_by_region",
+    "q4_daily_shipments_1996",
+    "pricing_summary",
+    "top_parts_per_brand",
+    "priority_revenue",
+    "antijoin_unknown_suppliers",
+    "latest_event_per_user",
+    "active_customers_semi",
+    "orders_rollup",
+    "purchase_attribution",
+    "clicks_before_purchase",
+    "top_suppliers_per_nation",
+    "doc_minhash_lsh_pairs",
+    "embedding_neardup",
+    "neardup_verified_pairs",
+    "embedding_lsh_topk",  # the scale path: bucketed equi-join, NOT a cross product
+    "sessionize_events",
+    "upsert_events",
+]
+
+
+@pytest.mark.parametrize("name", NO_NESTED_LOOP)
+def test_no_nested_loop_or_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_brute_force_topk_streams_corpus(spark):
+    """The deliberate exception: brute-force top-k broadcasts the
+    query set and streams the corpus — the cross product must be
+    broadcast-built (never a shuffled CartesianProduct)."""
+    plan = _plan(spark, "embedding_topk")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q2_orders_by_region", "top_suppliers_per_nation", "orders_rollup"],
+)
+def test_dim_joins_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, name
+    # the fact table must not be shuffled for a dim join
+    assert "SortMergeJoin" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q4_daily_shipments_1996", "active_customers_semi", "purchase_attribution"],
+)
+def test_filters_pushed_to_scan(spark, name):
+    plan = _plan(spark, name)
+    pushed = re.findall(r"PushedFilters: \[(.)", plan)
+    assert pushed, f"{name}: no FileScan with PushedFilters"
+    assert any(ch != "]" for ch in pushed), f"{name}: all PushedFilters empty"
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans
+    cols = {c.split("#")[0] for c in scans[0].split(",")}
+    assert "l_partkey" not in cols and "l_orderkey" not in cols
+    assert {"l_quantity", "l_returnflag", "l_linestatus"} <= cols
+
+
+def test_whole_stage_codegen_active(spark):
+    plan = _plan(spark, "pricing_summary", materialize=True)
+    # codegen'd stages print as "*(n) Operator" in the final AQE plan
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:500]
