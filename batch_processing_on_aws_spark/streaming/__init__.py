@@ -1,3 +1,8 @@
 from .incremental import incremental_merge_stream, windowed_event_counts
+from .sessionize import sessionize_stream
 
-__all__ = ["incremental_merge_stream", "windowed_event_counts"]
+__all__ = [
+    "incremental_merge_stream",
+    "sessionize_stream",
+    "windowed_event_counts",
+]
