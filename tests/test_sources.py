@@ -1,0 +1,74 @@
+"""Source readers (SURVEY.md §2.1): CSV with explicit schema, JSON
+with envelope-unnest (the reference's weather shape), schema-asserted
+parquet loads."""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from batch_processing_on_aws_spark.sources.readers import (
+    load_table,
+    read_csv,
+    read_json,
+)
+
+
+def test_read_csv_explicit_schema(spark, tmp_path):
+    p = tmp_path / "stations.csv"
+    p.write_text("station_id,station_name,longitude,latitude\n"
+                 "1,River Street,-0.1,51.5\n"
+                 "2,Phillimore Gardens,-0.2,51.6\n")
+    schema = T.StructType(
+        [
+            T.StructField("station_id", T.IntegerType()),
+            T.StructField("station_name", T.StringType()),
+            T.StructField("longitude", T.DoubleType()),
+            T.StructField("latitude", T.DoubleType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema=schema)
+    assert df.schema == schema
+    rows = {r["station_id"]: r["station_name"] for r in df.collect()}
+    assert rows == {1: "River Street", 2: "Phillimore Gardens"}
+
+
+def test_read_csv_inference_is_opt_in(spark, tmp_path):
+    p = tmp_path / "x.csv"
+    p.write_text("a,b\n1,2\n")
+    # without schema or infer, columns come back as strings (no
+    # surprise full-scan at 100 TB)
+    df = read_csv(spark, str(p))
+    assert [f.dataType for f in df.schema.fields] == [T.StringType()] * 2
+    inferred = read_csv(spark, str(p), infer=True)
+    assert isinstance(inferred.schema["a"].dataType, T.IntegerType)
+
+
+def test_read_json_envelope_unnest(spark, tmp_path):
+    """The reference extracts the weather envelope's `days` array in
+    driver-side Python (init_0_ingestion_to_s3_dag.py:41-55); here the
+    unnest runs distributed via explode."""
+    p = tmp_path / "weather.json"
+    envelope = {
+        "queryCost": 1,
+        "days": [
+            {"datetime": "2021-01-01", "temp": 3.6},
+            {"datetime": "2021-01-02", "temp": 4.1},
+        ],
+    }
+    p.write_text(json.dumps(envelope))
+    df = read_json(spark, str(p), explode_field="days")
+    assert set(df.columns) == {"datetime", "temp"}
+    assert df.count() == 2
+    assert {r["datetime"] for r in df.collect()} == {"2021-01-01", "2021-01-02"}
+
+
+def test_load_table_rejects_unknown(spark):
+    with pytest.raises(KeyError):
+        load_table(spark, "/root/testdata/sf0.001", "nope")
+
+
+def test_load_table_converts_nanos(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    assert ev.count() > 0
