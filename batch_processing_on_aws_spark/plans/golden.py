@@ -1051,6 +1051,81 @@ GROUP BY event_type
 """
 
 
+def top_revenue_orders(spark, sf_dir, k: int = 10):
+    """Global top-k by revenue: sort+limit plans as
+    TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    the driver side of the exchange — no full sort at scale).
+    Decimal revenue + orderkey tiebreak make the limit deterministic."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = lineitem.groupBy("l_orderkey").agg(
+        tpch.money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), scale_in=4
+        ).alias("revenue")
+    )
+    return (
+        orders.join(rev, orders.o_orderkey == rev.l_orderkey)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+_TOP_ORDERS_SQL = """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))), 2)
+              AS DECIMAL(18,2)) AS revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue
+FROM orders JOIN rev ON o_orderkey = l_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def orders_above_customer_avg(spark, sf_dir):
+    """Correlated-subquery shape (each order vs its customer's
+    average) as one window pass. The comparison is done multiplied
+    through by the count — price·n > Σprice in exact decimals — so no
+    engine-dependent float division sits on the predicate edge."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    dec = F.col("o_totalprice").cast("decimal(30,2)")
+    out = (
+        orders.withColumn("__sum", F.sum(dec).over(w))
+        .withColumn("n_orders", F.count(F.lit(1)).over(w))
+        .where(dec * F.col("n_orders") > F.col("__sum"))
+    )
+    return out.select("o_orderkey", "o_custkey", "o_totalprice", "n_orders")
+
+
+_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, n_orders
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (PARTITION BY o_custkey) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+  FROM orders
+)
+WHERE CAST(o_totalprice AS DECIMAL(30,2)) * n_orders > s
+"""
+
+
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ distinct users per event type — the sketch path
+    for cardinality at 100 TB (fixed-size partial state vs the exact
+    count's per-key set). Engine-local estimate ⇒ rows-only driver
+    check; the pytest twin bounds error vs the exact count."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1105,6 +1180,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("part_name_features", part_name_features, _PART_STR_SQL),
     QueryDef("value_percentiles", value_percentiles, _PCTL_SQL),
     QueryDef("event_props_extract", event_props_extract, _PROPS_SQL),
+    QueryDef("top_revenue_orders", top_revenue_orders, _TOP_ORDERS_SQL),
+    QueryDef("orders_above_customer_avg", orders_above_customer_avg, _ABOVE_AVG_SQL),
+    QueryDef("approx_distinct_users", approx_distinct_users, None),
 ]
 
 

@@ -1,0 +1,35 @@
+"""Approximate distinct: bounded error vs exact. Top-k: plans as
+TakeOrderedAndProject, not a global sort."""
+
+from pyspark.sql import functions as F
+
+from batch_processing_on_aws_spark.plans.golden import (
+    approx_distinct_users,
+    top_revenue_orders,
+)
+from batch_processing_on_aws_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_distinct_within_tolerance(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in approx_distinct_users(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
+
+
+def test_topk_plans_as_take_ordered(spark):
+    df = top_revenue_orders(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -11,7 +11,11 @@ def test_registry_shape():
     # every oracle key has a query
     assert set(oracles) <= set(qs)
     # rows-only queries are the documented engine-local ones
-    assert set(qs) - set(oracles) == {"embedding_lsh_topk", "doc_simhash"}
+    assert set(qs) - set(oracles) == {
+        "embedding_lsh_topk",
+        "doc_simhash",
+        "approx_distinct_users",
+    }
 
 
 def test_entry_smoke(spark):
