@@ -1115,6 +1115,60 @@ WHERE CAST(o_totalprice AS DECIMAL(30,2)) * n_orders > s
 """
 
 
+def user_event_history(spark, sf_dir):
+    """Array aggregation: per-user sorted distinct event types +
+    counts. ``array_sort(collect_set(...))`` makes the array value
+    deterministic (collect order is not)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+_HISTORY_SQL = """
+SELECT user_id,
+       list_sort(list_distinct(list(event_type))) AS event_types,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def event_windows_5min(spark, sf_dir):
+    """Tumbling-window aggregate on a batch frame — the exact
+    expression Structured Streaming runs (``F.window``), so batch
+    backfill and the live stream share one definition. Oracle:
+    DuckDB ``time_bucket``."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes")
+    return (
+        events.groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_WINDOWS_SQL = """
+SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DECIMAL(18,2)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct users per event type — the sketch path
     for cardinality at 100 TB (fixed-size partial state vs the exact
@@ -1183,6 +1237,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("top_revenue_orders", top_revenue_orders, _TOP_ORDERS_SQL),
     QueryDef("orders_above_customer_avg", orders_above_customer_avg, _ABOVE_AVG_SQL),
     QueryDef("approx_distinct_users", approx_distinct_users, None),
+    QueryDef("user_event_history", user_event_history, _HISTORY_SQL),
+    QueryDef("event_windows_5min", event_windows_5min, _WINDOWS_SQL),
 ]
 
 
