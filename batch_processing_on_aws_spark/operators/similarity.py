@@ -140,6 +140,100 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse
+    quantizer assigns every corpus vector to one of ``n_cells``
+    cells; each query probes its ``n_probe`` nearest cells and
+    exact-rescores only those candidates.
+
+    This is the other standard ANN scale path next to LSH: candidates
+    per query ≈ N · n_probe / n_cells, recall tunable via n_probe.
+    The quantizer trains on a driver-side sample (centroids are tiny
+    — k-means state is n_cells × dim, not data-sized), cell
+    assignment is one broadcast-centroid projection over the corpus,
+    and the probe join is a plain equi-join on cell id: shuffle
+    O(N + Q·n_probe), no cross product anywhere. At 100 TB you train
+    on a fixed-size sample and persist the centroids with the index,
+    exactly like FAISS IVF.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    train = c.select(array_to_vector("c_vec").alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+    half_sq_norms = [sum(x * x for x in ctr) / 2.0 for ctr in centroids]
+
+    def nearest_cells(vec, n):
+        """Static-unrolled distances to every centroid → n nearest.
+        Centroids are literals, so this is one codegen'd projection —
+        no UDF, no join against a centroid table. Euclidean argmin is
+        computed as argmax of v·c − ‖c‖²/2 (‖v‖² is constant per
+        row), matching the trained quantizer exactly."""
+        dists = F.array(
+            *[
+                F.struct(
+                    (
+                        _dot(vec, F.array(*[F.lit(x) for x in ctr]))
+                        - F.lit(half_sq_norms[i])
+                    ).alias("score"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, ctr in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.reverse(F.array_sort(dists)), 1, n)
+
+    assigned = c.withColumn(
+        "cell", nearest_cells(F.col("c_vec"), 1).getItem(0).getField("cell")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+        ).withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    nearest_cells(F.col("q_vec"), n_probe), lambda s: s.getField("cell")
+                )
+            ),
+        )
+    )
+    scored = (
+        assigned.join(q, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def hyperplane_signature(vec_col, planes: list[list[float]]):
     """b-bit random-hyperplane (SimHash for vectors) bucket id: bit i =
     sign(v · plane_i). Returns an int column in [0, 2^b)."""

@@ -482,6 +482,19 @@ def embedding_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, planes, k=10)
 
 
+def embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer, 3-probe) — the FAISS-style
+    scale path next to LSH. Engine-local (trained centroids):
+    rows-only check; recall vs exact top-k asserted in tests."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, n_cells=16, n_probe=3, k=10)
+
+
 def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
     """Pseudo-random hyperplanes from a fixed LCG seed — deterministic
     across runs/engines without numpy's global RNG."""
@@ -1239,6 +1252,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("approx_distinct_users", approx_distinct_users, None),
     QueryDef("user_event_history", user_event_history, _HISTORY_SQL),
     QueryDef("event_windows_5min", event_windows_5min, _WINDOWS_SQL),
+    QueryDef("embedding_ivf_topk", embedding_ivf_topk, None),
 ]
 
 

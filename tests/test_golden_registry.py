@@ -13,6 +13,7 @@ def test_registry_shape():
     # rows-only queries are the documented engine-local ones
     assert set(qs) - set(oracles) == {
         "embedding_lsh_topk",
+        "embedding_ivf_topk",
         "doc_simhash",
         "approx_distinct_users",
     }

@@ -110,3 +110,22 @@ def test_lsh_recall_vs_exact_on_testdata(spark):
               for r in lsh_topk(emb, queries, planes, k=10).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_ivf_recall_vs_exact_on_testdata(spark):
+    """IVF ANN (k-means quantizer, 3 of 16 cells probed) must recover
+    a solid fraction of the exact top-10 — with clustered synthetic
+    embeddings the probed cells should hold most true neighbors."""
+    from batch_processing_on_aws_spark.operators.similarity import ivf_topk
+    from batch_processing_on_aws_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, queries, k=10).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in ivf_topk(emb, queries, n_cells=16, n_probe=3, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
