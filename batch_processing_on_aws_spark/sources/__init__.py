@@ -1,10 +1,22 @@
+from .lake import (
+    compact,
+    manifest_from_links,
+    pending_entries,
+    read_pruned,
+    write_partitioned,
+)
 from .readers import load_table, load_tables, read_csv, read_json, read_parquet, register_views
 
 __all__ = [
+    "compact",
     "load_table",
     "load_tables",
+    "manifest_from_links",
+    "pending_entries",
     "read_csv",
     "read_json",
     "read_parquet",
+    "read_pruned",
     "register_views",
+    "write_partitioned",
 ]
