@@ -150,6 +150,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse
     quantizer assigns every corpus vector to one of ``n_cells``
@@ -174,46 +175,47 @@ def ivf_topk(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
     train = c.select(array_to_vector("c_vec").alias("features"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-
-    half_sq_norms = [sum(x * x for x in ctr) / 2.0 for ctr in centroids]
-
-    def nearest_cells(vec, n):
-        """Static-unrolled distances to every centroid → n nearest.
-        Centroids are literals, so this is one codegen'd projection —
-        no UDF, no join against a centroid table. Euclidean argmin is
-        computed as argmax of v·c − ‖c‖²/2 (‖v‖² is constant per
-        row), matching the trained quantizer exactly."""
-        dists = F.array(
-            *[
-                F.struct(
-                    (
-                        _dot(vec, F.array(*[F.lit(x) for x in ctr]))
-                        - F.lit(half_sq_norms[i])
-                    ).alias("score"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, ctr in enumerate(centroids)
-            ]
+    # a coarse quantizer needs rough cells, not convergence — each
+    # extra iteration is a full pass over the training sample
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(train)
+    spark = corpus.sparkSession
+    # centroids as a tiny broadcast table, NOT unrolled literals — a
+    # 16×64 literal expression tree costs more in analysis/codegen
+    # than the whole query costs to run. Euclidean argmin is computed
+    # as argmax of v·c − ‖c‖²/2 (‖v‖² is constant per row), matching
+    # the trained quantizer exactly.
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [
+                (i, [float(x) for x in ctr], sum(float(x) ** 2 for x in ctr) / 2.0)
+                for i, ctr in enumerate(model.clusterCenters())
+            ],
+            "cell int, centroid array<double>, half_sq double",
         )
-        return F.slice(F.reverse(F.array_sort(dists)), 1, n)
-
-    assigned = c.withColumn(
-        "cell", nearest_cells(F.col("c_vec"), 1).getItem(0).getField("cell")
+    )
+    score = _dot(F.col("c_vec"), F.col("centroid")) - F.col("half_sq")
+    # ties broken toward the lower cell id for determinism
+    best = F.struct(score.alias("s"), (-F.col("cell")).alias("c"))
+    assigned = (
+        c.crossJoin(cent)
+        .groupBy("vec_id", "c_vec")
+        .agg(F.max_by("cell", best).alias("cell"))
+    )
+    qscore = _dot(F.col("q_vec"), F.col("centroid")) - F.col("half_sq")
+    qw = Window.partitionBy("query_id").orderBy(
+        qscore.desc(), F.col("cell").asc()
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("q_vec"),
-        ).withColumn(
-            "cell",
-            F.explode(
-                F.transform(
-                    nearest_cells(F.col("q_vec"), n_probe), lambda s: s.getField("cell")
-                )
-            ),
         )
+        .crossJoin(cent)
+        .withColumn("__cr", F.row_number().over(qw))
+        .where(F.col("__cr") <= n_probe)
+        .select("query_id", "q_vec", "cell")
     )
     scored = (
         assigned.join(q, "cell")

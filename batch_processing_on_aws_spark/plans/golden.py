@@ -1193,6 +1193,141 @@ def approx_distinct_users(spark, sf_dir):
     )
 
 
+def regional_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: six-table join graph with the extra non-FK
+    constraint c_nationkey = s_nationkey (local supplier), region
+    filter + year filter, revenue per nation. All dims broadcast;
+    only lineitem⋈orders shuffles."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy(nation.n_name.alias("nation"))
+        .agg(
+            tpch.money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale_in=4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT n_name AS nation,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))), 2)
+            AS DECIMAL(18,2)) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def null_group_semantics(spark, sf_dir):
+    """Null grouping keys: NULL forms its own group in both engines
+    (SQL standard GROUP BY semantics pinned cross-engine), plus
+    null-aware aggregation (count(col) skips nulls, count(*) doesn't)."""
+    events = load_table(spark, sf_dir, "events")
+    key = F.nullif("event_type", F.lit("click")).alias("key")
+    return events.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.nullif("event_type", F.lit("click"))).alias("n_nonnull_keys"),
+        F.substring(
+            F.coalesce(F.nullif("event_type", F.lit("click")), F.lit("(null)")),
+            1,
+            20,
+        ).alias("label"),
+    )
+
+
+_NULLGROUP_SQL = """
+SELECT NULLIF(event_type, 'click') AS key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(NULLIF(event_type, 'click')) AS BIGINT) AS n_nonnull_keys,
+       substring(COALESCE(NULLIF(event_type, 'click'), '(null)'), 1, 20) AS label
+FROM events
+GROUP BY NULLIF(event_type, 'click')
+"""
+
+
+def clean_corpus(spark, sf_dir):
+    """The composed training-data cleaning pipeline as ONE declarative
+    query: quality gate (≥30 tokens, ≤10% punctuation) → language gate
+    (predicted English) → exact dedup on the normalized fingerprint
+    (keep lowest doc_id). Each stage is an existing operator; Catalyst
+    fuses the projections and the only shuffles are the language
+    aggregate and the final per-fingerprint window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_quality(docs).select("doc_id", "n_tokens", "punct_ratio")
+    lang = language_scores(docs).select("doc_id", "pred_lang")
+    fp = fingerprint(docs).select("doc_id", "md5_normalized")
+    filtered = (
+        q.join(lang, "doc_id")
+        .join(fp, "doc_id")
+        .where(
+            (F.col("n_tokens") >= 30)
+            & (F.col("punct_ratio") <= 0.1)
+            & (F.col("pred_lang") == "en")
+        )
+    )
+    w = Window.partitionBy("md5_normalized").orderBy("doc_id")
+    return (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "n_tokens", "punct_ratio", "pred_lang")
+    )
+
+
+def _clean_corpus_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+') END) AS BIGINT)
+           AS n_tokens,
+         ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+               / GREATEST(length(text), 1), 4) AS punct_ratio
+  FROM documents
+), lang AS (
+  SELECT doc_id, pred_lang FROM ({_lang_sql()})
+), fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS md5_normalized
+  FROM documents
+)
+SELECT doc_id, n_tokens, punct_ratio, pred_lang
+FROM q JOIN lang USING (doc_id) JOIN fp USING (doc_id)
+WHERE n_tokens >= 30 AND punct_ratio <= 0.1 AND pred_lang = 'en'
+QUALIFY row_number() OVER (PARTITION BY md5_normalized ORDER BY doc_id) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1253,6 +1388,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("user_event_history", user_event_history, _HISTORY_SQL),
     QueryDef("event_windows_5min", event_windows_5min, _WINDOWS_SQL),
     QueryDef("embedding_ivf_topk", embedding_ivf_topk, None),
+    QueryDef("regional_supplier_revenue", regional_supplier_revenue, _Q5_SQL),
+    QueryDef("null_group_semantics", null_group_semantics, _NULLGROUP_SQL),
+    QueryDef("clean_corpus", clean_corpus, _clean_corpus_sql()),
 ]
 
 
