@@ -1328,6 +1328,73 @@ QUALIFY row_number() OVER (PARTITION BY md5_normalized ORDER BY doc_id) = 1
 """
 
 
+def doc_shingles(spark, sf_dir):
+    """Generator/UNNEST semantics surfaced: word 3-gram shingles, one
+    row per (doc, distinct shingle) — the exploded form every near-dup
+    operator builds on."""
+    from ..operators.neardup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("shingle")
+    )
+
+
+_SHINGLES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(
+                     range(0, len(toks) - 2),
+                     i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+         END AS sh
+  FROM t
+)
+SELECT doc_id, unnest(sh) AS shingle FROM sh
+"""
+
+
+def media_features(spark, sf_dir):
+    """Multimodal plumbing as a first-class query: documents' text
+    bytes stand in for opaque media payloads (binary column + kind
+    tag); the Arrow-batched ``mapInPandas`` extractor computes sizes,
+    content hashes, and decode status. The stubbed codec's hash
+    arithmetic is reproduced by the oracle (DuckDB sha256 over the
+    same utf-8 bytes), so the whole Python-batch path is value-checked
+    cross-engine."""
+    from ..operators.multimodal import extract_media_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+    )
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "sha256", "decode_ok"
+    )
+
+
+_MEDIA_SQL = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                                    WHEN 1 THEN 'audio'
+                                    ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       TRUE AS decode_ok
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1391,6 +1458,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("regional_supplier_revenue", regional_supplier_revenue, _Q5_SQL),
     QueryDef("null_group_semantics", null_group_semantics, _NULLGROUP_SQL),
     QueryDef("clean_corpus", clean_corpus, _clean_corpus_sql()),
+    QueryDef("media_features", media_features, _MEDIA_SQL),
+    QueryDef("doc_shingles", doc_shingles, _SHINGLES_SQL),
 ]
 
 

@@ -129,3 +129,29 @@ def test_ivf_recall_vs_exact_on_testdata(spark):
               for r in ivf_topk(emb, queries, n_cells=16, n_probe=3, k=10).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_cosine_arrow_matches_expression(spark):
+    """The Arrow/numpy cosine and the JVM expression cosine must agree
+    to float precision on real embeddings."""
+    from batch_processing_on_aws_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        cosine_arrow,
+    )
+    from batch_processing_on_aws_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    a = emb.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        F.reverse(_as_double(F.col("embedding"))).alias("w"),
+    )
+    rows = a.select(
+        "vec_id",
+        cosine(F.col("v"), F.col("w")).alias("expr_cos"),
+        cosine_arrow(F.col("v"), F.col("w")).alias("arrow_cos"),
+    ).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert abs(r["expr_cos"] - r["arrow_cos"]) < 1e-9, r
