@@ -1359,6 +1359,82 @@ SELECT doc_id, unnest(sh) AS shingle FROM sh
 """
 
 
+def sql_entrypoint_antijoin(spark, sf_dir):
+    """Entry point C (SURVEY.md §3.3): the reference's textual-SQL
+    path — temp views + a CTE with SELECT DISTINCT, NOT IN subquery,
+    and UNION (journey-data-transformation.py:60-90) — run through
+    Spark's full parse→analyze→optimize lifecycle on the synthetic
+    star schema. Catalyst plans the NOT IN as a null-aware anti join;
+    UNION (not UNION ALL) dedups."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH active AS (SELECT user_id FROM v_events)
+        SELECT c_custkey FROM (
+          SELECT DISTINCT c_custkey FROM v_customer
+          WHERE c_mktsegment = 'BUILDING'
+            AND c_custkey NOT IN (SELECT user_id FROM active)
+          UNION
+          SELECT DISTINCT c_custkey FROM v_customer
+          WHERE c_mktsegment = 'MACHINERY'
+            AND c_custkey NOT IN (SELECT user_id FROM active)
+        )
+        """
+    )
+
+
+_SQL_ENTRY_SQL = """
+WITH active AS (SELECT user_id FROM events)
+SELECT c_custkey FROM (
+  SELECT DISTINCT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+    AND c_custkey NOT IN (SELECT user_id FROM active)
+  UNION
+  SELECT DISTINCT c_custkey FROM customer
+  WHERE c_mktsegment = 'MACHINERY'
+    AND c_custkey NOT IN (SELECT user_id FROM active)
+)
+"""
+
+
+def customer_orders_90d(spark, sf_dir):
+    """RANGE window frame over event time: for each order, how many
+    orders the same customer placed in the preceding 90 days
+    (excluding today's duplicates beyond the range). Row frames
+    (rolling_7day) count rows; range frames bound by VALUE — the
+    correct semantics for irregular time series."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = (
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-90, -1)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("prior_orders_90d"),
+    )
+
+
+_RANGE_WIN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(COUNT(*) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+         RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING
+       ) AS BIGINT) AS prior_orders_90d
+FROM orders
+"""
+
+
 def media_features(spark, sf_dir):
     """Multimodal plumbing as a first-class query: documents' text
     bytes stand in for opaque media payloads (binary column + kind
@@ -1460,6 +1536,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("clean_corpus", clean_corpus, _clean_corpus_sql()),
     QueryDef("media_features", media_features, _MEDIA_SQL),
     QueryDef("doc_shingles", doc_shingles, _SHINGLES_SQL),
+    QueryDef("sql_entrypoint_antijoin", sql_entrypoint_antijoin, _SQL_ENTRY_SQL),
+    QueryDef("customer_orders_90d", customer_orders_90d, _RANGE_WIN_SQL),
 ]
 
 
