@@ -191,6 +191,66 @@ def simhash_signatures(
     return sums.select(F.col("__id").alias(id_col), sig.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    n_bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding makes this an equi-join, never a cross
+    product: split the signature into ``max_hamming + 1`` chunks —
+    any pair within Hamming distance t must agree EXACTLY on at least
+    one chunk — so candidates come from same-(chunk_id, chunk_value)
+    buckets, then ``bit_count(xor)`` verifies the true distance.
+    Shuffle is O(docs × chunks); the verification join is on the tiny
+    candidate set. Same plan family as the MinHash-LSH pairs.
+
+    Output: (doc_id_a, doc_id_b, hamming), a < b, distinct.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = n_bits // n_chunks
+    sig = simhash_signatures(df, text_col, id_col, shingle_n, n_bits)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("chunk_val"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col).alias("doc"), F.col("simhash"), F.explode(chunks).alias("c")
+    ).select("doc", "simhash", "c.chunk_id", "c.chunk_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_id") == F.col("b.chunk_id"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col("a.doc") < F.col("b.doc"),
+            ],
+        )
+        .select(
+            F.col("a.doc").alias("doc_id_a"),
+            F.col("b.doc").alias("doc_id_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two shingle arrays (size of intersection /
     size of union), null-safe for empty docs."""

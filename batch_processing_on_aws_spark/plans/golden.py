@@ -1359,6 +1359,15 @@ SELECT doc_id, unnest(sh) AS shingle FROM sh
 """
 
 
+def doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3 via pigeonhole banding) —
+    engine-local xxhash64 signatures ⇒ rows-only check; completeness
+    vs brute-force Hamming is asserted in tests."""
+    from ..operators.neardup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def sql_entrypoint_antijoin(spark, sf_dir):
     """Entry point C (SURVEY.md §3.3): the reference's textual-SQL
     path — temp views + a CTE with SELECT DISTINCT, NOT IN subquery,
@@ -1538,6 +1547,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("doc_shingles", doc_shingles, _SHINGLES_SQL),
     QueryDef("sql_entrypoint_antijoin", sql_entrypoint_antijoin, _SQL_ENTRY_SQL),
     QueryDef("customer_orders_90d", customer_orders_90d, _RANGE_WIN_SQL),
+    QueryDef("doc_simhash_pairs", doc_simhash_pairs, None),
 ]
 
 

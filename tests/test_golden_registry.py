@@ -15,6 +15,7 @@ def test_registry_shape():
         "embedding_lsh_topk",
         "embedding_ivf_topk",
         "doc_simhash",
+        "doc_simhash_pairs",
         "approx_distinct_users",
     }
 

@@ -155,3 +155,27 @@ def test_cosine_arrow_matches_expression(spark):
     assert len(rows) == 100
     for r in rows:
         assert abs(r["expr_cos"] - r["arrow_cos"]) < 1e-9, r
+
+
+def test_simhash_neardup_pairs_banding(spark):
+    """Exact duplicates (Hamming 0) must pair; the pigeonhole banding
+    must not miss any pair the brute-force Hamming check finds."""
+    from itertools import combinations
+
+    from batch_processing_on_aws_spark.operators.neardup import (
+        simhash_neardup_pairs,
+    )
+
+    docs = _docs(spark)
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    brute = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a, b in combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    assert got == brute
+    assert got[(1, 4)] == 0  # the planted exact duplicate
