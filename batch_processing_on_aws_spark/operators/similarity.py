@@ -166,6 +166,55 @@ def embedding_neardup_pairs(
     )
 
 
+def _centroid_table(
+    c: DataFrame,
+    n_cells: int,
+    seed: int,
+    max_iter: int,
+    n_train: int = 4096,
+) -> DataFrame:
+    """Tiny (cell, centroid, ‖c‖²/2) table from driver-side Lloyd
+    k-means over a deterministic sample.
+
+    The sample is the ``n_train`` rows with the smallest seeded
+    ``xxhash64(vec_id)`` — a deterministic uniform draw that Spark
+    executes as TakeOrdered (per-partition top-n + driver merge, no
+    full sort, no shuffle of the corpus). Centroids are emitted as a
+    broadcast-able table, NOT unrolled literal expressions — a 16×64
+    literal tree costs more in analysis/codegen than the query runs.
+    Euclidean argmin downstream is computed as argmax of
+    v·c − ‖c‖²/2 (‖v‖² is constant per row), matching the trained
+    quantizer exactly.
+    """
+    import numpy as np
+
+    sample = (
+        c.orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)))
+        .limit(n_train)
+        .select("c_vec")
+        .collect()
+    )
+    X = np.asarray([r["c_vec"] for r in sample], dtype=np.float64)
+    k = min(n_cells, len(X))
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² is constant per row
+        d = (centers**2).sum(1)[None, :] - 2.0 * (X @ centers.T)
+        assign = d.argmin(1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                centers[j] = members.mean(0)
+    return c.sparkSession.createDataFrame(
+        [
+            (i, [float(x) for x in ctr], float((ctr**2).sum()) / 2.0)
+            for i, ctr in enumerate(centers)
+        ],
+        "cell int, centroid array<double>, half_sq double",
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -185,41 +234,23 @@ def ivf_topk(
 
     This is the other standard ANN scale path next to LSH: candidates
     per query ≈ N · n_probe / n_cells, recall tunable via n_probe.
-    The quantizer trains on a driver-side sample (centroids are tiny
-    — k-means state is n_cells × dim, not data-sized), cell
-    assignment is one broadcast-centroid projection over the corpus,
-    and the probe join is a plain equi-join on cell id: shuffle
-    O(N + Q·n_probe), no cross product anywhere. At 100 TB you train
-    on a fixed-size sample and persist the centroids with the index,
-    exactly like FAISS IVF.
+    The quantizer trains DRIVER-SIDE on a fixed-size deterministic
+    sample (k-means state is n_cells × dim, not data-sized — exactly
+    like FAISS IVF trains on a bounded sample and persists the
+    centroids with the index). Training cost is therefore constant in
+    corpus size: one TakeOrdered job to draw the sample, then numpy
+    Lloyd iterations in milliseconds — no iterative cluster jobs.
+    Cell assignment is one broadcast-centroid projection over the
+    corpus, and the probe join is a plain equi-join on cell id:
+    shuffle O(N + Q·n_probe), no cross product anywhere.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     c = fan_out(corpus).select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
-    train = c.select(array_to_vector("c_vec").alias("features"))
-    # a coarse quantizer needs rough cells, not convergence — each
-    # extra iteration is a full pass over the training sample
-    model = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features"
-    ).fit(train)
-    spark = corpus.sparkSession
-    # centroids as a tiny broadcast table, NOT unrolled literals — a
-    # 16×64 literal expression tree costs more in analysis/codegen
-    # than the whole query costs to run. Euclidean argmin is computed
-    # as argmax of v·c − ‖c‖²/2 (‖v‖² is constant per row), matching
-    # the trained quantizer exactly.
     cent = F.broadcast(
-        spark.createDataFrame(
-            [
-                (i, [float(x) for x in ctr], sum(float(x) ** 2 for x in ctr) / 2.0)
-                for i, ctr in enumerate(model.clusterCenters())
-            ],
-            "cell int, centroid array<double>, half_sq double",
-        )
+        _centroid_table(c, n_cells=n_cells, seed=seed, max_iter=max_iter)
     )
     score = _dot(F.col("c_vec"), F.col("centroid")) - F.col("half_sq")
     # ties broken toward the lower cell id for determinism

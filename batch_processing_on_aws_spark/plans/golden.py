@@ -1331,11 +1331,13 @@ QUALIFY row_number() OVER (PARTITION BY md5_normalized ORDER BY doc_id) = 1
 def doc_shingles(spark, sf_dir):
     """Generator/UNNEST semantics surfaced: word 3-gram shingles, one
     row per (doc, distinct shingle) — the exploded form every near-dup
-    operator builds on."""
+    operator builds on. ``fan_out`` first: the single-file scan would
+    otherwise run the interpreted higher-order shingling on one core."""
     from ..operators.neardup import shingles
+    from ..operators.partitioning import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    return fan_out(docs).select(
         "doc_id", F.explode(shingles(F.col("text"), 3)).alias("shingle")
     )
 
