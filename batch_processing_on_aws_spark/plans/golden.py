@@ -1370,6 +1370,168 @@ def doc_simhash_pairs(spark, sf_dir):
     return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def doc_split_assignment(spark, sf_dir):
+    """Deterministic train/val/test split over documents (md5 hash
+    buckets, engine-independent — see operators/sampling.py). The
+    oracle reproduces the exact per-row assignment, proving the split
+    is leak-free and reproducible across engines."""
+    from ..operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_val_test_split(
+        docs.select("doc_id"), key="doc_id", val_pct=5, test_pct=5
+    )
+
+
+_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN b < 5 THEN 'test'
+            WHEN b < 10 THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS b
+  FROM documents
+)
+"""
+
+
+def orders_hash_sample(spark, sf_dir):
+    """10% reproducible dev slice of orders via hash-bucket filter —
+    stable under repartitioning (unlike ``df.sample``), identical in
+    any engine that can md5."""
+    from ..operators.sampling import hash_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return hash_sample(orders, "o_orderkey", 10).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+
+
+_HASH_SAMPLE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 100 < 10
+"""
+
+
+def customer_spend_quartiles(spark, sf_dir):
+    """Window-function breadth: ntile / percent_rank / cume_dist over
+    per-customer total spend. Spend is summed as DECIMAL so the
+    ordering (and therefore every rank) is accumulation-order-free;
+    ties broken by custkey for cross-engine determinism.
+
+    Scale note: a global rank is inherently a total order — at 100 TB
+    you'd partition the window by a coarse spend range (range-
+    partitioned sort) or switch to approx percentiles
+    (value_percentiles) instead of one-reducer ntile. Kept global here
+    because the SEMANTICS under test are the exact SQL ones."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        tpch.money_sum(F.col("o_totalprice")).alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_QUARTILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2)
+              AS DECIMAL(18,2)) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_spend,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM spend
+WINDOW w AS (ORDER BY total_spend DESC, o_custkey ASC)
+"""
+
+
+def nation_balance_extremes(spark, sf_dir):
+    """FULL OUTER join of two sparse per-nation aggregates (nations
+    with a very-high-balance customer vs nations with a very-high-
+    balance supplier) — exercises the one join type nothing else in
+    the registry hits, incl. both-sides-null groups."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = (
+        customer.where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("rich_customers"))
+    )
+    s = (
+        supplier.where(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("rich_suppliers"))
+    )
+    return c.join(s, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("rich_customers", F.lit(0)).alias("rich_customers"),
+        F.coalesce("rich_suppliers", F.lit(0)).alias("rich_suppliers"),
+    )
+
+
+_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS rich_customers
+  FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS rich_suppliers
+  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(rich_customers, 0) AS rich_customers,
+       COALESCE(rich_suppliers, 0) AS rich_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+def lineitem_column_stats(spark, sf_dir):
+    """Statistical profile aggregates (corr / covariance / stddev /
+    variance) — the audit-operator family extended past null counts.
+    One pass, partial+final agg; rounded in both engines so float
+    accumulation order can't flip low bits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias(
+            "covar_qty_disc"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("stddev_disc"),
+        F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+_COLSTATS_SQL = """
+SELECT ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+       ROUND(stddev_samp(l_discount), 6) AS stddev_disc,
+       ROUND(var_pop(l_quantity), 4) AS var_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+"""
+
+
 def sql_entrypoint_antijoin(spark, sf_dir):
     """Entry point C (SURVEY.md §3.3): the reference's textual-SQL
     path — temp views + a CTE with SELECT DISTINCT, NOT IN subquery,
@@ -1550,6 +1712,13 @@ QUERIES: list[QueryDef] = [
     QueryDef("sql_entrypoint_antijoin", sql_entrypoint_antijoin, _SQL_ENTRY_SQL),
     QueryDef("customer_orders_90d", customer_orders_90d, _RANGE_WIN_SQL),
     QueryDef("doc_simhash_pairs", doc_simhash_pairs, None),
+    QueryDef("doc_split_assignment", doc_split_assignment, _SPLIT_SQL),
+    QueryDef("orders_hash_sample", orders_hash_sample, _HASH_SAMPLE_SQL),
+    QueryDef(
+        "customer_spend_quartiles", customer_spend_quartiles, _QUARTILES_SQL
+    ),
+    QueryDef("nation_balance_extremes", nation_balance_extremes, _FULL_OUTER_SQL),
+    QueryDef("lineitem_column_stats", lineitem_column_stats, _COLSTATS_SQL),
 ]
 
 
