@@ -106,7 +106,14 @@ def q4_rolling_7day(spark, sf_dir: str) -> DataFrame:
     """Q4b — 7-day rolling average of daily revenue: the 'trend'
     variant SURVEY §2.8 adds via a stock window (range-based frame over
     the daily rollup — the window input is already one row per day, so
-    the frame is rows-based 6 preceding)."""
+    the frame is rows-based 6 preceding).
+
+    Scale note: the window has no partitionBy, but its input is the
+    per-day rollup — ≤366 rows regardless of fact size (the heavy
+    aggregation below IS distributed). Calendar-bounded cardinality
+    makes the single-partition window safe at any data scale; only a
+    multi-decade frame would warrant partitioning by year with frame
+    stitching."""
     from pyspark.sql import Window
 
     daily = q4_daily_shipments_1996(spark, sf_dir)

@@ -906,7 +906,11 @@ FROM joined QUALIFY rnk <= 3
 
 
 def monthly_order_growth(spark, sf_dir):
-    """Month-over-month order counts with lag deltas."""
+    """Month-over-month order counts with lag deltas. The global
+    (unpartitioned) lag window runs over the MONTHLY rollup — calendar-
+    bounded to ~one row per month whatever the fact size — so the
+    single-partition window is scale-safe; the distributed work is the
+    groupBy below it."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1532,6 +1536,79 @@ FROM lineitem
 """
 
 
+def order_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the third grouping form next to the
+    registry's cube/rollup): totals by (status, priority), by status
+    alone, and grand total, with grouping_id disambiguating real NULLs
+    from subtotal rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2)
+                    AS DECIMAL(18,2)) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2)
+            AS DECIMAL(18,2)) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+def user_event_type_map(spark, sf_dir):
+    """Map-typed intermediate: per-user map<event_type, count> built
+    with map_from_entries, interrogated with higher-order map
+    functions (map_keys / element_at), then exploded back to rows so
+    the cross-engine hash compare sees a flat schema."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return as_map.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("purchases"),
+        F.array_max(F.map_values("m")).alias("max_type_count"),
+        F.array_join(F.sort_array(F.map_keys("m")), ",").alias("types_csv"),
+    )
+
+
+_EVENT_MAP_SQL = """
+WITH per_type AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN n END), 0)
+         AS purchases,
+       MAX(n) AS max_type_count,
+       string_agg(event_type, ',' ORDER BY event_type) AS types_csv
+FROM per_type GROUP BY user_id
+"""
+
+
 def sql_entrypoint_antijoin(spark, sf_dir):
     """Entry point C (SURVEY.md §3.3): the reference's textual-SQL
     path — temp views + a CTE with SELECT DISTINCT, NOT IN subquery,
@@ -1719,6 +1796,8 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("nation_balance_extremes", nation_balance_extremes, _FULL_OUTER_SQL),
     QueryDef("lineitem_column_stats", lineitem_column_stats, _COLSTATS_SQL),
+    QueryDef("order_grouping_sets", order_grouping_sets, _GROUPING_SETS_SQL),
+    QueryDef("user_event_type_map", user_event_type_map, _EVENT_MAP_SQL),
 ]
 
 

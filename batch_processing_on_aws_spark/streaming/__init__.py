@@ -1,7 +1,12 @@
-from .incremental import incremental_merge_stream, windowed_event_counts
+from .incremental import (
+    dedup_stream,
+    incremental_merge_stream,
+    windowed_event_counts,
+)
 from .sessionize import sessionize_stream
 
 __all__ = [
+    "dedup_stream",
     "incremental_merge_stream",
     "sessionize_stream",
     "windowed_event_counts",

@@ -4,6 +4,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from batch_processing_on_aws_spark.streaming import (
+    dedup_stream,
     incremental_merge_stream,
     windowed_event_counts,
 )
@@ -50,6 +51,42 @@ def test_incremental_stream_with_transform(spark, tmp_path):
         transform=lambda df: df.withColumn("v", F.upper("v")),
     )
     assert spark.read.parquet(table).collect()[0]["v"] == "X"
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark through a real streaming query:
+    duplicate keys arriving within the watermark emit once."""
+    inp = str(tmp_path / "dup")
+    rows = [
+        ("2024-01-01 00:01:00", 1, "first"),
+        ("2024-01-01 00:02:00", 1, "redelivery"),
+        ("2024-01-01 00:03:00", 2, "only"),
+        ("2024-01-01 00:03:30", 1, "redelivery2"),
+    ]
+    spark.createDataFrame(rows, "ts string, k long, v string").select(
+        F.to_timestamp("ts").alias("ts"), "k", "v"
+    ).coalesce(1).write.parquet(inp)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(inp)
+    q = (
+        dedup_stream(stream, ["k"], watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedupstream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["k"]: r["v"] for r in spark.sql("select * from dedupstream").collect()}
+    assert set(got) == {1, 2}
+    assert got[2] == "only"
 
 
 def test_windowed_counts_streaming_memory_sink(spark, tmp_path):
