@@ -1,0 +1,123 @@
+"""Duplicate clustering: connected components over near-dup pairs and
+canonical-document selection.
+
+Pair emitters (minhash_lsh_pairs, simhash_neardup_pairs,
+embedding_neardup_pairs) produce EDGES; a dedup pipeline must then
+(1) close them into clusters — a ≈ b and b ≈ c means a, b, c are one
+duplicate group even if (a, c) was never emitted — and (2) keep one
+canonical representative per cluster. This module owns both steps,
+all in DataFrame ops.
+
+Algorithm: iterative min-label propagation. Every node starts
+labelled with itself; each round every node takes the min of its own
+and its neighbors' labels; converged when no label changes. Rounds =
+graph diameter, and near-dup graphs are dense local cliques with tiny
+diameters (2–4 rounds in practice), so the simple propagation is the
+right scale choice over pointer-jumping variants (alternating
+large-star/small-star — Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — converges in O(log² n) for
+adversarially long chains; swap it in if your edge graph has them).
+Each round is one shuffle join + one shuffle agg, with
+``localCheckpoint`` truncating the lineage so plan size stays
+constant across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    component = min node id reachable (undirected). Raises if not
+    converged within ``max_iter`` rounds — at that point the graph has
+    a path longer than any plausible near-dup cluster and the
+    large-star algorithm is the right tool."""
+    sym = edges.select(
+        F.col(src).cast("long").alias("n"), F.col(dst).cast("long").alias("nbr")
+    ).unionAll(
+        edges.select(
+            F.col(dst).cast("long").alias("n"), F.col(src).cast("long").alias("nbr")
+        )
+    )
+    sym = sym.localCheckpoint()
+    labels = sym.select("n").distinct().withColumn("label", F.col("n"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_label = (
+            sym.join(
+                labels.select(
+                    F.col("n").alias("nbr"), F.col("label").alias("nbr_label")
+                ),
+                "nbr",
+            )
+            .groupBy("n")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_label, "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("__old"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where(F.col("label") != F.col("__old")).count()
+        labels = new_labels.drop("__old")
+        if changed == 0:
+            return labels.select("n", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame, id_a: str = "doc_id_a", id_b: str = "doc_id_b"
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in a near-dup pair; the
+    cluster id is the minimum doc id in the component."""
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    return comp.select(
+        F.col("n").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def assign_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """All of ``docs`` with a ``cluster_id`` column: the near-dup
+    component for paired docs, the doc's own id for singletons."""
+    clusters = dup_clusters(pairs)
+    return (
+        docs.join(
+            clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+        ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+
+
+def keep_canonical(
+    docs_with_clusters: DataFrame,
+    order_by,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per cluster: the first doc under ``order_by`` (a list
+    of Columns — e.g. longest text first, id ascending as tiebreak).
+    This is the dedup pipeline's final filter: everything else in the
+    cluster is a near-duplicate of the kept row."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(*order_by)
+    return (
+        docs_with_clusters.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

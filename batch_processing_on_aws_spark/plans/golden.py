@@ -1609,6 +1609,63 @@ FROM per_type GROUP BY user_id
 """
 
 
+def dup_cluster_canonical(spark, sf_dir):
+    """The dedup pipeline's last mile: MinHash-LSH pairs → connected
+    components (a ≈ b ≈ c closes into one cluster even when (a, c) was
+    never emitted) → deterministic canonical pick (longest text, then
+    lowest id). Oracle: the SAME md5-bit-exact pair set closed by a
+    DuckDB recursive CTE — a full PASS-grade check of an iterative
+    graph algorithm."""
+    from ..operators.clustering import assign_clusters
+    from ..operators.neardup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    assigned = assign_clusters(
+        docs.select("doc_id", F.length("text").alias("tlen")), pairs
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("tlen").desc(), F.col("doc_id").asc()
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).cast("long").alias("is_canonical"),
+    )
+
+
+def _dup_cluster_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+edges AS (
+  SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(n, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT reach.n, e.d FROM reach JOIN edges e ON reach.r = e.s
+),
+comp AS (
+  SELECT n AS doc_id, LEAST(n, MIN(r)) AS cluster_id FROM reach GROUP BY n
+),
+assigned AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         length(d.text) AS tlen
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY tlen DESC, doc_id ASC) = 1
+            AS BIGINT) AS is_canonical
+FROM assigned
+"""
+
+
 def sql_entrypoint_antijoin(spark, sf_dir):
     """Entry point C (SURVEY.md §3.3): the reference's textual-SQL
     path — temp views + a CTE with SELECT DISTINCT, NOT IN subquery,
@@ -1798,6 +1855,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("lineitem_column_stats", lineitem_column_stats, _COLSTATS_SQL),
     QueryDef("order_grouping_sets", order_grouping_sets, _GROUPING_SETS_SQL),
     QueryDef("user_event_type_map", user_event_type_map, _EVENT_MAP_SQL),
+    QueryDef("dup_cluster_canonical", dup_cluster_canonical, _dup_cluster_sql()),
 ]
 
 

@@ -1,0 +1,52 @@
+"""Connected components / dup clustering: transitive closure,
+singleton handling, canonical selection, convergence on chains."""
+
+from pyspark.sql import functions as F
+
+from batch_processing_on_aws_spark.operators.clustering import (
+    assign_clusters,
+    connected_components,
+    keep_canonical,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_components_close_transitively(spark):
+    # two clusters {1,2,3} (no direct 1-3 edge) and {10,11}
+    comp = {
+        r["n"]: r["component"]
+        for r in connected_components(
+            _edges(spark, [(1, 2), (2, 3), (10, 11)])
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_components_long_chain_converges(spark):
+    # a 12-node path: worst case for label propagation
+    chain = [(i, i + 1) for i in range(12)]
+    comp = {
+        r["n"]: r["component"]
+        for r in connected_components(_edges(spark, chain)).collect()
+    }
+    assert set(comp.values()) == {0}
+    assert len(comp) == 13
+
+
+def test_assign_and_canonical(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aa"), (3, "a"), (7, "solo")],
+        "doc_id long, text string",
+    ).select("doc_id", "text", F.length("text").alias("tlen"))
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_id_a long, doc_id_b long")
+    assigned = assign_clusters(docs, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7}  # singleton keeps own id
+
+    kept = keep_canonical(
+        assigned, [F.col("tlen").desc(), F.col("doc_id").asc()]
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 7}  # longest of cluster + solo
