@@ -166,25 +166,20 @@ def embedding_neardup_pairs(
     )
 
 
-def _centroid_table(
+def _train_centroids(
     c: DataFrame,
     n_cells: int,
     seed: int,
     max_iter: int,
     n_train: int = 4096,
-) -> DataFrame:
-    """Tiny (cell, centroid, ‖c‖²/2) table from driver-side Lloyd
+):
+    """n_cells × dim numpy centroid matrix from driver-side Lloyd
     k-means over a deterministic sample.
 
     The sample is the ``n_train`` rows with the smallest seeded
     ``xxhash64(vec_id)`` — a deterministic uniform draw that Spark
     executes as TakeOrdered (per-partition top-n + driver merge, no
-    full sort, no shuffle of the corpus). Centroids are emitted as a
-    broadcast-able table, NOT unrolled literal expressions — a 16×64
-    literal tree costs more in analysis/codegen than the query runs.
-    Euclidean argmin downstream is computed as argmax of
-    v·c − ‖c‖²/2 (‖v‖² is constant per row), matching the trained
-    quantizer exactly.
+    full sort, no shuffle of the corpus).
     """
     import numpy as np
 
@@ -206,13 +201,7 @@ def _centroid_table(
             members = X[assign == j]
             if len(members):
                 centers[j] = members.mean(0)
-    return c.sparkSession.createDataFrame(
-        [
-            (i, [float(x) for x in ctr], float((ctr**2).sum()) / 2.0)
-            for i, ctr in enumerate(centers)
-        ],
-        "cell int, centroid array<double>, half_sq double",
-    )
+    return centers
 
 
 def ivf_topk(
@@ -240,39 +229,51 @@ def ivf_topk(
     centroids with the index). Training cost is therefore constant in
     corpus size: one TakeOrdered job to draw the sample, then numpy
     Lloyd iterations in milliseconds — no iterative cluster jobs.
-    Cell assignment is one broadcast-centroid projection over the
-    corpus, and the probe join is a plain equi-join on cell id:
-    shuffle O(N + Q·n_probe), no cross product anywhere.
+
+    Cell assignment is an Arrow-batched numpy argmax projection — the
+    tiny centroid matrix rides the task closure, so assignment is a
+    pure map with NO shuffle and no per-cell join; one X @ Cᵀ matmul
+    scores a whole Arrow batch against every centroid at once (the
+    justified-Python case: a 16-way argmin over 64-dim vectors beats
+    the interpreted higher-order-function equivalent). The probe join
+    is then a broadcast equi-join on cell id: the corpus never
+    shuffles; only the candidate set does, for the final top-k.
+    Euclidean argmin is computed as argmax of v·c − ‖c‖²/2 (‖v‖² is
+    constant per row); ties go to the lower cell id (numpy first-hit).
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
 
     c = fan_out(corpus).select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
-    cent = F.broadcast(
-        _centroid_table(c, n_cells=n_cells, seed=seed, max_iter=max_iter)
-    )
-    score = _dot(F.col("c_vec"), F.col("centroid")) - F.col("half_sq")
-    # ties broken toward the lower cell id for determinism
-    best = F.struct(score.alias("s"), (-F.col("cell")).alias("c"))
-    assigned = (
-        c.crossJoin(cent)
-        .groupBy("vec_id", "c_vec")
-        .agg(F.max_by("cell", best).alias("cell"))
-    )
-    qscore = _dot(F.col("q_vec"), F.col("centroid")) - F.col("half_sq")
-    qw = Window.partitionBy("query_id").orderBy(
-        qscore.desc(), F.col("cell").asc()
-    )
+    centers = _train_centroids(c, n_cells=n_cells, seed=seed, max_iter=max_iter)
+    half_sq = (centers**2).sum(1) / 2.0
+    dim = centers.shape[1]
+
+    @pandas_udf("int")
+    def _cell(vs):
+        X = np.asarray(vs.tolist(), dtype=np.float64).reshape(-1, dim)
+        s = X @ centers.T - half_sq[None, :]
+        return pd.Series(s.argmax(1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def _probe_cells(vs):
+        X = np.asarray(vs.tolist(), dtype=np.float64).reshape(-1, dim)
+        s = X @ centers.T - half_sq[None, :]
+        order = np.argsort(-s, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    assigned = c.withColumn("cell", _cell("c_vec"))
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("q_vec"),
+        ).select(
+            "query_id", "q_vec", F.explode(_probe_cells("q_vec")).alias("cell")
         )
-        .crossJoin(cent)
-        .withColumn("__cr", F.row_number().over(qw))
-        .where(F.col("__cr") <= n_probe)
-        .select("query_id", "q_vec", "cell")
     )
     scored = (
         assigned.join(q, "cell")
