@@ -1749,10 +1749,13 @@ def media_features(spark, sf_dir):
     content hashes, and decode status. The stubbed codec's hash
     arithmetic is reproduced by the oracle (DuckDB sha256 over the
     same utf-8 bytes), so the whole Python-batch path is value-checked
-    cross-engine."""
+    cross-engine. ``fan_out`` first: a single-file scan would feed ONE
+    Python worker; repartitioning spreads the Arrow batches across
+    cores."""
     from ..operators.multimodal import extract_media_features
+    from ..operators.partitioning import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
