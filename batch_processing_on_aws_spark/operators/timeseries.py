@@ -1,0 +1,83 @@
+"""Date-spine densification and gap filling.
+
+The reference's weather dimension has missing days and sparse columns
+it simply drops (init-data-transformation.py:80-85); the dashboard
+trend chart (README.md:39-41) silently skips absent dates. Proper
+time-series hygiene is: generate the full calendar spine, left-join
+the observed rollup, zero-fill counts, forward-fill carrying measures.
+All of it is built-ins — ``sequence`` + ``explode`` for the spine
+(distributed, not a driver loop) and ``last(ignorenulls)`` over a
+running window for the fill.
+
+Scale: the spine is calendar-bounded (366 rows/year — trivially
+broadcastable), so the join is a broadcast join against the rollup,
+and a per-key fill partitions the window by key; only the bounded
+unkeyed variant runs a single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def date_spine(df_or_spark, start: str, end: str) -> DataFrame:
+    """One row per day in [start, end] — ``sequence`` is evaluated on
+    executors, never a driver-side date loop."""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"),
+                F.lit(end).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+
+
+def densify_daily(
+    daily: DataFrame,
+    start: str,
+    end: str,
+    date_col: str = "day",
+    zero_fill: tuple[str, ...] = (),
+) -> DataFrame:
+    """Join a daily rollup onto the full calendar spine (all spine
+    days kept); listed count columns become 0 on missing days,
+    everything else stays null (for a downstream fill to carry).
+
+    Phrased as ``rollup RIGHT JOIN spine`` with the rollup broadcast:
+    a spine-preserving outer join can only broadcast its build side,
+    and both inputs here are calendar-bounded, so broadcasting the
+    rollup gives a BroadcastHashJoin instead of a shuffle (a
+    spine-side broadcast hint on a LEFT join is unsupported and would
+    silently degrade)."""
+    spine = date_spine(daily, start, end)
+    out = F.broadcast(daily.withColumnRenamed(date_col, "day")).join(
+        spine, "day", "right"
+    )
+    for c in zero_fill:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
+
+
+def fill_forward(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    order_col: str = "day",
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Carry the last non-null observation forward (nulls before the
+    first observation remain null). Partition by key columns when the
+    series is keyed; the unkeyed form is for calendar-bounded frames
+    only (see module docstring)."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        if partition_cols
+        else Window.partitionBy(F.lit(1))
+    ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

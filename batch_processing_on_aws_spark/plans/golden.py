@@ -1666,6 +1666,84 @@ FROM assigned
 """
 
 
+def ri_violation_report(spark, sf_dir):
+    """Referential-integrity checks as a query: distinct lineitem
+    supplier keys with no parent in a deliberately punctured supplier
+    dim (every 7th key removed) — the warehouse FK contract
+    (CyclingERD.sql:60-68) owned in-engine as an anti-join, plus the
+    PK-uniqueness arm on the intact dim (empty ⇒ contract holds)."""
+    from ..operators.constraints import foreign_key_violations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    punctured = supplier.where(F.col("s_suppkey") % 7 != 0)
+    return foreign_key_violations(
+        li, punctured, fk="l_suppkey", pk="s_suppkey"
+    ).orderBy("orphan_key")
+
+
+_RI_SQL = """
+SELECT DISTINCT l_suppkey AS orphan_key
+FROM lineitem
+WHERE l_suppkey IS NOT NULL
+  AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 <> 0
+      )
+ORDER BY orphan_key
+"""
+
+
+def daily_shipments_densified(spark, sf_dir):
+    """Date-spine densify + gap fill: a sparse daily rollup (only
+    suppliers < 10) left-joined onto the full 1996 calendar —
+    missing days get n_items = 0 and carry the last seen revenue
+    forward. The spine is generated distributed (sequence+explode)
+    and broadcast into the join; the unkeyed fill window is
+    calendar-bounded (366 rows)."""
+    from ..operators.timeseries import densify_daily, fill_forward
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_suppkey") < 10)
+        )
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            tpch.money_sum(F.col("l_extendedprice")).alias("revenue"),
+        )
+    )
+    dense = densify_daily(daily, "1996-01-01", "1996-12-31", zero_fill=("n_items",))
+    return fill_forward(dense, ("revenue",)).orderBy("day")
+
+
+_DENSIFY_SQL = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,6))), 2)
+              AS DECIMAL(18,2)) AS revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    AND l_suppkey < 10
+  GROUP BY 1
+), spine AS (
+  SELECT CAST(gs AS DATE) AS day
+  FROM generate_series(DATE '1996-01-01', DATE '1996-12-31',
+                       INTERVAL 1 DAY) AS t(gs)
+)
+SELECT s.day,
+       COALESCE(d.n_items, 0) AS n_items,
+       last_value(d.revenue IGNORE NULLS)
+         OVER (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS revenue
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+ORDER BY s.day
+"""
+
+
 def sql_entrypoint_antijoin(spark, sf_dir):
     """Entry point C (SURVEY.md §3.3): the reference's textual-SQL
     path — temp views + a CTE with SELECT DISTINCT, NOT IN subquery,
@@ -1859,6 +1937,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("order_grouping_sets", order_grouping_sets, _GROUPING_SETS_SQL),
     QueryDef("user_event_type_map", user_event_type_map, _EVENT_MAP_SQL),
     QueryDef("dup_cluster_canonical", dup_cluster_canonical, _dup_cluster_sql()),
+    QueryDef("ri_violation_report", ri_violation_report, _RI_SQL),
+    QueryDef("daily_shipments_densified", daily_shipments_densified, _DENSIFY_SQL),
 ]
 
 

@@ -1,0 +1,82 @@
+"""Constraint checks and date-spine/gap-fill operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_processing_on_aws_spark.operators.constraints import (
+    accepted_values_violations,
+    assert_constraints,
+    foreign_key_violations,
+    not_null_violations,
+    unique_violations,
+)
+from batch_processing_on_aws_spark.operators.timeseries import (
+    date_spine,
+    densify_daily,
+    fill_forward,
+)
+
+
+def test_unique_violations(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string")
+    got = unique_violations(df, ["k"]).collect()
+    assert [(r["k"], r["n_rows"]) for r in got] == [(1, 2)]
+
+
+def test_fk_violations_null_fk_ok(spark):
+    child = spark.createDataFrame([(1,), (3,), (None,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    got = {r["orphan_key"] for r in
+           foreign_key_violations(child, parent, "fk", "pk").collect()}
+    assert got == {3}  # null fk is not a violation
+
+
+def test_accepted_and_not_null(spark):
+    df = spark.createDataFrame(
+        [("O",), ("F",), ("X",), (None,)], "status string"
+    )
+    bad = {r["bad_value"] for r in
+           accepted_values_violations(df, "status", ["O", "F", "P"]).collect()}
+    assert bad == {"X"}
+    nulls = {(r["column"], r["n_nulls"]) for r in
+             not_null_violations(df, ["status"]).collect()}
+    assert nulls == {("status", 1)}
+
+
+def test_assert_constraints_raises_with_names(spark):
+    df = spark.createDataFrame([(1,), (1,)], "k long")
+    with pytest.raises(AssertionError, match="pk_unique"):
+        assert_constraints({"pk_unique": unique_violations(df, ["k"])})
+    # empty checks pass silently
+    assert_constraints({"ok": unique_violations(df.distinct(), ["k"])})
+
+
+def test_spine_densify_fill(spark):
+    daily = spark.createDataFrame(
+        [("2024-01-01", 2, 10.0), ("2024-01-04", 1, 40.0)],
+        "day string, n long, rev double",
+    ).select(F.col("day").cast("date").alias("day"), "n", "rev")
+    assert date_spine(spark, "2024-01-01", "2024-01-05").count() == 5
+    dense = densify_daily(daily, "2024-01-01", "2024-01-05", zero_fill=("n",))
+    filled = {
+        str(r["day"]): (r["n"], r["rev"])
+        for r in fill_forward(dense, ("rev",)).collect()
+    }
+    assert filled == {
+        "2024-01-01": (2, 10.0),
+        "2024-01-02": (0, 10.0),  # zero-filled count, carried revenue
+        "2024-01-03": (0, 10.0),
+        "2024-01-04": (1, 40.0),
+        "2024-01-05": (0, 40.0),
+    }
+
+
+def test_fill_forward_keyed_partitions(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("b", 1, None), ("b", 2, 5.0)],
+        "k string, t long, v double",
+    )
+    got = {(r["k"], r["t"]): r["v"] for r in
+           fill_forward(df, ("v",), order_col="t", partition_cols=("k",)).collect()}
+    assert got == {("a", 1): 1.0, ("a", 2): 1.0,
+                   ("b", 1): None, ("b", 2): 5.0}  # no cross-key leakage
