@@ -1744,6 +1744,78 @@ ORDER BY s.day
 """
 
 
+def doc_length_histogram(spark, sf_dir):
+    """Corpus length distribution in 100-char buckets — the profiling
+    view a curation pipeline checks before setting quality-filter
+    thresholds. Bucket arithmetic (floor division) instead of
+    width_bucket so the oracle is engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            (F.floor(F.length("text") / 100) * 100).alias("len_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_len"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+_LENHIST_SQL = """
+SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(length(text)), 2) AS avg_len
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: unshipped-order revenue by (order, date,
+    priority) for one segment — filter both join sides before the
+    fact join, aggregate, top-10 by revenue."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = "1995-03-15"
+    return (
+        li.where(F.col("l_shipdate") > F.lit(cutoff))
+        .join(
+            orders.where(F.col("o_orderdate") < F.lit(cutoff)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            tpch.money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,6))), 2) AS DECIMAL(18,2)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 def sql_entrypoint_antijoin(spark, sf_dir):
     """Entry point C (SURVEY.md §3.3): the reference's textual-SQL
     path — temp views + a CTE with SELECT DISTINCT, NOT IN subquery,
@@ -1939,6 +2011,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("dup_cluster_canonical", dup_cluster_canonical, _dup_cluster_sql()),
     QueryDef("ri_violation_report", ri_violation_report, _RI_SQL),
     QueryDef("daily_shipments_densified", daily_shipments_densified, _DENSIFY_SQL),
+    QueryDef("doc_length_histogram", doc_length_histogram, _LENHIST_SQL),
+    QueryDef("q3_shipping_priority", q3_shipping_priority, _Q3_SQL),
 ]
 
 
