@@ -1800,7 +1800,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
 
 
-_Q3_SQL = """
+_Q3_SHIPPRIO_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
                            AS DECIMAL(30,6))), 2) AS DECIMAL(18,2)) AS revenue
@@ -2012,7 +2012,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("ri_violation_report", ri_violation_report, _RI_SQL),
     QueryDef("daily_shipments_densified", daily_shipments_densified, _DENSIFY_SQL),
     QueryDef("doc_length_histogram", doc_length_histogram, _LENHIST_SQL),
-    QueryDef("q3_shipping_priority", q3_shipping_priority, _Q3_SQL),
+    QueryDef("q3_shipping_priority", q3_shipping_priority, _Q3_SHIPPRIO_SQL),
 ]
 
 

@@ -5,9 +5,15 @@ import __spark_entry__ as entrymod
 
 
 def test_registry_shape():
+    from batch_processing_on_aws_spark.plans.golden import QUERIES
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 20
+    # a duplicate QueryDef name would silently drop a query from the
+    # dict (and a reused oracle constant silently swaps SQL — caught
+    # once in review); pin both
+    assert len({q.name for q in QUERIES}) == len(QUERIES)
     # every oracle key has a query
     assert set(oracles) <= set(qs)
     # rows-only queries are the documented engine-local ones
