@@ -246,7 +246,13 @@ def ivf_topk(
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
-    c = fan_out(corpus).select(
+    # no fan_out here: unlike the interpreted-expression operators,
+    # cell assignment is a vectorized batch matmul — so cheap per row
+    # that scan-split parallelism is enough, and a repartition would
+    # cost more (shuffle + one Python worker per partition to warm)
+    # than it buys. At cluster scale the corpus arrives in thousands
+    # of splits and parallelism is free.
+    c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
     centers = _train_centroids(c, n_cells=n_cells, seed=seed, max_iter=max_iter)
@@ -259,21 +265,30 @@ def ivf_topk(
         s = X @ centers.T - half_sq[None, :]
         return pd.Series(s.argmax(1).astype("int32"))
 
-    @pandas_udf("array<int>")
-    def _probe_cells(vs):
-        X = np.asarray(vs.tolist(), dtype=np.float64).reshape(-1, dim)
-        s = X @ centers.T - half_sq[None, :]
-        order = np.argsort(-s, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in order])
-
     assigned = c.withColumn("cell", _cell("c_vec"))
+    # query probing stays JVM-side: the query set is small, so a
+    # cross join against the 16-row centroid table + a rank window is
+    # cheaper than spinning a second Python runner stage for it
+    cent = F.broadcast(
+        c.sparkSession.createDataFrame(
+            [
+                (i, [float(x) for x in ctr], float(h))
+                for i, (ctr, h) in enumerate(zip(centers, half_sq))
+            ],
+            "cell int, centroid array<double>, half_sq double",
+        )
+    )
+    qscore = _dot(F.col("q_vec"), F.col("centroid")) - F.col("half_sq")
+    qw = Window.partitionBy("query_id").orderBy(qscore.desc(), F.col("cell").asc())
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("q_vec"),
-        ).select(
-            "query_id", "q_vec", F.explode(_probe_cells("q_vec")).alias("cell")
         )
+        .crossJoin(cent)
+        .withColumn("__cr", F.row_number().over(qw))
+        .where(F.col("__cr") <= n_probe)
+        .select("query_id", "q_vec", "cell")
     )
     scored = (
         assigned.join(q, "cell")

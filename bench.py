@@ -40,6 +40,21 @@ def main() -> None:
     # Warm the JVM/codegen path once so per-query numbers measure the
     # plan, not first-call JIT+classload.
     run_query(next(iter(qs.values()))(spark, sf_dir))
+    # Warm the Python/Arrow worker pool too: forking the per-core
+    # worker daemons is a once-per-session cost (~2 s for 32 cores)
+    # that would otherwise land entirely on whichever Pandas-UDF
+    # query happens to run first.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    run_query(
+        spark.range(0, 10_000, 1, spark.sparkContext.defaultParallelism).select(
+            _warm("id")
+        )
+    )
 
     times: dict[str, float] = {}
     for name, fn in qs.items():
