@@ -1332,6 +1332,76 @@ QUALIFY row_number() OVER (PARTITION BY md5_normalized ORDER BY doc_id) = 1
 """
 
 
+def training_corpus(spark, sf_dir):
+    """The COMPLETE corpus-curation pipeline as one declarative plan —
+    the flagship of the extension surface. Stages, each an existing
+    oracle-checked operator, composed end-to-end:
+
+      quality gate → language gate → exact dedup (fingerprint)
+      → near-dup clustering (MinHash LSH pairs closed into connected
+        components) → canonical doc per cluster (lowest id among
+        survivors) → deterministic train/val/test split.
+
+    Everything cross-engine-exact (md5 hashing throughout), so the
+    oracle checks the ENTIRE pipeline's row set and split labels."""
+    from pyspark.sql import Window
+
+    from ..operators.clustering import assign_clusters
+    from ..operators.neardup import minhash_lsh_pairs
+    from ..operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = clean_corpus(spark, sf_dir).select("doc_id")
+    pairs = minhash_lsh_pairs(docs)
+    assigned = assign_clusters(cleaned, pairs)
+    w = Window.partitionBy("cluster_id").orderBy("doc_id")
+    canonical = (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "cluster_id")
+    )
+    return train_val_test_split(canonical, key="doc_id", val_pct=5, test_pct=5)
+
+
+def _training_corpus_sql() -> str:
+    return f"""
+WITH RECURSIVE cleaned AS (
+  SELECT doc_id FROM ({_clean_corpus_sql()})
+), pairs AS ({_minhash_pairs_sql()}),
+edges AS (
+  SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(n, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT reach.n, e.d FROM reach JOIN edges e ON reach.r = e.s
+),
+comp AS (
+  SELECT n AS doc_id, LEAST(n, MIN(r)) AS cluster_id FROM reach GROUP BY n
+),
+assigned AS (
+  SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS cluster_id
+  FROM cleaned c LEFT JOIN comp k ON c.doc_id = k.doc_id
+),
+canonical AS (
+  SELECT doc_id, cluster_id FROM assigned
+  QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) = 1
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 5 THEN 'test'
+            WHEN b < 10 THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS b
+  FROM canonical
+)
+"""
+
+
 def doc_shingles(spark, sf_dir):
     """Generator/UNNEST semantics surfaced: word 3-gram shingles, one
     row per (doc, distinct shingle) — the exploded form every near-dup
@@ -2012,6 +2082,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("ri_violation_report", ri_violation_report, _RI_SQL),
     QueryDef("daily_shipments_densified", daily_shipments_densified, _DENSIFY_SQL),
     QueryDef("doc_length_histogram", doc_length_histogram, _LENHIST_SQL),
+    QueryDef("training_corpus", training_corpus, _training_corpus_sql()),
     QueryDef("q3_shipping_priority", q3_shipping_priority, _Q3_SHIPPRIO_SQL),
 ]
 

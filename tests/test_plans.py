@@ -34,10 +34,13 @@ def _plan(spark, name, materialize=False):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-# The ONLY queries allowed to plan a nested-loop/cross join — each one
-# is the documented brute-force baseline whose all-pairs scoring IS the
-# semantics (broadcast-built, never a shuffled CartesianProduct).
-CROSS_PRODUCT_ALLOWED = {"embedding_topk"}
+# The ONLY queries allowed to plan a nested-loop/cross join:
+# - embedding_topk: the brute-force baseline whose all-pairs scoring IS
+#   the semantics (broadcast-built, never a shuffled CartesianProduct);
+# - embedding_ivf_topk: the query-probe step crosses the (small by
+#   contract) query set with the n_cells-row centroid table — bounded
+#   |Q|×16, never touches the corpus side.
+CROSS_PRODUCT_ALLOWED = {"embedding_topk", "embedding_ivf_topk"}
 
 
 def test_no_nested_loop_or_cartesian_anywhere(spark):
