@@ -31,14 +31,32 @@ def read_csv(
     path: str,
     schema: T.StructType | None = None,
     infer: bool = False,
+    mode: str = "FAILFAST",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """S1/S2 — CSV scan with header (reference: journey-data-transformation.py:28).
 
     Globs work as in the reference (``raw/cycling-journey/*/*``), but at
     scale prefer a partitioned table + partition pruning (SURVEY.md §4).
     ``infer=True`` reproduces the reference's dev behavior; never in prod.
+
+    Malformed-row policy is explicit (the reference, with inference on,
+    silently nulls bad cells): default FAILFAST — a 100 TB ingest that
+    silently drops rows is a correctness incident, not a convenience.
+    ``mode='PERMISSIVE'`` with ``corrupt_col`` quarantines instead:
+    bad rows land with the raw line preserved in ``corrupt_col`` so the
+    pipeline can route them to a dead-letter table and continue —
+    requires an explicit ``schema`` (the corrupt column is appended to
+    it here).
     """
-    reader = spark.read.option("header", True)
+    reader = spark.read.option("header", True).option("mode", mode)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        schema = T.StructType(
+            [*schema.fields, T.StructField(corrupt_col, T.StringType(), True)]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     elif infer:

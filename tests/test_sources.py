@@ -72,3 +72,28 @@ def test_load_table_converts_nanos(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
     assert ev.count() > 0
+
+
+def test_read_csv_failfast_raises_on_malformed(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("k,v\n1,a\nnot_an_int,b\n")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_csv(spark, str(p), schema=schema).collect()
+
+
+def test_read_csv_permissive_quarantines(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("k,v\n1,a\nnot_an_int,b\n2,c\n")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = read_csv(
+        spark, str(p), schema=schema, mode="PERMISSIVE", corrupt_col="_bad"
+    )
+    rows = {r["k"]: (r["v"], r["_bad"]) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("c", None)
+    # the malformed row survives with its raw line quarantined
+    assert rows[None][1] == "not_an_int,b"
