@@ -1197,6 +1197,84 @@ def approx_distinct_users(spark, sf_dir):
     )
 
 
+def customer_order_milestones(spark, sf_dir):
+    """Remaining navigation-window breadth in one query: first_value /
+    nth_value / lead over each customer's order history (first order
+    date, second order date, next order's gap in days). Window
+    partitioned by customer — distributes on the natural key."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.to_date(F.first("o_orderdate").over(wall)).alias("first_order"),
+        F.to_date(F.nth_value("o_orderdate", 2).over(wall)).alias("second_order"),
+        F.datediff(
+            F.lead("o_orderdate").over(w), F.col("o_orderdate")
+        ).alias("days_to_next"),
+    )
+
+
+_MILESTONES_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(first_value(o_orderdate) OVER wall AS DATE) AS first_order,
+       CAST(nth_value(o_orderdate, 2) OVER wall AS DATE) AS second_order,
+       CAST(date_diff('day', o_orderdate,
+                      lead(o_orderdate) OVER w) AS INT) AS days_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC),
+       wall AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def order_quantity_profile(spark, sf_dir):
+    """Higher-order array functions over per-order collected
+    quantities: filter (bulk lines), exists (any discounted), sorted
+    array head — Spark ``filter``/``exists``/``sort_array`` ↔ DuckDB
+    ``list_filter``/``list_bool_or``-equivalent. The collect_list is
+    bounded per order (≤ lines per order), not data-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("long"))).alias("qtys"),
+        F.sort_array(F.collect_list("l_discount")).alias("discs"),
+    )
+    return per_order.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.size("qtys").cast("long").alias("n_lines"),
+        F.size(F.filter("qtys", lambda q: q > 30)).cast("long").alias("bulk_lines"),
+        F.exists("discs", lambda d: d > 0.05).alias("any_deep_discount"),
+        F.element_at("qtys", 1).alias("min_qty"),
+        F.element_at("qtys", -1).alias("max_qty"),
+    )
+
+
+_QTY_PROFILE_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys,
+         list_sort(list(l_discount)) AS discs
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey AS order_id,
+       CAST(len(qtys) AS BIGINT) AS n_lines,
+       CAST(len(list_filter(qtys, q -> q > 30)) AS BIGINT) AS bulk_lines,
+       len(list_filter(discs, d -> d > 0.05)) > 0 AS any_deep_discount,
+       qtys[1] AS min_qty,
+       qtys[-1] AS max_qty
+FROM per_order
+"""
+
+
 def regional_supplier_revenue(spark, sf_dir):
     """TPC-H Q5 shape: six-table join graph with the extra non-FK
     constraint c_nationkey = s_nationkey (local supplier), region
@@ -2083,6 +2161,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("daily_shipments_densified", daily_shipments_densified, _DENSIFY_SQL),
     QueryDef("doc_length_histogram", doc_length_histogram, _LENHIST_SQL),
     QueryDef("training_corpus", training_corpus, _training_corpus_sql()),
+    QueryDef("customer_order_milestones", customer_order_milestones, _MILESTONES_SQL),
+    QueryDef("order_quantity_profile", order_quantity_profile, _QTY_PROFILE_SQL),
     QueryDef("q3_shipping_priority", q3_shipping_priority, _Q3_SHIPPRIO_SQL),
 ]
 
