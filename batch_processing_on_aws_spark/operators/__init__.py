@@ -1,20 +1,44 @@
 from .antijoin import new_keys, unknown_keys
 from .audit import missing_value_counts, missing_value_ratios
+from .clustering import assign_clusters, connected_components, keep_canonical
 from .conformance import conform
+from .constraints import (
+    accepted_values_violations,
+    assert_constraints,
+    foreign_key_violations,
+    not_null_violations,
+    unique_violations,
+)
 from .dedup import dedup_deterministic, dedup_exact
 from .merge import MergeWriter, upsert_frames
+from .sampling import hash_bucket, hash_sample, train_val_test_split
 from .setops import union_all_by_name, union_distinct
+from .timeseries import date_spine, densify_daily, fill_forward
 
 __all__ = [
     "MergeWriter",
+    "accepted_values_violations",
+    "assert_constraints",
+    "assign_clusters",
     "conform",
+    "connected_components",
+    "date_spine",
     "dedup_deterministic",
     "dedup_exact",
+    "densify_daily",
+    "fill_forward",
+    "foreign_key_violations",
+    "hash_bucket",
+    "hash_sample",
+    "keep_canonical",
     "missing_value_counts",
     "missing_value_ratios",
     "new_keys",
+    "not_null_violations",
+    "train_val_test_split",
     "union_all_by_name",
     "union_distinct",
+    "unique_violations",
     "unknown_keys",
     "upsert_frames",
 ]

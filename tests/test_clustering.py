@@ -50,3 +50,53 @@ def test_assign_and_canonical(spark):
         assigned, [F.col("tlen").desc(), F.col("doc_id").asc()]
     )
     assert {r["doc_id"] for r in kept.collect()} == {1, 7}  # longest of cluster + solo
+
+
+def test_components_match_union_find_property(spark):
+    """Property: on random edge sets, the DataFrame label propagation
+    must equal a driver-side union-find ground truth."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=15),
+                st.integers(min_value=0, max_value=15),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def check(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            parent[find(a)] = find(b)
+
+        for a, b in edges:
+            union(a, b)
+        nodes = {n for e in edges for n in e}
+        roots = {}
+        expected = {}
+        for n in sorted(nodes):  # min node id per component
+            r = find(n)
+            roots.setdefault(r, n)
+            expected[n] = roots[r]
+
+        got = {
+            r["n"]: r["component"]
+            for r in connected_components(
+                _edges(spark, [(int(a), int(b)) for a, b in edges])
+            ).collect()
+        }
+        assert got == expected
+
+    check()
