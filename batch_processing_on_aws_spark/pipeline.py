@@ -172,3 +172,44 @@ class JourneyPipeline:
 
     def weather(self) -> DataFrame:
         return self._weather.read(self.spark)
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI — the reference's seven Airflow DAGs collapse to three
+    cron-able commands (orchestration is idempotent stage calls, not a
+    scheduler; retries are free because every write is a keyed merge):
+
+        python -m batch_processing_on_aws_spark.pipeline \\
+            --warehouse /lake/wh bootstrap-stations raw/stations.csv
+        ... bootstrap-weather raw/weather.json
+        ... journey-batch raw/cycling-journey/Jan2021/week1.csv
+
+    ``journey-batch`` is what the reference's weekly cron
+    (proc_0_ingestion_to_s3_dag.py:49) would invoke; re-running any
+    completed week is a no-op by the §2.9 merge contract.
+    """
+    import argparse
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(prog="batch_processing_on_aws_spark.pipeline")
+    ap.add_argument("--warehouse", required=True, help="warehouse root path")
+    sub = ap.add_subparsers(dest="stage", required=True)
+    sub.add_parser("bootstrap-stations").add_argument("csv")
+    sub.add_parser("bootstrap-weather").add_argument("json")
+    sub.add_parser("journey-batch").add_argument("csv")
+    args = ap.parse_args(argv)
+
+    pipe = JourneyPipeline(get_spark(), WarehousePaths(args.warehouse))
+    if args.stage == "bootstrap-stations":
+        n = pipe.bootstrap_stations(args.csv).count()
+    elif args.stage == "bootstrap-weather":
+        n = pipe.bootstrap_weather(args.json).count()
+    else:
+        n = pipe.process_journey_batch(args.csv).count()
+    print(f"{args.stage}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

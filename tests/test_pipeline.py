@@ -109,3 +109,26 @@ def test_star_join_serves_dashboard_shape(pipe, spark):
     got = {r["station_name"]: (r["n"], r["avg_temp"]) for r in out}
     assert got["Kings Cross"] == (2, 5.0)  # rentals 100 (4.5°) + 101 (5.5°)
     assert got["Waterloo"] == (1, 5.5)
+
+
+def test_cli_runs_all_stages(spark, tmp_path, capsys):
+    """The CLI twin of the fixture flow: three stages, then re-run the
+    batch to confirm the idempotency contract holds through main()."""
+    from batch_processing_on_aws_spark.pipeline import main
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "stations.csv").write_text(STATIONS_CSV)
+    (raw / "week1.csv").write_text(WEEK1_CSV)
+    (raw / "weather.json").write_text(json.dumps(WEATHER_JSON))
+    wh = str(tmp_path / "wh")
+
+    assert main(["--warehouse", wh, "bootstrap-stations", str(raw / "stations.csv")]) == 0
+    assert main(["--warehouse", wh, "bootstrap-weather", str(raw / "weather.json")]) == 0
+    assert main(["--warehouse", wh, "journey-batch", str(raw / "week1.csv")]) == 0
+    assert main(["--warehouse", wh, "journey-batch", str(raw / "week1.csv")]) == 0
+
+    p = JourneyPipeline(spark, WarehousePaths(wh))
+    assert {r["rental_id"] for r in p.fact().collect()} == {100, 101}
+    out = capsys.readouterr().out
+    assert "journey-batch: 2 rows" in out
