@@ -259,6 +259,148 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
 
 
+def jaccard_similar_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Standalone n-gram Jaccard dedup via a shingle inverted index —
+    no signatures: candidates are pairs sharing ≥1 *rare* shingle
+    (document frequency ≤ ``max_df``), then exact Jaccard over the
+    FULL shingle sets filters at ``threshold``.
+
+    The df cap is the classic inverted-index guard: a boilerplate
+    shingle appearing in k docs would emit k² candidate rows; capping
+    df bounds the join fan-out at max_df² per shingle while leaving
+    *verification* exact (full sets, not the filtered index). Pairs
+    whose every shared shingle is boilerplate are the recall cost —
+    the standard trade, stated rather than hidden. Shuffles: index
+    groupBy + candidate equi-join on shingle; never a cross product.
+
+    Output: (doc_id_a, doc_id_b, jaccard ≥ threshold), a < b.
+    """
+    sh_arr = fan_out(df).select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_n).alias("__sh"),
+    )
+    idx = sh_arr.select("__id", F.explode("__sh").alias("__s"))
+    rare = (
+        idx.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("__s")
+    )
+    filtered = idx.join(rare, "__s")
+    cand = (
+        filtered.alias("a")
+        .join(
+            filtered.alias("b"),
+            on=[
+                F.col("a.__s") == F.col("b.__s"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("doc_id_a"), F.col("b.__id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+    out = (
+        cand.join(
+            sh_arr.select(
+                F.col("__id").alias("doc_id_a"), F.col("__sh").alias("sh_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sh_arr.select(
+                F.col("__id").alias("doc_id_b"), F.col("__sh").alias("sh_b")
+            ),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def rare_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """n-gram Jaccard over the RARE-shingle sets, computed entirely
+    from the inverted index — no signature, no array materialization.
+
+    Jaccard restricted to shingles with document frequency ≤
+    ``max_df``: |A∩B| comes from a pair-grouped count over the index
+    self-join, |A|,|B| from per-doc counts, J = i / (|A|+|B|−i). All
+    integer hash-agg arithmetic inside codegen — no per-pair array
+    intersection (which is what makes the full-set variant
+    ``jaccard_similar_pairs`` quadratic-costly on low-entropy
+    corpora). Dropping the df head is the df-weighting production
+    dedup uses anyway: ubiquitous shingles carry no similarity signal,
+    and the cap simultaneously bounds the join fan-out at max_df² per
+    shingle.
+
+    Output: (doc_id_a, doc_id_b, jaccard ≥ threshold), a < b.
+    """
+    sh_arr = fan_out(df).select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_n).alias("__sh"),
+    )
+    idx = sh_arr.select("__id", F.explode("__sh").alias("__s"))
+    rare = (
+        idx.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("__s")
+    )
+    # materialize the narrow (id, shingle) index once: it feeds three
+    # consumers (both self-join sides + the size agg) and would
+    # otherwise re-run the explode+df-filter subtree for each
+    filtered = idx.join(rare, "__s").localCheckpoint()
+    sizes = filtered.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        filtered.alias("a")
+        .join(
+            filtered.alias("b"),
+            on=[
+                F.col("a.__s") == F.col("b.__s"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.__id").alias("doc_id_a"), F.col("b.__id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    j = F.col("__i").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__i")
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("__id").alias("doc_id_a"), F.col("__n").alias("__na")),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(F.col("__id").alias("doc_id_b"), F.col("__n").alias("__nb")),
+            "doc_id_b",
+        )
+        .select("doc_id_a", "doc_id_b", j.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -1480,6 +1480,57 @@ FROM (
 """
 
 
+def jaccard_dup_pairs(spark, sf_dir):
+    """Standalone n-gram Jaccard near-dup — the no-signature dedup
+    method next to MinHash/SimHash — as rare-shingle (df-weighted)
+    Jaccard computed purely from the inverted index: integer hash-agg
+    arithmetic, no per-pair array intersection (see
+    operators/neardup.py::rare_jaccard_pairs for why that variant is
+    the scale-sane one). Unrounded ratio: identical integer divisions
+    are bit-equal cross-engine."""
+    from ..operators.neardup import rare_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rare_jaccard_pairs(docs, threshold=0.5, max_df=50)
+
+
+def _jaccard_pairs_sql() -> str:
+    return r"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(
+                     range(0, len(toks) - 2),
+                     i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+         END AS sh
+  FROM (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+    FROM documents
+  )
+), idx AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh
+), rare AS (
+  SELECT s FROM idx GROUP BY s HAVING COUNT(*) <= 50
+), filtered AS (
+  SELECT doc_id, s FROM idx JOIN rare USING (s)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM filtered GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+  FROM filtered a JOIN filtered b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+
+
 def doc_shingles(spark, sf_dir):
     """Generator/UNNEST semantics surfaced: word 3-gram shingles, one
     row per (doc, distinct shingle) — the exploded form every near-dup
@@ -2163,6 +2214,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("training_corpus", training_corpus, _training_corpus_sql()),
     QueryDef("customer_order_milestones", customer_order_milestones, _MILESTONES_SQL),
     QueryDef("order_quantity_profile", order_quantity_profile, _QTY_PROFILE_SQL),
+    QueryDef("jaccard_dup_pairs", jaccard_dup_pairs, _jaccard_pairs_sql()),
     QueryDef("q3_shipping_priority", q3_shipping_priority, _Q3_SHIPPRIO_SQL),
 ]
 

@@ -179,3 +179,39 @@ def test_simhash_neardup_pairs_banding(spark):
     }
     assert got == brute
     assert got[(1, 4)] == 0  # the planted exact duplicate
+
+
+def test_rare_jaccard_matches_bruteforce_on_rare_sets(spark):
+    """rare_jaccard_pairs must equal a Python brute force of Jaccard
+    over the df-capped shingle sets, including the planted dup."""
+    from itertools import combinations
+
+    from batch_processing_on_aws_spark.operators.neardup import (
+        rare_jaccard_pairs,
+        shingles,
+    )
+
+    docs = _docs(spark)
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in rare_jaccard_pairs(docs, threshold=0.3, max_df=3).collect()
+    }
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id", shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    df_count = {}
+    for s in sh.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    rare = {g for g, c in df_count.items() if c <= 3}
+    expected = {}
+    for a, b in combinations(sorted(sh), 2):
+        ra, rb = sh[a] & rare, sh[b] & rare
+        union = len(ra | rb)
+        if union and len(ra & rb) / union >= 0.3:
+            expected[(a, b)] = len(ra & rb) / union
+    assert got == expected
+    assert (1, 4) in got  # the planted near-identical pair
