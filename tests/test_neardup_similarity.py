@@ -215,3 +215,19 @@ def test_rare_jaccard_matches_bruteforce_on_rare_sets(spark):
             expected[(a, b)] = len(ra & rb) / union
     assert got == expected
     assert (1, 4) in got  # the planted near-identical pair
+
+
+def test_jaccard_similar_pairs_fullset_variant(spark):
+    """The full-set inverted-index variant (exact Jaccard over ALL
+    shingles) finds the planted dup at a high threshold."""
+    from batch_processing_on_aws_spark.operators.neardup import (
+        jaccard_similar_pairs,
+    )
+
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in jaccard_similar_pairs(
+            _docs(spark), threshold=0.8, max_df=10
+        ).collect()
+    }
+    assert (1, 4) in got and got[(1, 4)] >= 0.8
