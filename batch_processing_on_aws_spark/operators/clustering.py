@@ -38,13 +38,18 @@ def connected_components(
     component = min node id reachable (undirected). Raises if not
     converged within ``max_iter`` rounds — at that point the graph has
     a path longer than any plausible near-dup cluster and the
-    large-star algorithm is the right tool."""
+    large-star algorithm is the right tool.
+
+    Node ids keep their native type: min-label propagation only needs
+    an orderable id (long, string UUID, …), and casting would turn
+    non-numeric ids into NULLs that collapse every edge into one bogus
+    component. NULL ids are rejected for the same reason."""
+    if edges.where(F.col(src).isNull() | F.col(dst).isNull()).limit(1).count():
+        raise ValueError("connected_components: NULL node ids in edges")
     sym = edges.select(
-        F.col(src).cast("long").alias("n"), F.col(dst).cast("long").alias("nbr")
+        F.col(src).alias("n"), F.col(dst).alias("nbr")
     ).unionAll(
-        edges.select(
-            F.col(dst).cast("long").alias("n"), F.col(src).cast("long").alias("nbr")
-        )
+        edges.select(F.col(dst).alias("n"), F.col(src).alias("nbr"))
     )
     sym = sym.localCheckpoint()
     labels = sym.select("n").distinct().withColumn("label", F.col("n"))

@@ -109,7 +109,10 @@ class MergeWriter:
         new_b = self._bucketed(new)
         touched = [r[BUCKET_COL] for r in new_b.select(BUCKET_COL).distinct().collect()]
         old = spark.read.parquet(self.path).where(F.col(BUCKET_COL).isin(touched))
-        on = [new_b[k] == old[k] for k in self.keys]
+        # eqNullSafe to match upsert_frames: a null-unsafe condition
+        # would never match null-key rows, so re-running the same
+        # increment would append them again — breaking idempotency.
+        on = [new_b[k].eqNullSafe(old[k]) for k in self.keys]
         survivors = old.join(new_b, on=on, how="left_anti")
         merged = new_b.unionByName(survivors)
         # Spark (correctly) refuses to overwrite a path its own plan is

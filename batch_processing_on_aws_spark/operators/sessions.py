@@ -66,7 +66,7 @@ def session_stats(
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
             (
                 F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))

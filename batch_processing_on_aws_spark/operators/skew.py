@@ -55,7 +55,19 @@ def salted_join(
     """Equi-join with the left side salted and the right side
     replicated ``n_salts``×, spreading each hot key over ``n_salts``
     reducers. Results are identical to ``left.join(right, on, how)``
-    for equi-joins with deterministic inputs."""
+    for left-preserving equi-joins with deterministic inputs.
+
+    Right-preserving joins (right/full outer) are rejected: the
+    replicated right side would emit ``n_salts`` copies of every
+    unmatched right key. Salt the right side instead, or broadcast.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is right-preserving; the replicated "
+            "right side would duplicate unmatched right keys"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     l2 = add_salt(left, n_salts, seed)
     r2 = explode_salts(right, n_salts)

@@ -78,10 +78,13 @@ def _lineitem_spec() -> ConformanceSpec:
         derived={
             # decimal(18,4) is exact: price (2dp) × (1 − discount) (2dp)
             # has exactly 4 decimals, so both engines cast the double
-            # product to the identical decimal value.
-            "disc_price": (
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).cast("decimal(18,4)"),
+            # product to the identical decimal value. The final value
+            # then travels as double — one exact float64 per 4-dp amount
+            # — because decimal wire formats differ between engines and
+            # break representation-sensitive value hashes.
+            "disc_price": (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .cast("double"),
             "ship_date": F.col("l_shipdate"),
         },
     )
@@ -99,7 +102,7 @@ SELECT l_orderkey AS order_id, l_partkey AS part_id, l_suppkey AS supplier_id,
        l_quantity AS quantity, l_extendedprice, l_discount,
        l_returnflag AS return_flag, l_shipdate,
        CAST(l_shipdate AS DATE) AS ship_date,
-       CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS disc_price
+       CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS disc_price
 FROM lineitem
 """
 
@@ -223,7 +226,12 @@ SELECT CAST(date_part('dow', o_orderdate) + 1 AS BIGINT) AS week_day,
 FROM orders GROUP BY 1
 """
 
-_MONEY = "CAST(ROUND(SUM(CAST({expr} AS DECIMAL(30,6))), 2) AS DECIMAL(18,2))"
+# Final money values travel as DOUBLE: a 2-dp amount below 2^53 is one
+# exact float64 in every engine, while decimal wire formats differ
+# between Spark and DuckDB's pandas bridge (Decimal('41425.50') vs
+# 41425.5) and break representation-sensitive value hashes. The SUM
+# itself stays decimal for accumulation-order independence.
+_MONEY = "CAST(ROUND(SUM(CAST({expr} AS DECIMAL(30,6))), 2) AS DOUBLE)"
 
 _Q4_SQL = f"""
 SELECT CAST(l_shipdate AS DATE) AS ship_day,
@@ -546,7 +554,7 @@ WITH lagged AS (
 SELECT user_id, session_id,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DECIMAL(18,2)) AS sum_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_value,
        CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
 FROM tagged GROUP BY user_id, session_id
 """
@@ -891,7 +899,7 @@ _TOP_SUPP_SQL = """
 WITH rev AS (
   SELECT l_suppkey,
          CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))), 2)
-              AS DECIMAL(18,2)) AS revenue
+              AS DOUBLE) AS revenue
   FROM lineitem GROUP BY 1
 ), joined AS (
   SELECT n_name AS nation, s_name AS supplier, revenue
@@ -1092,7 +1100,7 @@ _TOP_ORDERS_SQL = """
 WITH rev AS (
   SELECT l_orderkey,
          CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))), 2)
-              AS DECIMAL(18,2)) AS revenue
+              AS DOUBLE) AS revenue
   FROM lineitem GROUP BY 1
 )
 SELECT o_orderkey, o_orderdate, o_orderpriority, revenue
@@ -1165,7 +1173,7 @@ def event_windows_5min(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(30,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
@@ -1181,7 +1189,7 @@ _WINDOWS_SQL = """
 SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS window_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DECIMAL(18,2)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -1314,7 +1322,7 @@ def regional_supplier_revenue(spark, sf_dir):
 _Q5_SQL = """
 SELECT n_name AS nation,
        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))), 2)
-            AS DECIMAL(18,2)) AS revenue,
+            AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1651,7 +1659,7 @@ _QUARTILES_SQL = """
 WITH spend AS (
   SELECT o_custkey,
          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2)
-              AS DECIMAL(18,2)) AS total_spend
+              AS DOUBLE) AS total_spend
   FROM orders GROUP BY o_custkey
 )
 SELECT o_custkey, total_spend,
@@ -1749,7 +1757,7 @@ def order_grouping_sets(spark, sf_dir):
                     AS BIGINT) AS gid,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2)
-                    AS DECIMAL(18,2)) AS revenue
+                    AS DOUBLE) AS revenue
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
@@ -1763,7 +1771,7 @@ SELECT o_orderstatus, o_orderpriority,
             AS BIGINT) AS gid,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2)
-            AS DECIMAL(18,2)) AS revenue
+            AS DOUBLE) AS revenue
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                         (o_orderstatus), ())
@@ -1923,7 +1931,7 @@ WITH daily AS (
   SELECT CAST(l_shipdate AS DATE) AS day,
          CAST(COUNT(*) AS BIGINT) AS n_items,
          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,6))), 2)
-              AS DECIMAL(18,2)) AS revenue
+              AS DOUBLE) AS revenue
   FROM lineitem
   WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
     AND l_suppkey < 10
@@ -2002,7 +2010,7 @@ def q3_shipping_priority(spark, sf_dir):
 _Q3_SHIPPRIO_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(30,6))), 2) AS DECIMAL(18,2)) AS revenue
+                           AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

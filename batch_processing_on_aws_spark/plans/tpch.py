@@ -20,11 +20,19 @@ def money_sum(expr, scale_in: int = 6, scale_out: int = 2):
     bits depend on partitioning — unacceptable for a correctness
     contract), then round once to cents. Matches the DuckDB oracle
     bit-for-bit because decimal arithmetic is exact in both engines.
+
+    The FINAL value is cast to double: a 2-dp amount below 2^53 maps to
+    exactly one float64 in every engine, whereas decimal wire formats
+    differ (Spark emits Decimal('41425.50'), DuckDB's pandas bridge
+    emits 41425.5), which breaks representation-sensitive value hashes
+    even when the numbers are equal. Exactness is preserved because the
+    summation itself stays decimal; only the finished cents value is
+    re-typed.
     """
-    # round() before the scale-down cast: both engines round decimals
+    # round() before the final cast: both engines round decimals
     # HALF_UP, while a bare decimal→decimal CAST truncates in DuckDB.
     return F.round(F.sum(expr.cast(f"decimal(30,{scale_in})")), scale_out).cast(
-        f"decimal(18,{scale_out})"
+        "double"
     )
 
 

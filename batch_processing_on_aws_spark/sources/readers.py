@@ -96,6 +96,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TESTDATA:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    # events.parquet carries INT64 TIMESTAMP(NANOS), which Spark rejects
+    # outright unless nanosAsLong is on. The conf is a runtime SQL conf,
+    # so set it here rather than relying on the session having been
+    # built by session.get_spark — callers (the correctness driver, a
+    # notebook) may hand us a plain SparkSession.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Parquet TIMESTAMP(NANOS) columns arrive as long (nanos since
     # epoch) under spark.sql.legacy.parquet.nanosAsLong; truncate to

@@ -1,8 +1,13 @@
 """Benchmark harness: run the golden queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-ONE JSON line:
+ONE compact JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., "n_queries": N}
+
+The full per-query timing map goes to BENCH_QUERIES.json next to this
+file — round 1 showed that a ~2.4 kB stdout line gets clipped by the
+driver's tail window, so the machine-parsed line stays short and the
+detail lives in the sidecar.
 
 Each query executes end-to-end into a `noop` sink (full plan runs,
 no driver-side collect cost, no output I/O) — the standard way to
@@ -71,14 +76,26 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump(
+            {"sf": sf_num if sf_num is not None else sf, "queries": times},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    # Final stdout line stays short so the driver's tail window never
+    # clips it; per-query detail is in the sidecar written above.
     print(
         json.dumps(
             {
                 "metric": "golden_query_suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf_num if sf_num is not None else sf,
+                "n_queries": len(times),
             }
         )
     )

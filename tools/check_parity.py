@@ -10,6 +10,7 @@ Usage: python tools/check_parity.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -31,7 +32,13 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return ("f", round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        # Keep decimals distinct from floats and preserve their scale:
+        # the driver's value hash is representation-sensitive, so
+        # Decimal('41425.50') on one engine vs 41425.5 on the other is
+        # a real failure this gate must reproduce, not paper over.
+        return ("d", str(v))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
