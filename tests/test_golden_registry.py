@@ -16,14 +16,10 @@ def test_registry_shape():
     assert len({q.name for q in QUERIES}) == len(QUERIES)
     # every oracle key has a query
     assert set(oracles) <= set(qs)
-    # rows-only queries are the documented engine-local ones
-    assert set(qs) - set(oracles) == {
-        "embedding_lsh_topk",
-        "embedding_ivf_topk",
-        "doc_simhash",
-        "doc_simhash_pairs",
-        "approx_distinct_users",
-    }
+    # every registered query now carries an oracle (the ivf oracle is
+    # generated from the correctness-scale data; it may drop to
+    # rows-only if that parquet is unreadable on this machine)
+    assert set(qs) - set(oracles) <= {"embedding_ivf_topk"}
 
 
 def test_entry_smoke(spark):
