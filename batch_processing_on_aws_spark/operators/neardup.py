@@ -29,15 +29,80 @@ from .textstats import tokens
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles (distinct) of a text column: array of
     space-joined n-token windows. Empty/short docs yield their full
-    token join as a single shingle so they still participate."""
-    toks = tokens(col)
+    token join as a single shingle so they still participate.
+
+    PERF: prefer ``shingle_sets`` (or materialize ``tokens(col)`` as a
+    real column and call ``shingles_from_tokens``) in anything hot —
+    passed a raw text column, the tokenize (a regexp split) is inlined
+    into every lambda reference and re-runs per window, ~13× slower at
+    corpus scale."""
+    return shingles_from_tokens(tokens(col), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Shingle windows over an already-materialized token-array column.
+    ``concat_ws`` over ``element_at`` beats ``array_join(slice(...))``
+    — no per-window array allocation."""
     k = F.size(toks)
     joined = F.array_join(toks, " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
     )
     return F.when(k <= n, F.array(joined)).otherwise(F.array_distinct(grams))
+
+
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(``__id``, ``__sh``) shingle-ARRAY frame: fan out the scan,
+    materialize the token array as a real column, then window it. Two
+    selects instead of one so Catalyst evaluates the regexp tokenize
+    ONCE per doc instead of once per shingle window (measured 13× on
+    the sf0.1 corpus).
+
+    Use ``shingle_index`` when the next step is an explode — exploding
+    the ``__sh`` COLUMN from this frame trips an optimizer trap (see
+    there)."""
+    return (
+        fan_out(df)
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
+        .select("__id", shingles_from_tokens(F.col("__toks"), shingle_n).alias("__sh"))
+    )
+
+
+def shingle_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(``__id``, ``__s``) EXPLODED shingle frame — one row per
+    (doc, distinct shingle) — the input to every inverted-index /
+    signature aggregation.
+
+    The generator input is deliberately the full shingle EXPRESSION
+    over the materialized ``__toks`` column, not a pre-projected
+    ``__sh`` column: exploding a plain column makes
+    ``InferFiltersFromGenerate`` add a ``size(__sh) > 0`` filter whose
+    predicate-pushdown re-inlines the whole tokenize+window expression
+    into a Filter BELOW the fan-out exchange — i.e. evaluated per row
+    on the unsplit scan partition, single-core (measured 20× slower at
+    sf0.1). Keeping the expression inside the Generate pins all heavy
+    work after the repartition."""
+    return (
+        fan_out(df)
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            "__id",
+            F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("__s"),
+        )
+    )
 
 
 def minhash_signatures(
@@ -66,11 +131,7 @@ def minhash_signatures(
     shingle+hash projection past a low-split upstream scan.
     """
     n_seeds = (n_hashes + 3) // 4
-    df = fan_out(df)
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
-    )
+    exploded = shingle_index(df, text_col, id_col, shingle_n)
     hashed = exploded.select(
         "__id",
         *[
@@ -182,11 +243,7 @@ def simhash_signatures(
         h = F.conv(F.substring(F.md5(F.col("__s")), 1, 8), 16, 10).cast("long")
     else:
         h = F.xxhash64(F.col("__s"))
-    df = fan_out(df)
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
-    )
+    exploded = shingle_index(df, text_col, id_col, shingle_n)
     sums = exploded.groupBy("__id").agg(
         *[
             F.sum(
@@ -295,11 +352,8 @@ def jaccard_similar_pairs(
 
     Output: (doc_id_a, doc_id_b, jaccard ≥ threshold), a < b.
     """
-    sh_arr = fan_out(df).select(
-        F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), shingle_n).alias("__sh"),
-    )
-    idx = sh_arr.select("__id", F.explode("__sh").alias("__s"))
+    sh_arr = shingle_sets(df, text_col, id_col, shingle_n)
+    idx = shingle_index(df, text_col, id_col, shingle_n)
     rare = (
         idx.groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -367,18 +421,23 @@ def rare_jaccard_pairs(
 
     Output: (doc_id_a, doc_id_b, jaccard ≥ threshold), a < b.
     """
-    sh_arr = fan_out(df).select(
-        F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), shingle_n).alias("__sh"),
+    # the index carries xxhash64(shingle), not the shingle text: every
+    # downstream op (df count, self-join, set sizes) only needs
+    # equality, and an 8-byte key shrinks the checkpoint and the join
+    # shuffle ~4× vs ~20-byte shingle strings. Jaccard COUNTS are
+    # unchanged (distinct shingles stay distinct barring a ~2⁻⁶⁴
+    # birthday collision), so the string-arithmetic oracle still
+    # matches exactly.
+    idx = shingle_index(df, text_col, id_col, shingle_n).select(
+        "__id", F.xxhash64("__s").alias("__s")
     )
-    idx = sh_arr.select("__id", F.explode("__sh").alias("__s"))
     rare = (
         idx.groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") <= max_df)
         .select("__s")
     )
-    # materialize the narrow (id, shingle) index once: it feeds three
+    # materialize the narrow (id, hash) index once: it feeds three
     # consumers (both self-join sides + the size agg) and would
     # otherwise re-run the explode+df-filter subtree for each
     filtered = idx.join(rare, "__s").localCheckpoint()
@@ -431,9 +490,7 @@ def ngram_jaccard_pairs(
     ``decimals=None`` leaves the ratio unrounded: a division of two
     identical integers is bit-identical across engines, while rounding
     can tie (1/32 = 0.03125 at 4 decimals)."""
-    sh = fan_out(df).select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
-    )
+    sh = shingle_sets(df, text_col, id_col, shingle_n)
     j = jaccard(F.col("sh_a"), F.col("sh_b"))
     if decimals is not None:
         j = F.round(j, decimals)

@@ -198,6 +198,39 @@ FROM events
 """
 
 
+def upsert_events_writer(spark, sf_dir):
+    """§2.9 — the same MERGE contract as ``upsert_events`` but through
+    the WRITER path (bucket-partitioned parquet + dynamic partition
+    overwrite, ``operators/merge.py::MergeWriter``): seed the table,
+    apply the doubled-click increment TWICE, read the table back. The
+    oracle is identical to ``upsert_events`` — passing proves the
+    run-twice ⇒ identical-table idempotency the reference delegates to
+    Redshift UPSERT (init_2_s3_to_redshifht_dag.py:63-74).
+
+    The scratch table lives under the repo's spark-warehouse. No
+    pre-clean: upsert is convergent, so whatever state a previous run
+    left behind lands on the same fixpoint — which is itself the
+    idempotency property under test."""
+    from ..operators.merge import MergeWriter
+
+    events = load_table(spark, sf_dir, "events")
+    new = events.where(F.col("event_type") == "click").withColumn(
+        "value", F.round(F.col("value") * 2, 2)
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"upsert_events_writer_{tag}",
+    )
+    writer = MergeWriter(path, keys=["event_id"], n_buckets=8)
+    if not writer._exists(spark):
+        writer.overwrite(events)
+    writer.upsert(spark, new)
+    writer.upsert(spark, new)
+    return writer.read(spark).select(*events.columns)
+
+
 # ---------------------------------------------------------------------------
 # Dashboard + TPC-H-shaped analytics (§2.5 A5) — oracles
 # ---------------------------------------------------------------------------
@@ -1737,14 +1770,14 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
 def doc_shingles(spark, sf_dir):
     """Generator/UNNEST semantics surfaced: word 3-gram shingles, one
     row per (doc, distinct shingle) — the exploded form every near-dup
-    operator builds on. ``fan_out`` first: the single-file scan would
-    otherwise run the interpreted higher-order shingling on one core."""
-    from ..operators.neardup import shingles
-    from ..operators.partitioning import fan_out
+    operator builds on (``shingle_index`` fans out the scan,
+    materializes the token array, and keeps the window expression
+    inside the Generate — see its docstring for the pushdown trap)."""
+    from ..operators.neardup import shingle_index
 
     docs = load_table(spark, sf_dir, "documents")
-    return fan_out(docs).select(
-        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("shingle")
+    return shingle_index(docs).select(
+        F.col("__id").alias("doc_id"), F.col("__s").alias("shingle")
     )
 
 
@@ -2375,6 +2408,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("latest_event_per_user", latest_event_per_user, _LATEST_EVENT_SQL),
     QueryDef("audit_missing_events", audit_missing_events, _AUDIT_SQL),
     QueryDef("upsert_events", upsert_events, _UPSERT_SQL),
+    QueryDef("upsert_events_writer", upsert_events_writer, _UPSERT_SQL),
     QueryDef("sessionize_events", sessionize_events, _SESSIONS_SQL),
     QueryDef("event_type_pivot", event_type_pivot, _PIVOT_SQL),
     QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),

@@ -70,6 +70,31 @@ def compact(
     shutil.move(tmp, path)
 
 
+def land_file(url: str, lake_path: str, timeout: int = 60) -> str:
+    """S5 — land one external file into the lake (reference:
+    init_0_ingestion_to_s3_dag.py:85-88; proc_0_ingestion_to_s3_dag.py:
+    37,67-74 fetch TfL extracts and push them to S3).
+
+    Control-plane utility, deliberately driver-side: ingest fetches are
+    few and sequential (one file per manifest entry), so distributing
+    them buys nothing — the engine-side work starts at the scan. The
+    write goes through a temp name + atomic rename so a half-fetched
+    file is never visible to a concurrent scan. Returns the landed
+    path. ``file://`` URLs work for tests/local lakes."""
+    import os
+    import shutil
+    import urllib.request
+
+    d = os.path.dirname(lake_path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = lake_path + ".__landing"
+    with urllib.request.urlopen(url, timeout=timeout) as r, open(tmp, "wb") as f:
+        shutil.copyfileobj(r, f)
+    os.replace(tmp, lake_path)
+    return lake_path
+
+
 def manifest_from_links(
     spark: SparkSession, links: Mapping[str, str]
 ) -> DataFrame:

@@ -72,3 +72,17 @@ def test_manifest_pending_diff(spark):
     assert [(r["logical_key"], r["source_url"]) for r in pending] == [
         ("19Jan2021", "https://x/3.csv")
     ]
+
+
+def test_land_file_fetches_and_lands_atomically(tmp_path):
+    from batch_processing_on_aws_spark.sources.lake import land_file
+
+    src = tmp_path / "remote.csv"
+    src.write_bytes(b"a,b\n1,2\n")
+    dest = str(tmp_path / "lake" / "raw" / "landed.csv")
+    out = land_file(src.as_uri(), dest)
+    assert out == dest
+    with open(dest, "rb") as f:
+        assert f.read() == b"a,b\n1,2\n"
+    # no landing temp left behind
+    assert not os.path.exists(dest + ".__landing")
