@@ -44,7 +44,10 @@ def connected_components(
     Node ids keep their native type: min-label propagation only needs
     an orderable id (long, string UUID, …), and casting would turn
     non-numeric ids into NULLs that collapse every edge into one bogus
-    component. NULL ids are rejected for the same reason.
+    component. NULL ids are rejected for the same reason — inline via
+    ``raise_error`` during the first materialization of the edge list,
+    so the guard costs zero extra jobs (an upfront ``count()`` would
+    re-evaluate the whole upstream pair pipeline once more).
 
     ``check_every``: convergence is detected with a driver-side count
     job; each round otherwise launches 2 jobs. For larger edge sets
@@ -52,12 +55,14 @@ def connected_components(
     no-op, so the only cost of checking less often is up to
     ``check_every − 1`` extra (cheap, already-converged) rounds
     against a third of the count jobs."""
-    if edges.where(F.col(src).isNull() | F.col(dst).isNull()).limit(1).count():
-        raise ValueError("connected_components: NULL node ids in edges")
-    sym = edges.select(
-        F.col(src).alias("n"), F.col(dst).alias("nbr")
-    ).unionAll(
-        edges.select(F.col(dst).alias("n"), F.col(src).alias("nbr"))
+    def _nn(c: str):
+        return F.when(
+            F.col(c).isNull(),
+            F.raise_error(F.lit(f"connected_components: NULL node id in {c!r}")),
+        ).otherwise(F.col(c))
+
+    sym = edges.select(_nn(src).alias("n"), _nn(dst).alias("nbr")).unionAll(
+        edges.select(_nn(dst).alias("n"), _nn(src).alias("nbr"))
     )
     sym = sym.localCheckpoint()
     labels = sym.select("n").distinct().withColumn("label", F.col("n"))

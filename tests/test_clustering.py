@@ -100,3 +100,37 @@ def test_components_match_union_find_property(spark):
         assert got == expected
 
     check()
+
+
+def test_components_string_ids(spark):
+    # ids keep their native type — string UUIDs must not be cast away
+    edges = spark.createDataFrame(
+        [("uuid-b", "uuid-a"), ("uuid-b", "uuid-c"), ("zz", "zy")],
+        "src string, dst string",
+    )
+    comp = {
+        r["n"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert comp == {
+        "uuid-a": "uuid-a", "uuid-b": "uuid-a", "uuid-c": "uuid-a",
+        "zy": "zy", "zz": "zy",
+    }
+
+
+def test_components_reject_null_ids(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    edges = spark.createDataFrame(
+        [(1, None), (2, 3)], "src long, dst long"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        connected_components(edges).collect()
+
+
+def test_components_check_every_matches_per_round(spark):
+    chain = [(i, i + 1) for i in range(9)]
+    every = connected_components(_edges(spark, chain)).collect()
+    batched = connected_components(_edges(spark, chain), check_every=3).collect()
+    assert sorted(map(tuple, every)) == sorted(map(tuple, batched))
