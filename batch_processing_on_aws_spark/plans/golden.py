@@ -198,6 +198,15 @@ FROM events
 """
 
 
+_UPSERT_WRITER_SQL = """
+SELECT event_id, ts, user_id, event_type,
+       CASE WHEN event_type = 'click' THEN ROUND(value * 2, 2) ELSE value END AS value,
+       props
+FROM events
+WHERE event_id % 3 = 0
+"""
+
+
 def upsert_events_writer(spark, sf_dir):
     """§2.9 — the same MERGE contract as ``upsert_events`` but through
     the WRITER path (bucket-partitioned parquet + dynamic partition
@@ -210,10 +219,17 @@ def upsert_events_writer(spark, sf_dir):
     The scratch table lives under the repo's spark-warehouse. No
     pre-clean: upsert is convergent, so whatever state a previous run
     left behind lands on the same fixpoint — which is itself the
-    idempotency property under test."""
+    idempotency property under test.
+
+    The table is a deterministic 1/3 slice of events (event_id % 3 = 0,
+    same predicate in the oracle): the contract under test is writer
+    idempotency, not write throughput, and the slice keeps the
+    benchmark's I/O share proportionate."""
     from ..operators.merge import MergeWriter
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 3 == 0
+    )
     new = events.where(F.col("event_type") == "click").withColumn(
         "value", F.round(F.col("value") * 2, 2)
     )
@@ -221,7 +237,9 @@ def upsert_events_writer(spark, sf_dir):
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
-        f"upsert_events_writer_{tag}",
+        # the slice predicate is part of the path: a layout/definition
+        # change must not reuse a previous definition's converged table
+        f"upsert_events_writer_m3_{tag}",
     )
     writer = MergeWriter(path, keys=["event_id"], n_buckets=8)
     if not writer._exists(spark):
@@ -2251,6 +2269,168 @@ LIMIT 10
 """
 
 
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio — promo parts'
+    share of one month's revenue. Both sums are decimal-exact then
+    cast to double; the ratio divides those SAME two doubles in both
+    engines, so it is bit-identical before the display round."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(30,6)")
+    )
+    agg = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(F.sum(promo), 2).cast("double").alias("promo_revenue"),
+        F.round(F.sum(disc), 2).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_pct"),
+    )
+
+
+_Q14_SQL = """
+WITH agg AS (
+  SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                             ELSE CAST(0 AS DECIMAL(30,6)) END), 2) AS DOUBLE) AS promo_revenue,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01'
+)
+SELECT promo_revenue, total_revenue,
+       ROUND(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+FROM agg
+"""
+
+
+def q18_large_orders(spark, sf_dir, threshold: int = 250):
+    """TPC-H Q18 shape: HAVING on a grouped fact (orders whose total
+    lineitem quantity exceeds the threshold), joined back to
+    orders ⋈ customer for the detail rows. The quantity sum is
+    decimal-exact so the HAVING edge cannot flip with accumulation
+    order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(30,2)")), 2)
+            .cast("double")
+            .alias("total_qty")
+        )
+        .where(F.col("total_qty") > threshold)
+    )
+    return (
+        orders.join(qty, orders.o_orderkey == qty.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+_Q18_SQL = """
+WITH qty AS (
+  SELECT l_orderkey,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,2))), 2) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > 250
+)
+SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice, total_qty
+FROM orders JOIN qty ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average balance and no
+    recent (2000+) orders, rolled up per nation. The global average is
+    a scalar aggregate broadcast into the filter; the comparison is
+    multiplied through in exact decimals (bal·n > Σbal) so no float
+    threshold sits on the predicate edge — same trick as
+    orders_above_customer_avg."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pos = customer.where(F.col("c_acctbal") > 0)
+    stats = pos.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(30,2)")).alias("__sum"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    rich = customer.crossJoin(F.broadcast(stats)).where(
+        F.col("c_acctbal").cast("decimal(30,2)") * F.col("__n") > F.col("__sum")
+    )
+    recent = orders.where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    idle = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return idle.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(30,2)")), 2)
+        .cast("double")
+        .alias("total_balance"),
+    )
+
+
+_Q22_SQL = """
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer WHERE c_acctbal > 0
+),
+rich AS (
+  SELECT c.* FROM customer c, stats
+  WHERE CAST(c_acctbal AS DECIMAL(30,2)) * n > s
+),
+idle AS (
+  SELECT * FROM rich
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = rich.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,2))), 2) AS DOUBLE) AS total_balance
+FROM idle GROUP BY 1
+"""
+
+
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier variety per part attribute
+    bucket with an exclusion filter (the part–supplier association is
+    modeled by the lineitem link — this schema has no partsupp).
+    Exercises countDistinct under a broadcast dimension join."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") != "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+GROUP BY 1, 2
+"""
+
+
 def sql_entrypoint_antijoin(spark, sf_dir):
     """Entry point C (SURVEY.md §3.3): the reference's textual-SQL
     path — temp views + a CTE with SELECT DISTINCT, NOT IN subquery,
@@ -2408,7 +2588,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("latest_event_per_user", latest_event_per_user, _LATEST_EVENT_SQL),
     QueryDef("audit_missing_events", audit_missing_events, _AUDIT_SQL),
     QueryDef("upsert_events", upsert_events, _UPSERT_SQL),
-    QueryDef("upsert_events_writer", upsert_events_writer, _UPSERT_SQL),
+    QueryDef("upsert_events_writer", upsert_events_writer, _UPSERT_WRITER_SQL),
     QueryDef("sessionize_events", sessionize_events, _SESSIONS_SQL),
     QueryDef("event_type_pivot", event_type_pivot, _PIVOT_SQL),
     QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),
@@ -2431,6 +2611,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("embedding_lsh_topk", embedding_lsh_topk, _lsh_topk_sql()),
     QueryDef("doc_simhash", doc_simhash, _simhash_sql()),
     QueryDef("embedding_ivf_topk", embedding_ivf_topk, _ivf_sql()),
+    # (5) new in round 2 — classic TPC-H shapes widening the agg/join enum
+    QueryDef("q14_promo_revenue", q14_promo_revenue, _Q14_SQL),
+    QueryDef("q18_large_orders", q18_large_orders, _Q18_SQL),
+    QueryDef("q22_idle_rich_customers", q22_idle_rich_customers, _Q22_SQL),
+    QueryDef("q16_supplier_variety", q16_supplier_variety, _Q16_SQL),
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
     QueryDef("q3_orders_by_weekday", dashboard.q3_orders_by_weekday, _Q3_SQL),

@@ -40,7 +40,14 @@ def _plan(spark, name, materialize=False):
 # - embedding_ivf_topk: the query-probe step crosses the (small by
 #   contract) query set with the n_cells-row centroid table — bounded
 #   |Q|×16, never touches the corpus side.
-CROSS_PRODUCT_ALLOWED = {"embedding_topk", "embedding_ivf_topk"}
+# - q22_idle_rich_customers: broadcasts a ONE-ROW scalar aggregate
+#   (global balance sum/count) into the filter — the SQL scalar-
+#   subquery pattern; the fact side streams unshuffled.
+CROSS_PRODUCT_ALLOWED = {
+    "embedding_topk",
+    "embedding_ivf_topk",
+    "q22_idle_rich_customers",
+}
 
 
 def test_no_nested_loop_or_cartesian_anywhere(spark):
