@@ -49,7 +49,7 @@ from ..operators.textstats import (
     token_count,
 )
 from ..sources import load_table
-from . import dashboard, tpch
+from . import dashboard, tpch, tpch_suite
 
 
 @dataclass(frozen=True)
@@ -2616,6 +2616,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q18_large_orders", q18_large_orders, _Q18_SQL),
     QueryDef("q22_idle_rich_customers", q22_idle_rich_customers, _Q22_SQL),
     QueryDef("q16_supplier_variety", q16_supplier_variety, _Q16_SQL),
+    # (6) new in round 2 — the rest of the TPC-H shape enumeration
+    # (Q6-Q13/Q15/Q17/Q19-Q21; 21 of 22 classic shapes now covered,
+    # Q2 excepted for want of partsupp)
+    *[QueryDef(name, fn, sql) for name, fn, sql in tpch_suite.SUITE],
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
     QueryDef("q3_orders_by_weekday", dashboard.q3_orders_by_weekday, _Q3_SQL),

@@ -40,13 +40,16 @@ def _plan(spark, name, materialize=False):
 # - embedding_ivf_topk: the query-probe step crosses the (small by
 #   contract) query set with the n_cells-row centroid table — bounded
 #   |Q|×16, never touches the corpus side.
-# - q22_idle_rich_customers: broadcasts a ONE-ROW scalar aggregate
-#   (global balance sum/count) into the filter — the SQL scalar-
-#   subquery pattern; the fact side streams unshuffled.
+# - q22_idle_rich_customers / q11_part_value_concentration /
+#   q15_top_supplier: broadcast a ONE-ROW scalar aggregate (global
+#   sum/count/max) into the filter — the SQL scalar-subquery pattern;
+#   the fact side streams unshuffled.
 CROSS_PRODUCT_ALLOWED = {
     "embedding_topk",
     "embedding_ivf_topk",
     "q22_idle_rich_customers",
+    "q11_part_value_concentration",
+    "q15_top_supplier",
 }
 
 
