@@ -9,9 +9,16 @@ from .constraints import (
     not_null_violations,
     unique_violations,
 )
+from .decontam import contamination_report
 from .dedup import dedup_deterministic, dedup_exact
 from .merge import MergeWriter, upsert_frames
-from .sampling import hash_bucket, hash_sample, train_val_test_split
+from .packing import pack_sequences
+from .sampling import (
+    hash_bucket,
+    hash_sample,
+    stratified_hash_sample,
+    train_val_test_split,
+)
 from .setops import union_all_by_name, union_distinct
 from .timeseries import date_spine, densify_daily, fill_forward
 
@@ -21,6 +28,9 @@ __all__ = [
     "assert_constraints",
     "assign_clusters",
     "conform",
+    "contamination_report",
+    "pack_sequences",
+    "stratified_hash_sample",
     "connected_components",
     "date_spine",
     "dedup_deterministic",

@@ -1,0 +1,69 @@
+"""Benchmark decontamination: find training documents that share
+word n-grams with a held-out/benchmark set.
+
+The standard LLM-pipeline hygiene step (the reference has no
+counterpart — SURVEY.md §2.10 extension surface): before training,
+every document that textually overlaps an evaluation benchmark must be
+flagged or dropped, or downstream eval numbers are meaningless. The
+canonical detector is exact n-gram collision (WikiText/GPT-2/GPT-3
+style "13-gram overlap"), which is a pure inverted-index problem — no
+similarity scoring needed, just set intersection counts.
+
+Scale design: the benchmark side is SMALL by construction (eval sets
+are thousands of documents, the corpus is billions), so its exploded
+shingle index is broadcast — the 100 TB corpus side streams through a
+broadcast hash join with NO shuffle of corpus rows. The only shuffle
+is the final aggregate over (corpus_doc, bench_doc) pairs that
+actually collide, which is output-sized, not corpus-sized. Shingling
+is the same md5-portable machinery as near-dup (operators/neardup.py),
+so a DuckDB oracle reproduces the report bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .neardup import shingle_index
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """(corpus_doc_id, bench_doc_id, n_overlap, containment) for every
+    corpus×benchmark pair sharing ≥ ``min_overlap`` distinct word
+    ``shingle_n``-grams. ``containment`` = |overlap| / |benchmark
+    doc's distinct shingles| — 1.0 means the benchmark doc's entire
+    shingle set appears in the corpus doc (a verbatim inclusion).
+
+    Both ratio operands are exact integers; the division is the only
+    float op, identical in any engine.
+    """
+    corpus_idx = shingle_index(
+        corpus, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    ).withColumnRenamed("__id", "corpus_doc_id")
+    bench_idx = shingle_index(
+        benchmark, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    ).withColumnRenamed("__id", "bench_doc_id")
+    bench_sizes = bench_idx.groupBy("bench_doc_id").agg(
+        F.count(F.lit(1)).alias("__bench_n")
+    )
+    overlaps = (
+        corpus_idx.join(F.broadcast(bench_idx), "__s")
+        .groupBy("corpus_doc_id", "bench_doc_id")
+        # shingle_index rows are distinct per doc, so a plain count IS
+        # the distinct-overlap count
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+    return overlaps.join(F.broadcast(bench_sizes), "bench_doc_id").select(
+        "corpus_doc_id",
+        "bench_doc_id",
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("__bench_n"), 6).alias("containment"),
+    )

@@ -62,3 +62,27 @@ def train_val_test_split(
         .when(b < test_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-group hash sampling: keep rows whose bucket (out of 100)
+    falls below their group's rate — the data-mixture rebalancing
+    primitive (downsample the dominant web crawl, keep all of the
+    rare high-quality source). Groups absent from ``rates_pct`` get
+    ``default_pct``.
+
+    Same determinism contract as ``hash_sample``: the rate lookup is a
+    literal CASE chain and the bucket is md5 of the key, so the
+    surviving row set is a pure function of (key, group) — stable
+    across runs, engines, and repartitions, and still a pushdown-able
+    single-pass filter (no shuffle, no per-group state)."""
+    rate = F.lit(default_pct)
+    for g, pct in rates_pct.items():
+        rate = F.when(F.col(group_col) == g, F.lit(pct)).otherwise(rate)
+    return df.where(hash_bucket(F.col(key)) < rate)

@@ -124,3 +124,69 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(t).alias("md5"),
         F.md5(norm).alias("md5_normalized"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Within-document repetition signals (Gopher/Dolma-style quality
+    filters): over the doc's word ``n``-gram stream —
+
+    - ``total_grams`` / ``distinct_grams``: window count and its
+      distinct count (a short doc, ≤ n tokens, is one gram);
+    - ``dup_gram_ratio``: 1 − distinct/total — the "fraction of
+      duplicated n-grams" filter;
+    - ``top_gram_share``: the most frequent gram's share of the stream
+      — catches boilerplate loops a global dedup never sees.
+
+    Shape: explode the (non-distinct) gram stream → two-level
+    hash-aggregate: (doc, gram) counts, then per-doc sum/count/max.
+    Both shuffles carry gram-count rows (≤ tokens per doc), partials
+    collapse map-side, and every ratio divides exact integers — so the
+    DuckDB oracle matches bit-for-bit. ``explode_outer`` on the
+    wrapped-in-when expression keeps empty docs (ratio 0).
+    """
+    from .neardup import shingles_from_tokens
+
+    toks = tokens(F.col(text_col))
+    k = F.size(toks)
+    # the same windowing as shingles_from_tokens but WITHOUT the
+    # distinct — repetition is precisely what distinct destroys
+    grams = F.when(k <= n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    per_gram = (
+        df.select(F.col("doc_id"), F.explode_outer(grams).alias("__g"))
+        .groupBy("doc_id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    total = F.sum(F.when(F.col("__g").isNotNull(), F.col("__c")).otherwise(0))
+    distinct = F.sum(F.when(F.col("__g").isNotNull(), 1).otherwise(0))
+    top = F.max(F.when(F.col("__g").isNotNull(), F.col("__c")).otherwise(0))
+    safe_total = F.greatest(total, F.lit(1)).cast("double")
+    return per_gram.groupBy("doc_id").agg(
+        total.cast("long").alias("total_grams"),
+        distinct.cast("long").alias("distinct_grams"),
+        F.round((total - distinct) / safe_total, 6).alias("dup_gram_ratio"),
+        F.round(top / safe_total, 6).alias("top_gram_share"),
+    )
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus-level token frequency table (top ``k``): the
+    vocabulary-building / heavy-hitter primitive. Lowercased
+    whitespace tokens → two-phase hash-aggregate (map-side partials
+    mean the shuffle carries one row per distinct token per partition,
+    not per occurrence); top-k is deterministic via the (count desc,
+    token asc) total order on the tiny aggregated side."""
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )

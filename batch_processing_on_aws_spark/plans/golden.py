@@ -2546,6 +2546,185 @@ FROM documents
 """
 
 
+def contaminated_train_docs(spark, sf_dir):
+    """Benchmark decontamination over the deterministic split: train-
+    split documents sharing ≥2 distinct word 3-grams with any test-
+    split document (operators/decontam.py — the GPT-3-style n-gram
+    collision detector). The synthetic corpus plants near-duplicates
+    that cross the split, so the report surfaces real contamination
+    (containment ≈ 0.99), not just noise. The small test side is
+    broadcast — the corpus never shuffles."""
+    from ..operators.decontam import contamination_report
+    from ..operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = train_val_test_split(docs, key="doc_id", val_pct=5, test_pct=5)
+    train = split.where(F.col("split") == "train").select("doc_id", "text")
+    test = split.where(F.col("split") == "test").select("doc_id", "text")
+    return contamination_report(train, test, shingle_n=3, min_overlap=2)
+
+
+_DECONTAM_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS b,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, b,
+         unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(0, len(toks) - 2),
+                            i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+                END) AS s
+  FROM t
+), corpus AS (
+  SELECT doc_id, s FROM sh WHERE b >= 10
+), bench AS (
+  SELECT doc_id, s FROM sh WHERE b < 5
+), bench_sizes AS (
+  SELECT doc_id, COUNT(*) AS bn FROM bench GROUP BY 1
+), ov AS (
+  SELECT c.doc_id AS corpus_doc_id, bench.doc_id AS bench_doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM corpus c JOIN bench ON c.s = bench.s
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT corpus_doc_id, bench_doc_id, n_overlap,
+       ROUND(n_overlap / CAST(bn AS DOUBLE), 6) AS containment
+FROM ov JOIN bench_sizes ON bench_doc_id = bench_sizes.doc_id
+"""
+
+
+def doc_repetition_scores(spark, sf_dir):
+    """Within-document repetition quality signals (word-2-gram stream;
+    operators/textstats.py::repetition_stats). 2-grams rather than 3
+    because the synthetic docs are short — the point is a nonzero
+    dup_gram_ratio distribution to filter on."""
+    from ..operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2)
+
+
+_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(
+                            range(0, len(toks) - 1),
+                            i -> array_to_string(toks[i + 1 : i + 2], ' '))
+                END) AS gram
+  FROM t
+), pg AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS total_grams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+       ROUND((SUM(c) - COUNT(*)) / CAST(GREATEST(SUM(c), 1) AS DOUBLE), 6)
+         AS dup_gram_ratio,
+       ROUND(MAX(c) / CAST(GREATEST(SUM(c), 1) AS DOUBLE), 6)
+         AS top_gram_share
+FROM pg GROUP BY 1
+"""
+
+
+def packed_documents(spark, sf_dir):
+    """Sequence packing (operators/packing.py): documents laid
+    end-to-end per source shard and cut every 128 tokens; each doc
+    gets its starting (seq_no, seq_offset). Pure integer window
+    arithmetic — bit-identical cross-engine."""
+    from ..operators.packing import pack_sequences
+    from ..operators.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, token_col="n_tokens", budget=128, order_col="doc_id",
+        shard_col="source",
+    )
+
+
+_PACKING_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(start / 128) AS BIGINT) AS seq_no,
+       CAST(start % 128 AS BIGINT) AS seq_offset
+FROM s
+"""
+
+
+def stratified_doc_sample(spark, sf_dir):
+    """Data-mixture rebalancing (operators/sampling.py::
+    stratified_hash_sample): downsample dominant English to 20% while
+    keeping 80% of every other language — per-group rates, one
+    deterministic pushdown filter, zero shuffles."""
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        docs, key="doc_id", group_col="lang", rates_pct={"en": 20},
+        default_pct=80,
+    )
+
+
+_STRATIFIED_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      < CASE WHEN lang = 'en' THEN 20 ELSE 80 END
+"""
+
+
+def corpus_token_frequencies(spark, sf_dir):
+    """Corpus vocabulary heavy-hitters (operators/textstats.py::
+    token_frequencies): top-50 lowercased tokens by occurrence, with a
+    total order (count desc, token asc) so the top-k edge is
+    deterministic."""
+    from ..operators.textstats import token_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_frequencies(docs, k=50)
+
+
+_TOKEN_FREQ_SQL = r"""
+WITH t AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), tok AS (
+  SELECT unnest(list_transform(toks, x -> lower(x))) AS token FROM t
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences
+FROM tok
+GROUP BY 1
+ORDER BY occurrences DESC, token ASC
+LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2620,6 +2799,14 @@ QUERIES: list[QueryDef] = [
     # (Q6-Q13/Q15/Q17/Q19-Q21; 21 of 22 classic shapes now covered,
     # Q2 excepted for want of partsupp)
     *[QueryDef(name, fn, sql) for name, fn, sql in tpch_suite.SUITE],
+    # (7) new in round 2 — LLM-pipeline curation operators
+    QueryDef("contaminated_train_docs", contaminated_train_docs, _DECONTAM_SQL),
+    QueryDef("doc_repetition_scores", doc_repetition_scores, _REPETITION_SQL),
+    QueryDef("packed_documents", packed_documents, _PACKING_SQL),
+    QueryDef("stratified_doc_sample", stratified_doc_sample, _STRATIFIED_SQL),
+    QueryDef(
+        "corpus_token_frequencies", corpus_token_frequencies, _TOKEN_FREQ_SQL
+    ),
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
     QueryDef("q3_orders_by_weekday", dashboard.q3_orders_by_weekday, _Q3_SQL),
