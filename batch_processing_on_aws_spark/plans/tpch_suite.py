@@ -622,8 +622,10 @@ def q21_waiting_suppliers(spark, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").alias("__max_ship"),
         F.countDistinct("l_suppkey").alias("__n_supp"),
     )
+    # per_order is ORDER-cardinality (fact-sized at 100 TB) — never
+    # broadcast it; the equi-join on l_orderkey sort-merges / AQE-picks.
     last = (
-        f.join(F.broadcast(per_order.where(F.col("__n_supp") > 1)), "l_orderkey")
+        f.join(per_order.where(F.col("__n_supp") > 1), "l_orderkey")
         .where(F.col("l_shipdate") == F.col("__max_ship"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
