@@ -1,5 +1,6 @@
 from .incremental import (
     dedup_stream,
+    enrich_stream,
     incremental_merge_stream,
     windowed_event_counts,
 )
@@ -7,6 +8,7 @@ from .sessionize import sessionize_stream
 
 __all__ = [
     "dedup_stream",
+    "enrich_stream",
     "incremental_merge_stream",
     "sessionize_stream",
     "windowed_event_counts",

@@ -118,3 +118,37 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a (possibly streaming)
+    event frame against a BATCH dimension table. This is the streaming
+    half of the reference's fact⋈dim joins (SURVEY.md §2.4 J2) — in
+    Structured Streaming a stream⋈static join is stateless (the static
+    side is re-read per micro-batch, picking up dim updates), so no
+    watermark is needed and state stays empty.
+
+    The dim is broadcast by default — the same "dims broadcast, facts
+    stream" contract as the batch plans; pass ``broadcast_dim=False``
+    for a dim too large to broadcast (the join then shuffles the
+    micro-batch, which AQE sizes).
+
+    Only stream-preserving join types are allowed: right/full joins
+    would need the unmatched STATIC rows emitted, which is undefined
+    for an unbounded stream (Spark rejects it at analysis; we reject
+    it earlier with a clearer message).
+    """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"enrich_stream: how={how!r} needs unmatched static-side rows, "
+            f"undefined for a stream; use one of {sorted(allowed)}"
+        )
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(right, on=list(on) if not isinstance(on, str) else on, how=how)

@@ -182,3 +182,75 @@ class TestTokenFrequencies:
         rows = token_frequencies(df, k=2).collect()
         # 'a' ×3, then tie b/c broken alphabetically → 'b' ×2
         assert [(r.token, r.occurrences) for r in rows] == [("a", 3), ("b", 2)]
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): packing invariants and decontamination
+# vs a brute-force set-intersection reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=25),
+    budget=st.integers(min_value=1, max_value=200),
+)
+def test_packing_matches_serial_cumsum(spark, sizes, budget):
+    """For any doc sizes and budget, the packed layout equals the
+    serial running-sum reference: offsets < budget, seq_no monotone
+    non-decreasing in layout order."""
+    df = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(sizes)], "doc_id long, n_tokens long"
+    )
+    from batch_processing_on_aws_spark.operators.packing import pack_sequences
+
+    got = {
+        r.doc_id: (r.seq_no, r.seq_offset)
+        for r in pack_sequences(df, "n_tokens", budget, order_col="doc_id").collect()
+    }
+    start = 0
+    for i, s in enumerate(sizes):
+        assert got[i] == (start // budget, start % budget)
+        assert 0 <= got[i][1] < budget
+        start += s
+
+
+_word = st.sampled_from(["w0", "w1", "w2", "w3", "w4"])
+_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    corpus=st.lists(_text, min_size=1, max_size=6),
+    bench=st.lists(_text, min_size=1, max_size=3),
+)
+def test_contamination_matches_bruteforce(spark, corpus, bench):
+    """contamination_report == brute-force shingle-set intersection
+    for arbitrary texts (incl. empty/short docs)."""
+    from batch_processing_on_aws_spark.operators.decontam import (
+        contamination_report,
+    )
+
+    def sh(text, n=3):
+        toks = text.split() if text.strip() else []
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    cdf = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    bdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    got = {
+        (r.corpus_doc_id, r.bench_doc_id): r.n_overlap
+        for r in contamination_report(cdf, bdf, shingle_n=3).collect()
+    }
+    want = {}
+    for ci, ct in enumerate(corpus):
+        for bi, bt in enumerate(bench):
+            n = len(sh(ct) & sh(bt))
+            if n >= 1:
+                want[(ci, 100 + bi)] = n
+    assert got == want

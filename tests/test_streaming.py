@@ -124,3 +124,44 @@ def test_windowed_counts_streaming_memory_sink(spark, tmp_path):
         for r in spark.sql("select * from wincounts").collect()
     }
     assert out == {(0, "click"): (2, 3.0), (5, "view"): (1, 3.0)}
+
+
+def test_enrich_stream_joins_static_dim(spark, tmp_path):
+    """Stream-static join: events stream through a real streaming
+    query enriched by a batch dim; unmatched keys keep null dim cols
+    (left join), and the query plans stateless (no watermark needed)."""
+    from batch_processing_on_aws_spark.streaming import enrich_stream
+
+    inp = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, "click"), (2, "view"), (99, "click")], "k long, ev string"
+    ).coalesce(1).write.parquet(inp)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "k long, tier string"
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("ev", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(inp)
+    q = (
+        enrich_stream(stream, dim, on="k")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r.k: r.tier for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert got == {1: "gold", 2: "silver", 99: None}
+
+
+def test_enrich_stream_rejects_static_preserving_joins(spark):
+    from batch_processing_on_aws_spark.streaming import enrich_stream
+
+    dim = spark.createDataFrame([(1, "x")], "k long, v string")
+    ev = spark.createDataFrame([(1, "e")], "k long, ev string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unmatched static"):
+        enrich_stream(ev, dim, on="k", how="right")
