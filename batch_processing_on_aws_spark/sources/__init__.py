@@ -5,7 +5,15 @@ from .lake import (
     read_pruned,
     write_partitioned,
 )
-from .readers import load_table, load_tables, read_csv, read_json, read_parquet, register_views
+from .readers import (
+    load_table,
+    load_tables,
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    register_views,
+)
 
 __all__ = [
     "compact",
@@ -14,6 +22,7 @@ __all__ = [
     "manifest_from_links",
     "pending_entries",
     "read_csv",
+    "read_orc",
     "read_json",
     "read_parquet",
     "read_pruned",

@@ -87,6 +87,22 @@ def read_json(
     return df
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet
+    (both are Catalyst file sources with predicate pushdown and column
+    pruning), for lakes standardized on ORC. Not used by the reference
+    (its lake is CSV→parquet) but part of the engine's source matrix;
+    round-trip + pushdown covered in tests/test_sources.py."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic testdata table with its declared schema.
 

@@ -5,6 +5,7 @@ parquet loads."""
 import json
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from batch_processing_on_aws_spark.sources.readers import (
@@ -97,3 +98,18 @@ def test_read_csv_permissive_quarantines(spark, tmp_path):
     assert rows[1] == ("a", None) and rows[2] == ("c", None)
     # the malformed row survives with its raw line quarantined
     assert rows[None][1] == "not_an_int,b"
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    """ORC scan: schema round-trips and predicates reach the file
+    source (same pushdown contract as parquet)."""
+    from batch_processing_on_aws_spark.sources import read_orc
+
+    path = str(tmp_path / "t.orc")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.orc(path)
+    df = read_orc(spark, path).where(F.col("k") > 1)
+    assert {r.v for r in df.collect()} == {"b", "c"}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,1)]" in plan
