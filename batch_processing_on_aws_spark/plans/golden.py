@@ -2725,6 +2725,45 @@ LIMIT 50
 """
 
 
+def lineitem_measures_long(spark, sf_dir):
+    """UNPIVOT/melt (§2.8 breadth): the four lineitem measures turned
+    into long-form (measure, value) rows — the inverse of
+    event_type_pivot. Spark's native ``unpivot`` is a zero-shuffle
+    generator (each input row yields 4 output rows in place); the
+    oracle expresses the same relation as a UNION ALL of four
+    projections, which is what UNPIVOT desugars to. Bounded to a
+    deterministic order-key slice so the row-level values (not just
+    aggregates) are hash-compared."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "measure",
+        "value",
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'l_quantity' AS measure, l_quantity AS value
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount', l_discount
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_tax', l_tax
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2807,6 +2846,7 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "corpus_token_frequencies", corpus_token_frequencies, _TOKEN_FREQ_SQL
     ),
+    QueryDef("lineitem_measures_long", lineitem_measures_long, _UNPIVOT_SQL),
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
     QueryDef("q3_orders_by_weekday", dashboard.q3_orders_by_weekday, _Q3_SQL),
