@@ -112,3 +112,75 @@ def media_dedup_by_content(df: DataFrame) -> DataFrame:
 
     hashed = df.withColumn("sha256", F.sha2(F.col("data"), 256))
     return dedup_deterministic(hashed, ["sha256"], [F.col("media_id").asc()])
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary, frame_sha string"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling: each media row fans out to ``n_frames``
+    rows — the 1→N Arrow batch shape every frame-level pipeline needs
+    (``mapInPandas`` may yield more rows than it consumes; Spark just
+    streams the longer batches).
+
+    STUB codec (media libs not in this container): a "frame" is the
+    i-th of ``n_frames`` contiguous byte slices of the payload —
+    deterministic integer arithmetic, so a SQL oracle can reproduce
+    every frame hash. Swap the slicing for pyav keyframe extraction in
+    production; the schema, fan-out shape, and batch bounds stay.
+
+    Rows with empty/NULL payloads emit no frames (nothing to decode);
+    payloads shorter than ``n_frames`` emit empty trailing frames —
+    both loud, documented edges, not silent drops of whole batches.
+    """
+    if n_frames <= 0:
+        raise ValueError(f"n_frames must be positive, got {n_frames}")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_bytes": [], "frame_sha": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                if data is None or len(data) == 0:
+                    continue
+                length = len(data)
+                for i in range(n_frames):
+                    chunk = data[i * length // n_frames : (i + 1) * length // n_frames]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(bytes(chunk))
+                    out["frame_sha"].append(hashlib.sha256(bytes(chunk)).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Binary→binary media transform (decode → resize → re-encode),
+    schema-preserving plus a ``resized`` flag. STUB: the payload
+    passes through untouched and only the metadata is rewritten —
+    the real PIL/ffmpeg call drops in where noted without changing
+    the batch shape or output schema.
+    """
+    out_schema = T.StructType(
+        [*MEDIA_SCHEMA.fields, T.StructField("resized", T.BooleanType(), True)]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, resized = [], []
+            for data, meta in zip(pdf["data"], pdf["meta"]):
+                if data is None:
+                    metas.append(meta)
+                    resized.append(False)
+                    continue
+                # REAL CODEC GOES HERE: decode(data) → resize → encode
+                m = dict(meta) if meta is not None else {}
+                m["width"], m["height"] = width, height
+                metas.append(m)
+                resized.append(True)
+            out = pdf.copy()
+            out["meta"] = metas
+            out["resized"] = resized
+            yield out
+
+    return df.mapInPandas(resize, schema=out_schema)

@@ -2764,6 +2764,43 @@ FROM lineitem WHERE l_orderkey < 100
 """
 
 
+def video_frame_samples(spark, sf_dir):
+    """Frame-sampling plumbing as a first-class query: the 'video'
+    rows of the synthetic media frame fan out 1→4 frames through the
+    Arrow-batched sampler (operators/multimodal.py::sample_frames).
+    The stub codec slices payload bytes deterministically, so the
+    oracle reproduces every frame hash with substring arithmetic over
+    the same (ASCII) bytes — the whole 1→N Python-batch path is
+    value-checked, not just row-counted."""
+    from ..operators.multimodal import sample_frames
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = docs.where(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+    )
+    return sample_frames(media, n_frames=4).select(
+        "media_id", "frame_idx", "frame_sha"
+    )
+
+
+_FRAMES_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, text, length(text) AS L
+  FROM documents
+  WHERE CAST(doc_id % 3 AS INT) = 2 AND length(text) > 0
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       sha256(substr(text,
+                     CAST(FLOOR(i * L / 4.0) AS BIGINT) + 1,
+                     CAST(FLOOR((i + 1) * L / 4.0) AS BIGINT)
+                       - CAST(FLOOR(i * L / 4.0) AS BIGINT))) AS frame_sha
+FROM media, range(0, 4) t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2847,6 +2884,7 @@ QUERIES: list[QueryDef] = [
         "corpus_token_frequencies", corpus_token_frequencies, _TOKEN_FREQ_SQL
     ),
     QueryDef("lineitem_measures_long", lineitem_measures_long, _UNPIVOT_SQL),
+    QueryDef("video_frame_samples", video_frame_samples, _FRAMES_SQL),
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
     QueryDef("q3_orders_by_weekday", dashboard.q3_orders_by_weekday, _Q3_SQL),
