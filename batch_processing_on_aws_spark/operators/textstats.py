@@ -143,9 +143,15 @@ def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
     collapse map-side, and every ratio divides exact integers — so the
     DuckDB oracle matches bit-for-bit. ``explode_outer`` on the
     wrapped-in-when expression keeps empty docs (ratio 0).
-    """
-    from .neardup import shingles_from_tokens
 
+    ``fan_out`` first, gram expression INSIDE the generator: a
+    single-file corpus scans as one partition, which would run the
+    tokenize+window single-core (measured 5× at sf0.1 — same trap as
+    ``neardup.shingle_index``, see there and PLANS.md).
+    """
+    from .partitioning import fan_out
+
+    df = fan_out(df)
     toks = tokens(F.col(text_col))
     k = F.size(toks)
     # the same windowing as shingles_from_tokens but WITHOUT the
@@ -181,10 +187,15 @@ def token_frequencies(df: DataFrame, text_col: str = "text", k: int = 50) -> Dat
     whitespace tokens → two-phase hash-aggregate (map-side partials
     mean the shuffle carries one row per distinct token per partition,
     not per occurrence); top-k is deterministic via the (count desc,
-    token asc) total order on the tiny aggregated side."""
+    token asc) total order on the tiny aggregated side.
+
+    ``fan_out`` first so a single-file corpus doesn't tokenize on one
+    core (see ``repetition_stats``)."""
+    from .partitioning import fan_out
+
     toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
     return (
-        df.select(F.explode(toks).alias("token"))
+        fan_out(df).select(F.explode(toks).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("occurrences"))
         .orderBy(F.col("occurrences").desc(), F.col("token").asc())

@@ -174,6 +174,49 @@ class JourneyPipeline:
         return self._weather.read(self.spark)
 
 
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    budget: int = 256,
+) -> DataFrame:
+    """Materialize the flagship curation pipeline (plans/golden.py::
+    training_corpus — quality → language → exact dedup → near-dup
+    canonical → split) into a training-ready lake table:
+
+    - joins the surviving docs back to their text/source,
+    - lays them into ``budget``-token sequences per source shard
+      (operators/packing.py),
+    - writes parquet partitioned by ``split`` so downstream training
+      readers prune to train/val/test without scanning siblings.
+
+    Overwrite semantics: the whole corpus derives deterministically
+    from the input snapshot (hash split, md5 dedup, integer packing),
+    so re-running is idempotent — same input, byte-same layout.
+    """
+    from .operators.packing import pack_sequences
+    from .operators.textstats import token_count
+    from .plans import golden
+    from .sources.readers import load_table
+
+    corpus = golden.training_corpus(spark, sf_dir).select(
+        "doc_id", "cluster_id", "split"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        corpus.join(docs, "doc_id"),
+        token_col="n_tokens",
+        budget=budget,
+        order_col="doc_id",
+        shard_col="source",
+    )
+    out = os.path.join(out_root, "training_corpus")
+    packed.write.mode("overwrite").partitionBy("split").parquet(out)
+    return spark.read.parquet(out)
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI — the reference's seven Airflow DAGs collapse to three
     cron-able commands (orchestration is idempotent stage calls, not a
@@ -198,9 +241,19 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("bootstrap-stations").add_argument("csv")
     sub.add_parser("bootstrap-weather").add_argument("json")
     sub.add_parser("journey-batch").add_argument("csv")
+    cur = sub.add_parser("curate-corpus")
+    cur.add_argument("sf_dir", help="directory holding documents.parquet")
+    cur.add_argument("--budget", type=int, default=256)
     args = ap.parse_args(argv)
 
-    pipe = JourneyPipeline(get_spark(), WarehousePaths(args.warehouse))
+    spark = get_spark()
+    if args.stage == "curate-corpus":
+        n = curate_corpus(
+            spark, args.sf_dir, args.warehouse, budget=args.budget
+        ).count()
+        print(f"{args.stage}: {n} rows")
+        return 0
+    pipe = JourneyPipeline(spark, WarehousePaths(args.warehouse))
     if args.stage == "bootstrap-stations":
         n = pipe.bootstrap_stations(args.csv).count()
     elif args.stage == "bootstrap-weather":

@@ -88,6 +88,9 @@ def main() -> None:
         )
     # Final stdout line stays short so the driver's tail window never
     # clips it; per-query detail is in the sidecar written above.
+    # per-query mean travels with the total: the suite GROWS as
+    # coverage widens (73 queries in round 1, 98+ now), so the total
+    # alone would read as a slowdown when it is added coverage.
     print(
         json.dumps(
             {
@@ -96,6 +99,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_num if sf_num is not None else sf,
                 "n_queries": len(times),
+                "per_query_mean_sec": round(total / max(len(times), 1), 4),
             }
         )
     )

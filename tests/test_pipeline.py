@@ -132,3 +132,30 @@ def test_cli_runs_all_stages(spark, tmp_path, capsys):
     assert {r["rental_id"] for r in p.fact().collect()} == {100, 101}
     out = capsys.readouterr().out
     assert "journey-batch: 2 rows" in out
+
+
+def test_curate_corpus_writes_split_partitions(spark, tmp_path):
+    """The curation stage materializes the flagship pipeline into a
+    split-partitioned parquet table; re-running it is byte-idempotent
+    (deterministic hash split + integer packing)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.pipeline import curate_corpus
+    from batch_processing_on_aws_spark.plans import golden
+    from tests.conftest import SF_SMOKE
+
+    out_root = str(tmp_path / "wh")
+    got = curate_corpus(spark, SF_SMOKE, out_root, budget=64)
+    expected = golden.training_corpus(spark, SF_SMOKE).count()
+    assert got.count() == expected > 0
+    parts = set(os.listdir(os.path.join(out_root, "training_corpus")))
+    assert {"split=train", "split=val", "split=test"} <= parts
+    # packing invariant survives the write
+    assert got.where((F.col("seq_offset") < 0) | (F.col("seq_offset") >= 64)).count() == 0
+
+    a = {tuple(r) for r in got.collect()}  # collect BEFORE the overwrite
+    again = curate_corpus(spark, SF_SMOKE, out_root, budget=64)
+    b = {tuple(r) for r in again.collect()}
+    assert a == b
