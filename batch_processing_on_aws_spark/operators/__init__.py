@@ -11,7 +11,13 @@ from .constraints import (
 )
 from .decontam import contamination_report
 from .dedup import dedup_deterministic, dedup_exact
-from .merge import MergeWriter, upsert_frames
+from .merge import (
+    MergeWriter,
+    merge_into_sql,
+    supports_merge_into,
+    upsert_catalog_table,
+    upsert_frames,
+)
 from .packing import pack_sequences
 from .sampling import (
     hash_bucket,
@@ -41,14 +47,17 @@ __all__ = [
     "hash_bucket",
     "hash_sample",
     "keep_canonical",
+    "merge_into_sql",
     "missing_value_counts",
     "missing_value_ratios",
     "new_keys",
     "not_null_violations",
+    "supports_merge_into",
     "train_val_test_split",
     "union_all_by_name",
     "union_distinct",
     "unique_violations",
     "unknown_keys",
+    "upsert_catalog_table",
     "upsert_frames",
 ]

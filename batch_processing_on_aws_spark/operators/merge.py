@@ -6,9 +6,12 @@ method='UPSERT', upsert_keys=[pk])``
 (reference: init_2_s3_to_redshifht_dag.py:63-74;
 proc_2_s3_to_redshifht_dag.py:13-39,64-75) — its own Parquet zone just
 appends and hopes (journey-data-transformation.py:106,156,160). This
-engine owns MERGE semantics on plain Parquet (Delta/Iceberg jars are
-not in the image; the same API would delegate to ``MERGE INTO`` when
-they are):
+engine owns MERGE semantics on plain Parquet; when the target is a
+catalog table whose format supports row-level operations
+(Delta/Iceberg), :func:`upsert_catalog_table` delegates the same
+contract to a single ``MERGE INTO`` statement instead
+(:func:`merge_into_sql` renders it; probe with
+:func:`supports_merge_into`). The relational definition either way:
 
     upsert = new ∪ (old ⟕anti new on pk)   — new rows win
 
@@ -124,3 +127,62 @@ class MergeWriter:
         # Dynamic overwrite replaces only partitions present in `merged`
         # = exactly the touched buckets.
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path)
+
+
+def merge_into_sql(target: str, source: str, keys: Sequence[str]) -> str:
+    """Render the ``MERGE INTO`` statement equivalent to
+    :func:`upsert_frames` (reference semantics:
+    init_2_s3_to_redshifht_dag.py:63-74 ``method='UPSERT'``).
+
+    ``<=>`` (null-safe equality) in the ON clause mirrors
+    ``eqNullSafe`` in the frame path, so null-key rows match rather
+    than duplicating on re-run. ``UPDATE SET * / INSERT *`` is the
+    Spark SQL star form — same column list both sides, enforced by the
+    caller aligning schemas (as ``unionByName`` does in the frame
+    path)."""
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    return (
+        f"MERGE INTO {target} t USING {source} s ON {on} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def supports_merge_into(spark: SparkSession, provider: str = "delta") -> bool:
+    """Probe whether a row-level-operation table provider is on the
+    classpath (Delta: ``io.delta.tables.DeltaTable``; Iceberg: its
+    Spark catalog class). False in this container — the jars are not
+    baked in — so callers fall back to :class:`MergeWriter`."""
+    classes = {
+        "delta": "io.delta.tables.DeltaTable",
+        "iceberg": "org.apache.iceberg.spark.SparkCatalog",
+    }
+    cls = classes.get(provider)
+    if cls is None:
+        raise ValueError(f"unknown provider {provider!r}; known: {sorted(classes)}")
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(cls)
+        return True
+    except Exception:
+        return False
+
+
+def upsert_catalog_table(
+    spark: SparkSession, table: str, new: DataFrame, keys: Sequence[str]
+) -> None:
+    """K4/J3 on a catalog table: delegate the keyed merge to the
+    engine's ``MERGE INTO`` (Delta/Iceberg row-level ops) instead of
+    the read-anti-join-rewrite cycle MergeWriter runs on plain
+    Parquet. Same idempotency contract; the format's transaction log
+    supplies atomicity that dynamic partition overwrite only
+    approximates.
+
+    Raises the provider's AnalysisException unchanged if the table's
+    format does not support row-level operations — probe with
+    :func:`supports_merge_into` first."""
+    view = "__merge_into_source"
+    new.createOrReplaceTempView(view)
+    try:
+        spark.sql(merge_into_sql(table, view, keys))
+    finally:
+        spark.catalog.dropTempView(view)

@@ -52,8 +52,11 @@ def range_join(
     lo_us = int(lower_s * 1_000_000)
     hi_us = int(upper_s * 1_000_000)
 
-    l_us = F.unix_micros(F.col(left_ts))
-    r_us = F.unix_micros(F.col(right_ts))
+    # cast("timestamp") is a no-op on TIMESTAMP and an exact conversion
+    # on TIMESTAMP_NTZ under the UTC session tz; unix_micros accepts
+    # only TIMESTAMP.
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
 
     l2 = left.withColumn(
         "__bucket",

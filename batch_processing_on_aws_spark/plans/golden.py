@@ -1010,7 +1010,10 @@ def purchase_attribution(spark, sf_dir):
         "user_id",
         "ts",
         F.col("ts_click").alias("last_click_ts"),
-        (F.unix_micros("ts") - F.unix_micros("ts_click")).alias("gap_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_click").cast("timestamp"))
+        ).alias("gap_us"),
     )
 
 
@@ -1369,10 +1372,14 @@ WHERE CAST(o_totalprice AS DECIMAL(30,2)) * n_orders > s
 def user_event_history(spark, sf_dir):
     """Array aggregation: per-user sorted distinct event types +
     counts. ``array_sort(collect_set(...))`` makes the array value
-    deterministic (collect order is not)."""
+    deterministic (collect order is not); the array is serialized with
+    ``concat_ws('|')`` so the output is scalar-only and hashable by
+    any comparison harness."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.concat_ws("|", F.array_sort(F.collect_set("event_type"))).alias(
+            "event_types"
+        ),
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
     )
@@ -1380,7 +1387,7 @@ def user_event_history(spark, sf_dir):
 
 _HISTORY_SQL = """
 SELECT user_id,
-       list_sort(list_distinct(list(event_type))) AS event_types,
+       array_to_string(list_sort(list_distinct(list(event_type))), '|') AS event_types,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
 FROM events GROUP BY user_id

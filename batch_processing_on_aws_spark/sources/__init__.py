@@ -6,6 +6,7 @@ from .lake import (
     write_partitioned,
 )
 from .readers import (
+    from_pandas,
     load_table,
     load_tables,
     read_csv,
@@ -13,10 +14,12 @@ from .readers import (
     read_orc,
     read_parquet,
     register_views,
+    to_pandas,
 )
 
 __all__ = [
     "compact",
+    "from_pandas",
     "load_table",
     "load_tables",
     "manifest_from_links",
@@ -27,5 +30,6 @@ __all__ = [
     "read_parquet",
     "read_pruned",
     "register_views",
+    "to_pandas",
     "write_partitioned",
 ]

@@ -119,16 +119,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # notebook) may hand us a plain SparkSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Parquet TIMESTAMP(NANOS) columns arrive as long (nanos since
-    # epoch) under spark.sql.legacy.parquet.nanosAsLong; truncate to
-    # micros — the same conversion DuckDB/Arrow apply on ns → us.
+    # Timestamp columns arrive differently depending on how the fixture
+    # was written and on session confs; normalize every declared
+    # TimestampType field to TIMESTAMP (with session tz = UTC, see
+    # session.py) so downstream expressions (unix_micros, window, ASOF
+    # arithmetic) see one type:
+    #   - INT64 TIMESTAMP(NANOS) → long under nanosAsLong → truncate to
+    #     micros (the same ns → us conversion DuckDB/Arrow apply);
+    #   - TIMESTAMP(MICROS) without isAdjustedToUTC → TIMESTAMP_NTZ
+    #     under inferTimestampNTZ → cast, exact under the UTC session tz.
     for field in TESTDATA[name].fields:
-        if isinstance(field.dataType, T.TimestampType) and isinstance(
-            df.schema[field.name].dataType, T.LongType
-        ):
+        if not isinstance(field.dataType, T.TimestampType):
+            continue
+        arrived = df.schema[field.name].dataType
+        if isinstance(arrived, T.LongType):
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
             )
+        elif isinstance(arrived, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     expected = [f.name for f in TESTDATA[name].fields]
     if df.columns != expected:
         raise ValueError(f"{name}: columns {df.columns} != declared {expected}")
@@ -150,3 +159,38 @@ def register_views(
     for n, df in dfs.items():
         df.createOrReplaceTempView(n)
     return dfs
+
+
+def from_pandas(spark: SparkSession, pdf, schema=None) -> DataFrame:
+    """S8 — pandas → Spark interop (reference:
+    notebook/data-exploration/Exploration.ipynb cells 4, 14, where the
+    exploration path loads CSV / nested-JSON days into a
+    ``pd.DataFrame``). Goes through ``createDataFrame`` with Arrow
+    enabled (session.py turns on
+    ``spark.sql.execution.arrow.pyspark.enabled``), so the transfer is
+    one zero-copy Arrow batch per partition, not row pickling.
+
+    Dev/exploration-scale only by design: the input lives on the
+    driver. Anything bigger than a notebook sample should land as
+    parquet and come in through :func:`read_parquet`.
+    """
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def to_pandas(df: DataFrame, limit: int | None = 100_000):
+    """S8 — Spark → pandas for driver-side exploration. Arrow-batched
+    collect (same conf as :func:`from_pandas`).
+
+    ``limit`` is a guard, not a sample: collecting an unbounded 100-TB
+    frame onto the driver is the classic notebook OOM, so the default
+    caps the transfer and loudly refuses anything over it. Pass
+    ``limit=None`` only when the frame is already a small aggregate.
+    """
+    if limit is not None:
+        n = df.count()
+        if n > limit:
+            raise ValueError(
+                f"to_pandas: {n} rows > limit={limit}; aggregate or "
+                "sample first, or pass limit=None to force"
+            )
+    return df.toPandas()

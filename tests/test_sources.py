@@ -75,6 +75,36 @@ def test_load_table_converts_nanos(spark):
     assert ev.count() > 0
 
 
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_load_table_normalizes_timestamp_arrival_types(spark, tmp_path, unit):
+    """load_table's contract: declared TimestampType fields come out as
+    TIMESTAMP regardless of how the parquet writer encoded them —
+    INT64 TIMESTAMP(NANOS) (arrives as long under nanosAsLong) or
+    TIMESTAMP(MICROS) without isAdjustedToUTC (arrives as
+    TIMESTAMP_NTZ under inferTimestampNTZ). Both fixtures carry the
+    same instant; under the UTC session tz the values must agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000], pa.timestamp(unit="us")).cast(
+                pa.timestamp(unit)
+            ),
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.5], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"), version="2.6")
+    ev = load_table(spark, str(tmp_path), "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    [row] = ev.select(F.unix_micros("ts").alias("us")).collect()
+    assert row["us"] == 1_700_000_000_000_000
+
+
 def test_read_csv_failfast_raises_on_malformed(spark, tmp_path):
     p = tmp_path / "bad.csv"
     p.write_text("k,v\n1,a\nnot_an_int,b\n")
@@ -113,3 +143,34 @@ def test_orc_round_trip_and_pushdown(spark, tmp_path):
     assert {r.v for r in df.collect()} == {"b", "c"}
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), GreaterThan(k,1)]" in plan
+
+
+def test_pandas_round_trip_arrow(spark):
+    """S8 — pandas → Spark → pandas round-trips values and dtypes
+    through Arrow (reference Exploration.ipynb cells 4, 14)."""
+    import pandas as pd
+
+    from batch_processing_on_aws_spark.sources import from_pandas, to_pandas
+
+    pdf = pd.DataFrame(
+        {
+            "k": pd.array([1, 2, 3], dtype="int64"),
+            "v": ["a", "b", "c"],
+            "x": [1.5, 2.5, float("nan")],
+        }
+    )
+    df = from_pandas(spark, pdf)
+    assert [f.name for f in df.schema.fields] == ["k", "v", "x"]
+    back = to_pandas(df.orderBy("k"))
+    assert back["k"].tolist() == [1, 2, 3]
+    assert back["v"].tolist() == ["a", "b", "c"]
+    assert back["x"][0] == 1.5 and pd.isna(back["x"][2])
+
+
+def test_to_pandas_limit_guard(spark):
+    from batch_processing_on_aws_spark.sources import to_pandas
+
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="limit"):
+        to_pandas(df, limit=5)
+    assert len(to_pandas(df, limit=None)) == 10

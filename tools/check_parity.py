@@ -5,12 +5,19 @@ on DuckDB over the same parquet tables, then compares row count,
 column names, and an order-insensitive value multiset (columns sorted
 by name, doubles rounded to 9 significant-ish decimals, rows sorted).
 
-Usage: python tools/check_parity.py [sf_dir] [query ...]
+Usage: python tools/check_parity.py [--json=PATH] [sf_dir] [query ...]
+
+``--json=PATH`` additionally writes a per-query evidence file in the
+driver's CORRECTNESS shape (rows/schema/hash match booleans), so
+registry entries the driver hasn't sampled yet still carry committed
+hash evidence (PARITY.json at the repo root).
 """
 
 from __future__ import annotations
 
 import decimal
+import hashlib
+import json
 import math
 import os
 import sys
@@ -53,9 +60,19 @@ def _normalize(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _value_hash(norm_rows) -> str:
+    return hashlib.sha256(repr(norm_rows).encode()).hexdigest()[:16]
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    for a in list(argv):
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+            argv.remove(a)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -65,6 +82,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -75,9 +93,19 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            report[name] = {"err": f"spark: {e}"[:300]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            report[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(s_rows),
+                "oracle_rows": None,
+                "err": None,
+                "note": "rows-only (no oracle_sql entry)",
+            }
             print(f"ok?  {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
@@ -86,10 +114,22 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as e:
             failures.append(name)
+            report[name] = {"err": f"duckdb: {e}"[:300]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         sc, sn = _normalize(s_cols, s_rows)
         dc, dn = _normalize(d_cols, d_rows)
+        report[name] = {
+            "rows_match": len(s_rows) == len(d_rows),
+            "schema_match": sc == dc,
+            "hash_match": sc == dc and sn == dn,
+            "spark_rows": len(s_rows),
+            "oracle_rows": len(d_rows),
+            "spark_hash": _value_hash(sn),
+            "oracle_hash": _value_hash(dn),
+            "secs": round(time.time() - t0, 2),
+            "err": None,
+        }
         status = []
         if len(s_rows) != len(d_rows):
             status.append(f"rowcount {len(s_rows)} != {len(d_rows)}")
@@ -103,6 +143,10 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(status)}")
         else:
             print(f"PASS {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "queries": report}, fh, indent=1)
+        print(f"wrote {json_path} ({len(report)} queries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
