@@ -244,10 +244,18 @@ def simhash_signatures(
     else:
         h = F.xxhash64(F.col("__s"))
     exploded = shingle_index(df, text_col, id_col, shingle_n)
-    sums = exploded.groupBy("__id").agg(
+    # materialize the hash ONCE as a real column before the aggregate:
+    # all n_bits sum-expressions reference it, and a projection
+    # guarantees single evaluation per row instead of leaning on
+    # aggregate-side subexpression elimination
+    hashed = exploded.select("__id", h.alias("__h"))
+    hcol = F.col("__h")
+    sums = hashed.groupBy("__id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(hcol, j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"__b{j}")
             for j in range(n_bits)
         ]
