@@ -10,7 +10,15 @@ from .constraints import (
     unique_violations,
 )
 from .decontam import contamination_report
-from .dedup import dedup_deterministic, dedup_exact
+from .dedup import (
+    bow_fingerprint,
+    dedup_against_ledger,
+    dedup_deterministic,
+    dedup_exact,
+)
+from .pii import redact_pii
+from .quality import gopher_quality
+from .urls import doc_urls, domain_stats, normalize_url
 from .merge import (
     MergeWriter,
     merge_into_sql,
@@ -33,8 +41,15 @@ __all__ = [
     "accepted_values_violations",
     "assert_constraints",
     "assign_clusters",
+    "bow_fingerprint",
     "conform",
     "contamination_report",
+    "dedup_against_ledger",
+    "doc_urls",
+    "domain_stats",
+    "gopher_quality",
+    "normalize_url",
+    "redact_pii",
     "pack_sequences",
     "stratified_hash_sample",
     "connected_components",

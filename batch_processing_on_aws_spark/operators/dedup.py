@@ -45,3 +45,38 @@ def dedup_deterministic(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def bow_fingerprint(col: Column) -> Column:
+    """Order-insensitive bag-of-words fingerprint: md5 of the sorted
+    whitespace-token array. Catches shuffled/reordered near-copies
+    that a raw-text md5 misses — the cheap middle ground between
+    exact dedup and MinHash. Tokens are compared bytewise
+    (``array_sort`` binary ordering), so the fingerprint is
+    engine-portable for ASCII text."""
+    from .textstats import tokens
+
+    return F.md5(F.concat_ws(" ", F.array_sort(tokens(col))))
+
+
+def dedup_against_ledger(
+    batch: DataFrame,
+    ledger: DataFrame,
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Cross-batch incremental dedup: drop every batch row whose
+    fingerprint already appears in the seen-ledger (the standard
+    ingest-time exact-dedup against all previously accepted data).
+
+    LEFT ANTI join on the fingerprint — null-safe by construction
+    (anti join drops only on MATCH; a null fingerprint never matches
+    and survives to be handled by upstream validation). At 100 TB the
+    ledger is a bucketed table on the fingerprint so the join
+    co-locates without shuffling the ledger; the batch side shuffles
+    O(batch), never O(ledger). New fingerprints append to the ledger
+    afterwards via the merge writer (operators/merge.py), keeping the
+    pass idempotent.
+    """
+    return batch.join(
+        ledger.select(fingerprint_col), on=fingerprint_col, how="left_anti"
+    )

@@ -1,0 +1,75 @@
+"""PII detection and redaction (extension surface; LLM-curation M-ops).
+
+Training-data pipelines scrub personally identifiable information
+before a corpus ships: emails, IP addresses, SSNs, phone numbers get
+masked with typed placeholder tokens, and per-document match counts
+feed the curation audit trail (how much PII did this source carry?).
+
+All detection is JVM-side regex (``regexp_count`` /
+``regexp_replace``) — a pure projection, no shuffle, no Python. At
+100 TB this is a map-only pass that pipelines into whatever scan the
+curation plan already does; the count aggregation (if requested) is a
+hash-agg with map-side partials.
+
+The patterns deliberately use only the regex subset shared by Java's
+engine (Spark) and RE2 (DuckDB, the correctness oracle): character
+classes, bounded repetition, non-capturing groups, ``\\b`` word
+boundaries. No backreferences, no lookaround — which RE2 rejects —
+so every pattern runs identically in both engines AND stays
+linear-time (lookaround-free regex is what you want on adversarial
+100 TB text anyway: Java's backtracking engine degrades
+super-linearly on pathological inputs otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Ordered: masks are applied in this sequence. Order matters only if
+# one pattern could match another's residue; these four are mutually
+# exclusive on any fixed span (SSN is 3-2-4 digit groups, phone is
+# 3-3-4; an IPv4 octet run never contains '@').
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Number of matches of one PII pattern in a text column."""
+    pattern, _ = PII_PATTERNS[kind]
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def redact(col: Column, kinds: tuple[str, ...] = tuple(PII_PATTERNS)) -> Column:
+    """Text with every match of the selected patterns replaced by its
+    typed placeholder. ``regexp_replace`` replaces ALL occurrences in
+    both Spark and DuckDB (the latter with the 'g' flag in the oracle
+    twin)."""
+    out = col
+    for kind in kinds:
+        pattern, token = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document PII scrub: match counts per category (measured on
+    the ORIGINAL text, so the audit trail is independent of mask
+    order) plus the fully redacted text.
+
+    Output: (id, n_email, n_ipv4, n_ssn, n_phone, redacted).
+    """
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *[pii_count(c, kind).alias(f"n_{kind}") for kind in PII_PATTERNS],
+        redact(c).alias("redacted"),
+    )

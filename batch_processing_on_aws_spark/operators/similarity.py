@@ -217,6 +217,95 @@ def _kmeans(X, n_cells: int, seed: int, max_iter: int):
     return centers
 
 
+def _assign_cells(c: DataFrame, centers) -> DataFrame:
+    """Add a ``cell`` column: index of the nearest centroid (Euclidean)
+    for each row of ``c`` (columns: vec_id, c_vec).
+
+    Arrow-batched numpy argmax projection — the centroid matrix rides
+    the task closure, so assignment is a pure map with NO shuffle; one
+    ``X @ Cᵀ`` matmul scores a whole Arrow batch against every
+    centroid at once. Euclidean argmin via argmax of ``v·c − ‖c‖²/2``
+    (‖v‖² constant per row); ties to the lower cell id (numpy
+    first-hit), matching the oracle's ``ORDER BY score DESC, cell``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    half_sq = (centers**2).sum(1) / 2.0
+    dim = centers.shape[1]
+
+    @pandas_udf("int")
+    def _cell(vs):
+        X = np.asarray(vs.tolist(), dtype=np.float64).reshape(-1, dim)
+        s = X @ centers.T - half_sq[None, :]
+        return pd.Series(s.argmax(1).astype("int32"))
+
+    return c.withColumn("cell", _cell("c_vec"))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    tau: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    n_train: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then
+    within each cluster drop every vector that has a smaller-id
+    neighbor with cosine ≥ ``tau`` — one survivor per ε-ball, chosen
+    deterministically by id.
+
+    Scale shape: the quantizer trains driver-side on a bounded
+    deterministic sample (same trainer as :func:`ivf_topk`); cell
+    assignment is the shuffle-free Arrow matmul; the pairwise pass is
+    an equi-join ON THE CELL ID — the cross product the paper's
+    within-cluster comparison implies never materializes globally,
+    only per cell, and cells are sized by choosing ``n_cells ∝ N``
+    (the paper uses ~0.1% of N). Skewed cells split under AQE.
+
+    Output: (id, cell, kept) for every input vector — callers filter
+    ``kept`` to materialize the survivors, or keep the full frame for
+    dedup-rate audits.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    centers = _train_centroids(
+        c, n_cells=n_cells, seed=seed, max_iter=max_iter, n_train=n_train
+    )
+    assigned = _assign_cells(c, centers)
+    a = fan_out(assigned).select(
+        F.col("vec_id").alias("a_id"), F.col("c_vec").alias("a_vec"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("c_vec").alias("b_vec"), "cell"
+    )
+    # a row is DROPPED iff some smaller-id same-cell row sits within
+    # the cosine ball; rounded to 4 decimals before thresholding so
+    # the decision is reproducible cross-engine (same convention as
+    # embedding_neardup_pairs)
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("b_id") < F.col("a_id"))
+        .where(F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4) >= tau)
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__drop", F.lit(True)), "vec_id", "left")
+        .select(
+            F.col("vec_id").alias(id_col),
+            F.col("cell"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -254,10 +343,7 @@ def ivf_topk(
     Euclidean argmin is computed as argmax of v·c − ‖c‖²/2 (‖v‖² is
     constant per row); ties go to the lower cell id (numpy first-hit).
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import Window
-    from pyspark.sql.functions import pandas_udf
 
     # no fan_out here: unlike the interpreted-expression operators,
     # cell assignment is a vectorized batch matmul — so cheap per row
@@ -270,15 +356,7 @@ def ivf_topk(
     )
     centers = _train_centroids(c, n_cells=n_cells, seed=seed, max_iter=max_iter)
     half_sq = (centers**2).sum(1) / 2.0
-    dim = centers.shape[1]
-
-    @pandas_udf("int")
-    def _cell(vs):
-        X = np.asarray(vs.tolist(), dtype=np.float64).reshape(-1, dim)
-        s = X @ centers.T - half_sq[None, :]
-        return pd.Series(s.argmax(1).astype("int32"))
-
-    assigned = c.withColumn("cell", _cell("c_vec"))
+    assigned = _assign_cells(c, centers)
     # query probing stays JVM-side: the query set is small, so a
     # cross join against the 16-row centroid table + a rank window is
     # cheaper than spinning a second Python runner stage for it

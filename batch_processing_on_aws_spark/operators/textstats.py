@@ -181,6 +181,52 @@ def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
     )
 
 
+def token_rarity_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Corpus-frequency-based document quality signals — the
+    unigram-LM-score family, kept in exact integer arithmetic so the
+    result is bit-stable under any aggregation order (a float
+    log-prob sum would depend on partial-aggregation order and break
+    cross-engine hashing):
+
+    - ``min_token_freq`` / ``median_token_freq``: corpus frequency of
+      the doc's rarest / median token — low values flag
+      gibberish-heavy docs;
+    - ``rare_token_ratio``: fraction of the doc's tokens whose corpus
+      count ≤ ``rare_max_count`` (exact integer ratio).
+
+    Shape: one corpus-wide token hash-agg (map-side partials), then an
+    equi-join of the exploded doc tokens to the frequency table, then
+    a per-doc hash-agg. Two shuffles on the token key, one on the doc
+    key; the frequency table is Zipf-skewed exactly where map-side
+    combine absorbs it. ``fan_out`` first — single-file corpora
+    otherwise tokenize on one core (see ``repetition_stats``).
+    """
+    from .partitioning import fan_out
+
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    exploded = fan_out(df).select(
+        F.col(id_col), F.explode(toks).alias("__t")
+    )
+    freq = exploded.groupBy("__t").agg(F.count(F.lit(1)).alias("__cnt"))
+    joined = exploded.join(freq, "__t")
+    n = F.count(F.lit(1))
+    return joined.groupBy(id_col).agg(
+        n.cast("long").alias("n_tokens"),
+        F.min("__cnt").cast("long").alias("min_token_freq"),
+        # median of integers: exact (midpoint of two ints is .0/.5)
+        F.median("__cnt").alias("median_token_freq"),
+        F.round(
+            F.sum(F.when(F.col("__cnt") <= rare_max_count, 1).otherwise(0)) / n,
+            4,
+        ).alias("rare_token_ratio"),
+    )
+
+
 def token_frequencies(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """Corpus-level token frequency table (top ``k``): the
     vocabulary-building / heavy-hitter primitive. Lowercased

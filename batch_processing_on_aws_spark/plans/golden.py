@@ -2817,6 +2817,368 @@ FROM media, range(0, 4) t(i)
 # audit priority — (1) the 23 queries the driver never checked, (2) the
 # 15 events queries that erred on the nanos read, (3) the 6 decimal
 # hash mismatches, (4) the newly-oracled engine-local queries — then
+# ---------------------------------------------------------------------------
+# Round-3 curation operators: PII scrub, Gopher rules, URL/domain stats,
+# cross-batch ledger dedup, SemDeDup, corpus-frequency rarity signals
+# ---------------------------------------------------------------------------
+
+# The synthetic documents fixture is PII- and URL-free (word-salad
+# text), so the PII and URL golden queries graft DETERMINISTIC
+# synthetic spans onto each doc — the identical concat expression in
+# both engines — to exercise nonzero match/redact paths. The
+# operators themselves take any text column.
+
+
+def _augment_pii(doc_id, text):
+    """Spark column: text + one email per doc, an IP on even ids, an
+    SSN on ids %3==0, a phone on ids %5==0."""
+    return F.concat(
+        text,
+        F.lit(" contact user"),
+        doc_id.cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            doc_id % 2 == 0,
+            F.concat(
+                F.lit(" ip 10.0."), (doc_id % 256).cast("string"), F.lit(".7")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(
+                F.lit(" ssn 123-45-"),
+                F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+    )
+
+
+_AUGMENT_PII_SQL = """
+  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+"""
+
+
+def pii_redaction(spark, sf_dir):
+    """PII scrub over the (synthetically PII-augmented) corpus:
+    per-category match counts + fully redacted text. Map-only regex
+    projection — the patterns live in the Java∩RE2 subset
+    (operators/pii.py) so the oracle runs them verbatim."""
+    from ..operators.pii import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id", _augment_pii(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return redact_pii(aug)
+
+
+_PII_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id, {_AUGMENT_PII_SQL} AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+           '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+           '\b\d{{3}}-\d{{2}}-\d{{4}}\b')) AS INT) AS n_ssn,
+       CAST(len(regexp_extract_all(text,
+           '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b')) AS INT) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b', '<IP>', 'g'),
+           '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '<SSN>', 'g'),
+         '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b', '<PHONE>', 'g') AS redacted
+FROM aug
+"""
+
+
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher rule-set quality flags (operators/quality.py): word
+    count / mean word length / symbol ratio / alpha ratio / stop-word
+    floor, each as an independent boolean plus the conjunction.
+    Single shuffle-free projection."""
+    from ..operators.quality import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality(docs)
+
+
+_GOPHER_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS word_count,
+         COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE), 0.0)
+           AS total_chars,
+         COALESCE(CAST(list_sum(list_transform(toks,
+             x -> len(regexp_extract_all(x, '(#|\.\.\.)')))) AS DOUBLE), 0.0)
+           AS n_symbol,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           AS n_alpha,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['the','a','an','of','to','and','in','is','that','with'], x)))
+           AS BIGINT) AS stopword_hits
+  FROM t
+),
+m AS (
+  SELECT doc_id, word_count,
+         CASE WHEN word_count > 0 THEN ROUND(total_chars / word_count, 4)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN word_count > 0 THEN ROUND(n_symbol / word_count, 4)
+              ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN word_count > 0 THEN ROUND(n_alpha / word_count, 4)
+              ELSE 0.0 END AS alpha_word_ratio,
+         stopword_hits
+  FROM s
+)
+SELECT doc_id, word_count, mean_word_len, symbol_word_ratio, alpha_word_ratio,
+       stopword_hits,
+       (word_count BETWEEN 20 AND 100000) AS flag_word_count,
+       (mean_word_len BETWEEN 3.0 AND 10.0) AS flag_mean_word_len,
+       (symbol_word_ratio <= 0.1) AS flag_symbol_ratio,
+       (alpha_word_ratio >= 0.8) AS flag_alpha_ratio,
+       (stopword_hits >= 2) AS flag_stopwords,
+       ((word_count BETWEEN 20 AND 100000)
+        AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        AND (symbol_word_ratio <= 0.1)
+        AND (alpha_word_ratio >= 0.8)
+        AND (stopword_hits >= 2)) AS keep
+FROM m
+"""
+
+
+def _augment_urls(doc_id, text):
+    """Spark column: every doc gets one https URL on a per-id domain
+    (mixed case, to exercise normalization); ids %3==0 add a second,
+    http + www + query-string variant."""
+    return F.concat(
+        text,
+        F.lit(" see https://Example"),
+        (doc_id % 7).cast("string"),
+        F.lit(".com/p/"),
+        doc_id.cast("string"),
+        F.when(
+            doc_id % 3 == 0, F.lit(" and http://www.Mirror.org/x?utm=1")
+        ).otherwise(F.lit("")),
+    )
+
+
+_AUGMENT_URLS_SQL = """
+  text || ' see https://Example' || CAST(doc_id % 7 AS VARCHAR)
+       || '.com/p/' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' and http://www.Mirror.org/x?utm=1' ELSE '' END
+"""
+
+
+def url_domain_stats(spark, sf_dir):
+    """Per-domain URL statistics over the (synthetically URL-augmented)
+    corpus: occurrences, distinct normalized URLs, distinct docs.
+    Regex extract+normalize is map-only; one hash-agg on domain."""
+    from ..operators.urls import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id", _augment_urls(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return domain_stats(aug)
+
+
+_URL_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id, {_AUGMENT_URLS_SQL} AS text
+  FROM documents
+),
+u0 AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+  FROM aug
+),
+u AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(url, '^https?://([^/?#:\s]+)', 1)),
+                        '^www\.', '') AS domain,
+         'https://'
+           || regexp_replace(lower(regexp_extract(url, '^https?://([^/?#:\s]+)', 1)),
+                             '^www\.', '')
+           || regexp_extract(url, '^https?://[^/?#\s]+([^?#\s]*)', 1)
+           AS normalized_url
+  FROM u0
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT normalized_url) AS BIGINT) AS n_unique_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u
+GROUP BY domain
+"""
+
+
+def incremental_dedup_batch(spark, sf_dir):
+    """Cross-batch ingest dedup: the first half of the corpus (by
+    deterministic hash bucket of doc_id) plays the already-accepted
+    ledger of bag-of-words fingerprints; the second half is the
+    incoming batch, anti-joined against it
+    (operators/dedup.py::dedup_against_ledger). The bag-of-words
+    fingerprint (md5 of sorted tokens) also catches shuffled
+    near-copies."""
+    from ..operators.dedup import bow_fingerprint, dedup_against_ledger
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        bow_fingerprint(F.col("text")).alias("fingerprint"),
+        hash_bucket(F.col("doc_id")).alias("__b"),
+    )
+    ledger = fp.where(F.col("__b") < 50).select("fingerprint")
+    batch = fp.where(F.col("__b") >= 50).select("doc_id", "fingerprint")
+    return dedup_against_ledger(batch, ledger).select("doc_id", "fingerprint")
+
+
+_INCR_DEDUP_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END), ' '))
+           AS fingerprint,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS b
+  FROM documents
+)
+SELECT doc_id, fingerprint
+FROM fp
+WHERE b >= 50
+  AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE b < 50)
+"""
+
+
+def semantic_dedup_kept(spark, sf_dir):
+    """SemDeDup over the embeddings table
+    (operators/similarity.py::semantic_dedup): k-means cells via the
+    bounded-sample quantizer, within-cell cosine ≥ τ → one survivor
+    per ball. Output is the full audit frame (vec_id, cell, kept).
+
+    τ=0.4 here, the aggressive diversity-pruning end of the SemDeDup
+    dial: the fixture embeddings are near-orthogonal random vectors
+    (max pairwise cosine ≈0.51 at sf0.01), so a dedup-grade τ≈0.9
+    would drop nothing and leave the pruning path untested."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_cells=16, tau=0.4)
+
+
+def _semantic_dedup_sql(
+    n_cells: int = 16,
+    tau: float = 0.4,
+    seed: int = 42,
+    max_iter: int = 8,
+    n_train: int = 4096,
+) -> str | None:
+    """DuckDB twin of ``semantic_dedup_kept`` — same centroid-literal
+    technique as ``_ivf_sql`` (the quantizer is a deterministic
+    function of the data, re-derived here at the oracle scale)."""
+    import duckdb
+    import numpy as np
+
+    from ..operators.similarity import _kmeans
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    try:
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT CAST(embedding AS DOUBLE[]) "
+            f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            f"ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)) "
+            f"LIMIT {n_train}"
+        ).fetchall()
+    except Exception:
+        return None
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    centers = _kmeans(X, n_cells, seed, max_iter)
+    half_sq = (centers**2).sum(1) / 2.0
+    vals = ",\n  ".join(
+        f"({i}, {_dlist(ctr)}, {float(h)!r})"
+        for i, (ctr, h) in enumerate(zip(centers, half_sq))
+    )
+    return f"""
+WITH cent(cell, centroid, half_sq) AS (VALUES
+  {vals}
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
+assigned AS (
+  SELECT vec_id, c_vec, cell FROM (
+    SELECT vec_id, c_vec, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_dot_product(c_vec, centroid) - half_sq DESC,
+                                       cell ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+)
+SELECT a.vec_id, a.cell,
+       NOT EXISTS (
+         SELECT 1 FROM assigned b
+         WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+           AND ROUND(list_cosine_similarity(a.c_vec, b.c_vec), 4) >= {tau}
+       ) AS kept
+FROM assigned a
+"""
+
+
+def doc_token_rarity(spark, sf_dir):
+    """Corpus-frequency rarity signals per doc
+    (operators/textstats.py::token_rarity_stats) — the unigram-LM
+    score family in exact integer arithmetic (min/median corpus
+    frequency of the doc's tokens, rare-token ratio)."""
+    from ..operators.textstats import token_rarity_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_rarity_stats(docs)
+
+
+_RARITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END,
+           x -> lower(x))) AS t
+  FROM documents
+),
+freq AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(min(cnt) AS BIGINT) AS min_token_freq,
+       median(cnt) AS median_token_freq,
+       ROUND(CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS rare_token_ratio
+FROM toks JOIN freq USING (t)
+GROUP BY doc_id
+"""
+
+
 # the queries the driver already passed in round 1.
 QUERIES: list[QueryDef] = [
     # (1) never driver-checked in round 1
@@ -2892,6 +3254,14 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("lineitem_measures_long", lineitem_measures_long, _UNPIVOT_SQL),
     QueryDef("video_frame_samples", video_frame_samples, _FRAMES_SQL),
+    # (8) new in round 3 — curation surface: PII, Gopher rules, URLs,
+    # ledger dedup, SemDeDup, corpus-frequency rarity
+    QueryDef("pii_redaction", pii_redaction, _PII_SQL),
+    QueryDef("gopher_quality_flags", gopher_quality_flags, _GOPHER_SQL),
+    QueryDef("url_domain_stats", url_domain_stats, _URL_SQL),
+    QueryDef("incremental_dedup_batch", incremental_dedup_batch, _INCR_DEDUP_SQL),
+    QueryDef("semantic_dedup_kept", semantic_dedup_kept, _semantic_dedup_sql()),
+    QueryDef("doc_token_rarity", doc_token_rarity, _RARITY_SQL),
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
     QueryDef("q3_orders_by_weekday", dashboard.q3_orders_by_weekday, _Q3_SQL),

@@ -1,0 +1,161 @@
+"""Round-3 curation operators: PII redaction, Gopher quality rules,
+URL normalization/domain stats, cross-batch ledger dedup, SemDeDup,
+corpus-frequency rarity signals."""
+
+from pyspark.sql import functions as F
+
+from batch_processing_on_aws_spark.operators.dedup import (
+    bow_fingerprint,
+    dedup_against_ledger,
+)
+from batch_processing_on_aws_spark.operators.pii import redact_pii
+from batch_processing_on_aws_spark.operators.quality import gopher_quality
+from batch_processing_on_aws_spark.operators.similarity import semantic_dedup
+from batch_processing_on_aws_spark.operators.textstats import token_rarity_stats
+from batch_processing_on_aws_spark.operators.urls import doc_urls, domain_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_redact_pii_masks_and_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail a@b.io and c.d+e@f-g.co.uk, ip 192.168.0.1"),
+            (2, "ssn 123-45-6789 phone 555-123-4567 clean tail"),
+            (3, "nothing sensitive here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_ipv4"] == 1
+    assert out[1]["redacted"] == "mail <EMAIL> and <EMAIL>, ip <IP>"
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1
+    assert out[2]["redacted"] == "ssn <SSN> phone <PHONE> clean tail"
+    assert out[3]["redacted"] == "nothing sensitive here"
+    assert (
+        out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_ssn"]
+        == out[3]["n_phone"] == 0
+    )
+
+
+def test_ssn_and_phone_do_not_cross_match(spark):
+    df = _docs(spark, [(1, "123-45-6789"), (2, "555-123-4567")])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_ssn"] == 1 and out[1]["n_phone"] == 0
+    assert out[2]["n_phone"] == 1 and out[2]["n_ssn"] == 0
+
+
+def test_gopher_quality_rules(spark):
+    good = "the quick brown fox jumps over a lazy dog and runs far " * 3
+    short = "too short"
+    symbols = "the " + "### ### ### " * 20
+    df = _docs(spark, [(1, good), (2, short), (3, symbols), (4, "")])
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["flag_word_count"] is False
+    assert out[3]["flag_symbol_ratio"] is False
+    assert out[3]["flag_alpha_ratio"] is False
+    assert out[4]["word_count"] == 0 and out[4]["keep"] is False
+
+
+def test_gopher_mean_word_len_exact(spark):
+    df = _docs(spark, [(1, "ab abcd")])  # mean = 3.0
+    row = gopher_quality(df).collect()[0]
+    assert row["mean_word_len"] == 3.0
+    assert row["word_count"] == 2
+
+
+def test_url_normalization(spark):
+    df = _docs(
+        spark,
+        [
+            (
+                1,
+                "x https://WWW.Example.com/Path?q=1#frag "
+                "and http://sub.example.com:8080/a/b y",
+            ),
+            (2, "no links"),
+        ],
+    )
+    rows = doc_urls(df).collect()
+    by_url = {r["url"]: r for r in rows}
+    assert len(rows) == 2  # doc 2 contributes nothing
+    a = by_url["https://WWW.Example.com/Path?q=1#frag"]
+    assert a["domain"] == "example.com"
+    assert a["normalized_url"] == "https://example.com/Path"
+    b = by_url["http://sub.example.com:8080/a/b"]
+    assert b["domain"] == "sub.example.com"
+    assert b["normalized_url"] == "https://sub.example.com/a/b"
+
+
+def test_domain_stats_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "https://a.com/x https://a.com/x https://A.com/y"),
+            (2, "https://www.a.com/x https://b.org/z"),
+        ],
+    )
+    out = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert out["a.com"]["n_urls"] == 4
+    assert out["a.com"]["n_unique_urls"] == 2  # /x and /y
+    assert out["a.com"]["n_docs"] == 2
+    assert out["b.org"]["n_urls"] == 1
+
+
+def test_bow_fingerprint_order_insensitive(spark):
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "gamma alpha beta"),
+                       (3, "alpha beta beta")])
+    rows = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", bow_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert rows[1] == rows[2]  # reorder → same fingerprint
+    assert rows[1] != rows[3]  # multiset differs → different
+
+
+def test_dedup_against_ledger_drops_seen(spark):
+    batch = spark.createDataFrame(
+        [(1, "f1"), (2, "f2"), (3, "f3")], "id long, fingerprint string"
+    )
+    ledger = spark.createDataFrame([("f2",)], "fingerprint string")
+    kept = {r["id"] for r in dedup_against_ledger(batch, ledger).collect()}
+    assert kept == {1, 3}
+
+
+def test_semantic_dedup_drops_near_duplicates(spark):
+    # two tight pairs + two loners; identical vectors must collapse
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),       # dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.999, 0.01]),    # near-dup of 2
+        (4, [0.0, 0.0, 1.0]),
+        (5, [0.7, 0.7, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in
+           semantic_dedup(df, n_cells=3, tau=0.95).collect()}
+    assert out[0] is True and out[1] is False  # smaller id survives
+    assert len(out) == 6
+    # near-dup pair collapses iff k-means put them in one cell; the
+    # identical pair (0,1) always lands together (distance 0)
+    assert sum(1 for v in out.values() if not v) >= 1
+
+
+def test_token_rarity_exact_integers(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "common common common rare1"),
+            (2, "common unique2"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in token_rarity_stats(df).collect()}
+    # corpus counts: common=4, rare1=1, unique2=1
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["min_token_freq"] == 1
+    assert out[1]["median_token_freq"] == 4.0
+    assert out[1]["rare_token_ratio"] == 0.25
+    assert out[2]["min_token_freq"] == 1
+    assert out[2]["rare_token_ratio"] == 0.5
