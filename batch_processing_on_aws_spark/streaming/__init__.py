@@ -2,6 +2,7 @@ from .incremental import (
     dedup_stream,
     enrich_stream,
     incremental_merge_stream,
+    ingest_dedup_stream,
     windowed_event_counts,
 )
 from .sessionize import sessionize_stream
@@ -10,6 +11,7 @@ __all__ = [
     "dedup_stream",
     "enrich_stream",
     "incremental_merge_stream",
+    "ingest_dedup_stream",
     "sessionize_stream",
     "windowed_event_counts",
 ]

@@ -120,6 +120,79 @@ def windowed_event_counts(
     )
 
 
+def ingest_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    corpus_path: str,
+    ledger_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fmt: str = "parquet",
+) -> None:
+    """Streaming corpus ingest with CROSS-BATCH exact dedup: each
+    micro-batch fingerprints its documents (bag-of-words md5,
+    operators/dedup.py::bow_fingerprint), drops in-batch duplicates
+    deterministically (smallest id wins), anti-joins the accepted
+    ledger built by all PREVIOUS batches, appends the survivors to the
+    corpus, and appends their fingerprints to the ledger.
+
+    This is the ingest-time dedup loop every training-data pipeline
+    runs: a document seen in any earlier delivery never re-enters the
+    corpus, across arbitrarily many stream restarts
+    (``availableNow`` + checkpoint = each file processed exactly
+    once). The ledger must live inside ``foreachBatch`` — a
+    stream-static join would freeze the static side per run, so
+    batch N would not see batch N−1's fingerprints; re-reading the
+    ledger per micro-batch is what makes the dedup cumulative.
+
+    At 100 TB: the ledger is fingerprint-only (16-byte md5 + nothing),
+    orders of magnitude smaller than the corpus; bucket it on the
+    fingerprint so the per-batch anti-join co-locates. Crash window:
+    corpus-append commits before ledger-append, so a failure between
+    the two re-admits at most one batch's worth on retry — the ledger
+    re-filter still blocks older duplicates. A transactional table
+    format (Delta/Iceberg, operators/merge.py delegation) closes that
+    window with a single atomic commit.
+    """
+    from ..operators.dedup import (
+        bow_fingerprint,
+        dedup_against_ledger,
+        dedup_deterministic,
+    )
+
+    def _merge(batch: DataFrame, _epoch: int) -> None:
+        b = dedup_deterministic(
+            batch.withColumn("fingerprint", bow_fingerprint(F.col(text_col))),
+            ["fingerprint"],
+            [F.col(id_col).asc()],
+        )
+        s = batch.sparkSession
+        try:
+            ledger = s.read.parquet(ledger_path)
+        except Exception:
+            ledger = None
+        fresh = b if ledger is None else dedup_against_ledger(b, ledger)
+        fresh.persist()
+        try:
+            fresh.write.mode("append").parquet(corpus_path)
+            fresh.select("fingerprint").write.mode("append").parquet(ledger_path)
+        finally:
+            fresh.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .format(fmt)
+        .load(input_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,

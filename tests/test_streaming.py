@@ -165,3 +165,42 @@ def test_enrich_stream_rejects_static_preserving_joins(spark):
 
     with _pytest.raises(ValueError, match="unmatched static"):
         enrich_stream(ev, dim, on="k", how="right")
+
+
+def test_ingest_dedup_stream_cross_batch(spark, tmp_path):
+    """Cross-batch ledger dedup through a real streaming query: a doc
+    re-delivered in a LATER batch (and a shuffled word-order copy) is
+    dropped; restarts reprocess nothing."""
+    from batch_processing_on_aws_spark.streaming import ingest_dedup_stream
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    inp = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    land([(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "alpha beta gamma")])
+    ingest_dedup_stream(spark, inp, doc_schema, corpus, ledger, ckpt)
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2}  # in-batch dup 3 lost to smaller id 1
+
+    # batch 2: one exact re-delivery, one word-order shuffle, one new
+    land([(4, "delta epsilon"), (5, "gamma beta alpha"), (6, "zeta eta")])
+    ingest_dedup_stream(spark, inp, doc_schema, corpus, ledger, ckpt)
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 6}
+
+    # restart with nothing new: checkpoint prevents reprocessing
+    ingest_dedup_stream(spark, inp, doc_schema, corpus, ledger, ckpt)
+    assert spark.read.parquet(corpus).count() == 3
+    assert spark.read.parquet(ledger).count() == 3
