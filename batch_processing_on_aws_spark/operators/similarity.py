@@ -278,7 +278,12 @@ def semantic_dedup(
     centers = _train_centroids(
         c, n_cells=n_cells, seed=seed, max_iter=max_iter, n_train=n_train
     )
-    assigned = _assign_cells(c, centers)
+    # materialize the assignment ONCE: it feeds three consumers (both
+    # pairwise-join sides + the final audit join), and the join's
+    # inferred cell-not-null filters would otherwise re-trigger the
+    # Arrow UDF per consumer — the plan shows 5 ArrowEvalPython evals
+    # over 3 scans without this, 1 with it
+    assigned = _assign_cells(c, centers).localCheckpoint()
     a = fan_out(assigned).select(
         F.col("vec_id").alias("a_id"), F.col("c_vec").alias("a_vec"), "cell"
     )
