@@ -481,6 +481,88 @@ def rare_jaccard_pairs(
     )
 
 
+def rare_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 50,
+) -> DataFrame:
+    """DIRECTED near-duplication by shingle containment:
+    ``containment(src→dst) = |S(src) ∩ S(dst)| / |S(src)|`` over the
+    rare-shingle sets (document frequency ≤ ``max_df``). Catches the
+    asymmetric case Jaccard misses — a short document wholly embedded
+    in a much longer one scores containment ≈ 1 while its Jaccard
+    stays tiny (the union is dominated by the long doc).
+
+    Both the numerator and denominator are restricted to rare
+    shingles, so the measure is self-consistent (not a bound on
+    full-set containment): this is the df-weighted variant production
+    dedup uses — ubiquitous shingles carry no evidence of copying,
+    and the cap simultaneously bounds the index self-join at max_df²
+    per shingle (same plan skeleton as ``rare_jaccard_pairs``; the
+    intersection/size arithmetic is all-integer hash-agg).
+
+    Output: (src_id, dst_id, containment ≥ threshold), src ≠ dst —
+    one directed row per direction that clears the threshold.
+    """
+    idx = shingle_index(df, text_col, id_col, shingle_n).select(
+        "__id", F.xxhash64("__s").alias("__s")
+    )
+    rare = (
+        idx.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("__s")
+    )
+    filtered = idx.join(rare, "__s").localCheckpoint()
+    sizes = filtered.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        filtered.alias("a")
+        .join(
+            filtered.alias("b"),
+            on=[
+                F.col("a.__s") == F.col("b.__s"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb")
+        )
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sized = inter.join(
+        sizes.select(F.col("__id").alias("__ida"), F.col("__n").alias("__na")),
+        "__ida",
+    ).join(
+        sizes.select(F.col("__id").alias("__idb"), F.col("__n").alias("__nb")),
+        "__idb",
+    )
+    # each undirected intersection row yields both directed scores
+    directed = sized.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__ida").alias("src_id"),
+                    F.col("__idb").alias("dst_id"),
+                    (F.col("__i").cast("double") / F.col("__na")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("__idb").alias("src_id"),
+                    F.col("__ida").alias("dst_id"),
+                    (F.col("__i").cast("double") / F.col("__nb")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("__d")
+    ).select("__d.*")
+    return directed.where(F.col("containment") >= threshold)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

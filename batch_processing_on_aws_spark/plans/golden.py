@@ -3179,6 +3179,55 @@ GROUP BY doc_id
 """
 
 
+def containment_dup_pairs(spark, sf_dir):
+    """Directed shingle-containment near-dup
+    (operators/neardup.py::rare_containment_pairs) — the asymmetric
+    doc-in-doc case Jaccard misses; rare-shingle inverted index,
+    all-integer arithmetic, unrounded ratio (identical integer
+    divisions are bit-equal cross-engine)."""
+    from ..operators.neardup import rare_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rare_containment_pairs(docs, threshold=0.5, max_df=50)
+
+
+_CONTAINMENT_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(
+                     range(0, len(toks) - 2),
+                     i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+         END AS sh
+  FROM (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+    FROM documents
+  )
+), idx AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh
+), rare AS (
+  SELECT s FROM idx GROUP BY s HAVING COUNT(*) <= 50
+), filtered AS (
+  SELECT doc_id, s FROM idx JOIN rare USING (s)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM filtered GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+  FROM filtered a JOIN filtered b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), directed AS (
+  SELECT ida AS src_id, idb AS dst_id, CAST(i AS DOUBLE) / sa.n AS containment
+  FROM inter JOIN sizes sa ON sa.doc_id = ida
+  UNION ALL
+  SELECT idb AS src_id, ida AS dst_id, CAST(i AS DOUBLE) / sb.n AS containment
+  FROM inter JOIN sizes sb ON sb.doc_id = idb
+)
+SELECT src_id, dst_id, containment FROM directed WHERE containment >= 0.5
+"""
+
+
 # the queries the driver already passed in round 1.
 QUERIES: list[QueryDef] = [
     # (1) never driver-checked in round 1
@@ -3262,6 +3311,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("incremental_dedup_batch", incremental_dedup_batch, _INCR_DEDUP_SQL),
     QueryDef("semantic_dedup_kept", semantic_dedup_kept, _semantic_dedup_sql()),
     QueryDef("doc_token_rarity", doc_token_rarity, _RARITY_SQL),
+    QueryDef("containment_dup_pairs", containment_dup_pairs, _CONTAINMENT_SQL),
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
     QueryDef("q3_orders_by_weekday", dashboard.q3_orders_by_weekday, _Q3_SQL),

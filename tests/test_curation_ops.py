@@ -159,3 +159,22 @@ def test_token_rarity_exact_integers(spark):
     assert out[1]["rare_token_ratio"] == 0.25
     assert out[2]["min_token_freq"] == 1
     assert out[2]["rare_token_ratio"] == 0.5
+
+
+def test_containment_catches_doc_in_doc(spark):
+    """A short doc embedded verbatim in a long doc scores containment
+    ~1 in the short→long direction only; Jaccard would miss it."""
+    from batch_processing_on_aws_spark.operators.neardup import (
+        rare_containment_pairs,
+        rare_jaccard_pairs,
+    )
+
+    short = "one two three four five six"
+    filler = " ".join(f"w{i} w{i+1} pad{i}" for i in range(0, 40, 2))
+    rows = [(1, short), (2, filler + " " + short + " tail marker done")]
+    df = _docs(spark, rows)
+    out = {(r["src_id"], r["dst_id"]): r["containment"]
+           for r in rare_containment_pairs(df, threshold=0.8).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1.0   # short fully contained
+    assert (2, 1) not in out                      # long not contained in short
+    assert rare_jaccard_pairs(df, threshold=0.8).count() == 0
