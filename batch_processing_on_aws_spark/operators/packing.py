@@ -57,3 +57,52 @@ def pack_sequences(
     return df.withColumn("seq_no", F.floor(start / budget).cast("long")).withColumn(
         "seq_offset", (start % budget).cast("long")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    — the context-window prep step that pairs with ``pack_sequences``
+    (packing lays whole docs into sequences; chunking cuts docs that
+    exceed the window). Stride = ``chunk_size − overlap``; the last
+    chunk may be short; docs at or under ``chunk_size`` tokens yield
+    exactly one chunk; empty docs yield one empty chunk (kept, so a
+    chunk-count audit reconciles with the doc count).
+
+    Pure per-row explode of a token-array slice expression — no
+    shuffle, no Python; chunk counts are a closed-form function of
+    the token count so the generator never re-tokenizes per chunk.
+
+    Output: (id, chunk_id 0-based, chunk_text, chunk_tokens).
+    """
+    from .textstats import tokens
+
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap={overlap} must be < chunk_size={chunk_size}"
+        )
+    stride = chunk_size - overlap
+    toks = F.col("__toks")
+    n = F.size(toks)
+    # ceil((n - overlap) / stride) via integer arithmetic, floored at 1
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((n - overlap + stride - 1) / F.lit(stride)),
+    )
+    chunk = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    sliced = F.slice(toks, F.col("chunk_id") * stride + 1, chunk_size)
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), "__toks", chunk)
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(sliced, " ").alias("chunk_text"),
+            F.size(sliced).cast("long").alias("chunk_tokens"),
+        )
+    )

@@ -227,6 +227,48 @@ def token_rarity_stats(
     )
 
 
+def distinctive_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` distinctive tokens — the tf-idf keyword
+    primitive, ranked LEXICOGRAPHICALLY on (tf desc, df asc, token
+    asc) instead of the float tf·idf product: the ordering a float
+    score induces up to log-monotonicity, with zero floating-point in
+    the rank (a float score ties differently across engines; integer
+    lexicographic rank is bit-stable — same trade as
+    ``token_rarity_stats``).
+
+    Shape: doc-token tf hash-agg → token df hash-agg (distinct docs)
+    → equi-join on token → per-doc rank window. The df table is the
+    Zipf-skewed side; both aggs take map-side partials, and the
+    window partitions by doc (bounded by doc vocabulary).
+
+    Output: (id, token, tf, df, rank 1..k).
+    """
+    from pyspark.sql import Window
+
+    from .partitioning import fan_out
+
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    exploded = fan_out(df).select(F.col(id_col), F.explode(toks).alias("token"))
+    tf = exploded.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "rank")
+    )
+
+
 def token_frequencies(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """Corpus-level token frequency table (top ``k``): the
     vocabulary-building / heavy-hitter primitive. Lowercased

@@ -3228,6 +3228,79 @@ SELECT src_id, dst_id, containment FROM directed WHERE containment >= 0.5
 """
 
 
+def doc_chunks(spark, sf_dir):
+    """Fixed-token-window chunking with overlap
+    (operators/packing.py::chunk_documents) — context-window prep;
+    chunk counts are a closed form of the token count, the slice
+    explode is map-only."""
+    from ..operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=32, overlap=8)
+
+
+_CHUNKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         GREATEST(1, CAST(floor((len(toks) - 8 + 24 - 1) / 24.0) AS BIGINT))
+           AS n_chunks
+  FROM t
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, n_chunks)) AS chunk_id
+  FROM n
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+         AS chunk_text,
+       CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT)
+         AS chunk_tokens
+FROM c
+"""
+
+
+def doc_distinctive_tokens(spark, sf_dir):
+    """Per-doc top-k distinctive tokens
+    (operators/textstats.py::distinctive_tokens) — tf-idf keywords
+    with an integer lexicographic rank (tf desc, df asc, token asc),
+    bit-stable cross-engine."""
+    from ..operators.textstats import distinctive_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return distinctive_tokens(docs, k=5)
+
+
+_DISTINCTIVE_SQL = r"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END,
+           x -> lower(x))) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, token, tf, df,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, df ASC, token ASC) AS rank
+  FROM tf JOIN dfreq USING (token)
+)
+WHERE rank <= 5
+"""
+
+
 # the queries the driver already passed in round 1.
 QUERIES: list[QueryDef] = [
     # (1) never driver-checked in round 1
@@ -3312,6 +3385,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("semantic_dedup_kept", semantic_dedup_kept, _semantic_dedup_sql()),
     QueryDef("doc_token_rarity", doc_token_rarity, _RARITY_SQL),
     QueryDef("containment_dup_pairs", containment_dup_pairs, _CONTAINMENT_SQL),
+    QueryDef("doc_chunks", doc_chunks, _CHUNKS_SQL),
+    QueryDef(
+        "doc_distinctive_tokens", doc_distinctive_tokens, _DISTINCTIVE_SQL
+    ),
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
     QueryDef("q3_orders_by_weekday", dashboard.q3_orders_by_weekday, _Q3_SQL),

@@ -178,3 +178,58 @@ def test_containment_catches_doc_in_doc(spark):
     assert (1, 2) in out and out[(1, 2)] == 1.0   # short fully contained
     assert (2, 1) not in out                      # long not contained in short
     assert rare_jaccard_pairs(df, threshold=0.8).count() == 0
+
+
+def test_chunk_documents_windows(spark):
+    from batch_processing_on_aws_spark.operators.packing import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = _docs(spark, [(1, toks), (2, "a b c"), (3, "")])
+    out = chunk_documents(df, chunk_size=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: stride 2, n=10 → ceil((10-2)/2)=4 chunks
+    assert {c for (d, c) in rows if d == 1} == {0, 1, 2, 3}
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk_text"] == "t2 t3 t4 t5"  # 2-token overlap
+    assert rows[(1, 3)]["chunk_text"] == "t6 t7 t8 t9"
+    # short doc → one (short) chunk; empty doc → one empty chunk
+    assert rows[(2, 0)]["chunk_text"] == "a b c"
+    assert rows[(2, 0)]["chunk_tokens"] == 3
+    assert rows[(3, 0)]["chunk_tokens"] == 0
+    # every token of doc 1 appears in some chunk (coverage)
+    covered = set()
+    for (d, c), r in rows.items():
+        if d == 1:
+            covered.update(r["chunk_text"].split())
+    assert covered == set(toks.split())
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+    from batch_processing_on_aws_spark.operators.packing import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "x")]), chunk_size=4, overlap=4)
+
+
+def test_distinctive_tokens_rank_order(spark):
+    from batch_processing_on_aws_spark.operators.textstats import (
+        distinctive_tokens,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "apple apple apple shared zebra"),
+            (2, "shared shared banana"),
+        ],
+    )
+    out = {(r["doc_id"], r["rank"]): r for r in
+           distinctive_tokens(df, k=3).collect()}
+    # doc 1: apple tf=3 first; zebra (df=1) beats shared (df=2) at tf=1
+    assert out[(1, 1)]["token"] == "apple" and out[(1, 1)]["tf"] == 3
+    assert out[(1, 2)]["token"] == "zebra"
+    assert out[(1, 3)]["token"] == "shared" and out[(1, 3)]["df"] == 2
+    # doc 2: shared tf=2 first despite higher df
+    assert out[(2, 1)]["token"] == "shared"
+    assert out[(2, 2)]["token"] == "banana"
