@@ -3301,6 +3301,71 @@ WHERE rank <= 5
 """
 
 
+def streamed_ingest_corpus(spark, sf_dir):
+    """END-TO-END streaming correctness: the documents table arrives
+    as TWO deliveries (split by the deterministic doc_id hash bucket)
+    through ``streaming/incremental.py::ingest_dedup_stream`` — a real
+    Structured Streaming query per delivery (availableNow + checkpoint,
+    foreachBatch ledger anti-join). The returned frame is the corpus
+    the stream accepted: in-batch duplicate fingerprints collapse to
+    the smallest doc_id, and the second delivery drops every
+    fingerprint the first one admitted. The oracle reproduces exactly
+    that set with window/anti-join SQL — so the stream's cumulative
+    dedup semantics (not just its plumbing) are hash-verified."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.sampling import hash_bucket
+    from ..streaming.incremental import ingest_dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_ingest_")
+    inp, corpus, ledger, ckpt = (
+        os.path.join(root, d) for d in ("in", "corpus", "ledger", "ckpt")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = hash_bucket(F.col("doc_id"))
+    for lo, hi in ((0, 50), (50, 100)):
+        docs.where((b >= lo) & (b < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        ingest_dedup_stream(spark, inp, schema, corpus, ledger, ckpt)
+    return spark.read.parquet(corpus).select("doc_id", "fingerprint")
+
+
+_STREAM_INGEST_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END), ' '))
+           AS fingerprint,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS b
+  FROM documents
+),
+first_batch AS (
+  SELECT min(doc_id) AS doc_id, fingerprint
+  FROM fp WHERE b < 50 GROUP BY fingerprint
+),
+second_batch AS (
+  SELECT min(doc_id) AS doc_id, fingerprint
+  FROM fp WHERE b >= 50 GROUP BY fingerprint
+)
+SELECT doc_id, fingerprint FROM first_batch
+UNION ALL
+SELECT doc_id, fingerprint FROM second_batch
+WHERE fingerprint NOT IN (SELECT fingerprint FROM first_batch)
+"""
+
+
 # the queries the driver already passed in round 1.
 QUERIES: list[QueryDef] = [
     # (1) never driver-checked in round 1
@@ -3389,6 +3454,7 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "doc_distinctive_tokens", doc_distinctive_tokens, _DISTINCTIVE_SQL
     ),
+    QueryDef("streamed_ingest_corpus", streamed_ingest_corpus, _STREAM_INGEST_SQL),
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
     QueryDef("q3_orders_by_weekday", dashboard.q3_orders_by_weekday, _Q3_SQL),
