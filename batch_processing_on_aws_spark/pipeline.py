@@ -179,6 +179,7 @@ def curate_corpus(
     sf_dir: str,
     out_root: str,
     budget: int = 256,
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """Materialize the flagship curation pipeline (plans/golden.py::
     training_corpus — quality → language → exact dedup → near-dup
@@ -195,6 +196,7 @@ def curate_corpus(
     so re-running is idempotent — same input, byte-same layout.
     """
     from .operators.packing import pack_sequences
+    from .operators.pii import redact
     from .operators.textstats import token_count
     from .plans import golden
     from .sources.readers import load_table
@@ -202,8 +204,17 @@ def curate_corpus(
     corpus = golden.training_corpus(spark, sf_dir).select(
         "doc_id", "cluster_id", "split"
     )
+    # PII scrub (operators/pii.py) runs BEFORE token counting so the
+    # packing layout reflects the text that actually ships; off by
+    # default to keep the materialization bit-identical with the
+    # training_corpus oracle contract
+    text = redact(F.col("text")) if scrub_pii else F.col("text")
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", "text", token_count(F.col("text")).alias("n_tokens")
+        "doc_id",
+        "source",
+        "lang",
+        text.alias("text"),
+        token_count(text).alias("n_tokens"),
     )
     packed = pack_sequences(
         corpus.join(docs, "doc_id"),
@@ -244,12 +255,21 @@ def main(argv: list[str] | None = None) -> int:
     cur = sub.add_parser("curate-corpus")
     cur.add_argument("sf_dir", help="directory holding documents.parquet")
     cur.add_argument("--budget", type=int, default=256)
+    cur.add_argument(
+        "--scrub-pii",
+        action="store_true",
+        help="mask emails/IPs/SSNs/phones before packing (operators/pii.py)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark()
     if args.stage == "curate-corpus":
         n = curate_corpus(
-            spark, args.sf_dir, args.warehouse, budget=args.budget
+            spark,
+            args.sf_dir,
+            args.warehouse,
+            budget=args.budget,
+            scrub_pii=args.scrub_pii,
         ).count()
         print(f"{args.stage}: {n} rows")
         return 0

@@ -159,3 +159,27 @@ def test_curate_corpus_writes_split_partitions(spark, tmp_path):
     again = curate_corpus(spark, SF_SMOKE, out_root, budget=64)
     b = {tuple(r) for r in again.collect()}
     assert a == b
+
+
+def test_curate_corpus_scrub_pii_flag(spark, tmp_path):
+    """With scrub_pii the materialized text carries no redactable
+    spans; without it the corpus is byte-identical to the contract
+    default (the flag must not perturb the unflagged path)."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.operators.pii import redact_pii
+    from batch_processing_on_aws_spark.pipeline import curate_corpus
+    from tests.conftest import SF_SMOKE
+
+    plain = curate_corpus(spark, SF_SMOKE, str(tmp_path / "a"), budget=64)
+    scrubbed = curate_corpus(
+        spark, SF_SMOKE, str(tmp_path / "b"), budget=64, scrub_pii=True
+    )
+    counts = redact_pii(
+        scrubbed.select(F.col("doc_id"), F.col("text"))
+    ).selectExpr("sum(n_email + n_ipv4 + n_ssn + n_phone) as total").collect()
+    assert counts[0]["total"] == 0
+    # same docs survive curation either way; only text may differ
+    assert {r["doc_id"] for r in plain.select("doc_id").collect()} == {
+        r["doc_id"] for r in scrubbed.select("doc_id").collect()
+    }
