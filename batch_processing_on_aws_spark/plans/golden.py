@@ -3366,6 +3366,31 @@ WHERE fingerprint NOT IN (SELECT fingerprint FROM first_batch)
 """
 
 
+def source_distinct_sketches(spark, sf_dir):
+    """Mergeable HLL distinct tracking
+    (operators/sketches.py): per-source sketch of document
+    fingerprints plus a __total__ row computed by UNIONING the
+    per-source sketches (no re-scan) — the incremental-statistics
+    pattern for 100 TB corpora. Estimates are DataSketches-
+    implementation-defined, so no SQL oracle (rows-only driver
+    check); the accuracy window vs exact counts is pinned in
+    tests/test_curation_ops.py."""
+    from ..operators.sketches import distinct_sketches, union_distinct_estimate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("fp")
+    )
+    per_source = distinct_sketches(docs, key_col="fp", group_col="source")
+    total = union_distinct_estimate(per_source).select(
+        F.lit("__total__").alias("source"), "est_distinct"
+    )
+    return (
+        per_source.select("source", "est_distinct")
+        .unionByName(total)
+        .orderBy("source")
+    )
+
+
 # the queries the driver already passed in round 1.
 QUERIES: list[QueryDef] = [
     # (1) never driver-checked in round 1
@@ -3455,6 +3480,7 @@ QUERIES: list[QueryDef] = [
         "doc_distinctive_tokens", doc_distinctive_tokens, _DISTINCTIVE_SQL
     ),
     QueryDef("streamed_ingest_corpus", streamed_ingest_corpus, _STREAM_INGEST_SQL),
+    QueryDef("source_distinct_sketches", source_distinct_sketches, None),
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
     QueryDef("q3_orders_by_weekday", dashboard.q3_orders_by_weekday, _Q3_SQL),

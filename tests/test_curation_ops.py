@@ -233,3 +233,25 @@ def test_distinctive_tokens_rank_order(spark):
     # doc 2: shared tf=2 first despite higher df
     assert out[(2, 1)]["token"] == "shared"
     assert out[(2, 2)]["token"] == "banana"
+
+
+def test_hll_sketches_accurate_and_mergeable(spark):
+    from batch_processing_on_aws_spark.operators.sketches import (
+        distinct_sketches,
+        union_distinct_estimate,
+    )
+
+    # 3 groups with known distinct counts and cross-group overlap
+    rows = [(f"g{i % 3}", f"k{i % 700}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    per = distinct_sketches(df, key_col="k", group_col="g")
+    got = {r["g"]: r["est_distinct"] for r in per.collect()}
+    exact = {r["g"]: r["n"] for r in
+             df.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()}
+    for g, est in got.items():
+        assert abs(est - exact[g]) / exact[g] < 0.05, (g, est, exact[g])
+    # union of per-group sketches estimates the GLOBAL distinct (700),
+    # not the sum of group distincts (~3x overlap)
+    total = union_distinct_estimate(per).collect()[0]["est_distinct"]
+    assert abs(total - 700) / 700 < 0.05, total
+    assert total < sum(exact.values()) * 0.5

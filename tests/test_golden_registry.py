@@ -16,10 +16,15 @@ def test_registry_shape():
     assert len({q.name for q in QUERIES}) == len(QUERIES)
     # every oracle key has a query
     assert set(oracles) <= set(qs)
-    # every registered query now carries an oracle (the ivf oracle is
-    # generated from the correctness-scale data; it may drop to
-    # rows-only if that parquet is unreadable on this machine)
-    assert set(qs) - set(oracles) <= {"embedding_ivf_topk"}
+    # every registered query carries an oracle except the documented
+    # rows-only ones: sketch estimates are impl-defined, and the two
+    # centroid oracles are generated from the correctness-scale data
+    # (they drop to rows-only if that parquet is unreadable here)
+    assert set(qs) - set(oracles) <= {
+        "embedding_ivf_topk",
+        "semantic_dedup_kept",
+        "source_distinct_sketches",
+    }
 
 
 def test_entry_smoke(spark):
