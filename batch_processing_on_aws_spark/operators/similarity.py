@@ -432,8 +432,9 @@ def lsh_topk(
     signature, equi-join on the bucket, exact-rescore candidates.
 
     At 100 TB the bucket join replaces the cross product; candidates
-    per query ≈ N / 2^b. Multi-probe / multi-table extensions raise
-    recall by unioning candidate sets before the rescore.
+    per query ≈ N / 2^b. :func:`lsh_topk_multi` is the multi-table
+    extension that raises recall by unioning candidate sets before
+    the rescore.
     """
     from pyspark.sql import Window
 
@@ -454,6 +455,76 @@ def lsh_topk(
             "vec_id",
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def lsh_topk_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-table LSH top-k: ``tables`` is a list of independent
+    hyperplane sets; a corpus vector is a candidate for a query if
+    they share a bucket in ANY table. The standard recall lever —
+    recall ≈ 1 − (1 − p^b)^T for per-plane agreement p — at the cost
+    of T bucket rows per vector instead of one.
+
+    Plan shape: one explode to (vector, table_id, bucket) rows — the
+    shuffle key stays narrow, O(N·T) rows moved — then the same
+    equi-join as the single-table path. Duplicate candidates (pairs
+    colliding in several tables) are collapsed by a (query, vec)
+    hash-agg BEFORE ranking; the rescored cosine is identical across
+    collisions, so min() just picks the one value. The corpus never
+    cross-joins anything.
+    """
+    from pyspark.sql import Window
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    )
+
+    def banded(df: DataFrame, vec: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    hyperplane_signature(F.col(vec), planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return df.select("*", F.explode(buckets).alias("__b")).select(
+            *df.columns, "__b.table_id", "__b.bucket"
+        )
+
+    cb = banded(c, "c_vec")
+    qb = F.broadcast(banded(q, "q_vec"))
+    scored = (
+        cb.join(qb, ["table_id", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.min("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()

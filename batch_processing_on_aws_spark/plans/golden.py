@@ -601,6 +601,71 @@ def embedding_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, planes, k=10)
 
 
+def _multi_tables(n_tables: int = 3, n_planes: int = 6, dim: int = 64):
+    """Independent hyperplane tables carved from one deterministic LCG
+    stream (table t = planes [t·n_planes, (t+1)·n_planes))."""
+    flat = _deterministic_planes(n_tables * n_planes, dim)
+    return [
+        flat[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)
+    ]
+
+
+def embedding_multilsh_topk(spark, sf_dir):
+    """Multi-table LSH ANN (operators/similarity.py::lsh_topk_multi):
+    3 tables × 6 planes — candidates from ANY shared bucket, deduped
+    before the rescore rank. The recall-vs-single-table win is pinned
+    in tests/test_neardup_similarity.py."""
+    from ..operators.similarity import lsh_topk_multi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk_multi(emb, queries, _multi_tables(), k=10)
+
+
+def _multilsh_topk_sql(
+    n_tables: int = 3, n_planes: int = 6, dim: int = 64, k: int = 10
+) -> str:
+    """DuckDB twin of ``embedding_multilsh_topk``: per-table bucket
+    expressions inlined as literals; a pair is a candidate if it
+    collides in ANY table (UNION of per-table joins, deduped), then
+    the same rescore/rank as the single-table oracle."""
+    tables = _multi_tables(n_tables, n_planes, dim)
+
+    def bucket(v: str, planes) -> str:
+        return "\n           + ".join(
+            f"(CASE WHEN list_dot_product({v}, {_dlist(p)}) >= 0"
+            f" THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    per_table = "\n  UNION\n".join(
+        f"""  SELECT query_id, vec_id, q_vec, c_vec
+  FROM (SELECT vec_id, c_vec, {bucket('c_vec', planes)} AS bucket FROM c) cb
+  JOIN (SELECT query_id, q_vec, {bucket('q_vec', planes)} AS bucket FROM q) qb
+  USING (bucket) WHERE vec_id <> query_id"""
+        for planes in tables
+    )
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+      FROM embeddings WHERE vec_id < 5),
+cand AS (
+{per_table}
+),
+scored AS (
+  SELECT DISTINCT query_id, vec_id,
+         ROUND(list_cosine_similarity(c_vec, q_vec), 4) AS cos_sim
+  FROM cand
+)
+SELECT query_id, vec_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= {k}
+"""
+
+
 def embedding_ivf_topk(spark, sf_dir):
     """IVF ANN (k-means coarse quantizer, 3-probe) — the FAISS-style
     scale path next to LSH. The quantizer trains on a deterministic
@@ -3481,6 +3546,9 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("streamed_ingest_corpus", streamed_ingest_corpus, _STREAM_INGEST_SQL),
     QueryDef("source_distinct_sketches", source_distinct_sketches, None),
+    QueryDef(
+        "embedding_multilsh_topk", embedding_multilsh_topk, _multilsh_topk_sql()
+    ),
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
     QueryDef("q3_orders_by_weekday", dashboard.q3_orders_by_weekday, _Q3_SQL),

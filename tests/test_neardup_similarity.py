@@ -231,3 +231,28 @@ def test_jaccard_similar_pairs_fullset_variant(spark):
         ).collect()
     }
     assert (1, 4) in got and got[(1, 4)] >= 0.8
+
+
+def test_multi_table_lsh_recall_dominates_single(spark):
+    """Multi-table LSH unions candidates across tables: its recall
+    must beat (or match) every one of its constituent single tables,
+    and the candidate set must be the exact union (same rescore)."""
+    from batch_processing_on_aws_spark.operators.similarity import lsh_topk_multi
+    from batch_processing_on_aws_spark.plans.golden import _multi_tables
+    from batch_processing_on_aws_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, queries, k=10).collect()}
+    tables = _multi_tables(n_tables=3, n_planes=6)
+    multi = {(r["query_id"], r["vec_id"])
+             for r in lsh_topk_multi(emb, queries, tables, k=10).collect()}
+    multi_recall = len(exact & multi) / len(exact)
+    for planes in tables:
+        single = {(r["query_id"], r["vec_id"])
+                  for r in lsh_topk(emb, queries, planes, k=10).collect()}
+        assert multi_recall >= len(exact & single) / len(exact)
+    assert multi_recall >= 0.2, f"multi-table recall collapsed: {multi_recall}"
