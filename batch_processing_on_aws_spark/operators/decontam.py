@@ -67,3 +67,53 @@ def contamination_report(
         "n_overlap",
         F.round(F.col("n_overlap") / F.col("__bench_n"), 6).alias("containment"),
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    planes: list[list[float]],
+    tau: float = 0.95,
+    corpus_id_col: str = "vec_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic sibling of the
+    n-gram collision report: flag corpus items whose embedding sits
+    within cosine ``tau`` of any benchmark item, catching paraphrased
+    or translated eval leakage that exact n-grams miss.
+
+    Same scale contract as the n-gram path: the benchmark side is
+    small by construction and BROADCASTS; both sides bucket on a
+    hyperplane signature (operators/similarity.py machinery) so the
+    probe is an equi-join on the bucket, the corpus never shuffles,
+    and only colliding candidates get cosine-rescored. Recall is the
+    LSH recall at ``len(planes)`` bits — raise it with fewer planes
+    or a multi-table union (``similarity.lsh_topk_multi`` pattern).
+
+    Output: (corpus id, bench id, cos_sim ≥ tau) — rounded before
+    thresholding for cross-engine reproducibility.
+    """
+    from .similarity import _as_double, cosine, hyperplane_signature
+    from .partitioning import fan_out
+
+    c = fan_out(corpus).select(
+        F.col(corpus_id_col).alias("__cid"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    )
+    c = c.withColumn("__bucket", hyperplane_signature(F.col("__cv"), planes))
+    b = F.broadcast(
+        benchmark.select(
+            F.col(bench_id_col).alias("__bid"),
+            _as_double(F.col(vec_col)).alias("__bv"),
+        ).withColumn("__bucket", hyperplane_signature(F.col("__bv"), planes))
+    )
+    return (
+        c.join(b, "__bucket")
+        .select(
+            F.col("__cid").alias(corpus_id_col),
+            F.col("__bid").alias(bench_id_col),
+            F.round(cosine(F.col("__cv"), F.col("__bv")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= tau)
+    )

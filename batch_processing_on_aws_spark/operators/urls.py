@@ -77,3 +77,35 @@ def domain_stats(
         F.countDistinct("normalized_url").alias("n_unique_urls"),
         F.countDistinct(id_col).alias("n_docs"),
     )
+
+
+def filter_blocklisted_docs(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop every document that links to ANY blocklisted domain — the
+    standard web-corpus hygiene gate (spam/adult/malware domain lists).
+
+    The blocklist arrives as a DataFrame (domains are data, not code:
+    lists are large, versioned, and change without redeploys). Plan:
+    extract per-doc domains (map-only), LEFT SEMI join doc-ids against
+    the blocklist collisions, then LEFT ANTI the originals — two
+    narrow id-keyed shuffles; the blocklist side broadcasts when small
+    (the common case: even huge public lists are ~1M rows of short
+    strings). Matching is on the normalized (lowercased, www-stripped)
+    registered host, exact — subdomain-suffix policies belong in the
+    blocklist expansion step, not the join.
+    """
+    hits = (
+        doc_urls(df, text_col, id_col)
+        .join(
+            F.broadcast(blocklist.select(F.col(domain_col).alias("domain"))),
+            "domain",
+            "left_semi",
+        )
+        .select(id_col)
+    )
+    return df.join(hits, id_col, "left_anti")

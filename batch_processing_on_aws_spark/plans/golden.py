@@ -3456,6 +3456,87 @@ def source_distinct_sketches(spark, sf_dir):
     )
 
 
+def semantic_contaminated_docs(spark, sf_dir):
+    """Embedding-space decontamination
+    (operators/decontam.py::semantic_contamination): corpus vectors
+    within cosine τ of any benchmark vector (the first 20 embeddings
+    pose as the eval set), LSH-bucketed so the corpus never shuffles.
+    τ=0.35 on the near-orthogonal fixture vectors for the same reason
+    semantic_dedup_kept runs at 0.4 (see there); exact self-collisions
+    are excluded."""
+    from ..operators.decontam import semantic_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    planes = _deterministic_planes(n_planes=4, dim=64)
+    out = semantic_contamination(emb, bench, planes, tau=0.35)
+    return out.where(F.col("vec_id") != F.col("bench_id"))
+
+
+def _semantic_decontam_sql(n_planes: int = 4, dim: int = 64) -> str:
+    planes = _deterministic_planes(n_planes, dim)
+
+    def bucket(v: str) -> str:
+        return "\n         + ".join(
+            f"(CASE WHEN list_dot_product({v}, {_dlist(p)}) >= 0"
+            f" THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
+b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS b_vec
+      FROM embeddings WHERE vec_id < 20),
+cb AS (SELECT vec_id, c_vec, {bucket('c_vec')} AS bucket FROM c),
+bb AS (SELECT bench_id, b_vec, {bucket('b_vec')} AS bucket FROM b)
+SELECT vec_id, bench_id,
+       ROUND(list_cosine_similarity(c_vec, b_vec), 4) AS cos_sim
+FROM cb JOIN bb USING (bucket)
+WHERE ROUND(list_cosine_similarity(c_vec, b_vec), 4) >= 0.35
+  AND vec_id <> bench_id
+"""
+
+
+def blocklist_filtered_docs(spark, sf_dir):
+    """URL blocklist hygiene gate
+    (operators/urls.py::filter_blocklisted_docs): docs linking to any
+    blocked domain are dropped. Text is URL-augmented exactly as in
+    url_domain_stats; the blocklist bans two of the seven synthetic
+    domains, so roughly 2/7 of docs (plus the mirror.org adders)
+    disappear."""
+    from ..operators.urls import filter_blocklisted_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id", _augment_urls(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    blocklist = spark.createDataFrame(
+        [("example3.com",), ("mirror.org",)], "domain string"
+    )
+    return filter_blocklisted_docs(aug, blocklist).select("doc_id")
+
+
+_BLOCKLIST_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id, {_AUGMENT_URLS_SQL} AS text
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(
+           unnest(regexp_extract_all(text, 'https?://[^\s]+')),
+           '^https?://([^/?#:\s]+)', 1)), '^www\.', '') AS domain
+  FROM aug
+)
+SELECT doc_id FROM aug
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM u WHERE domain IN ('example3.com', 'mirror.org')
+)
+"""
+
+
 # the queries the driver already passed in round 1.
 QUERIES: list[QueryDef] = [
     # (1) never driver-checked in round 1
@@ -3549,6 +3630,12 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "embedding_multilsh_topk", embedding_multilsh_topk, _multilsh_topk_sql()
     ),
+    QueryDef(
+        "semantic_contaminated_docs",
+        semantic_contaminated_docs,
+        _semantic_decontam_sql(),
+    ),
+    QueryDef("blocklist_filtered_docs", blocklist_filtered_docs, _BLOCKLIST_SQL),
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
     QueryDef("q3_orders_by_weekday", dashboard.q3_orders_by_weekday, _Q3_SQL),

@@ -255,3 +255,46 @@ def test_hll_sketches_accurate_and_mergeable(spark):
     total = union_distinct_estimate(per).collect()[0]["est_distinct"]
     assert abs(total - 700) / 700 < 0.05, total
     assert total < sum(exact.values()) * 0.5
+
+
+def test_semantic_contamination_detects_paraphrase_leak(spark):
+    from batch_processing_on_aws_spark.operators.decontam import (
+        semantic_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.01, 0.0]),   # near-copy of bench 1
+            (11, [0.0, 1.0, 0.0]),    # orthogonal to bench
+            (12, [0.707, 0.707, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0])], "bench_id long, embedding array<double>"
+    )
+    # one plane can't separate much at 3 dims; use two deterministic planes
+    planes = [[1.0, 0.2, 0.1], [-0.3, 1.0, 0.5]]
+    out = {(r["vec_id"], r["bench_id"]): r["cos_sim"] for r in
+           semantic_contamination(corpus, bench, planes, tau=0.95).collect()}
+    assert (10, 1) in out and out[(10, 1)] > 0.99
+    assert (11, 1) not in out and (12, 1) not in out
+
+
+def test_blocklist_filter_drops_linking_docs(spark):
+    from batch_processing_on_aws_spark.operators.urls import (
+        filter_blocklisted_docs,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "see https://bad.com/x"),
+            (2, "see https://WWW.Bad.com/y later"),   # normalized match
+            (3, "see https://good.org/z"),
+            (4, "no links at all"),
+        ],
+    )
+    blocklist = spark.createDataFrame([("bad.com",)], "domain string")
+    kept = {r["doc_id"] for r in filter_blocklisted_docs(df, blocklist).collect()}
+    assert kept == {3, 4}
