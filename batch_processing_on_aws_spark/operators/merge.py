@@ -27,6 +27,7 @@ O(table).
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -180,7 +181,9 @@ def upsert_catalog_table(
     Raises the provider's AnalysisException unchanged if the table's
     format does not support row-level operations — probe with
     :func:`supports_merge_into` first."""
-    view = "__merge_into_source"
+    # unique per call: a fixed name would let two concurrent upserts
+    # on one SparkSession swap each other's source views mid-MERGE
+    view = f"__merge_into_source_{uuid.uuid4().hex}"
     new.createOrReplaceTempView(view)
     try:
         spark.sql(merge_into_sql(table, view, keys))

@@ -429,13 +429,41 @@ def rare_jaccard_pairs(
 
     Output: (doc_id_a, doc_id_b, jaccard ≥ threshold), a < b.
     """
-    # the index carries xxhash64(shingle), not the shingle text: every
-    # downstream op (df count, self-join, set sizes) only needs
-    # equality, and an 8-byte key shrinks the checkpoint and the join
-    # shuffle ~4× vs ~20-byte shingle strings. Jaccard COUNTS are
-    # unchanged (distinct shingles stay distinct barring a ~2⁻⁶⁴
-    # birthday collision), so the string-arithmetic oracle still
-    # matches exactly.
+    sized = _rare_intersections(df, text_col, id_col, shingle_n, max_df)
+    j = F.col("__i").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__i")
+    )
+    return (
+        sized.select(
+            F.col("__ida").alias("doc_id_a"),
+            F.col("__idb").alias("doc_id_b"),
+            j.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _rare_intersections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_df: int,
+) -> DataFrame:
+    """Shared skeleton of the rare-shingle pair family
+    (``rare_jaccard_pairs``, ``rare_containment_pairs``): inverted
+    index → df-cap filter → self-join intersection counts → per-doc
+    set sizes. Returns one row per unordered pair with
+    (``__ida`` < ``__idb``, ``__i`` intersection, ``__na``/``__nb``
+    rare-set sizes) — callers derive their similarity ratio.
+
+    The index carries xxhash64(shingle), not the shingle text: every
+    downstream op (df count, self-join, set sizes) only needs
+    equality, and an 8-byte key shrinks the checkpoint and the join
+    shuffle ~4× vs ~20-byte shingle strings. Intersection COUNTS are
+    unchanged (distinct shingles stay distinct barring a ~2⁻⁶⁴
+    birthday collision), so string-arithmetic oracles still match
+    exactly."""
     idx = shingle_index(df, text_col, id_col, shingle_n).select(
         "__id", F.xxhash64("__s").alias("__s")
     )
@@ -460,24 +488,16 @@ def rare_jaccard_pairs(
             ],
         )
         .groupBy(
-            F.col("a.__id").alias("doc_id_a"), F.col("b.__id").alias("doc_id_b")
+            F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb")
         )
         .agg(F.count(F.lit(1)).alias("__i"))
     )
-    j = F.col("__i").cast("double") / (
-        F.col("__na") + F.col("__nb") - F.col("__i")
-    )
-    return (
-        inter.join(
-            sizes.select(F.col("__id").alias("doc_id_a"), F.col("__n").alias("__na")),
-            "doc_id_a",
-        )
-        .join(
-            sizes.select(F.col("__id").alias("doc_id_b"), F.col("__n").alias("__nb")),
-            "doc_id_b",
-        )
-        .select("doc_id_a", "doc_id_b", j.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    return inter.join(
+        sizes.select(F.col("__id").alias("__ida"), F.col("__n").alias("__na")),
+        "__ida",
+    ).join(
+        sizes.select(F.col("__id").alias("__idb"), F.col("__n").alias("__nb")),
+        "__idb",
     )
 
 
@@ -507,38 +527,7 @@ def rare_containment_pairs(
     Output: (src_id, dst_id, containment ≥ threshold), src ≠ dst —
     one directed row per direction that clears the threshold.
     """
-    idx = shingle_index(df, text_col, id_col, shingle_n).select(
-        "__id", F.xxhash64("__s").alias("__s")
-    )
-    rare = (
-        idx.groupBy("__s")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .where(F.col("__df") <= max_df)
-        .select("__s")
-    )
-    filtered = idx.join(rare, "__s").localCheckpoint()
-    sizes = filtered.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    inter = (
-        filtered.alias("a")
-        .join(
-            filtered.alias("b"),
-            on=[
-                F.col("a.__s") == F.col("b.__s"),
-                F.col("a.__id") < F.col("b.__id"),
-            ],
-        )
-        .groupBy(
-            F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb")
-        )
-        .agg(F.count(F.lit(1)).alias("__i"))
-    )
-    sized = inter.join(
-        sizes.select(F.col("__id").alias("__ida"), F.col("__n").alias("__na")),
-        "__ida",
-    ).join(
-        sizes.select(F.col("__id").alias("__idb"), F.col("__n").alias("__nb")),
-        "__idb",
-    )
+    sized = _rare_intersections(df, text_col, id_col, shingle_n, max_df)
     # each undirected intersection row yields both directed scores
     directed = sized.select(
         F.explode(

@@ -26,10 +26,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Ordered: masks are applied in this sequence. Order matters only if
-# one pattern could match another's residue; these four are mutually
-# exclusive on any fixed span (SSN is 3-2-4 digit groups, phone is
-# 3-3-4; an IPv4 octet run never contains '@').
+# Ordered: masks are applied in this sequence, and each category's
+# COUNT is measured on the text as already masked by the previous
+# stages — so the audit counts always equal the placeholder tokens
+# actually emitted, even for nested spans (an IP or phone inside an
+# email local part is consumed by the earlier email mask and counted
+# zero, exactly matching the redacted output).
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
@@ -61,15 +63,18 @@ def redact_pii(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-document PII scrub: match counts per category (measured on
-    the ORIGINAL text, so the audit trail is independent of mask
-    order) plus the fully redacted text.
+    """Per-document PII scrub: match counts per category plus the
+    fully redacted text. Each count is measured AFTER the previous
+    categories' masks (see PII_PATTERNS), so per category
+    ``n_<kind> == redacted.count('<KIND>')`` holds exactly — the
+    invariant tests/test_curation_properties.py pins.
 
     Output: (id, n_email, n_ipv4, n_ssn, n_phone, redacted).
     """
-    c = F.col(text_col)
-    return df.select(
-        F.col(id_col),
-        *[pii_count(c, kind).alias(f"n_{kind}") for kind in PII_PATTERNS],
-        redact(c).alias("redacted"),
-    )
+    staged = F.col(text_col)
+    counts = []
+    for kind in PII_PATTERNS:
+        pattern, token = PII_PATTERNS[kind]
+        counts.append(F.regexp_count(staged, F.lit(pattern)).alias(f"n_{kind}"))
+        staged = F.regexp_replace(staged, pattern, token)
+    return df.select(F.col(id_col), *counts, staged.alias("redacted"))

@@ -69,7 +69,12 @@ def gopher_quality(
     n_alpha = F.size(
         F.filter(F.col("__toks"), lambda t: t.rlike("[A-Za-z]"))
     )
-    n_stop = F.size(F.filter(F.col("__toks"), lambda t: t.isin(*STOPWORDS)))
+    # lowercase before matching, like every sibling operator
+    # (token_rarity_stats, distinctive_tokens, language_scores) — a
+    # Title-Case headline's 'The'/'In' are still stopword hits
+    n_stop = F.size(
+        F.filter(F.col("__toks"), lambda t: F.lower(t).isin(*STOPWORDS))
+    )
 
     stats = base.select(
         F.col(id_col),

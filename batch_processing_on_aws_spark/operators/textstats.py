@@ -209,21 +209,35 @@ def token_rarity_stats(
     from .partitioning import fan_out
 
     toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    # explode_outer keeps zero-token documents as a single null-token
+    # row (same contract as language_scores): every input doc gets an
+    # output row — n_tokens 0, null freq stats, ratio 0.0 — instead of
+    # silently vanishing from downstream audits
     exploded = fan_out(df).select(
-        F.col(id_col), F.explode(toks).alias("__t")
+        F.col(id_col), F.explode_outer(toks).alias("__t")
     )
-    freq = exploded.groupBy("__t").agg(F.count(F.lit(1)).alias("__cnt"))
-    joined = exploded.join(freq, "__t")
-    n = F.count(F.lit(1))
+    freq = (
+        exploded.where(F.col("__t").isNotNull())
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    joined = exploded.join(freq, "__t", "left")
+    n = F.count("__t")  # count() over a column skips nulls
     return joined.groupBy(id_col).agg(
         n.cast("long").alias("n_tokens"),
         F.min("__cnt").cast("long").alias("min_token_freq"),
         # median of integers: exact (midpoint of two ints is .0/.5)
         F.median("__cnt").alias("median_token_freq"),
-        F.round(
-            F.sum(F.when(F.col("__cnt") <= rare_max_count, 1).otherwise(0)) / n,
-            4,
-        ).alias("rare_token_ratio"),
+        F.when(
+            n > 0,
+            F.round(
+                F.sum(F.when(F.col("__cnt") <= rare_max_count, 1).otherwise(0))
+                / n,
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rare_token_ratio"),
     )
 
 

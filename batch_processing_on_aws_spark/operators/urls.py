@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-URL_RE = r"https?://[^\s]+"
+# the final character class refuses sentence punctuation, so a URL at
+# the end of a clause ('see https://x.com.' / '(https://x.com/y)')
+# doesn't swallow the terminator into the host/path — without this the
+# blocklist gate compares 'bad.com.' against 'bad.com' and misses
+URL_RE = r"https?://[^\s]+[^\s.,;:!?)\]]"
 # host = authority up to the first '/', '?', '#', or ':' (port dropped)
 _HOST_RE = r"^https?://([^/?#:\s]+)"
 # path = everything after the authority, before query/fragment

@@ -717,22 +717,19 @@ FROM scored QUALIFY rank <= {k}
 """
 
 
-def _ivf_sql(
-    n_cells: int = 16,
-    n_probe: int = 3,
-    k: int = 10,
-    seed: int = 42,
-    max_iter: int = 8,
-    n_train: int = 4096,
+def _oracle_centroid_values(
+    n_cells: int, seed: int, max_iter: int, n_train: int
 ) -> str | None:
-    """DuckDB twin of ``embedding_ivf_topk``. The centroids are a
+    """Shared centroid derivation for the k-means-based oracles
+    (``_ivf_sql``, ``_semantic_dedup_sql``): the quantizer is a
     deterministic function of the data (md5-ordered sample + seeded
     numpy Lloyd — ``operators.similarity._kmeans``, shared with the
-    Spark path), so this generator re-derives them from the driver's
-    correctness scale ($SPARK_GRAFT_ORACLE_SF_DIR, default sf0.01) and
-    inlines them as literals. Valid only at that scale — the driver
-    runs oracles at sf0.01 per the contract. Returns None (rows-only
-    check) if the parquet isn't readable here."""
+    Spark path), re-derived here from the driver's correctness scale
+    ($SPARK_GRAFT_ORACLE_SF_DIR, default sf0.01) and rendered as a
+    VALUES literal list ``(cell, centroid, half_sq)``. The sample SQL
+    must stay in lockstep with ``similarity._train_centroids``.
+    Returns None if the parquet isn't readable here (callers then
+    register a rows-only check)."""
     import duckdb
     import numpy as np
 
@@ -754,10 +751,26 @@ def _ivf_sql(
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     centers = _kmeans(X, n_cells, seed, max_iter)
     half_sq = (centers**2).sum(1) / 2.0
-    vals = ",\n  ".join(
+    return ",\n  ".join(
         f"({i}, {_dlist(ctr)}, {float(h)!r})"
         for i, (ctr, h) in enumerate(zip(centers, half_sq))
     )
+
+
+def _ivf_sql(
+    n_cells: int = 16,
+    n_probe: int = 3,
+    k: int = 10,
+    seed: int = 42,
+    max_iter: int = 8,
+    n_train: int = 4096,
+) -> str | None:
+    """DuckDB twin of ``embedding_ivf_topk`` — centroids inlined as
+    literals via ``_oracle_centroid_values`` (see there). Valid only
+    at the oracle scale; None → rows-only check."""
+    vals = _oracle_centroid_values(n_cells, seed, max_iter, n_train)
+    if vals is None:
+        return None
     return f"""
 WITH cent(cell, centroid, half_sq) AS (VALUES
   {vals}
@@ -2945,29 +2958,43 @@ def pii_redaction(spark, sf_dir):
     return redact_pii(aug)
 
 
+# counts are taken on the progressively masked text (stage k counts
+# AFTER stages 1..k-1 replaced), mirroring operators/pii.py — so
+# every count equals the number of placeholder tokens emitted
 _PII_SQL = rf"""
 WITH aug AS (
   SELECT doc_id, {_AUGMENT_PII_SQL} AS text
   FROM documents
+),
+s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g')
+           AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT *, regexp_replace(t1,
+           '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b', '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, regexp_replace(t2,
+           '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '<SSN>', 'g') AS t3
+  FROM s2
 )
 SELECT doc_id,
        CAST(len(regexp_extract_all(text,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
-       CAST(len(regexp_extract_all(text,
+       CAST(len(regexp_extract_all(t1,
            '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b')) AS INT) AS n_ipv4,
-       CAST(len(regexp_extract_all(text,
+       CAST(len(regexp_extract_all(t2,
            '\b\d{{3}}-\d{{2}}-\d{{4}}\b')) AS INT) AS n_ssn,
-       CAST(len(regexp_extract_all(text,
+       CAST(len(regexp_extract_all(t3,
            '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b')) AS INT) AS n_phone,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-             '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b', '<IP>', 'g'),
-           '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '<SSN>', 'g'),
-         '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b', '<PHONE>', 'g') AS redacted
-FROM aug
+       regexp_replace(t3,
+           '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b', '<PHONE>', 'g') AS redacted
+FROM s3
 """
 
 
@@ -3000,8 +3027,8 @@ s AS (
          CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
            AS n_alpha,
          CAST(len(list_filter(toks, x -> list_contains(
-             ['the','a','an','of','to','and','in','is','that','with'], x)))
-           AS BIGINT) AS stopword_hits
+             ['the','a','an','of','to','and','in','is','that','with'],
+             lower(x)))) AS BIGINT) AS stopword_hits
   FROM t
 ),
 m AS (
@@ -3075,7 +3102,7 @@ WITH aug AS (
 ),
 u0 AS (
   SELECT doc_id,
-         unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+         unnest(regexp_extract_all(text, 'https?://[^\s]+[^\s.,;:!?)\]]')) AS url
   FROM aug
 ),
 u AS (
@@ -3161,34 +3188,12 @@ def _semantic_dedup_sql(
     max_iter: int = 8,
     n_train: int = 4096,
 ) -> str | None:
-    """DuckDB twin of ``semantic_dedup_kept`` — same centroid-literal
-    technique as ``_ivf_sql`` (the quantizer is a deterministic
-    function of the data, re-derived here at the oracle scale)."""
-    import duckdb
-    import numpy as np
-
-    from ..operators.similarity import _kmeans
-
-    sf_dir = os.environ.get(
-        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
-    try:
-        con = duckdb.connect()
-        rows = con.execute(
-            f"SELECT CAST(embedding AS DOUBLE[]) "
-            f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
-            f"ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)) "
-            f"LIMIT {n_train}"
-        ).fetchall()
-    except Exception:
+    """DuckDB twin of ``semantic_dedup_kept`` — centroids inlined via
+    the shared ``_oracle_centroid_values`` (same quantizer contract
+    as the Spark path); None → rows-only check."""
+    vals = _oracle_centroid_values(n_cells, seed, max_iter, n_train)
+    if vals is None:
         return None
-    X = np.asarray([r[0] for r in rows], dtype=np.float64)
-    centers = _kmeans(X, n_cells, seed, max_iter)
-    half_sq = (centers**2).sum(1) / 2.0
-    vals = ",\n  ".join(
-        f"({i}, {_dlist(ctr)}, {float(h)!r})"
-        for i, (ctr, h) in enumerate(zip(centers, half_sq))
-    )
     return f"""
 WITH cent(cell, centroid, half_sq) AS (VALUES
   {vals}
@@ -3226,20 +3231,22 @@ def doc_token_rarity(spark, sf_dir):
 _RARITY_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_transform(
-           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                ELSE regexp_split_to_array(trim(text), '\s+') END,
-           x -> lower(x))) AS t
+         unnest(CASE WHEN length(trim(text)) = 0 THEN [NULL]::VARCHAR[]
+                ELSE list_transform(
+                  regexp_split_to_array(trim(text), '\s+'),
+                  x -> lower(x)) END) AS t
   FROM documents
 ),
-freq AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t)
+freq AS (SELECT t, count(*) AS cnt FROM toks WHERE t IS NOT NULL GROUP BY t)
 SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(t) AS BIGINT) AS n_tokens,
        CAST(min(cnt) AS BIGINT) AS min_token_freq,
        median(cnt) AS median_token_freq,
-       ROUND(CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 4) AS rare_token_ratio
-FROM toks JOIN freq USING (t)
+       CASE WHEN count(t) > 0 THEN
+         ROUND(CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(t), 4)
+       ELSE 0.0 END AS rare_token_ratio
+FROM toks LEFT JOIN freq USING (t)
 GROUP BY doc_id
 """
 
@@ -3526,7 +3533,7 @@ WITH aug AS (
 u AS (
   SELECT doc_id,
          regexp_replace(lower(regexp_extract(
-           unnest(regexp_extract_all(text, 'https?://[^\s]+')),
+           unnest(regexp_extract_all(text, 'https?://[^\s]+[^\s.,;:!?)\]]')),
            '^https?://([^/?#:\s]+)', 1)), '^www\.', '') AS domain
   FROM aug
 )

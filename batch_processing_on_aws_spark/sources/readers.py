@@ -186,11 +186,14 @@ def to_pandas(df: DataFrame, limit: int | None = 100_000):
     caps the transfer and loudly refuses anything over it. Pass
     ``limit=None`` only when the frame is already a small aggregate.
     """
-    if limit is not None:
-        n = df.count()
-        if n > limit:
-            raise ValueError(
-                f"to_pandas: {n} rows > limit={limit}; aggregate or "
-                "sample first, or pass limit=None to force"
-            )
-    return df.toPandas()
+    if limit is None:
+        return df.toPandas()
+    # single pass: collect limit+1 rows and refuse on overflow — a
+    # separate count() would execute the whole plan twice
+    pdf = df.limit(limit + 1).toPandas()
+    if len(pdf) > limit:
+        raise ValueError(
+            f"to_pandas: more than limit={limit} rows; aggregate or "
+            "sample first, or pass limit=None to force"
+        )
+    return pdf

@@ -169,9 +169,17 @@ def ingest_dedup_stream(
             [F.col(id_col).asc()],
         )
         s = batch.sparkSession
+        # only a MISSING ledger means "first batch" — any other read
+        # failure (corrupt footer, storage error) must abort the batch,
+        # or the anti-join silently disappears and every previously
+        # seen document re-enters the corpus
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         try:
             ledger = s.read.parquet(ledger_path)
-        except Exception:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             ledger = None
         fresh = b if ledger is None else dedup_against_ledger(b, ledger)
         fresh.persist()

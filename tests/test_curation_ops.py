@@ -298,3 +298,51 @@ def test_blocklist_filter_drops_linking_docs(spark):
     blocklist = spark.createDataFrame([("bad.com",)], "domain string")
     kept = {r["doc_id"] for r in filter_blocklisted_docs(df, blocklist).collect()}
     assert kept == {3, 4}
+
+
+def test_pii_nested_span_counts_match_masks(spark):
+    """An IP inside an email local part is consumed by the email mask:
+    counted zero, masked zero — audit equals output."""
+    df = _docs(spark, [(1, "leak 10.0.0.1@example.com here"),
+                       (2, "bare 10.0.0.1 here")])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[1]["redacted"] == "leak <EMAIL> here"
+    assert out[2]["n_ipv4"] == 1 and out[2]["redacted"] == "bare <IP> here"
+
+
+def test_url_sentence_punctuation_not_swallowed(spark):
+    """A URL at the end of a sentence must not absorb the terminator:
+    'https://bad.com.' extracts domain 'bad.com', so the blocklist
+    gate still catches it."""
+    from batch_processing_on_aws_spark.operators.urls import (
+        filter_blocklisted_docs,
+    )
+
+    df = _docs(spark, [(1, "go to https://bad.com. Next sentence."),
+                       (2, "list (https://bad.com/x), done"),
+                       (3, "clean https://ok.org/y.")])
+    rows = {r["doc_id"]: r for r in doc_urls(df).collect()}
+    assert rows[1]["domain"] == "bad.com" and rows[1]["url"] == "https://bad.com"
+    assert rows[2]["domain"] == "bad.com"
+    assert rows[3]["domain"] == "ok.org"
+    blocklist = spark.createDataFrame([("bad.com",)], "domain string")
+    kept = {r["doc_id"] for r in filter_blocklisted_docs(df, blocklist).collect()}
+    assert kept == {3}
+
+
+def test_gopher_stopwords_case_insensitive(spark):
+    title_case = ("The Quick Brown Fox Jumps Over A Lazy Dog And Runs In "
+                  "The Yard With Joy Every Single Day For Hours On End")
+    df = _docs(spark, [(1, title_case)])
+    row = gopher_quality(df).collect()[0]
+    assert row["stopword_hits"] >= 2 and row["flag_stopwords"] is True
+
+
+def test_token_rarity_keeps_empty_docs(spark):
+    df = _docs(spark, [(1, "alpha beta"), (2, ""), (3, "   ")])
+    out = {r["doc_id"]: r for r in token_rarity_stats(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_tokens"] == 0 and out[2]["min_token_freq"] is None
+    assert out[2]["rare_token_ratio"] == 0.0
+    assert out[1]["n_tokens"] == 2

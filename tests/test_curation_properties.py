@@ -75,8 +75,8 @@ def test_redaction_is_idempotent_and_clean(spark, texts):
 def test_redaction_counts_match_masks(spark, texts):
     """Every counted match disappears from the redacted text: the
     redacted output contains exactly n_<kind> placeholder tokens per
-    category (counts are measured pre-mask on the original, and the
-    categories cannot overlap)."""
+    category (each count is measured on the text AFTER the previous
+    categories' masks, so nested spans can't desynchronize them)."""
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
