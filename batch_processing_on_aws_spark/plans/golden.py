@@ -1965,24 +1965,38 @@ def customer_spend_quartiles(spark, sf_dir):
     ordering (and therefore every rank) is accumulation-order-free;
     ties broken by custkey for cross-engine determinism.
 
-    Scale note: a global rank is inherently a total order — at 100 TB
-    you'd partition the window by a coarse spend range (range-
-    partitioned sort) or switch to approx percentiles
-    (value_percentiles) instead of one-reducer ntile. Kept global here
-    because the SEMANTICS under test are the exact SQL ones."""
-    from pyspark.sql import Window
+    Scale: this used to be a global ``Window.orderBy`` — a one-reducer
+    total order (the ``WindowExec: No Partition Defined`` warning) that
+    dies at 100 TB. Now it runs the range-partitioned two-pass exact
+    rank (``operators/ranking.py``): buckets rank in parallel, bucket
+    offsets restore the global row number, and ntile / percent_rank /
+    cume_dist follow in closed form because (spend desc, custkey) is a
+    strict total order. Identical output, no global window."""
+    from ..operators.ranking import (
+        cume_dist_from_rn,
+        global_row_numbers,
+        ntile_from_rn,
+        percent_rank_from_rn,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         tpch.money_sum(F.col("o_totalprice")).alias("total_spend")
     )
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
-    return spend.select(
+    ranked, n = global_row_numbers(
+        spend,
+        "total_spend",
+        [F.col("total_spend").desc(), F.col("o_custkey").asc()],
+        ascending=False,
+        num_buckets=32,
+    )
+    rn = F.col("__global_rn")
+    return ranked.select(
         "o_custkey",
         "total_spend",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_from_rn(rn, n, 4).alias("quartile"),
+        F.round(percent_rank_from_rn(rn, n), 6).alias("pct_rank"),
+        F.round(cume_dist_from_rn(rn, n), 6).alias("cume"),
     )
 
 
