@@ -34,12 +34,20 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     check_every: int = 1,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
-    component = min node id reachable (undirected). Raises if not
-    converged within ``max_iter`` rounds — at that point the graph has
-    a path longer than any plausible near-dup cluster and the
-    large-star algorithm is the right tool.
+    component = min node id reachable (undirected).
+
+    ``algorithm="propagation"`` (default): min-label propagation —
+    rounds = graph diameter, the right choice for near-dup cliques
+    (diameter 2–4). Raises if not converged within ``max_iter`` rounds
+    — at that point the graph has a path longer than any plausible
+    near-dup cluster and the large-star algorithm is the right tool.
+
+    ``algorithm="large_star"``: alternating large-star/small-star
+    (Kiveris et al., SoCC'14) — O(log² n) rounds even on adversarial
+    long chains; see :func:`_cc_large_star`.
 
     Node ids keep their native type: min-label propagation only needs
     an orderable id (long, string UUID, …), and casting would turn
@@ -60,6 +68,11 @@ def connected_components(
             F.col(c).isNull(),
             F.raise_error(F.lit(f"connected_components: NULL node id in {c!r}")),
         ).otherwise(F.col(c))
+
+    if algorithm == "large_star":
+        return _cc_large_star(edges, src, dst, max_iter=max_iter, _nn=_nn)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
 
     sym = edges.select(_nn(src).alias("n"), _nn(dst).alias("nbr")).unionAll(
         edges.select(_nn(dst).alias("n"), _nn(src).alias("nbr"))
@@ -95,7 +108,105 @@ def connected_components(
             if changed == 0:
                 return labels.select("n", F.col("label").alias("component"))
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds"
+        f"connected_components did not converge in {max_iter} rounds "
+        "(long chains in the edge graph — rerun with "
+        "algorithm='large_star', which converges in O(log² n) rounds)"
+    )
+
+
+def _cc_large_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int, _nn
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Each round rewires the graph toward a star forest rooted at every
+    component's minimum node:
+
+    - large-star(u): each neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u});
+    - small-star(u) over larger→smaller directed edges: u and all its
+      smaller neighbors attach to the smallest of them.
+
+    Both steps preserve connectivity; the alternation converges in
+    O(log² n) rounds on ANY graph (the paper's Theorem 3), so
+    adversarial long chains — where min-label propagation needs
+    diameter rounds — stay cheap. Each step is one shuffle agg + one
+    shuffle join + distinct; convergence is detected by an
+    order-insensitive edge-set checksum (count + sum of xxhash64), one
+    bounded scalar aggregate per round, no data-sized collect.
+    """
+    # Undirected edge set, NULL-guarded; nodes captured BEFORE dropping
+    # self-loops so a self-loop-only node still gets a component.
+    raw = edges.select(_nn(src).alias("u"), _nn(dst).alias("v")).localCheckpoint()
+    nodes = (
+        raw.select(F.col("u").alias("n"))
+        .unionAll(raw.select(F.col("v").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("l"), F.greatest("u", "v").alias("g")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _checksum(df: DataFrame):
+        # bit_xor: order-insensitive, overflow-free (ANSI sum of
+        # xxhash64 longs overflows); edges are distinct so xor
+        # cancellation of duplicates cannot occur.
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.bit_xor(F.xxhash64("l", "g")).alias("h"),
+        ).collect()[0]
+        return row["c"], row["h"]
+
+    sig = _checksum(e)
+    for _ in range(max_iter):
+        # ---- large-star: neighbors v > u attach to min(Γ(u) ∪ {u}).
+        sym = e.select(F.col("l").alias("u"), F.col("g").alias("v")).unionAll(
+            e.select(F.col("g").alias("u"), F.col("l").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("l"), F.col("v").alias("g"))
+            .where(F.col("l") != F.col("g"))
+            .distinct()
+        )
+        # ---- small-star: u and its smaller neighbors attach to their min.
+        smins = e.groupBy("g").agg(F.min("l").alias("m"))
+        joined = e.join(smins, "g")
+        e = (
+            joined.where(F.col("l") != F.col("m"))
+            .select(F.col("m").alias("l"), F.col("l").alias("g"))
+            .unionAll(
+                joined.select(F.col("m").alias("l"), F.col("g").alias("g"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _checksum(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"large-star connected components did not converge in "
+            f"{max_iter} rounds"
+        )
+
+    # Star forest: every non-root g has edges only to its component
+    # min l; roots label themselves.
+    labels = e.groupBy(F.col("g").alias("n")).agg(F.min("l").alias("root"))
+    return nodes.join(labels, "n", "left").select(
+        "n", F.coalesce("root", F.col("n")).alias("component")
     )
 
 

@@ -134,3 +134,77 @@ def test_components_check_every_matches_per_round(spark):
     every = connected_components(_edges(spark, chain)).collect()
     batched = connected_components(_edges(spark, chain), check_every=3).collect()
     assert sorted(map(tuple, every)) == sorted(map(tuple, batched))
+
+
+# ---------------------------------------------------------------- large-star
+
+
+def test_propagation_raises_on_long_chain_pointing_at_large_star(spark):
+    """The documented failure mode, pinned: a 60-edge path exceeds a
+    small max_iter for diameter-bound propagation, and the error must
+    point at the large-star fallback."""
+    import pytest
+
+    chain = _edges(spark, [(i, i + 1) for i in range(60)])
+    with pytest.raises(RuntimeError, match="large_star"):
+        connected_components(chain, max_iter=10)
+
+
+def test_large_star_converges_on_long_chain(spark):
+    """Same 61-node path: large-star/small-star must converge in
+    O(log^2 n) rounds — max_iter=12 is ample for n=61 where diameter-
+    bound propagation needs 60."""
+    chain = _edges(spark, [(i, i + 1) for i in range(60)])
+    comp = {
+        r["n"]: r["component"]
+        for r in connected_components(
+            chain, algorithm="large_star", max_iter=12
+        ).collect()
+    }
+    assert set(comp.values()) == {0}
+    assert len(comp) == 61
+
+
+def test_large_star_agrees_with_propagation_on_random_graphs(spark):
+    """Both algorithms are exact: on seeded random graphs (including
+    self-loops and duplicate edges) their outputs must be identical."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 60))
+        ]
+        df = _edges(spark, edges)
+        prop = sorted(
+            map(tuple, connected_components(df).collect())
+        )
+        star = sorted(
+            map(
+                tuple,
+                connected_components(
+                    df, algorithm="large_star", max_iter=15
+                ).collect(),
+            )
+        )
+        assert prop == star, f"seed={seed}"
+
+
+def test_large_star_string_ids_and_self_loop_singleton(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("solo", "solo")], "src string, dst string"
+    )
+    comp = {
+        r["n"]: r["component"]
+        for r in connected_components(edges, algorithm="large_star").collect()
+    }
+    assert comp == {"a": "a", "b": "a", "c": "a", "solo": "solo"}
+
+
+def test_unknown_algorithm_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(_edges(spark, [(1, 2)]), algorithm="pointer")
