@@ -4,11 +4,13 @@ Images/audio/video ride through the engine as opaque ``binary``
 columns plus typed metadata structs — the pattern public large-scale
 training pipelines use (parquet/webdataset shards of bytes + metadata).
 All Spark-side plumbing here is real and tested: schemas, Arrow-batched
-``mapInPandas`` operators, partition sizing. The codec step itself
-(JPEG decode, audio resample, video frame-sample) is STUBBED behind
-``_decode_stub`` because the media libraries are not in this
-container — swap the stub for PIL/torchaudio/pyav calls in production;
-the batch shapes and signatures do not change.
+``mapInPandas`` operators, partition sizing. The codec layer is REAL
+for formats decodable without media libs — binary PPM/PGM and
+uncompressed BMP via :func:`decode_image` (pure stdlib + numpy) —
+and STUBBED for the rest (JPEG decode, audio resample, video
+frame-sample) because those libraries are not in this container; swap
+the stub branch of ``_analyze`` for PIL/torchaudio/pyav calls in
+production; the batch shapes and signatures do not change.
 
 Scale notes: media rows are big (MBs), so operators cap Arrow batch
 sizes via ``spark.sql.execution.arrow.maxRecordsPerBatch`` and avoid
@@ -48,14 +50,86 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, sha256 string, "
-    "feat array<float>, decode_ok boolean"
+    "feat array<float>, decode_ok boolean, "
+    "width int, height int, channels int"
 )
 
 
-def _decode_stub(data: bytes | None, kind: str | None) -> list[float]:
-    """STUB for the real codec: deterministic 8-dim 'feature' derived
-    from the payload hash so tests are reproducible. Replace with a
-    real decode + model forward pass in production.
+def decode_image(data: bytes):
+    """REAL codec for the two formats decodable without media libs:
+    binary PPM/PGM (P6/P5) and uncompressed BI_RGB BMP (24/32 bpp),
+    parsed with stdlib + numpy only. Returns an HxWxC uint8 array
+    (RGB byte order for BMP — rows un-flipped from bottom-up storage,
+    BGR(A)→RGB(A) swapped). Raises ``ValueError`` on any other or
+    corrupt payload, so callers can fall back to the stub path without
+    masking bugs in payloads that claimed to be decodable."""
+    import numpy as np
+
+    if len(data) < 2:
+        raise ValueError("payload too short for any image magic")
+    magic = data[:2]
+    if magic in (b"P6", b"P5"):
+        # PPM/PGM: ASCII header tokens (with '#' comments) then raster.
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(data) and data[pos : pos + 1] == b"#":
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                raise ValueError("truncated PPM header")
+            tokens.append(data[start:pos])
+        pos += 1  # single whitespace after maxval, then raster
+        try:
+            w, h, maxval = (int(t) for t in tokens)
+        except ValueError as e:
+            raise ValueError(f"bad PPM header tokens {tokens!r}") from e
+        if not (0 < maxval <= 255 and w > 0 and h > 0):
+            raise ValueError(f"unsupported PPM dims/maxval {w}x{h}/{maxval}")
+        c = 3 if magic == b"P6" else 1
+        raster = data[pos : pos + w * h * c]
+        if len(raster) != w * h * c:
+            raise ValueError("truncated PPM raster")
+        return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, c)
+    if magic == b"BM":
+        if len(data) < 54:
+            raise ValueError("truncated BMP header")
+        off = int.from_bytes(data[10:14], "little")
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        compression = int.from_bytes(data[30:34], "little")
+        if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+            raise ValueError(
+                f"unsupported BMP (bpp={bpp}, compression={compression})"
+            )
+        c = bpp // 8
+        stride = (w * c + 3) & ~3  # rows pad to 4 bytes
+        rows = abs(h)
+        if off + stride * rows > len(data):
+            raise ValueError("truncated BMP raster")
+        arr = np.frombuffer(
+            data[off : off + stride * rows], dtype=np.uint8
+        ).reshape(rows, stride)[:, : w * c].reshape(rows, w, c)
+        if h > 0:  # bottom-up storage
+            arr = arr[::-1]
+        return arr[:, :, [2, 1, 0] + ([3] if c == 4 else [])]  # BGR(A)→RGB(A)
+    raise ValueError(f"no pure-python codec for magic {magic!r}")
+
+
+def _analyze(data: bytes | None, kind: str | None):
+    """One media payload → (feat, decode_ok, width, height, channels).
+
+    Images that parse as PPM/PGM/BMP go through the REAL decoder and
+    yield true dimensions plus pixel-statistics features; everything
+    else falls back to the deterministic hash-derived stub feature
+    (media libs for JPEG/audio/video are not in this container — swap
+    in PIL/torchaudio/pyav here; shapes don't change).
 
     Raising ``NotImplementedError`` for unknown kinds keeps the
     contract honest: unsupported media fails loudly, not silently.
@@ -63,9 +137,28 @@ def _decode_stub(data: bytes | None, kind: str | None) -> list[float]:
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no codec for kind={kind!r}")
     if not data:
-        return [0.0] * 8
-    h = hashlib.sha256(data).digest()
-    return [b / 255.0 for b in h[:8]]
+        return [0.0] * 8, True, None, None, None
+    if kind == "image":
+        try:
+            arr = decode_image(data)
+        except ValueError:
+            pass  # not a PPM/BMP payload — stub below
+        else:
+            h, w, c = arr.shape
+            px = arr.astype("float64") / 255.0
+            chan_means = [float(px[:, :, i].mean()) for i in range(min(c, 3))]
+            chan_means += [0.0] * (3 - len(chan_means))
+            feat = [
+                float(w),
+                float(h),
+                float(c),
+                float(px.mean()),
+                float(px.std()),
+                *chan_means,
+            ]
+            return feat, True, w, h, c
+    digest = hashlib.sha256(data).digest()
+    return [b / 255.0 for b in digest[:8]], True, None, None, None
 
 
 def extract_media_features(df: DataFrame, batch_rows: int = 256) -> DataFrame:
@@ -80,14 +173,17 @@ def extract_media_features(df: DataFrame, batch_rows: int = 256) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, ok = [], []
+            feats, ok, ws, hs, cs = [], [], [], [], []
             for data, kind in zip(pdf["data"], pdf["kind"]):
                 try:
-                    feats.append(_decode_stub(data, kind))
-                    ok.append(True)
+                    feat, good, w, h, c = _analyze(data, kind)
                 except NotImplementedError:
-                    feats.append([0.0] * 8)
-                    ok.append(False)
+                    feat, good, w, h, c = [0.0] * 8, False, None, None, None
+                feats.append(feat)
+                ok.append(good)
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -99,6 +195,9 @@ def extract_media_features(df: DataFrame, batch_rows: int = 256) -> DataFrame:
                     ],
                     "feat": feats,
                     "decode_ok": ok,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(cs, dtype="Int32"),
                 }
             )
 

@@ -80,3 +80,97 @@ def test_resize_media_rewrites_meta_only(spark):
     assert out[1].resized is True
     assert out[2].resized is False
     assert (out[2].meta.width, out[2].meta.height) == (10, 10)
+
+
+# ------------------------------------------------------- real codec
+
+
+def _ppm(w, h, pixels):
+    """Binary P6 with a comment line (exercises header tokenizer)."""
+    return b"P6\n# fixture\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def _bmp24(w, h, rows_top_down):
+    """Uncompressed 24bpp BI_RGB BMP, bottom-up rows, 4-byte padding.
+    ``rows_top_down``: list of rows, each a list of (r, g, b)."""
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in reversed(rows_top_down):  # file stores bottom-up
+        line = b"".join(bytes((b_, g, r)) for (r, g, b_) in row)
+        raster += line + b"\x00" * (stride - len(line))
+    off = 54
+    header = (
+        b"BM"
+        + (off + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + raster
+
+
+def test_decode_ppm_values():
+    from batch_processing_on_aws_spark.operators.multimodal import decode_image
+
+    # 2x2 RGB: red, green / blue, white
+    px = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    arr = decode_image(_ppm(2, 2, px))
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [255, 0, 0]
+    assert arr[0, 1].tolist() == [0, 255, 0]
+    assert arr[1, 0].tolist() == [0, 0, 255]
+    assert arr[1, 1].tolist() == [255, 255, 255]
+
+
+def test_decode_bmp_values_padding_and_flip():
+    from batch_processing_on_aws_spark.operators.multimodal import decode_image
+
+    # 3x2 image: top row red/green/blue, bottom row black/gray/white.
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(0, 0, 0), (128, 128, 128), (255, 255, 255)],
+    ]
+    arr = decode_image(_bmp24(3, 2, rows))
+    assert arr.shape == (2, 3, 3)
+    assert arr[0, 0].tolist() == [255, 0, 0]      # top-left red (unflipped)
+    assert arr[1, 1].tolist() == [128, 128, 128]
+    assert arr[1, 2].tolist() == [255, 255, 255]
+
+
+def test_decode_rejects_garbage():
+    import pytest
+
+    from batch_processing_on_aws_spark.operators.multimodal import decode_image
+
+    for bad in (b"", b"\xff\xd8fakejpeg", b"P6\n2 2\n999\n" + b"\x00" * 12,
+                b"BM" + b"\x00" * 10):
+        with pytest.raises(ValueError):
+            decode_image(bad)
+
+
+def test_extract_features_real_dims_for_decodable_images(spark):
+    ppm = _ppm(4, 2, [10] * 24)
+    bmp = _bmp24(3, 2, [[(1, 2, 3)] * 3, [(4, 5, 6)] * 3])
+    rows = [
+        (1, "image", "image/x-ppm", bytearray(ppm), (None, None, None)),
+        (2, "image", "image/bmp", bytearray(bmp), (None, None, None)),
+        (3, "image", "image/jpeg", bytearray(b"\xff\xd8notdecodable"), (None, None, None)),
+        (4, "audio", "audio/wav", bytearray(b"RIFFxx"), (None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (4, 2, 3)
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (3, 2, 3)
+    # real pixel stats, not hash noise: uniform 10-valued PPM
+    assert abs(out[1]["feat"][3] - 10 / 255) < 1e-6  # mean
+    assert out[1]["feat"][:3] == [4.0, 2.0, 3.0]
+    # non-decodable image falls back to the stub: no dims, still ok
+    assert out[3]["width"] is None and out[3]["decode_ok"] is True
+    assert out[4]["width"] is None and len(out[4]["feat"]) == 8
