@@ -161,8 +161,20 @@ def supports_merge_into(spark: SparkSession, provider: str = "delta") -> bool:
     cls = classes.get(provider)
     if cls is None:
         raise ValueError(f"unknown provider {provider!r}; known: {sorted(classes)}")
+    jvm = spark.sparkContext._jvm
+    # Probe Spark's own classloader chain first: raw Class.forName uses
+    # the py4j gateway's root loader, which cannot see jars added via
+    # spark.jars.packages / session MutableURLClassLoader and would
+    # false-negative. Utils.classForName(cls, initialize, noSparkClassLoader
+    # =False) resolves through the context classloader like Spark itself
+    # does when it loads the provider.
     try:
-        spark.sparkContext._jvm.java.lang.Class.forName(cls)
+        jvm.org.apache.spark.util.Utils.classForName(cls, True, False)
+        return True
+    except Exception:
+        pass
+    try:
+        jvm.java.lang.Class.forName(cls)
         return True
     except Exception:
         return False

@@ -41,7 +41,15 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 
 
 def pii_count(col: Column, kind: str) -> Column:
-    """Number of matches of one PII pattern in a text column."""
+    """Number of matches of one PII pattern in the RAW text column.
+
+    NOT the same number as :func:`redact_pii`'s ``n_<kind>`` for
+    nested spans: redact_pii counts each category on the text as
+    already masked by the previous categories (an IP inside an email
+    local part counts 0 there because the email mask consumed it),
+    while this helper sees the unmasked text and counts it. Use
+    redact_pii's columns when the audit must reconcile with the
+    redacted output; use this for standalone raw-prevalence scans."""
     pattern, _ = PII_PATTERNS[kind]
     return F.regexp_count(col, F.lit(pattern))
 

@@ -22,11 +22,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# the final character class refuses sentence punctuation, so a URL at
-# the end of a clause ('see https://x.com.' / '(https://x.com/y)')
-# doesn't swallow the terminator into the host/path — without this the
-# blocklist gate compares 'bad.com.' against 'bad.com' and misses
-URL_RE = r"https?://[^\s]+[^\s.,;:!?)\]]"
+# the final alternation refuses sentence punctuation, so a URL at the
+# end of a clause ('see https://x.com.' / '(https://x.com/y)') doesn't
+# swallow the terminator into the host/path — without this the
+# blocklist gate compares 'bad.com.' against 'bad.com' and misses.
+# Balanced '( … )' groups are matched as single units (body and final
+# alternation), so the common wiki-text shape
+# ('https://en.wikipedia.org/wiki/Foo_(bar)') keeps its parens while a
+# clause-closing bare ')' is still refused — a unit pops off whole
+# under backtracking, which a flat [^\s]* body would prevent (it eats
+# the '(' and the terminal alternative can never win). The body is *
+# (not +) so single-character hosts ('https://x') match too. Cost:
+# UNbalanced parens mid-URL now truncate at the '(' — the rarer shape.
+# Still lookaround/backreference-free: runs verbatim on Java AND RE2
+# (both use leftmost-first alternation semantics).
+URL_RE = r"https?://(?:[^\s()]|\([^\s()]*\))*(?:\([^\s()]*\)|[^\s.,;:!?)(\]])"
 # host = authority up to the first '/', '?', '#', or ':' (port dropped)
 _HOST_RE = r"^https?://([^/?#:\s]+)"
 # path = everything after the authority, before query/fragment

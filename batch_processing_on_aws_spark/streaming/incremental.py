@@ -149,12 +149,20 @@ def ingest_dedup_stream(
 
     At 100 TB: the ledger is fingerprint-only (16-byte md5 + nothing),
     orders of magnitude smaller than the corpus; bucket it on the
-    fingerprint so the per-batch anti-join co-locates. Crash window:
-    corpus-append commits before ledger-append, so a failure between
-    the two re-admits at most one batch's worth on retry — the ledger
-    re-filter still blocks older duplicates. A transactional table
-    format (Delta/Iceberg, operators/merge.py delegation) closes that
-    window with a single atomic commit.
+    fingerprint so the per-batch anti-join co-locates.
+
+    Crash safety: both writes are partitioned by the micro-batch epoch
+    and use DYNAMIC partition overwrite, so a retried epoch replaces
+    its own ``__epoch=N`` partition instead of appending a second copy
+    — the corpus never holds duplicate rows from a crash between the
+    two writes (the previously documented window). The epoch id is
+    stable across restarts because it comes from the checkpoint, which
+    also means corpus/ledger paths must stay paired with ONE
+    checkpoint lineage — reusing them under a fresh checkpoint restarts
+    epoch numbering at 0 and dynamic overwrite would clobber old
+    partitions. A transactional table format (Delta/Iceberg,
+    operators/merge.py delegation) is the single-atomic-commit
+    upgrade.
     """
     from ..operators.dedup import (
         bow_fingerprint,
@@ -162,7 +170,7 @@ def ingest_dedup_stream(
         dedup_deterministic,
     )
 
-    def _merge(batch: DataFrame, _epoch: int) -> None:
+    def _merge(batch: DataFrame, epoch: int) -> None:
         b = dedup_deterministic(
             batch.withColumn("fingerprint", bow_fingerprint(F.col(text_col))),
             ["fingerprint"],
@@ -184,8 +192,20 @@ def ingest_dedup_stream(
         fresh = b if ledger is None else dedup_against_ledger(b, ledger)
         fresh.persist()
         try:
-            fresh.write.mode("append").parquet(corpus_path)
-            fresh.select("fingerprint").write.mode("append").parquet(ledger_path)
+            # Epoch-keyed dynamic overwrite = idempotent per retry: a
+            # re-run of epoch N rewrites __epoch=N, never appends a
+            # duplicate copy (see docstring crash-safety note).
+            for frame, path in (
+                (fresh, corpus_path),
+                (fresh.select("fingerprint"), ledger_path),
+            ):
+                (
+                    frame.withColumn("__epoch", F.lit(epoch))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__epoch")
+                    .parquet(path)
+                )
         finally:
             fresh.unpersist()
 

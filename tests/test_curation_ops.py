@@ -346,3 +346,21 @@ def test_token_rarity_keeps_empty_docs(spark):
     assert out[2]["n_tokens"] == 0 and out[2]["min_token_freq"] is None
     assert out[2]["rare_token_ratio"] == 0.0
     assert out[1]["n_tokens"] == 2
+
+
+def test_url_balanced_parens_and_short_hosts(spark):
+    """Wiki-style URLs ending in a balanced '(...)' keep it; a bare
+    clause-closing ')' is still refused; single-char hosts match."""
+    df = _docs(
+        spark,
+        [
+            (1, "see https://en.wikipedia.org/wiki/Foo_(bar) for more"),
+            (2, "(parenthetical https://x.com/y) outside"),
+            (3, "tiny https://x stop. and https://x.com/a(b)."),
+        ],
+    )
+    urls = {r["url"] for r in doc_urls(df).collect()}
+    assert "https://en.wikipedia.org/wiki/Foo_(bar)" in urls
+    assert "https://x.com/y" in urls  # clause ')' not swallowed
+    assert "https://x" in urls  # single-char host
+    assert "https://x.com/a(b)" in urls  # balanced parens, '.' refused

@@ -204,3 +204,10 @@ def test_ingest_dedup_stream_cross_batch(spark, tmp_path):
     ingest_dedup_stream(spark, inp, doc_schema, corpus, ledger, ckpt)
     assert spark.read.parquet(corpus).count() == 3
     assert spark.read.parquet(ledger).count() == 3
+
+    # crash-safe layout: both sinks are epoch-partitioned so a retried
+    # epoch overwrites its own partition instead of appending a dup
+    import os
+
+    assert any(d.startswith("__epoch=") for d in os.listdir(corpus))
+    assert any(d.startswith("__epoch=") for d in os.listdir(ledger))
