@@ -122,3 +122,42 @@ def test_supports_merge_into_probe(spark):
 
     with pytest.raises(ValueError, match="unknown provider"):
         supports_merge_into(spark, "hudi")
+
+
+def test_merge_into_reaches_capability_gate_without_provider(spark):
+    """Without Delta/Iceberg jars the full MERGE can't run — but the
+    delegation path can still be executed for real: Spark must PARSE
+    our MERGE INTO text, resolve the target table and the temp-view
+    source, and fail only at the v2 capability check
+    (UNSUPPORTED_FEATURE.TABLE_OPERATION). A syntax or resolution bug
+    in merge_into_sql/upsert_catalog_table would surface as a
+    different error class. The finally-block view cleanup must run on
+    that failure path too."""
+    import pytest
+
+    from batch_processing_on_aws_spark.operators.merge import (
+        upsert_catalog_table,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS mi_capability_probe")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.saveAsTable(
+        "mi_capability_probe"
+    )
+    try:
+        with pytest.raises(Exception) as exc:
+            upsert_catalog_table(
+                spark,
+                "mi_capability_probe",
+                spark.createDataFrame([(1, "b")], "k long, v string"),
+                ["k"],
+            )
+        assert "does not support MERGE INTO" in str(exc.value)
+        # the uniquely-named source view was dropped despite the raise
+        leftovers = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("__merge_into_source_")
+        ]
+        assert leftovers == []
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mi_capability_probe")
