@@ -1,0 +1,109 @@
+"""Scaling-curve measurement: run the most expensive registry queries
+at 1×/3×/10× data (tools/gen_scale.py clones) and record growth
+ratios, converting the 100-TB design claims from prose to numbers.
+
+Usage: python tools/scale_bench.py [--json=SCALING_r04.json]
+
+Interpretation: time(K×)/time(1×) ≈ K is linear scaling (ideal for
+scan/hash-agg/bucketed-join plans on a fixed-core machine once the
+work dwarfs fixed overhead). At these sizes (sf0.1 ≈ 17 MB) fixed
+per-query overhead (~0.3-0.6 s of job scheduling, Python planning,
+Arrow worker handshake) is a large share of 1× time, so SUB-linear
+ratios mostly mean "overhead-dominated"; the red flag this tool
+exists to catch is ratio >> K — quadratic candidate generation,
+driver-side state, or a plan that stops broadcasting. Each timing is
+min-of-2 into a noop sink, same convention as bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from batch_processing_on_aws_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+# The dedup/ANN/curation family whose 100-TB claims need measurement,
+# plus two heavy relational queries as controls. streamed_ingest_corpus
+# (fixed streaming-harness overhead + scratch reuse) and the upsert
+# writers (dominated by parquet write fan-out) are excluded on purpose.
+QUERIES = [
+    "training_corpus",
+    "dup_cluster_canonical",
+    "embedding_multilsh_topk",
+    "jaccard_dup_pairs",
+    "containment_dup_pairs",
+    "doc_simhash_pairs",
+    "doc_minhash_lsh_pairs",
+    "clean_corpus",
+    "embedding_lsh_topk",
+    "doc_token_rarity",
+    "q7_nation_trade_flows",
+    "pricing_summary",
+]
+
+SCALES = {
+    "1x": "/root/testdata/sf0.1",
+    "3x": "scaledata/x3",
+    "10x": "scaledata/x10",
+}
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    out_path = "SCALING_r04.json"
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            out_path = a.split("=", 1)[1]
+    spark = get_spark(app_name="scale_bench")
+    qs = entrymod.queries()
+
+    # warm JVM + Python worker pool (same rationale as bench.py)
+    run_query(qs["pricing_summary"](spark, SCALES["1x"]))
+
+    results: dict[str, dict[str, float]] = {name: {} for name in QUERIES}
+    for scale, sf_dir in SCALES.items():
+        for name in QUERIES:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_query(qs[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            results[name][scale] = round(best, 3)
+            print(f"{scale:>4} {name:28s} {best:7.2f}s", flush=True)
+
+    report = {}
+    for name, t in results.items():
+        g3 = round(t["3x"] / t["1x"], 2)
+        g10 = round(t["10x"] / t["1x"], 2)
+        report[name] = {
+            **t,
+            "growth_3x": g3,
+            "growth_10x": g10,
+            # >1.5×K = super-linear beyond machine noise at this size
+            "superlinear": g10 > 15.0,
+        }
+    doc = {
+        "scales": SCALES,
+        "method": "min of 2 runs, noop sink, shared session, copies are "
+                  "content-disjoint re-keyed clones (tools/gen_scale.py)",
+        "queries": report,
+        "flagged_superlinear": sorted(
+            n for n, r in report.items() if r["superlinear"]
+        ),
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(json.dumps({"flagged": doc["flagged_superlinear"]}))
+
+
+if __name__ == "__main__":
+    main()
