@@ -1,0 +1,136 @@
+"""Skew A/B bench for the dedup family (round-4 verdict task 8).
+
+Builds two same-size corpora from sf0.1:
+
+- **uniform**: documents/embeddings as generated (near-dup groups are
+  small and spread across LSH buckets / k-means cells);
+- **skewed**: 20% of documents are near-duplicates of ONE template
+  (unique per-doc suffix token, so they collapse into the same MinHash
+  band buckets without being exact dups), and 20% of embeddings sit in
+  a tight ball around one template vector (same k-means cell).
+
+Then times ``doc_minhash_lsh_pairs`` and ``semantic_dedup_kept`` on
+both (min of 2, noop sink) and records the skew/uniform wall-time
+ratio in SKEW_r04.json.
+
+What the ratio means: the skewed corpus does strictly MORE semantic
+work — one bucket holds 20% of docs, so its within-bucket candidate
+volume is quadratic in the hot-bucket size (that's real output, not a
+plan artifact). The scale claim under test is that the plan
+PARALLELIZES the hot bucket (AQE skew-split on shuffle joins, hash
+partial aggs) instead of serializing on one reducer — wall time within
+~2x of uniform at this size, rather than the ~(0.2N)^2/cores blowup a
+single-task hot partition would show.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from batch_processing_on_aws_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+ROOT = "scaledata/skew"
+QUERIES = ["doc_minhash_lsh_pairs", "semantic_dedup_kept"]
+
+
+def build(root: str = ROOT, src: str = SRC, hot_pct: int = 20) -> None:
+    con = duckdb.connect()
+    for variant in ("uniform", "skewed"):
+        os.makedirs(os.path.join(root, variant), exist_ok=True)
+    # uniform = passthrough copies (same files, same layout)
+    for t in ("documents", "embeddings"):
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) TO "
+            f"'{root}/uniform/{t}.parquet' (FORMAT parquet)"
+        )
+    tmpl_text = con.sql(
+        f"SELECT text FROM read_parquet('{src}/documents.parquet') "
+        "ORDER BY doc_id LIMIT 1"
+    ).fetchone()[0].replace("'", "''")
+    con.sql(
+        f"""
+        COPY (
+          SELECT doc_id,
+                 CASE WHEN doc_id % {100 // hot_pct} = 0
+                      THEN '{tmpl_text}' || ' uniq' || CAST(doc_id AS VARCHAR)
+                      ELSE text END AS text,
+                 lang, source,
+                 CAST(length(CASE WHEN doc_id % {100 // hot_pct} = 0
+                      THEN '{tmpl_text}' || ' uniq' || CAST(doc_id AS VARCHAR)
+                      ELSE text END) AS BIGINT) AS n_chars
+          FROM read_parquet('{src}/documents.parquet')
+        ) TO '{root}/skewed/documents.parquet' (FORMAT parquet)"""
+    )
+    tmpl_vec = con.sql(
+        f"SELECT embedding FROM read_parquet('{src}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 1"
+    ).fetchone()[0]
+    lit = "[" + ", ".join(f"{v!r}" for v in tmpl_vec) + "]::FLOAT[]"
+    con.sql(
+        f"""
+        COPY (
+          SELECT vec_id,
+                 CASE WHEN vec_id % {100 // hot_pct} = 0
+                      THEN CAST(list_transform(range(1, len(embedding) + 1),
+                           i -> ({lit})[i] * 0.95 + embedding[i] * 0.05)
+                           AS FLOAT[])
+                      ELSE embedding END AS embedding,
+                 label
+          FROM read_parquet('{src}/embeddings.parquet')
+        ) TO '{root}/skewed/embeddings.parquet' (FORMAT parquet)"""
+    )
+
+
+def main() -> None:
+    build()
+    spark = get_spark(app_name="skew_bench")
+    qs = entrymod.queries()
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    run(qs[QUERIES[0]](spark, f"{ROOT}/uniform"))  # warm
+
+    times: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    for variant in ("uniform", "skewed"):
+        for q in QUERIES:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run(qs[q](spark, f"{ROOT}/{variant}"))
+                best = min(best, time.perf_counter() - t0)
+            times[q][variant] = round(best, 3)
+            print(f"{variant:8s} {q:24s} {best:6.2f}s", flush=True)
+
+    report = {
+        q: {**t, "skew_ratio": round(t["skewed"] / t["uniform"], 2)}
+        for q, t in times.items()
+    }
+    with open("SKEW_r04.json", "w") as f:
+        json.dump(
+            {
+                "hot_pct": 20,
+                "method": "min of 2, noop sink; skewed = 20% of docs "
+                          "near-dup one template / 20% of vectors in one "
+                          "cell (tools/skew_bench.py)",
+                "queries": report,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    print(json.dumps({q: r["skew_ratio"] for q, r in report.items()}))
+
+
+if __name__ == "__main__":
+    main()
