@@ -2645,6 +2645,58 @@ FROM documents
 """
 
 
+# Fixture index page in the TfL shape (reference
+# init_3_web_scraping_dag.py:26-98): first table, a folder marker row,
+# file rows whose names end in the extract date range, plus the decoys
+# the selection policy must skip (pre-marker file, out-of-scope year,
+# non-csv extension).
+_TFL_INDEX_HTML = """
+<html><body>
+<table>
+  <tr><th>Name</th><th>Size</th><th>Modified</th></tr>
+  <tr><td><a href="Stations.csv">Stations.csv</a></td><td>12K</td><td>2021-01-01</td></tr>
+  <tr><td><a href="usage-stats/">usage-stats/</a></td><td>-</td><td>2021-01-01</td></tr>
+  <tr><td><a href="usage-stats/250JourneyDataExtract27Jan2021-02Feb2021.csv">250JourneyDataExtract27Jan2021-02Feb2021.csv</a></td><td>30M</td><td>2021-02-03</td></tr>
+  <tr><td><a href="usage-stats/257JourneyDataExtract17Mar2021-23Mar2021.csv">257JourneyDataExtract17Mar2021-23Mar2021.csv</a></td><td>31M</td><td>2021-03-24</td></tr>
+  <tr><td><a href="usage-stats/notes-march2021.txt">notes-march2021.txt</a></td><td>1K</td><td>2021-03-24</td></tr>
+  <tr><td><a href="usage-stats/142JourneyDataExtract29Dec2018-04Jan2019.csv">142JourneyDataExtract29Dec2018-04Jan2019.csv</a></td><td>28M</td><td>2019-01-05</td></tr>
+  <tr><td><a href="usage-stats/301JourneyDataExtract05Jan2022-11Jan2022.csv">301JourneyDataExtract05Jan2022-11Jan2022.csv</a></td><td>33M</td><td>2022-01-12</td></tr>
+</table>
+<table>
+  <tr><td><a href="other/SecondTable17Mar2021-23Mar2021.csv">SecondTable17Mar2021-23Mar2021.csv</a></td></tr>
+</table>
+</body></html>
+"""
+
+
+def links_manifest(spark, sf_dir):
+    """S6 — the reference's web-scraping stage
+    (init_3_web_scraping_dag.py:26-98) end-to-end in-engine: a fixture
+    index page in the TfL shape is parsed with the stdlib HTML parser,
+    the reference's selection policy keys each in-scope file row by its
+    extract end date, and ``manifest_from_links`` lifts the dict into a
+    manifest DataFrame (the engine-side links_dictionary.json).
+    ``sf_dir`` is unused by design: this is the control-plane stage
+    whose OUTPUT the landing scans consume (SURVEY §2.1 S6) — the
+    fixture stands in for the fetched page exactly as in
+    tests/test_scrape.py."""
+    from ..sources.lake import manifest_from_links
+    from ..sources.scrape import discover_links
+
+    links = discover_links(_TFL_INDEX_HTML, base_url="https://data.example/")
+    return manifest_from_links(spark, links).orderBy("logical_key")
+
+
+_LINKS_MANIFEST_SQL = """
+SELECT * FROM (VALUES
+  ('02Feb2021', 'https://data.example/usage-stats/250JourneyDataExtract27Jan2021-02Feb2021.csv'),
+  ('23Mar2021', 'https://data.example/usage-stats/257JourneyDataExtract17Mar2021-23Mar2021.csv'),
+  ('11Jan2022', 'https://data.example/usage-stats/301JourneyDataExtract05Jan2022-11Jan2022.csv')
+) AS t(logical_key, source_url)
+ORDER BY logical_key
+"""
+
+
 def contaminated_train_docs(spark, sf_dir):
     """Benchmark decontamination over the deterministic split: train-
     split documents sharing ≥2 distinct word 3-grams with any test-
@@ -3591,6 +3643,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("null_group_semantics", null_group_semantics, _NULLGROUP_SQL),
     QueryDef("clean_corpus", clean_corpus, _clean_corpus_sql()),
     QueryDef("media_features", media_features, _MEDIA_SQL),
+    QueryDef("links_manifest", links_manifest, _LINKS_MANIFEST_SQL),
     QueryDef("doc_shingles", doc_shingles, _SHINGLES_SQL),
     QueryDef("sql_entrypoint_antijoin", sql_entrypoint_antijoin, _SQL_ENTRY_SQL),
     QueryDef("customer_orders_90d", customer_orders_90d, _RANGE_WIN_SQL),
