@@ -579,3 +579,105 @@ def ngram_jaccard_pairs(
         .select("doc_id_a", "doc_id_b", j.alias("jaccard"))
     )
     return out.where(F.col("jaccard") >= threshold)
+
+
+def span_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """(``doc_id``, ``pos``, ``span_hash``) — every positional
+    ``window``-token span of every doc, md5-hashed. Unlike
+    :func:`shingle_index` the windows are POSITIONAL (not distinct):
+    exact-substring dedup needs every occurrence, including repeats
+    inside one doc. Docs shorter than ``window`` emit nothing — a span
+    shorter than the window is not a span.
+
+    Same optimizer discipline as ``shingle_index``: the window
+    expression stays inside the Generate (posexplode of the expression
+    over the materialized ``__toks`` column) so pushdown cannot
+    re-inline the tokenize below the fan-out exchange. ``sequence`` is
+    guarded by a ``when`` — Spark's ``sequence(0, negative)`` happily
+    counts DOWN, which would fabricate windows for short docs."""
+    toks = F.col("__toks")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - window),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(window)]
+            )
+        ),
+    )
+    guarded = F.when(k >= window, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        fan_out(df)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+        .select("doc_id", F.posexplode(guarded).alias("pos", "span_hash"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """Exact substring-duplicate occurrences at token-window
+    granularity — the shuffle-engine re-expression of suffix-array
+    ExactSubstr dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22): every ``window``-token span
+    whose text occurs 2+ times anywhere in the corpus (cross-doc or
+    repeated within one doc), with its occurrence count.
+
+    Output: (doc_id, pos, span_hash, n_occurrences), one row per
+    flagged occurrence; ``pos`` is the 0-based token offset, so
+    downstream trimming can cut the exact span.
+
+    Scale shape: one hash-agg over the span stream (map-side partial
+    combine — duplicated spans collapse before the exchange) and one
+    shuffle equi-join back on ``span_hash``. No pair explosion: a span
+    occurring f times costs f output rows, not f² pairs, so boilerplate
+    (headers, license blocks) stays linear."""
+    spans = span_windows(df, text_col, id_col, window)
+    freq = (
+        spans.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= 2)
+    )
+    return spans.join(freq, "span_hash").select(
+        "doc_id", "pos", "span_hash", "n_occurrences"
+    )
+
+
+def dup_span_share(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """Per-doc duplicated-substring ratio — the RefinedWeb-style
+    quality signal built on :func:`duplicate_spans`: of a doc's
+    ``window``-token spans, what fraction also occur elsewhere in the
+    corpus. Docs shorter than ``window`` have no spans and are absent
+    (their ratio is undefined, not zero).
+
+    Output: (doc_id, n_spans, n_dup_spans, dup_share). The share is an
+    exact integer ratio (count/count), so it is bit-identical across
+    engines unrounded."""
+    spans = span_windows(df, text_col, id_col, window)
+    freq = (
+        spans.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    flagged = spans.join(freq, "span_hash").select(
+        "doc_id", (F.col("__f") >= 2).cast("int").alias("__dup")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("__dup").alias("n_dup_spans"),
+        (F.sum("__dup") / F.count(F.lit(1))).alias("dup_share"),
+    )

@@ -1903,6 +1903,75 @@ SELECT doc_id, unnest(sh) AS shingle FROM sh
 """
 
 
+def dup_span_occurrences(spark, sf_dir):
+    """Exact substring-duplicate occurrences (token-window rolling
+    hash) — the shuffle-engine form of suffix-array ExactSubstr dedup
+    (Lee et al., ACL'22): every positional 20-token span whose text
+    occurs 2+ times in the corpus, with offset and occurrence count.
+    One hash-agg (map-side combine) + one equi-join back on the span
+    hash; no pair explosion, boilerplate stays linear."""
+    from ..operators.neardup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, window=20)
+
+
+_DUP_SPANS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), lng AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) >= 20
+), w AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i : i + 19], ' ')) AS span_hash
+  FROM lng, LATERAL unnest(range(1, len(toks) - 18)) AS r(i)
+), f AS (
+  SELECT span_hash, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM w GROUP BY span_hash HAVING COUNT(*) >= 2
+)
+SELECT w.doc_id, CAST(w.pos AS INT) AS pos, w.span_hash, f.n_occurrences
+FROM w JOIN f USING (span_hash)
+"""
+
+
+def doc_dup_span_share(spark, sf_dir):
+    """Per-doc duplicated-substring ratio (RefinedWeb-style quality
+    signal): of a doc's 20-token spans, the fraction that occur
+    elsewhere in the corpus. Exact integer ratio — bit-identical
+    across engines unrounded."""
+    from ..operators.neardup import dup_span_share
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_share(docs, window=20)
+
+
+_DUP_SHARE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), lng AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) >= 20
+), w AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i : i + 19], ' ')) AS span_hash
+  FROM lng, LATERAL unnest(range(1, len(toks) - 18)) AS r(i)
+), f AS (
+  SELECT span_hash, COUNT(*) AS c FROM w GROUP BY span_hash
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       SUM(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END) / COUNT(*) AS dup_share
+FROM w JOIN f USING (span_hash)
+GROUP BY w.doc_id
+"""
+
+
 def doc_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3 via pigeonhole banding) —
     md5-derived signatures make the whole pipeline oracle-checked;
@@ -3644,6 +3713,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("clean_corpus", clean_corpus, _clean_corpus_sql()),
     QueryDef("media_features", media_features, _MEDIA_SQL),
     QueryDef("links_manifest", links_manifest, _LINKS_MANIFEST_SQL),
+    QueryDef("dup_span_occurrences", dup_span_occurrences, _DUP_SPANS_SQL),
+    QueryDef("doc_dup_span_share", doc_dup_span_share, _DUP_SHARE_SQL),
     QueryDef("doc_shingles", doc_shingles, _SHINGLES_SQL),
     QueryDef("sql_entrypoint_antijoin", sql_entrypoint_antijoin, _SQL_ENTRY_SQL),
     QueryDef("customer_orders_90d", customer_orders_90d, _RANGE_WIN_SQL),

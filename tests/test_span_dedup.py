@@ -1,0 +1,85 @@
+"""Exact substring (token-window) dedup: positional spans, occurrence
+flagging, per-doc duplicated-span share. Brute-force cross-checked on
+a corpus with planted repeats, within-doc and cross-doc."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_processing_on_aws_spark.operators.neardup import (
+    dup_span_share,
+    duplicate_spans,
+    span_windows,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    boiler = "the quick brown fox jumps over the lazy dog again and again"  # 12 toks
+    rows = [
+        # doc 1 and 2 share the boilerplate prefix (cross-doc dup)
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, boiler + " one two three four five six seven eight"),
+        # doc 3 repeats its own first 12 tokens (within-doc dup)
+        (3, boiler + " " + boiler),
+        # doc 4: 20 distinct words, long enough to emit spans but
+        # with no repeated window anywhere
+        (4, " ".join(f"w{i}" for i in range(20))),
+        # doc 5: shorter than the window -> no spans at all
+        (5, "too short to matter"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_windows_positional_and_guarded(corpus):
+    w = span_windows(corpus, window=12)
+    per_doc = {r["doc_id"]: r["n"] for r in w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # k tokens -> k - window + 1 positional spans
+    assert per_doc[1] == 20 - 12 + 1
+    assert per_doc[3] == 24 - 12 + 1
+    assert 5 not in per_doc  # shorter than window: nothing, not negative-sequence junk
+    # positions are 0-based offsets
+    pos = sorted(r["pos"] for r in w.where("doc_id = 1").collect())
+    assert pos == list(range(9))
+
+
+def test_duplicate_spans_flags_cross_and_within_doc(corpus):
+    dup = duplicate_spans(corpus, window=12)
+    rows = dup.collect()
+    docs = {r["doc_id"] for r in rows}
+    assert {1, 2, 3} <= docs and 4 not in docs and 5 not in docs
+    # the shared boilerplate span occurs at pos 0 of docs 1, 2, 3 AND
+    # again at pos 12 of doc 3 (its second half): occurrence counts on
+    # the boiler-prefix hash must agree
+    at0 = [r for r in rows if r["pos"] == 0]
+    assert {r["doc_id"] for r in at0} == {1, 2, 3}
+    assert all(r["n_occurrences"] == 4 for r in at0)
+    assert any(r["doc_id"] == 3 and r["pos"] == 12 for r in rows)
+
+
+def test_dup_span_share_ratio(corpus):
+    share = {r["doc_id"]: r for r in dup_span_share(corpus, window=12).collect()}
+    assert share[4]["n_dup_spans"] == 0 and share[4]["dup_share"] == 0.0
+    assert 5 not in share  # undefined, not zero
+    # doc 1: only the pos-0 boilerplate span is shared
+    assert share[1]["n_spans"] == 9 and share[1]["n_dup_spans"] == 1
+    assert share[1]["dup_share"] == pytest.approx(1 / 9)
+    # doc 3's self-repeat: pos 0 and pos 13 both duplicated
+    assert share[3]["n_dup_spans"] >= 2
+
+
+def test_brute_force_equivalence(spark, corpus):
+    """Every flagged occurrence is a real repeat of the exact token
+    window, and nothing real is missed — checked by recomputing span
+    texts driver-side."""
+    window = 12
+    texts = {r["doc_id"]: r["text"].split() for r in corpus.collect()}
+    from collections import Counter
+
+    spans = {}
+    for d, toks in texts.items():
+        for i in range(max(0, len(toks) - window + 1)):
+            spans[(d, i)] = " ".join(toks[i : i + window])
+    counts = Counter(spans.values())
+    expected = {(d, i) for (d, i), s in spans.items() if counts[s] >= 2}
+    got = {(r["doc_id"], r["pos"]) for r in duplicate_spans(corpus, window=window).collect()}
+    assert got == expected
