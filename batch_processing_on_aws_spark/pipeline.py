@@ -180,6 +180,7 @@ def curate_corpus(
     out_root: str,
     budget: int = 256,
     scrub_pii: bool = False,
+    max_dup_span_share: float | None = None,
 ) -> DataFrame:
     """Materialize the flagship curation pipeline (plans/golden.py::
     training_corpus — quality → language → exact dedup → near-dup
@@ -204,6 +205,21 @@ def curate_corpus(
     corpus = golden.training_corpus(spark, sf_dir).select(
         "doc_id", "cluster_id", "split"
     )
+    # Optional exact-substring hygiene gate (neardup.dup_span_share —
+    # the RefinedWeb-style duplicated-span ratio): drop docs whose
+    # 20-token spans are mostly boilerplate repeats. Off by default to
+    # keep the materialization bit-identical with the training_corpus
+    # oracle contract; docs shorter than the window have no spans and
+    # are never dropped.
+    if max_dup_span_share is not None:
+        from .operators.neardup import dup_span_share
+
+        high = (
+            dup_span_share(load_table(spark, sf_dir, "documents"))
+            .where(F.col("dup_share") > max_dup_span_share)
+            .select("doc_id")
+        )
+        corpus = corpus.join(high, "doc_id", "left_anti")
     # PII scrub (operators/pii.py) runs BEFORE token counting so the
     # packing layout reflects the text that actually ships; off by
     # default to keep the materialization bit-identical with the
@@ -260,6 +276,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="mask emails/IPs/SSNs/phones before packing (operators/pii.py)",
     )
+    cur.add_argument(
+        "--max-dup-span-share",
+        type=float,
+        default=None,
+        help="drop docs whose duplicated 20-token-span ratio exceeds "
+        "this (operators/neardup.py::dup_span_share)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark()
@@ -270,6 +293,7 @@ def main(argv: list[str] | None = None) -> int:
             args.warehouse,
             budget=args.budget,
             scrub_pii=args.scrub_pii,
+            max_dup_span_share=args.max_dup_span_share,
         ).count()
         print(f"{args.stage}: {n} rows")
         return 0

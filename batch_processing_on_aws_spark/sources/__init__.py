@@ -9,10 +9,12 @@ from .readers import (
     from_pandas,
     load_table,
     load_tables,
+    read_binary_files,
     read_csv,
     read_json,
     read_orc,
     read_parquet,
+    read_text,
     register_views,
     to_pandas,
 )
@@ -24,10 +26,12 @@ __all__ = [
     "load_tables",
     "manifest_from_links",
     "pending_entries",
+    "read_binary_files",
     "read_csv",
     "read_orc",
     "read_json",
     "read_parquet",
+    "read_text",
     "read_pruned",
     "register_views",
     "to_pandas",

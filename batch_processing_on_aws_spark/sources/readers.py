@@ -103,6 +103,40 @@ def read_orc(
     return reader.orc(path)
 
 
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole: bool = False,
+) -> DataFrame:
+    """Plain-text corpus scan: one row per line (``whole=False``) or
+    per file (``whole=True``), single ``value: string`` column — the
+    raw-ingest front door for line-delimited document dumps before any
+    structure exists. Distributed file source (splittable per-line
+    mode), so a 100-TB text dump parallelizes like any other scan."""
+    # NB: must be the reader-method kwarg — the text source does not
+    # pick up a same-named .option() for this flag.
+    return spark.read.text(path, wholetext=whole)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Opaque-media ingestion via Spark's built-in ``binaryFile``
+    source: (path, modificationTime, length, content) with the payload
+    as a ``binary`` column — the scan that feeds
+    ``operators/multimodal.py`` (decode/feature-extract over
+    ``mapInPandas``). ``glob`` filters by filename pattern
+    (``pathGlobFilter``), e.g. ``"*.ppm"``. Files are NOT splittable
+    (each is one row), so parallelism = file count; at 100 TB that is
+    millions of objects, which is exactly the right unit."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic testdata table with its declared schema.
 

@@ -183,3 +183,27 @@ def test_curate_corpus_scrub_pii_flag(spark, tmp_path):
     assert {r["doc_id"] for r in plain.select("doc_id").collect()} == {
         r["doc_id"] for r in scrubbed.select("doc_id").collect()
     }
+
+
+def test_curate_corpus_dup_span_gate(spark, tmp_path):
+    """max_dup_span_share drops exactly the docs above the threshold
+    (exact-substring hygiene) and leaves the default path untouched."""
+    from batch_processing_on_aws_spark.operators.neardup import dup_span_share
+    from batch_processing_on_aws_spark.pipeline import curate_corpus
+    from batch_processing_on_aws_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    plain = curate_corpus(spark, SF_SMOKE, str(tmp_path / "a"), budget=64)
+    gated = curate_corpus(
+        spark, SF_SMOKE, str(tmp_path / "b"), budget=64, max_dup_span_share=0.5
+    )
+    plain_ids = {r["doc_id"] for r in plain.select("doc_id").collect()}
+    gated_ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    high = {
+        r["doc_id"]
+        for r in dup_span_share(load_table(spark, SF_SMOKE, "documents"))
+        .where("dup_share > 0.5")
+        .collect()
+    }
+    assert gated_ids == plain_ids - high
+    assert high & plain_ids, "fixture should exercise the gate"

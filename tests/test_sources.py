@@ -174,3 +174,47 @@ def test_to_pandas_limit_guard(spark):
     with pytest.raises(ValueError, match="limit"):
         to_pandas(df, limit=5)
     assert len(to_pandas(df, limit=None)) == 10
+
+
+def test_read_text_lines_and_whole(spark, tmp_path):
+    """Raw text front door: per-line rows by default, one row per file
+    in wholetext mode."""
+    from batch_processing_on_aws_spark.sources import read_text
+
+    (tmp_path / "a.txt").write_text("first line\nsecond line\n")
+    (tmp_path / "b.txt").write_text("third line\n")
+    lines = read_text(spark, str(tmp_path))
+    assert lines.columns == ["value"]
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "first line", "second line", "third line",
+    ]
+    whole = read_text(spark, str(tmp_path), whole=True)
+    assert whole.count() == 2
+    assert any("first line\nsecond line" in r["value"] for r in whole.collect())
+
+
+def test_read_binary_files_glob_and_payload(spark, tmp_path):
+    """binaryFile source: payload bytes intact, glob filters by name —
+    the scan feeding the multimodal mapInPandas extractors."""
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        extract_media_features,
+    )
+    from batch_processing_on_aws_spark.sources import read_binary_files
+    from pyspark.sql import functions as F
+
+    payload = bytes(range(256))
+    (tmp_path / "x.bin").write_bytes(payload)
+    (tmp_path / "skip.dat").write_bytes(b"nope")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["content"]) == payload
+    assert rows[0]["length"] == 256
+    # end-to-end into the multimodal extractor: binary scan -> features
+    media = df.select(
+        F.lit(1).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content").alias("data"),
+    )
+    feats = extract_media_features(media).collect()
+    assert feats[0]["n_bytes"] == 256

@@ -40,6 +40,7 @@ QUERIES = [
     "containment_dup_pairs",
     "doc_simhash_pairs",
     "doc_minhash_lsh_pairs",
+    "dup_span_occurrences",
     "clean_corpus",
     "embedding_lsh_topk",
     "doc_token_rarity",
