@@ -681,3 +681,101 @@ def dup_span_share(
         F.sum("__dup").alias("n_dup_spans"),
         (F.sum("__dup") / F.count(F.lit(1))).alias("dup_share"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    keep_first: bool = True,
+) -> DataFrame:
+    """ExactSubstr REMOVAL — the cut step downstream of
+    :func:`duplicate_spans`: rebuild each doc's text with every token
+    covered by a duplicated ``window``-token span excised.
+
+    ``keep_first=True`` (default) keeps the globally-first occurrence
+    of each span (ordered by (doc_id, pos)) and cuts the rest — the
+    conservative variant that never destroys the only copy of a
+    passage. ``keep_first=False`` cuts every occurrence, matching the
+    reference ExactSubstr tool's remove-all behavior (Lee et al.,
+    ACL'22).
+
+    Output: (doc_id, text, n_tokens_removed) for EVERY input doc —
+    docs with nothing cut pass through with their tokenized text
+    rejoined by single spaces (tokenization is the same ``\\s+`` split
+    both engines use), fully-covered docs come back with empty text.
+
+    Scale shape: the global-first choice is a ``row_number`` window
+    partitioned BY SPAN HASH (narrow partitions — occurrence counts,
+    never corpus-sized); covered positions explode to at most
+    ``window × duplicated-occurrences`` rows before a distinct; the
+    rebuild is one anti-join on (doc, position) plus one grouped
+    sort-rebuild. Nothing is driver-side, nothing is all-pairs."""
+    from pyspark.sql import Window
+
+    toks = F.col("__toks")
+    base = (
+        fan_out(df)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+        .localCheckpoint()
+    )
+
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - window),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(window)]
+            )
+        ),
+    )
+    guarded = F.when(k >= window, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    spans = base.select("doc_id", F.posexplode(guarded).alias("pos", "span_hash"))
+
+    n_occ = Window.partitionBy("span_hash")
+    occurrences = spans.withColumn("__c", F.count(F.lit(1)).over(n_occ))
+    if keep_first:
+        rank = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
+        cut_occ = (
+            occurrences.withColumn("__rn", F.row_number().over(rank))
+            .where((F.col("__c") >= 2) & (F.col("__rn") > 1))
+        )
+    else:
+        cut_occ = occurrences.where(F.col("__c") >= 2)
+
+    cut_pos = (
+        cut_occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+
+    tokpos = base.select("doc_id", F.posexplode(toks).alias("p", "tok"))
+    kept = tokpos.join(cut_pos, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        base.select("doc_id", F.size(toks).alias("__n"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__text"), F.lit("")).alias("text"),
+            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

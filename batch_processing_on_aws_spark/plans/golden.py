@@ -1937,6 +1937,57 @@ FROM w JOIN f USING (span_hash)
 """
 
 
+def dedup_spans_removed(spark, sf_dir):
+    """ExactSubstr removal end-to-end: every doc rebuilt with
+    duplicated 20-token spans excised (globally-first occurrence kept).
+    Tokenized text is rejoined with single spaces in both engines, so
+    the rebuilt strings hash-compare exactly."""
+    from ..operators.neardup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, window=20)
+
+
+_SPANS_REMOVED_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), lng AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) >= 20
+), w AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i : i + 19], ' ')) AS span_hash
+  FROM lng, LATERAL unnest(range(1, len(toks) - 18)) AS r(i)
+), rk AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY span_hash ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY span_hash) AS c
+  FROM w
+), cut AS (
+  SELECT DISTINCT doc_id, pos + d AS p
+  FROM rk, LATERAL unnest(range(0, 20)) AS x(d)
+  WHERE c >= 2 AND rn > 1
+), tokpos AS (
+  SELECT doc_id, i - 1 AS p, toks[i] AS tok
+  FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS y(i)
+), kept AS (
+  SELECT tp.doc_id, tp.p, tp.tok
+  FROM tokpos tp LEFT JOIN cut ON tp.doc_id = cut.doc_id AND tp.p = cut.p
+  WHERE cut.doc_id IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+         COUNT(*) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(rebuilt.text, '') AS text,
+       CAST(len(t.toks) - COALESCE(rebuilt.kept_n, 0) AS BIGINT) AS n_tokens_removed
+FROM t LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 def doc_dup_span_share(spark, sf_dir):
     """Per-doc duplicated-substring ratio (RefinedWeb-style quality
     signal): of a doc's 20-token spans, the fraction that occur
@@ -3715,6 +3766,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("links_manifest", links_manifest, _LINKS_MANIFEST_SQL),
     QueryDef("dup_span_occurrences", dup_span_occurrences, _DUP_SPANS_SQL),
     QueryDef("doc_dup_span_share", doc_dup_span_share, _DUP_SHARE_SQL),
+    QueryDef("dedup_spans_removed", dedup_spans_removed, _SPANS_REMOVED_SQL),
     QueryDef("doc_shingles", doc_shingles, _SHINGLES_SQL),
     QueryDef("sql_entrypoint_antijoin", sql_entrypoint_antijoin, _SQL_ENTRY_SQL),
     QueryDef("customer_orders_90d", customer_orders_90d, _RANGE_WIN_SQL),

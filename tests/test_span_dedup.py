@@ -83,3 +83,47 @@ def test_brute_force_equivalence(spark, corpus):
     expected = {(d, i) for (d, i), s in spans.items() if counts[s] >= 2}
     got = {(r["doc_id"], r["pos"]) for r in duplicate_spans(corpus, window=window).collect()}
     assert got == expected
+
+
+def test_remove_duplicate_spans_keep_first(spark, corpus):
+    """Keep-first removal: the globally-first occurrence survives,
+    later occurrences are excised; untouched docs round-trip their
+    tokenized text; short docs pass through whole."""
+    from batch_processing_on_aws_spark.operators.neardup import (
+        remove_duplicate_spans,
+    )
+
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(corpus, window=12).collect()}
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    assert set(out) == set(texts)
+    # doc 1 holds the globally-first boiler occurrence: nothing removed
+    assert out[1]["text"] == texts[1] and out[1]["n_tokens_removed"] == 0
+    # docs 2/3: the boiler window (and its overlaps) cut from later copies
+    assert out[2]["n_tokens_removed"] > 0
+    assert "quick brown fox" not in out[2]["text"]
+    assert "one two three" in out[2]["text"]  # unique tail survives
+    # doc 3's second boiler half is a later occurrence of the same spans
+    assert out[3]["n_tokens_removed"] > 0
+    # unaffected and short docs round-trip
+    assert out[4]["text"] == texts[4] and out[4]["n_tokens_removed"] == 0
+    assert out[5]["text"] == texts[5] and out[5]["n_tokens_removed"] == 0
+
+
+def test_remove_duplicate_spans_remove_all(spark, corpus):
+    """keep_first=False cuts EVERY occurrence (the reference
+    ExactSubstr tool behavior): no copy of the boilerplate survives
+    anywhere, and strictly more tokens go than in keep-first mode."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.operators.neardup import (
+        remove_duplicate_spans,
+    )
+
+    keep = remove_duplicate_spans(corpus, window=12, keep_first=True)
+    cut_all = remove_duplicate_spans(corpus, window=12, keep_first=False)
+    assert not any(
+        "quick brown fox" in r["text"] for r in cut_all.collect()
+    )
+    n_keep = keep.agg(F.sum("n_tokens_removed")).collect()[0][0]
+    n_all = cut_all.agg(F.sum("n_tokens_removed")).collect()[0][0]
+    assert n_all > n_keep
