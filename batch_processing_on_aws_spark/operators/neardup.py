@@ -706,14 +706,17 @@ def remove_duplicate_spans(
     rejoined by single spaces (tokenization is the same ``\\s+`` split
     both engines use), fully-covered docs come back with empty text.
 
-    Scale shape: the global-first choice is a ``row_number`` window
-    partitioned BY SPAN HASH (narrow partitions — occurrence counts,
-    never corpus-sized); covered positions explode to at most
-    ``window × duplicated-occurrences`` rows before a distinct; the
-    rebuild is one anti-join on (doc, position) plus one grouped
+    Scale shape: the global-first choice is NOT a window — a
+    boilerplate span occurring in millions of docs would serialize a
+    per-hash ``row_number`` partition on one reducer. Instead the
+    first occurrence is ``min(struct(doc_id, pos))`` inside the same
+    hash-aggregate that counts occurrences: lexicographic struct-min
+    is associative, so the partial (map-side) aggregation collapses
+    the hot hash BEFORE the exchange and the hot key costs one
+    combined row per input partition. Covered positions explode to at
+    most ``window × duplicated-occurrences`` rows before a distinct;
+    the rebuild is one anti-join on (doc, position) plus one grouped
     sort-rebuild. Nothing is driver-side, nothing is all-pairs."""
-    from pyspark.sql import Window
-
     toks = F.col("__toks")
     base = (
         fan_out(df)
@@ -735,16 +738,22 @@ def remove_duplicate_spans(
     )
     spans = base.select("doc_id", F.posexplode(guarded).alias("pos", "span_hash"))
 
-    n_occ = Window.partitionBy("span_hash")
-    occurrences = spans.withColumn("__c", F.count(F.lit(1)).over(n_occ))
-    if keep_first:
-        rank = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
-        cut_occ = (
-            occurrences.withColumn("__rn", F.row_number().over(rank))
-            .where((F.col("__c") >= 2) & (F.col("__rn") > 1))
+    dup_hashes = (
+        spans.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct("doc_id", "pos")).alias("__first"),
         )
-    else:
-        cut_occ = occurrences.where(F.col("__c") >= 2)
+        .where(F.col("__c") >= 2)
+    )
+    cut_occ = spans.join(dup_hashes, "span_hash")
+    if keep_first:
+        cut_occ = cut_occ.where(
+            ~(
+                (F.col("doc_id") == F.col("__first.doc_id"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
 
     cut_pos = (
         cut_occ.select(
