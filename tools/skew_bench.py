@@ -40,7 +40,15 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 ROOT = "scaledata/skew"
-QUERIES = ["doc_minhash_lsh_pairs", "semantic_dedup_kept"]
+QUERIES = [
+    "doc_minhash_lsh_pairs",
+    "semantic_dedup_kept",
+    # the skewed corpus also makes every 20-token window of the shared
+    # template a hot span hash (~20% of docs contain it), exercising
+    # the aggregate-min keep-first path in remove_duplicate_spans
+    "dup_span_occurrences",
+    "dedup_spans_removed",
+]
 
 
 def build(root: str = ROOT, src: str = SRC, hot_pct: int = 20) -> None:
