@@ -127,3 +127,71 @@ def test_remove_duplicate_spans_remove_all(spark, corpus):
     n_keep = keep.agg(F.sum("n_tokens_removed")).collect()[0][0]
     n_all = cut_all.agg(F.sum("n_tokens_removed")).collect()[0][0]
     assert n_all > n_keep
+
+
+def test_remove_duplicate_spans_property(spark):
+    """Property (hypothesis): on corpora built from a 3-word alphabet
+    (maximizing window collisions), keep-first removal matches a
+    driver-side brute-force reimplementation exactly — text, removal
+    counts, and doc set."""
+    import string
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from batch_processing_on_aws_spark.operators.neardup import (
+        remove_duplicate_spans,
+    )
+
+    window = 4
+    _doc = st.lists(
+        st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12
+    ).map(" ".join)
+    _corpus = st.lists(_doc, min_size=1, max_size=5)
+
+    def brute(texts):
+        toks = {i: t.split() for i, t in enumerate(texts)}
+        from collections import Counter
+
+        spans = {
+            (d, p): " ".join(ts[p : p + window])
+            for d, ts in toks.items()
+            for p in range(len(ts) - window + 1)
+        }
+        counts = Counter(spans.values())
+        first = {}
+        for (d, p) in sorted(spans):
+            first.setdefault(spans[(d, p)], (d, p))
+        cut = {
+            d: {
+                q
+                for (dd, p), s in spans.items()
+                if dd == d and counts[s] >= 2 and first[s] != (dd, p)
+                for q in range(p, p + window)
+            }
+            for d in toks
+        }
+        return {
+            d: (
+                " ".join(t for i, t in enumerate(ts) if i not in cut[d]),
+                len(cut[d] & set(range(len(ts)))),
+            )
+            for d, ts in toks.items()
+        }
+
+    @given(_corpus)
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens_removed"])
+            for r in remove_duplicate_spans(df, window=window).collect()
+        }
+        assert got == brute(texts)
+
+    check()

@@ -102,6 +102,14 @@ HEADLINERS = {
         "an equi-join on the cell id, not a cross product; the "
         "dropped-set join back is on vec_id."
     ),
+    "dedup_spans_removed": (
+        "ExactSubstr removal: the keep-first choice is min(struct) "
+        "inside the occurrence-count hash-agg (partial_min/partial_"
+        "count collapse a hot boilerplate hash map-side — no per-hash "
+        "window partition to serialize); cut positions broadcast into "
+        "the (doc, position) anti-join and the rebuild is one grouped "
+        "aggregate, so the whole pass has no global sort."
+    ),
 }
 
 
