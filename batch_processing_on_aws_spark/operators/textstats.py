@@ -303,3 +303,73 @@ def token_frequencies(df: DataFrame, text_col: str = "text", k: int = 50) -> Dat
         .orderBy(F.col("occurrences").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def bigram_rarity_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Conditional-frequency document signals — the bigram step of the
+    LM-score family (`token_rarity_stats` is the unigram step; together
+    they give a CCNet-style fluency filter), in the same exact integer
+    arithmetic so results are bit-stable under any aggregation order:
+
+    - ``n_bigrams``: positional (token, next-token) pairs in the doc;
+    - ``min_bigram_freq`` / ``median_bigram_freq``: corpus frequency
+      of the doc's rarest / median bigram — a doc can be built of
+      common words in incoherent order, which unigram stats miss and
+      low bigram frequency catches;
+    - ``rare_bigram_ratio``: fraction of the doc's bigrams whose
+      corpus count ≤ ``rare_max_count``.
+
+    Docs with fewer than 2 tokens surface with ``n_bigrams`` 0 and
+    null freq stats rather than vanishing (same contract as the
+    unigram stats). Shape is identical too: corpus-wide bigram
+    hash-agg (map-side partials absorb the Zipf head), equi-join of
+    the exploded doc bigrams to the frequency table, per-doc hash-agg.
+    The bigram expression stays inside the Generate over the
+    materialized token array (see ``shingle_index`` for the pushdown
+    trap this avoids)."""
+    from .partitioning import fan_out
+
+    toks = F.col("__toks")
+    k = F.size(toks)
+    bigrams = F.when(
+        k >= 2,
+        F.transform(
+            F.sequence(F.lit(0), k - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array(F.lit(None).cast("string")))
+    lowered = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    exploded = (
+        fan_out(df)
+        .select(F.col(id_col), lowered.alias("__toks"))
+        .select(F.col(id_col), F.explode(bigrams).alias("__bg"))
+    )
+    freq = (
+        exploded.where(F.col("__bg").isNotNull())
+        .groupBy("__bg")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    joined = exploded.join(freq, "__bg", "left")
+    n = F.count("__bg")
+    return joined.groupBy(id_col).agg(
+        n.cast("long").alias("n_bigrams"),
+        F.min("__cnt").cast("long").alias("min_bigram_freq"),
+        F.median("__cnt").alias("median_bigram_freq"),
+        F.when(
+            n > 0,
+            F.round(
+                F.sum(F.when(F.col("__cnt") <= rare_max_count, 1).otherwise(0))
+                / n,
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rare_bigram_ratio"),
+    )

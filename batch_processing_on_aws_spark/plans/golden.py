@@ -3414,6 +3414,46 @@ def doc_token_rarity(spark, sf_dir):
     return token_rarity_stats(docs)
 
 
+def doc_bigram_rarity(spark, sf_dir):
+    """Bigram (conditional-frequency) rarity signals — the CCNet-style
+    fluency step above the unigram rarity family; exact integer
+    arithmetic, same every-doc-surfaces contract."""
+    from ..operators.textstats import bigram_rarity_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_rarity_stats(docs)
+
+
+_BIGRAM_RARITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE list_transform(
+                regexp_split_to_array(trim(text), '\s+'),
+                x -> lower(x)) END AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [NULL]::VARCHAR[] END) AS b
+  FROM t
+),
+freq AS (SELECT b, count(*) AS cnt FROM bg WHERE b IS NOT NULL GROUP BY b)
+SELECT doc_id,
+       CAST(count(b) AS BIGINT) AS n_bigrams,
+       CAST(min(cnt) AS BIGINT) AS min_bigram_freq,
+       median(cnt) AS median_bigram_freq,
+       CASE WHEN count(b) > 0 THEN
+         ROUND(CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(b), 4)
+       ELSE 0.0 END AS rare_bigram_ratio
+FROM bg LEFT JOIN freq USING (b)
+GROUP BY doc_id
+"""
+
+
 _RARITY_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -3844,6 +3884,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("incremental_dedup_batch", incremental_dedup_batch, _INCR_DEDUP_SQL),
     QueryDef("semantic_dedup_kept", semantic_dedup_kept, _semantic_dedup_sql()),
     QueryDef("doc_token_rarity", doc_token_rarity, _RARITY_SQL),
+    QueryDef("doc_bigram_rarity", doc_bigram_rarity, _BIGRAM_RARITY_SQL),
     QueryDef("containment_dup_pairs", containment_dup_pairs, _CONTAINMENT_SQL),
     QueryDef("doc_chunks", doc_chunks, _CHUNKS_SQL),
     QueryDef(

@@ -60,3 +60,32 @@ def test_fingerprint_normalization(spark):
     assert rows[1]["md5"] != rows[2]["md5"]
     assert rows[1]["md5_normalized"] == rows[2]["md5_normalized"]
     assert rows[1]["md5_normalized"] != rows[3]["md5_normalized"]
+
+
+def test_bigram_rarity_stats(spark):
+    """Bigram rarity: positional pair counts, corpus-frequency join,
+    every-doc-surfaces contract (short docs get n_bigrams 0)."""
+    from batch_processing_on_aws_spark.operators.textstats import (
+        bigram_rarity_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat quietly"),   # shares "the cat", "cat sat"
+            (3, "zebra"),                 # 1 token -> no bigrams
+            (4, ""),                      # empty -> no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_rarity_stats(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 3
+    assert out[3]["n_bigrams"] == 0 and out[3]["min_bigram_freq"] is None
+    assert out[4]["n_bigrams"] == 0 and out[4]["rare_bigram_ratio"] == 0.0
+    # "the cat" and "cat sat" occur twice in the corpus; every other
+    # bigram once -> doc 2's min freq is 1, and 1/3 of its bigrams are
+    # the rare_max_count<=2 boundary... all three are <=2 actually:
+    assert out[2]["min_bigram_freq"] == 1
+    assert out[2]["rare_bigram_ratio"] == 1.0  # counts 1,2,2 all <= 2
+    assert out[1]["min_bigram_freq"] == 1
