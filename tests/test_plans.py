@@ -116,3 +116,22 @@ def test_whole_stage_codegen_active(spark):
     plan = _plan(spark, "pricing_summary", materialize=True)
     # codegen'd stages print as "*(n) Operator" in the final AQE plan
     assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:500]
+
+
+def test_span_removal_has_no_window(spark):
+    """ExactSubstr removal must pick the globally-first occurrence via
+    the hash-aggregate (map-side partial_min of the (doc,pos) struct),
+    NEVER a per-hash window — a boilerplate span in millions of docs
+    would serialize that window partition on one reducer."""
+    plan = _plan(spark, "dedup_spans_removed")
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
+def test_bigram_rarity_partial_aggregation(spark):
+    """The corpus bigram frequency table must build with map-side
+    partial counts (the Zipf head collapses before the exchange) and
+    plan no window."""
+    plan = _plan(spark, "doc_bigram_rarity")
+    assert "partial_count" in plan
+    assert "Window" not in plan
