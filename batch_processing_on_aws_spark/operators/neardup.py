@@ -683,6 +683,77 @@ def dup_span_share(
     )
 
 
+def _span_base(df, text_col: str, id_col: str):
+    """(doc_id, __toks) with the tokenize materialized once and the
+    lineage checkpointed — shared scaffold of the ExactSubstr family
+    (both the span pass and the rebuild re-read it)."""
+    return (
+        fan_out(df)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+        .localCheckpoint()
+    )
+
+
+def _positional_spans(base: DataFrame, window: int) -> DataFrame:
+    """(doc_id, pos, span_hash) positional windows over a
+    :func:`_span_base` frame; same Generate discipline as
+    :func:`span_windows`."""
+    toks = F.col("__toks")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - window),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(window)]
+            )
+        ),
+    )
+    guarded = F.when(k >= window, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return base.select("doc_id", F.posexplode(guarded).alias("pos", "span_hash"))
+
+
+def _excise(base: DataFrame, cut_occ: DataFrame, window: int) -> DataFrame:
+    """Rebuild every doc of ``base`` with the token ranges covered by
+    ``cut_occ`` (doc_id, pos span starts) removed: covered positions
+    explode to ≤ window × occurrences rows before a distinct, then one
+    anti-join on (doc, position) and one grouped sort-rebuild."""
+    toks = F.col("__toks")
+    cut_pos = (
+        cut_occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tokpos = base.select("doc_id", F.posexplode(toks).alias("p", "tok"))
+    kept = tokpos.join(cut_pos, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        base.select("doc_id", F.size(toks).alias("__n"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__text"), F.lit("")).alias("text"),
+            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -713,31 +784,10 @@ def remove_duplicate_spans(
     hash-aggregate that counts occurrences: lexicographic struct-min
     is associative, so the partial (map-side) aggregation collapses
     the hot hash BEFORE the exchange and the hot key costs one
-    combined row per input partition. Covered positions explode to at
-    most ``window × duplicated-occurrences`` rows before a distinct;
-    the rebuild is one anti-join on (doc, position) plus one grouped
-    sort-rebuild. Nothing is driver-side, nothing is all-pairs."""
-    toks = F.col("__toks")
-    base = (
-        fan_out(df)
-        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
-        .localCheckpoint()
-    )
-
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - window),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(window)]
-            )
-        ),
-    )
-    guarded = F.when(k >= window, grams).otherwise(
-        F.array().cast("array<string>")
-    )
-    spans = base.select("doc_id", F.posexplode(guarded).alias("pos", "span_hash"))
-
+    combined row per input partition. The excision itself is
+    :func:`_excise` — nothing driver-side, nothing all-pairs."""
+    base = _span_base(df, text_col, id_col)
+    spans = _positional_spans(base, window)
     dup_hashes = (
         spans.groupBy("span_hash")
         .agg(
@@ -754,37 +804,61 @@ def remove_duplicate_spans(
                 & (F.col("pos") == F.col("__first.pos"))
             )
         )
+    return _excise(base, cut_occ, window)
 
-    cut_pos = (
-        cut_occ.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
-            ).alias("p"),
-        )
-        .distinct()
-    )
 
-    tokpos = base.select("doc_id", F.posexplode(toks).alias("p", "tok"))
-    kept = tokpos.join(cut_pos, ["doc_id", "p"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("__text"),
-        F.count(F.lit(1)).alias("__kept"),
+def remove_spans_against_ledger(
+    df: DataFrame,
+    ledger: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental ExactSubstr dedup: clean a NEW batch against the
+    span hashes of everything already ingested, the exact-substring
+    analogue of :func:`..dedup.dedup_against_ledger` (which works at
+    whole-doc granularity).
+
+    Cuts from each batch doc (1) every span whose hash is in
+    ``ledger`` — that passage already exists in the corpus — and
+    (2) within-batch later occurrences (keep-first among the batch).
+    Returns ``(cleaned, new_hashes)``: the rebuilt batch docs and the
+    batch's distinct span hashes NOT already in the ledger, ready to
+    append so the next batch sees this one's content. Appending only
+    the delta keeps the ledger write O(new content); the ledger table
+    should be bucketed by ``span_hash`` so this join co-locates.
+
+    Scale shape: ledger membership is a broadcast/shuffle semi-join on
+    the hash key; the within-batch pass is the same map-side
+    aggregate-min as :func:`remove_duplicate_spans`. The ledger is
+    never rewritten, only appended to."""
+    base = _span_base(df, text_col, id_col)
+    spans = _positional_spans(base, window)
+    known = ledger.select("span_hash").distinct()
+
+    in_ledger = spans.join(known, "span_hash", "left_semi").select(
+        "doc_id", "pos"
     )
-    return (
-        base.select("doc_id", F.size(toks).alias("__n"))
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("__text"), F.lit("")).alias("text"),
-            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_tokens_removed"),
+    fresh = spans.join(known, "span_hash", "left_anti")
+    batch_dups = (
+        fresh.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct("doc_id", "pos")).alias("__first"),
         )
+        .where(F.col("__c") >= 2)
     )
+    batch_later = (
+        fresh.join(batch_dups, "span_hash")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("__first.doc_id"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    cut_occ = in_ledger.unionByName(batch_later)
+    cleaned = _excise(base, cut_occ, window)
+    new_hashes = fresh.select("span_hash").distinct()
+    return cleaned, new_hashes

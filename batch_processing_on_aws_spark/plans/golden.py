@@ -1988,6 +1988,75 @@ FROM t LEFT JOIN rebuilt USING (doc_id)
 """
 
 
+def incremental_span_dedup(spark, sf_dir):
+    """Cross-batch ExactSubstr dedup: even-id documents stand in for
+    the already-ingested corpus (their span hashes form the ledger),
+    odd-id documents are the incoming batch — every batch passage that
+    already exists in the corpus (or earlier in the batch) is excised.
+    The ledger membership check is a semi-join on the hash key; the
+    within-batch pass is the aggregate-min keep-first plan."""
+    from ..operators.neardup import remove_spans_against_ledger, span_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    prior = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    ledger = span_windows(prior, window=20).select("span_hash")
+    cleaned, _ = remove_spans_against_ledger(batch, ledger, window=20)
+    return cleaned
+
+
+_INCR_SPAN_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i : i + 19], ' ')) AS span_hash
+  FROM (SELECT * FROM t WHERE len(toks) >= 20) lng,
+       LATERAL unnest(range(1, len(toks) - 18)) AS r(i)
+), ledger AS (
+  SELECT DISTINCT span_hash FROM w WHERE doc_id % 2 = 0
+), bspans AS (
+  SELECT * FROM w WHERE doc_id % 2 = 1
+), fresh AS (
+  SELECT b.* FROM bspans b LEFT JOIN ledger l USING (span_hash)
+  WHERE l.span_hash IS NULL
+), bdups AS (
+  SELECT span_hash,
+         min(struct_pack(doc_id := doc_id, pos := pos)) AS first_occ
+  FROM fresh GROUP BY span_hash HAVING COUNT(*) >= 2
+), cut AS (
+  SELECT DISTINCT doc_id, pos + d AS p
+  FROM (
+    SELECT b.doc_id, b.pos FROM bspans b JOIN ledger l USING (span_hash)
+    UNION ALL
+    SELECT f.doc_id, f.pos
+    FROM fresh f JOIN bdups d USING (span_hash)
+    WHERE NOT (f.doc_id = d.first_occ.doc_id AND f.pos = d.first_occ.pos)
+  ) occ, LATERAL unnest(range(0, 20)) AS x(d)
+), tokpos AS (
+  SELECT doc_id, i - 1 AS p, toks[i] AS tok
+  FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS y(i)
+  WHERE doc_id % 2 = 1
+), kept AS (
+  SELECT tp.doc_id, tp.p, tp.tok
+  FROM tokpos tp LEFT JOIN cut ON tp.doc_id = cut.doc_id AND tp.p = cut.p
+  WHERE cut.doc_id IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+         COUNT(*) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(rebuilt.text, '') AS text,
+       CAST(len(t.toks) - COALESCE(rebuilt.kept_n, 0) AS BIGINT) AS n_tokens_removed
+FROM t LEFT JOIN rebuilt USING (doc_id)
+WHERE t.doc_id % 2 = 1
+"""
+
+
 def doc_dup_span_share(spark, sf_dir):
     """Per-doc duplicated-substring ratio (RefinedWeb-style quality
     signal): of a doc's 20-token spans, the fraction that occur
@@ -3807,6 +3876,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("dup_span_occurrences", dup_span_occurrences, _DUP_SPANS_SQL),
     QueryDef("doc_dup_span_share", doc_dup_span_share, _DUP_SHARE_SQL),
     QueryDef("dedup_spans_removed", dedup_spans_removed, _SPANS_REMOVED_SQL),
+    QueryDef("incremental_span_dedup", incremental_span_dedup, _INCR_SPAN_SQL),
     QueryDef("doc_shingles", doc_shingles, _SHINGLES_SQL),
     QueryDef("sql_entrypoint_antijoin", sql_entrypoint_antijoin, _SQL_ENTRY_SQL),
     QueryDef("customer_orders_90d", customer_orders_90d, _RANGE_WIN_SQL),

@@ -195,3 +195,36 @@ def test_remove_duplicate_spans_property(spark):
         assert got == brute(texts)
 
     check()
+
+
+def test_remove_spans_against_ledger(spark, corpus):
+    """Incremental ExactSubstr: ledger passages are excised from the
+    batch wholesale (no keep-first exemption — the corpus already has
+    them); within-batch repeats keep their first occurrence; the
+    returned delta holds only hashes the ledger lacked."""
+    from batch_processing_on_aws_spark.operators.neardup import (
+        remove_spans_against_ledger,
+        span_windows,
+    )
+
+    prior = corpus.where("doc_id = 1")          # owns the boilerplate
+    batch = corpus.where("doc_id in (2, 3, 4)")
+    ledger = span_windows(prior, window=12).select("span_hash")
+    cleaned, delta = remove_spans_against_ledger(batch, ledger, window=12)
+    out = {r["doc_id"]: r for r in cleaned.collect()}
+    # doc 2's boiler prefix is in the ledger -> cut, even though it
+    # would be the batch's first occurrence
+    assert "quick brown fox" not in out[2]["text"]
+    assert "one two three" in out[2]["text"]
+    # doc 3 = boiler twice: both copies covered by ledger hashes
+    assert out[3]["n_tokens_removed"] > 12
+    # doc 4 untouched
+    assert out[4]["n_tokens_removed"] == 0
+    # the delta excludes every ledger hash
+    ledger_hashes = {r["span_hash"] for r in ledger.distinct().collect()}
+    delta_hashes = {r["span_hash"] for r in delta.collect()}
+    assert not (delta_hashes & ledger_hashes)
+    # feeding the batch back against ledger+delta cuts everything dup:
+    merged = ledger.unionByName(delta)
+    cleaned2, delta2 = remove_spans_against_ledger(batch, merged, window=12)
+    assert delta2.count() == 0
