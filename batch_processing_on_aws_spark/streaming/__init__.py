@@ -3,6 +3,7 @@ from .incremental import (
     enrich_stream,
     incremental_merge_stream,
     ingest_dedup_stream,
+    ingest_span_dedup_stream,
     windowed_event_counts,
 )
 from .sessionize import sessionize_stream
@@ -12,6 +13,7 @@ __all__ = [
     "enrich_stream",
     "incremental_merge_stream",
     "ingest_dedup_stream",
+    "ingest_span_dedup_stream",
     "sessionize_stream",
     "windowed_event_counts",
 ]

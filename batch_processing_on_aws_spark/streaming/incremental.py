@@ -253,3 +253,71 @@ def enrich_stream(
         )
     right = F.broadcast(dim) if broadcast_dim else dim
     return events.join(right, on=list(on) if not isinstance(on, str) else on, how=how)
+
+
+def ingest_span_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    corpus_path: str,
+    ledger_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming ingest with cross-batch EXACT-SUBSTRING dedup — the
+    passage-level sibling of :func:`ingest_dedup_stream` (which drops
+    whole duplicate documents): each micro-batch excises every
+    ``window``-token span already present in ANY earlier delivery (or
+    earlier in the batch, keep-first) via
+    ``operators/neardup.py::remove_spans_against_ledger``, appends the
+    REBUILT documents to the corpus, and appends only the batch's
+    novel span hashes to the ledger.
+
+    Same cumulative-ledger discipline as the doc-level loop: the
+    ledger read lives inside ``foreachBatch`` so batch N sees batch
+    N−1's hashes (a stream-static join would freeze it); same
+    crash-safety layout — both sinks are epoch-partitioned with
+    dynamic overwrite, so a retried epoch replaces its own partition.
+
+    At 100 TB the span ledger is larger than a doc-fingerprint ledger
+    (one 16-byte hash per window position, ≈ one per token) but still
+    a small fraction of raw text; bucket it on ``span_hash`` so the
+    per-batch semi/anti joins co-locate, and compact old epochs
+    periodically — the loop only ever reads it as one hash set."""
+    from ..operators.neardup import remove_spans_against_ledger
+
+    def _merge(batch: DataFrame, epoch: int) -> None:
+        s = batch.sparkSession
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            ledger = s.read.parquet(ledger_path).select("span_hash")
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            ledger = s.createDataFrame([], "span_hash string")
+        cleaned, delta = remove_spans_against_ledger(
+            batch, ledger, text_col=text_col, id_col=id_col, window=window
+        )
+        for frame, path in ((cleaned, corpus_path), (delta, ledger_path)):
+            (
+                frame.withColumn("__epoch", F.lit(epoch))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__epoch")
+                .parquet(path)
+            )
+
+    q = (
+        spark.readStream.schema(schema)
+        .format(fmt)
+        .load(input_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

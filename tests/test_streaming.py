@@ -211,3 +211,60 @@ def test_ingest_dedup_stream_cross_batch(spark, tmp_path):
 
     assert any(d.startswith("__epoch=") for d in os.listdir(corpus))
     assert any(d.startswith("__epoch=") for d in os.listdir(ledger))
+
+
+def test_ingest_span_dedup_stream_cross_batch(spark, tmp_path):
+    """Passage-level cross-batch dedup through a real streaming query:
+    a passage delivered in batch 1 is excised from any batch-2 doc
+    that repeats it, while novel text survives; restarts reprocess
+    nothing."""
+    from batch_processing_on_aws_spark.streaming import (
+        ingest_span_dedup_stream,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    inp = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    def run():
+        ingest_span_dedup_stream(
+            spark, inp, doc_schema, corpus, ledger, ckpt, window=4
+        )
+
+    boiler = "standard license header text"  # one 4-token span
+    land([(1, boiler + " alpha beta"), (2, "totally different words here")])
+    run()
+    got = {r["doc_id"]: r for r in spark.read.parquet(corpus).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_tokens_removed"] == 0  # first sighting survives
+
+    # batch 2: doc 3 repeats the boilerplate + new tail, doc 4 is new
+    land([(3, boiler + " fresh tail words"), (4, "brand new content only")])
+    run()
+    got = {r["doc_id"]: r for r in spark.read.parquet(corpus).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[3]["n_tokens_removed"] >= 4  # ledger passage excised
+    assert "license header" not in got[3]["text"]
+    assert "fresh tail words" in got[3]["text"]
+    assert got[4]["n_tokens_removed"] == 0
+
+    # restart with nothing new: checkpoint prevents reprocessing
+    run()
+    assert spark.read.parquet(corpus).count() == 4
+
+    import os
+
+    assert any(d.startswith("__epoch=") for d in os.listdir(corpus))
+    assert any(d.startswith("__epoch=") for d in os.listdir(ledger))
