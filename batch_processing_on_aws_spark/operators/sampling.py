@@ -86,3 +86,76 @@ def stratified_hash_sample(
     for g, pct in rates_pct.items():
         rate = F.when(F.col(group_col) == g, F.lit(pct)).otherwise(rate)
     return df.where(hash_bucket(F.col(key)) < rate)
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    token_count_col: Column | None = None,
+) -> DataFrame:
+    """Token-budget data-mixture planning: given target mixture
+    weights per source, compute the per-source DOWN-sampling rates
+    that realize the mixture at the largest size no source has to be
+    upsampled for.
+
+    For normalized weights w_s and per-source token totals T_s the
+    binding source is the one minimizing T_s / w_s; with
+    ``scale = min_s(T_s / w_s)`` the planned corpus holds
+    ``w_s × scale`` tokens of source s, i.e.
+    ``sample_rate_s = w_s × scale / T_s`` (exactly 1.0 for the binding
+    source, < 1 for everything else). Feed the rates into
+    :func:`stratified_hash_sample` (deterministic hash buckets) to
+    materialize the mix.
+
+    Output: (source, n_docs, total_tokens, target_weight,
+    sample_rate) — one row per source present in BOTH the corpus and
+    ``weights`` (an inner join: unweighted sources are excluded from
+    the mixture by definition). Weights need not be pre-normalized.
+
+    Scale shape: one hash-agg over the corpus (map-side partials),
+    then arithmetic on the #sources-row summary — the two global
+    scalars (weight sum, min scale) are broadcast scalar crossJoins,
+    the same pattern as the TPC-H scalar subqueries. The corpus is
+    scanned once and never shuffled beyond the per-source agg."""
+    from .textstats import token_count
+
+    spark = docs.sparkSession
+    if token_count_col is None:
+        token_count_col = token_count(F.col("text"))
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()],
+        f"{source_col} string, __w double",
+    )
+    totals = (
+        docs.select(F.col(source_col), token_count_col.alias("__nt"))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").cast("long").alias("total_tokens"),
+        )
+        .join(F.broadcast(wdf), source_col)
+    )
+    wsum = totals.agg(F.sum("__w").alias("__wsum"))
+    normed = totals.crossJoin(F.broadcast(wsum)).withColumn(
+        "__nw", F.col("__w") / F.col("__wsum")
+    )
+    scale = normed.agg(
+        F.min(F.col("total_tokens") / F.col("__nw")).alias("__scale")
+    )
+    return (
+        normed.crossJoin(F.broadcast(scale))
+        .select(
+            source_col,
+            "n_docs",
+            "total_tokens",
+            F.round("__nw", 6).alias("target_weight"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("__nw") * F.col("__scale") / F.col("total_tokens"),
+                ),
+                6,
+            ).alias("sample_rate"),
+        )
+    )

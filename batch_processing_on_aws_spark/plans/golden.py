@@ -1988,6 +1988,53 @@ FROM t LEFT JOIN rebuilt USING (doc_id)
 """
 
 
+def mixture_sampling_plan(spark, sf_dir):
+    """Token-budget mixture planning (operators/sampling.py::
+    mixture_plan): target weights derived deterministically from the
+    source name (1 + source-number mod 5), output = the per-source
+    down-sampling rates that realize the mixture at the largest
+    no-upsampling size. The two global scalars (weight sum, binding
+    min) are broadcast scalar crossJoins — the TPC-H scalar-subquery
+    pattern."""
+    from ..operators.sampling import mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    # bounded collect: mixture weights are per-SOURCE (tens of rows —
+    # a mixture is human-curated), same class as the other scalar
+    # collects the plan audit allows
+    sources = [
+        r["source"]
+        for r in docs.select("source").distinct().collect()
+    ]
+    weights = {
+        s: 1.0 + (int(s[3:]) % 5 if s[3:].isdigit() else 0) for s in sources
+    }
+    return mixture_plan(docs, weights).orderBy("source")
+
+
+_MIXTURE_SQL = r"""
+WITH totals AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+              AS BIGINT) AS total_tokens,
+         1.0 + (CAST(substr(source, 4) AS INT) % 5) AS w
+  FROM documents
+  GROUP BY source
+), normed AS (
+  SELECT *, w / (SELECT SUM(w) FROM totals) AS nw FROM totals
+), scaled AS (
+  SELECT *, (SELECT MIN(total_tokens / nw) FROM normed) AS scale FROM normed
+)
+SELECT source, n_docs, total_tokens,
+       ROUND(nw, 6) AS target_weight,
+       ROUND(LEAST(1.0, nw * scale / total_tokens), 6) AS sample_rate
+FROM scaled
+ORDER BY source
+"""
+
+
 def incremental_span_dedup(spark, sf_dir):
     """Cross-batch ExactSubstr dedup: even-id documents stand in for
     the already-ingested corpus (their span hashes form the ledger),
@@ -3883,6 +3930,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("doc_simhash_pairs", doc_simhash_pairs, _simhash_pairs_sql()),
     QueryDef("doc_split_assignment", doc_split_assignment, _SPLIT_SQL),
     QueryDef("orders_hash_sample", orders_hash_sample, _HASH_SAMPLE_SQL),
+    QueryDef("mixture_sampling_plan", mixture_sampling_plan, _MIXTURE_SQL),
     QueryDef(
         "customer_spend_quartiles", customer_spend_quartiles, _QUARTILES_SQL
     ),

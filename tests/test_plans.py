@@ -44,12 +44,16 @@ def _plan(spark, name, materialize=False):
 #   q15_top_supplier: broadcast a ONE-ROW scalar aggregate (global
 #   sum/count/max) into the filter — the SQL scalar-subquery pattern;
 #   the fact side streams unshuffled.
+# - mixture_sampling_plan: broadcasts two ONE-ROW scalars (weight sum,
+#   binding min) into the #sources-row summary — same scalar-subquery
+#   pattern; the corpus side never crosses anything.
 CROSS_PRODUCT_ALLOWED = {
     "embedding_topk",
     "embedding_ivf_topk",
     "q22_idle_rich_customers",
     "q11_part_value_concentration",
     "q15_top_supplier",
+    "mixture_sampling_plan",
 }
 
 

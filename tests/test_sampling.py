@@ -52,3 +52,53 @@ def test_bucket_matches_python_md5(spark):
     for r in rows:
         expect = int(hashlib.md5(str(r["k"]).encode()).hexdigest()[:8], 16) % 100
         assert r["b"] == expect, r
+
+
+def test_mixture_plan_math_and_application(spark):
+    """Mixture planning: the binding source gets rate 1.0, realized
+    token mix matches the normalized targets, and applying the rates
+    via deterministic hash sampling lands near the plan."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.operators.sampling import (
+        hash_bucket,
+        mixture_plan,
+    )
+
+    rows = []
+    did = 0
+    for src, n, words in (("web", 300, 10), ("wiki", 60, 10), ("books", 40, 10)):
+        for i in range(n):
+            rows.append((did, src, " ".join(f"w{did}_{j}" for j in range(words))))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # targets: half web, 30% wiki, 20% books -> binding source is the
+    # one with smallest tokens/weight = wiki (600/0.3=2000) vs
+    # web (3000/0.5=6000) vs books (400/0.2=2000): tie wiki/books
+    plan = {r["source"]: r for r in mixture_plan(
+        docs, {"web": 0.5, "wiki": 0.3, "books": 0.2}
+    ).collect()}
+    assert set(plan) == {"web", "wiki", "books"}
+    assert plan["wiki"]["sample_rate"] == 1.0 and plan["books"]["sample_rate"] == 1.0
+    # scale = 2000 tokens -> web keeps 1000 of 3000
+    assert abs(plan["web"]["sample_rate"] - 1000 / 3000) < 1e-6
+    assert plan["web"]["target_weight"] == 0.5
+    # realized mix: rate_s * T_s proportional to weights
+    realized = {s: plan[s]["sample_rate"] * plan[s]["total_tokens"] for s in plan}
+    tot = sum(realized.values())
+    assert abs(realized["web"] / tot - 0.5) < 1e-6
+    assert abs(realized["wiki"] / tot - 0.3) < 1e-6
+    # apply via hash buckets: selected fraction tracks the plan
+    rates = {s: plan[s]["sample_rate"] for s in plan}
+    rate_col = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(r))
+            for s, r in rates.items()
+        ]
+    )
+    picked = docs.where(
+        hash_bucket(F.col("doc_id").cast("string"), 1000) < rate_col * 1000
+    )
+    n_web = picked.where("source = 'web'").count()
+    assert 60 <= n_web <= 140  # 100 expected, deterministic hash spread
+    assert picked.where("source = 'wiki'").count() == 60  # rate 1.0
