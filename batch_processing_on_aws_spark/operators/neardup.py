@@ -788,13 +788,13 @@ def remove_duplicate_spans(
     :func:`_excise` — nothing driver-side, nothing all-pairs."""
     base = _span_base(df, text_col, id_col)
     spans = _positional_spans(base, window)
+    # the first-occurrence struct-min is only aggregated when the
+    # keep-first path will read it — remove-all pays for the count only
+    aggs = [F.count(F.lit(1)).alias("__c")]
+    if keep_first:
+        aggs.append(F.min(F.struct("doc_id", "pos")).alias("__first"))
     dup_hashes = (
-        spans.groupBy("span_hash")
-        .agg(
-            F.count(F.lit(1)).alias("__c"),
-            F.min(F.struct("doc_id", "pos")).alias("__first"),
-        )
-        .where(F.col("__c") >= 2)
+        spans.groupBy("span_hash").agg(*aggs).where(F.col("__c") >= 2)
     )
     cut_occ = spans.join(dup_hashes, "span_hash")
     if keep_first:
@@ -823,10 +823,17 @@ def remove_spans_against_ledger(
     ``ledger`` — that passage already exists in the corpus — and
     (2) within-batch later occurrences (keep-first among the batch).
     Returns ``(cleaned, new_hashes)``: the rebuilt batch docs and the
-    batch's distinct span hashes NOT already in the ledger, ready to
-    append so the next batch sees this one's content. Appending only
-    the delta keeps the ledger write O(new content); the ledger table
-    should be bucketed by ``span_hash`` so this join co-locates.
+    distinct span hashes of the REBUILT text not already in the
+    ledger, ready to append so the next batch sees this one's content.
+    The delta is recomputed from the cleaned text, not carried over
+    from the pre-cut span stream: a fresh span that overlapped a
+    ledger-covered region loses tokens in the rebuild, so advertising
+    its pre-cut hash would let a later delivery of that passage be
+    excised even though no copy survives anywhere — the ledger must
+    describe exactly what the corpus contains (including the new
+    token adjacencies excision creates). Appending only the delta
+    keeps the ledger write O(new content); the ledger table should be
+    bucketed by ``span_hash`` so this join co-locates.
 
     Scale shape: ledger membership is a broadcast/shuffle semi-join on
     the hash key; the within-batch pass is the same map-side
@@ -860,5 +867,10 @@ def remove_spans_against_ledger(
     )
     cut_occ = in_ledger.unionByName(batch_later)
     cleaned = _excise(base, cut_occ, window)
-    new_hashes = fresh.select("span_hash").distinct()
+    new_hashes = (
+        span_windows(cleaned, text_col="text", id_col="doc_id", window=window)
+        .select("span_hash")
+        .distinct()
+        .join(known, "span_hash", "left_anti")
+    )
     return cleaned, new_hashes

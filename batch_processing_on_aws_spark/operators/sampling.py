@@ -120,6 +120,14 @@ def mixture_plan(
     scanned once and never shuffled beyond the per-source agg."""
     from .textstats import token_count
 
+    if not weights:
+        raise ValueError("mixture_plan: weights must be non-empty")
+    bad = {k: v for k, v in weights.items() if not v > 0}
+    if bad:
+        raise ValueError(
+            f"mixture_plan: weights must be positive, got {bad!r} — a zero "
+            "or negative weight makes the mixture undefined"
+        )
     spark = docs.sparkSession
     if token_count_col is None:
         token_count_col = token_count(F.col("text"))
@@ -140,8 +148,24 @@ def mixture_plan(
     normed = totals.crossJoin(F.broadcast(wsum)).withColumn(
         "__nw", F.col("__w") / F.col("__wsum")
     )
+    # a weighted source with zero tokens makes the mixture infeasible
+    # (its target share can never be realized); fail loudly inside the
+    # aggregate rather than let scale=0 silently zero every rate
     scale = normed.agg(
-        F.min(F.col("total_tokens") / F.col("__nw")).alias("__scale")
+        F.min(
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("total_tokens") / F.col("__nw"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("mixture_plan: weighted source "),
+                        F.col(source_col),
+                        F.lit(" has zero tokens - mixture infeasible"),
+                    )
+                ).cast("double")
+            )
+        ).alias("__scale")
     )
     return (
         normed.crossJoin(F.broadcast(scale))

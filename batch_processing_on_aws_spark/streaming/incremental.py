@@ -120,6 +120,46 @@ def windowed_event_counts(
     )
 
 
+def _read_ledger_before_epoch(spark, path: str, epoch: int):
+    """Cumulative-ledger read for a foreachBatch retry loop: returns
+    the ledger EXCLUDING the current epoch's own partition, or None if
+    the ledger does not exist yet (first batch).
+
+    The epoch filter is load-bearing for crash safety: a crash AFTER
+    the epoch's writes but BEFORE the checkpoint commit re-runs the
+    same epoch, and a retry that read its own previously-written
+    partition would treat the whole batch as already-ingested —
+    excising every span / dropping every doc and dynamically
+    overwriting the correct corpus partition with gutted rows.
+
+    Only a MISSING ledger means "first batch" — any other read failure
+    (corrupt footer, storage error) must abort the batch, or the
+    anti-join silently disappears and every previously seen document
+    re-enters the corpus."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        ledger = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return None
+    return ledger.where(F.col("__epoch") != F.lit(epoch))
+
+
+def _write_epoch_partitions(frames_paths, epoch: int) -> None:
+    """Epoch-keyed dynamic overwrite for each (frame, path): a re-run
+    of epoch N rewrites __epoch=N, never appends a duplicate copy."""
+    for frame, path in frames_paths:
+        (
+            frame.withColumn("__epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+
+
 def ingest_dedup_stream(
     spark: SparkSession,
     input_dir: str,
@@ -177,35 +217,17 @@ def ingest_dedup_stream(
             [F.col(id_col).asc()],
         )
         s = batch.sparkSession
-        # only a MISSING ledger means "first batch" — any other read
-        # failure (corrupt footer, storage error) must abort the batch,
-        # or the anti-join silently disappears and every previously
-        # seen document re-enters the corpus
-        from pyspark.errors.exceptions.captured import AnalysisException
-
-        try:
-            ledger = s.read.parquet(ledger_path)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            ledger = None
+        # excluding the current epoch from the ledger read makes a
+        # crashed-after-write retry idempotent instead of seeing its
+        # own fingerprints and writing an empty epoch (see helper)
+        ledger = _read_ledger_before_epoch(s, ledger_path, epoch)
         fresh = b if ledger is None else dedup_against_ledger(b, ledger)
         fresh.persist()
         try:
-            # Epoch-keyed dynamic overwrite = idempotent per retry: a
-            # re-run of epoch N rewrites __epoch=N, never appends a
-            # duplicate copy (see docstring crash-safety note).
-            for frame, path in (
-                (fresh, corpus_path),
-                (fresh.select("fingerprint"), ledger_path),
-            ):
-                (
-                    frame.withColumn("__epoch", F.lit(epoch))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("__epoch")
-                    .parquet(path)
-                )
+            _write_epoch_partitions(
+                ((fresh, corpus_path), (fresh.select("fingerprint"), ledger_path)),
+                epoch,
+            )
         finally:
             fresh.unpersist()
 
@@ -291,25 +313,24 @@ def ingest_span_dedup_stream(
 
     def _merge(batch: DataFrame, epoch: int) -> None:
         s = batch.sparkSession
-        from pyspark.errors.exceptions.captured import AnalysisException
-
-        try:
-            ledger = s.read.parquet(ledger_path).select("span_hash")
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            ledger = s.createDataFrame([], "span_hash string")
+        prior = _read_ledger_before_epoch(s, ledger_path, epoch)
+        ledger = (
+            s.createDataFrame([], "span_hash string")
+            if prior is None
+            else prior.select("span_hash")
+        )
         cleaned, delta = remove_spans_against_ledger(
             batch, ledger, text_col=text_col, id_col=id_col, window=window
         )
-        for frame, path in ((cleaned, corpus_path), (delta, ledger_path)):
-            (
-                frame.withColumn("__epoch", F.lit(epoch))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("__epoch")
-                .parquet(path)
+        # delta derives FROM cleaned (rebuilt-text spans), so without a
+        # persist the whole dedup pipeline would execute once per sink
+        cleaned.persist()
+        try:
+            _write_epoch_partitions(
+                ((cleaned, corpus_path), (delta, ledger_path)), epoch
             )
+        finally:
+            cleaned.unpersist()
 
     q = (
         spark.readStream.schema(schema)

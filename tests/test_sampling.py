@@ -102,3 +102,23 @@ def test_mixture_plan_math_and_application(spark):
     n_web = picked.where("source = 'web'").count()
     assert 60 <= n_web <= 140  # 100 expected, deterministic hash spread
     assert picked.where("source = 'wiki'").count() == 60  # rate 1.0
+
+
+def test_mixture_plan_guards(spark):
+    """Invalid weights fail driver-side; a weighted zero-token source
+    fails at execution instead of silently zeroing every rate."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from batch_processing_on_aws_spark.operators.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a", "some real tokens here"), (2, "b", "   ")],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_plan(docs, {})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_plan(docs, {"a": 0.5, "b": 0.0})
+    with pytest.raises(Exception, match="zero tokens"):
+        mixture_plan(docs, {"a": 0.5, "b": 0.5}).collect()

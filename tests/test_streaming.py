@@ -268,3 +268,58 @@ def test_ingest_span_dedup_stream_cross_batch(spark, tmp_path):
 
     assert any(d.startswith("__epoch=") for d in os.listdir(corpus))
     assert any(d.startswith("__epoch=") for d in os.listdir(ledger))
+
+
+def test_read_ledger_excludes_current_epoch(spark, tmp_path):
+    """The cumulative-ledger read must exclude the reading epoch's own
+    partition: a crashed-after-write retry would otherwise see its own
+    output, treat the whole batch as already-ingested, and dynamically
+    overwrite the correct corpus partition with gutted rows."""
+    from batch_processing_on_aws_spark.streaming.incremental import (
+        _read_ledger_before_epoch,
+    )
+
+    path = str(tmp_path / "ledger")
+    assert _read_ledger_before_epoch(spark, path, 0) is None  # first batch
+    for epoch, h in ((0, "h0"), (1, "h1")):
+        spark.createDataFrame([(h,)], "span_hash string").withColumn(
+            "__epoch", F.lit(epoch)
+        ).write.mode("append").partitionBy("__epoch").parquet(path)
+    # retry of epoch 1 sees only epoch 0's hashes
+    got = {r["span_hash"] for r in _read_ledger_before_epoch(spark, path, 1).collect()}
+    assert got == {"h0"}
+    # a normal epoch 2 sees both
+    got = {r["span_hash"] for r in _read_ledger_before_epoch(spark, path, 2).collect()}
+    assert got == {"h0", "h1"}
+
+
+def test_span_ledger_delta_reflects_cleaned_text(spark):
+    """The ledger delta must describe the REBUILT corpus text: a fresh
+    span that lost tokens to a ledger-covered cut may not advertise its
+    pre-cut hash, or a later sole copy of that passage would be
+    destroyed."""
+    from batch_processing_on_aws_spark.operators.neardup import (
+        remove_spans_against_ledger,
+        span_windows,
+    )
+
+    prior = spark.createDataFrame(
+        [(0, "a b c d")], "doc_id long, text string"
+    )
+    ledger = span_windows(prior, window=4).select("span_hash")
+    batch = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    cleaned, delta = remove_spans_against_ledger(batch, ledger, window=4)
+    row = cleaned.collect()[0]
+    assert row["text"] == "e" and row["n_tokens_removed"] == 4
+    # pre-cut span 'b c d e' overlapped the cut region: its hash must
+    # NOT be advertised (the corpus holds no copy of that passage);
+    # the cleaned text 'e' is shorter than the window -> empty delta
+    assert delta.count() == 0
+    later = spark.createDataFrame(
+        [(2, "b c d e")], "doc_id long, text string"
+    )
+    merged = ledger.unionByName(delta)
+    cleaned2, _ = remove_spans_against_ledger(later, merged, window=4)
+    assert cleaned2.collect()[0]["n_tokens_removed"] == 0  # survives
