@@ -874,3 +874,47 @@ def remove_spans_against_ledger(
         .join(known, "span_hash", "left_anti")
     )
     return cleaned, new_hashes
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    winnow: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+    algorithm) over the positional span-hash stream: from every run of
+    ``winnow`` consecutive ``window``-token span hashes, keep the
+    minimum; output each doc's DISTINCT selected hashes.
+
+    The guarantee: any shared passage of at least
+    ``window + winnow − 1`` tokens between two docs yields at least one
+    shared fingerprint, while the fingerprint set shrinks to roughly
+    ``2/(winnow+1)`` of the full span stream — the standard fix for
+    the span ledger's ≈one-hash-per-token footprint
+    (:func:`remove_spans_against_ledger` docstring) when passage-level
+    RECALL at a coarser threshold is acceptable: winnowed ledgers
+    detect duplicated passages, they cannot reconstruct exact cut
+    positions, so they pair with flag-and-drop policies rather than
+    token excision.
+
+    Scale shape: the running min is a per-DOC window (ROWS frame of
+    ``winnow``), so partitions are doc-sized — bounded by the longest
+    document, never corpus-sized; the distinct is a hash-agg with
+    map-side partials. Lowercase-hex md5 ordering is identical in
+    Spark and DuckDB, so the selection is oracle-reproducible."""
+    from pyspark.sql import Window
+
+    spans = span_windows(df, text_col, id_col, window)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, winnow - 1)
+    )
+    picked = spans.select(
+        "doc_id",
+        F.min("span_hash").over(w).alias("fingerprint"),
+        F.count("span_hash").over(w).alias("__n"),
+    ).where(F.col("__n") == winnow)
+    return picked.select("doc_id", "fingerprint").distinct()

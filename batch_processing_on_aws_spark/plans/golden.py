@@ -2104,6 +2104,44 @@ WHERE t.doc_id % 2 = 1
 """
 
 
+def winnowed_doc_fingerprints(spark, sf_dir):
+    """MOSS winnowing over the span-hash stream: per doc, the distinct
+    minima of every 4-run of consecutive 20-token span hashes — the
+    compact ledger variant with the ≥23-token shared-passage detection
+    guarantee."""
+    from ..operators.neardup import winnowed_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowed_fingerprints(docs, window=20, winnow=4)
+
+
+_WINNOW_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i : i + 19], ' ')) AS span_hash
+  FROM (SELECT * FROM t WHERE len(toks) >= 20) lng,
+       LATERAL unnest(range(1, len(toks) - 18)) AS r(i)
+), runs AS (
+  SELECT doc_id,
+         MIN(span_hash) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+         ) AS fingerprint,
+         COUNT(span_hash) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+         ) AS n
+  FROM w
+)
+SELECT DISTINCT doc_id, fingerprint FROM runs WHERE n = 4
+"""
+
+
 def doc_dup_span_share(spark, sf_dir):
     """Per-doc duplicated-substring ratio (RefinedWeb-style quality
     signal): of a doc's 20-token spans, the fraction that occur
@@ -3924,6 +3962,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("doc_dup_span_share", doc_dup_span_share, _DUP_SHARE_SQL),
     QueryDef("dedup_spans_removed", dedup_spans_removed, _SPANS_REMOVED_SQL),
     QueryDef("incremental_span_dedup", incremental_span_dedup, _INCR_SPAN_SQL),
+    QueryDef("winnowed_doc_fingerprints", winnowed_doc_fingerprints, _WINNOW_SQL),
     QueryDef("doc_shingles", doc_shingles, _SHINGLES_SQL),
     QueryDef("sql_entrypoint_antijoin", sql_entrypoint_antijoin, _SQL_ENTRY_SQL),
     QueryDef("customer_orders_90d", customer_orders_90d, _RANGE_WIN_SQL),

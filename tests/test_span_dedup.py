@@ -228,3 +228,44 @@ def test_remove_spans_against_ledger(spark, corpus):
     merged = ledger.unionByName(delta)
     cleaned2, delta2 = remove_spans_against_ledger(batch, merged, window=12)
     assert delta2.count() == 0
+
+
+def test_winnowing_guarantee_and_compression(spark):
+    """MOSS winnowing property: any shared passage of at least
+    window + winnow - 1 tokens yields a shared fingerprint, and the
+    fingerprint set is materially smaller than the full span stream."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.operators.neardup import (
+        span_windows,
+        winnowed_fingerprints,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"v{i}" for i in range(200)]
+    shared = " ".join(rng.choice(vocab) for _ in range(7))  # 7 = 4+4-1
+    def noise(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    docs = spark.createDataFrame(
+        [
+            (1, noise(30) + " " + shared + " " + noise(30)),
+            (2, noise(25) + " " + shared + " " + noise(40)),
+            (3, noise(60)),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowed_fingerprints(docs, window=4, winnow=4)
+    by_doc = {
+        d: {r["fingerprint"] for r in rows}
+        for d, rows in (
+            (d, fp.where(F.col("doc_id") == d).collect()) for d in (1, 2, 3)
+        )
+    }
+    assert by_doc[1] & by_doc[2], "shared >= w+k-1 passage must collide"
+    # compression: winnowed set ≪ positional span stream
+    n_spans = span_windows(docs, window=4).count()
+    n_fp = fp.count()
+    assert n_fp < 0.6 * n_spans
