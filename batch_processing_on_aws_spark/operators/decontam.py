@@ -77,6 +77,7 @@ def semantic_contamination(
     corpus_id_col: str = "vec_id",
     bench_id_col: str = "bench_id",
     vec_col: str = "embedding",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Embedding-space decontamination — the semantic sibling of the
     n-gram collision report: flag corpus items whose embedding sits
@@ -97,7 +98,7 @@ def semantic_contamination(
     from .similarity import _as_double, cosine, hyperplane_signature
     from .partitioning import fan_out
 
-    c = fan_out(corpus).select(
+    c = fan_out(corpus, partitions).select(
         F.col(corpus_id_col).alias("__cid"),
         _as_double(F.col(vec_col)).alias("__cv"),
     )

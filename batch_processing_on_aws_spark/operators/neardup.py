@@ -59,6 +59,7 @@ def shingle_sets(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    partitions: int | None = None,
 ) -> DataFrame:
     """(``__id``, ``__sh``) shingle-ARRAY frame: fan out the scan,
     materialize the token array as a real column, then window it. Two
@@ -68,9 +69,10 @@ def shingle_sets(
 
     Use ``shingle_index`` when the next step is an explode — exploding
     the ``__sh`` COLUMN from this frame trips an optimizer trap (see
-    there)."""
+    there). ``partitions`` is :func:`..partitioning.fan_out`'s escape
+    hatch (0 = skip the fan-out; default adapts to the scan width)."""
     return (
-        fan_out(df)
+        fan_out(df, partitions)
         .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
         .select("__id", shingles_from_tokens(F.col("__toks"), shingle_n).alias("__sh"))
     )
@@ -81,6 +83,7 @@ def shingle_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    partitions: int | None = None,
 ) -> DataFrame:
     """(``__id``, ``__s``) EXPLODED shingle frame — one row per
     (doc, distinct shingle) — the input to every inverted-index /
@@ -96,7 +99,7 @@ def shingle_index(
     sf0.1). Keeping the expression inside the Generate pins all heavy
     work after the repartition."""
     return (
-        fan_out(df)
+        fan_out(df, partitions)
         .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
         .select(
             "__id",
@@ -586,6 +589,7 @@ def span_windows(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 20,
+    partitions: int | None = None,
 ) -> DataFrame:
     """(``doc_id``, ``pos``, ``span_hash``) — every positional
     ``window``-token span of every doc, md5-hashed. Unlike
@@ -614,7 +618,7 @@ def span_windows(
         F.array().cast("array<string>")
     )
     return (
-        fan_out(df)
+        fan_out(df, partitions)
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
         .select("doc_id", F.posexplode(guarded).alias("pos", "span_hash"))
     )
@@ -641,8 +645,15 @@ def duplicate_spans(
     combine — duplicated spans collapse before the exchange) and one
     shuffle equi-join back on ``span_hash``. No pair explosion: a span
     occurring f times costs f output rows, not f² pairs, so boilerplate
-    (headers, license blocks) stays linear."""
-    spans = span_windows(df, text_col, id_col, window)
+    (headers, license blocks) stays linear.
+
+    The span stream feeds BOTH sides of the frequency self-join, so it
+    is materialized once via :func:`_span_base` (localCheckpoint) —
+    without it the tokenize+posexplode fan-out is computed twice (the
+    two exchanges differ — partial-agg vs probe side — so
+    ReusedExchange cannot collapse them)."""
+    base = _span_base(df, text_col, id_col)
+    spans = _positional_spans(base, window)
     freq = (
         spans.groupBy("span_hash")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -667,8 +678,10 @@ def dup_span_share(
 
     Output: (doc_id, n_spans, n_dup_spans, dup_share). The share is an
     exact integer ratio (count/count), so it is bit-identical across
-    engines unrounded."""
-    spans = span_windows(df, text_col, id_col, window)
+    engines unrounded. Span stream materialized once via
+    :func:`_span_base` (see :func:`duplicate_spans`)."""
+    base = _span_base(df, text_col, id_col)
+    spans = _positional_spans(base, window)
     freq = (
         spans.groupBy("span_hash")
         .agg(F.count(F.lit(1)).alias("__f"))

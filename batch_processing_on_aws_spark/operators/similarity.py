@@ -74,6 +74,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector by cosine similarity.
 
@@ -93,7 +94,7 @@ def brute_force_topk(
             _as_double(F.col(vec_col)).alias("q_vec"),
         )
     )
-    c = fan_out(corpus).select(
+    c = fan_out(corpus, partitions).select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
     scored = (
@@ -122,6 +123,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     bucket_by: str | None = "label",
     broadcast_right: bool = True,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
     cosine ≥ threshold.
@@ -147,7 +149,7 @@ def embedding_neardup_pairs(
         _as_double(F.col(vec_col)).alias("__v"),
         *([F.col(bucket_by).alias("__b")] if bucket_by else []),
     )
-    a = fan_out(base).select(*[F.col(c).alias(f"a{c}") for c in base.columns])
+    a = fan_out(base, partitions).select(*[F.col(c).alias(f"a{c}") for c in base.columns])
     b = base.select(*[F.col(c).alias(f"b{c}") for c in base.columns])
     if broadcast_right:
         b = F.broadcast(b)
@@ -253,6 +255,7 @@ def semantic_dedup(
     seed: int = 42,
     max_iter: int = 8,
     n_train: int = 4096,
+    partitions: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then
@@ -284,7 +287,7 @@ def semantic_dedup(
     # Arrow UDF per consumer — the plan shows 5 ArrowEvalPython evals
     # over 3 scans without this, 1 with it
     assigned = _assign_cells(c, centers).localCheckpoint()
-    a = fan_out(assigned).select(
+    a = fan_out(assigned, partitions).select(
         F.col("vec_id").alias("a_id"), F.col("c_vec").alias("a_vec"), "cell"
     )
     b = assigned.select(
@@ -427,6 +430,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by hyperplane
     signature, equi-join on the bucket, exact-rescore candidates.
@@ -438,7 +442,7 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
-    c = fan_out(corpus).select(
+    c = fan_out(corpus, partitions).select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
     ).withColumn("bucket", hyperplane_signature(F.col("c_vec"), planes))
     q = F.broadcast(
@@ -474,6 +478,7 @@ def lsh_topk_multi(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Multi-table LSH top-k: ``tables`` is a list of independent
     hyperplane sets; a corpus vector is a candidate for a query if
@@ -491,7 +496,7 @@ def lsh_topk_multi(
     """
     from pyspark.sql import Window
 
-    c = fan_out(corpus).select(
+    c = fan_out(corpus, partitions).select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
     q = queries.select(

@@ -126,7 +126,12 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    partitions: int | None = None,
+) -> DataFrame:
     """Within-document repetition signals (Gopher/Dolma-style quality
     filters): over the doc's word ``n``-gram stream —
 
@@ -151,7 +156,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
     """
     from .partitioning import fan_out
 
-    df = fan_out(df)
+    df = fan_out(df, partitions)
     toks = tokens(F.col(text_col))
     k = F.size(toks)
     # the same windowing as shingles_from_tokens but WITHOUT the
@@ -186,6 +191,7 @@ def token_rarity_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     rare_max_count: int = 2,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Corpus-frequency-based document quality signals — the
     unigram-LM-score family, kept in exact integer arithmetic so the
@@ -213,7 +219,7 @@ def token_rarity_stats(
     # row (same contract as language_scores): every input doc gets an
     # output row — n_tokens 0, null freq stats, ratio 0.0 — instead of
     # silently vanishing from downstream audits
-    exploded = fan_out(df).select(
+    exploded = fan_out(df, partitions).select(
         F.col(id_col), F.explode_outer(toks).alias("__t")
     )
     freq = (
@@ -246,6 +252,7 @@ def distinctive_tokens(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Per-document top-``k`` distinctive tokens — the tf-idf keyword
     primitive, ranked LEXICOGRAPHICALLY on (tf desc, df asc, token
@@ -267,7 +274,7 @@ def distinctive_tokens(
     from .partitioning import fan_out
 
     toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
-    exploded = fan_out(df).select(F.col(id_col), F.explode(toks).alias("token"))
+    exploded = fan_out(df, partitions).select(F.col(id_col), F.explode(toks).alias("token"))
     tf = exploded.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -283,7 +290,12 @@ def distinctive_tokens(
     )
 
 
-def token_frequencies(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+def token_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    partitions: int | None = None,
+) -> DataFrame:
     """Corpus-level token frequency table (top ``k``): the
     vocabulary-building / heavy-hitter primitive. Lowercased
     whitespace tokens → two-phase hash-aggregate (map-side partials
@@ -297,7 +309,7 @@ def token_frequencies(df: DataFrame, text_col: str = "text", k: int = 50) -> Dat
 
     toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
     return (
-        fan_out(df).select(F.explode(toks).alias("token"))
+        fan_out(df, partitions).select(F.explode(toks).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("occurrences"))
         .orderBy(F.col("occurrences").desc(), F.col("token").asc())
@@ -310,6 +322,7 @@ def bigram_rarity_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     rare_max_count: int = 2,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Conditional-frequency document signals — the bigram step of the
     LM-score family (`token_rarity_stats` is the unigram step; together
@@ -347,7 +360,7 @@ def bigram_rarity_stats(
     ).otherwise(F.array(F.lit(None).cast("string")))
     lowered = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
     exploded = (
-        fan_out(df)
+        fan_out(df, partitions)
         .select(F.col(id_col), lowered.alias("__toks"))
         .select(F.col(id_col), F.explode(bigrams).alias("__bg"))
     )

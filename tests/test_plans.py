@@ -139,3 +139,55 @@ def test_bigram_rarity_partial_aggregation(spark):
     plan = _plan(spark, "doc_bigram_rarity")
     assert "partial_count" in plan
     assert "Window" not in plan
+
+
+def _physical(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fan_out_adaptive(spark):
+    """``fan_out`` must be a NO-OP on inputs that are already wide —
+    at 100 TB the scan itself provides parallelism and an
+    unconditional round-robin repartition would move the full document
+    text before every text/neardup/similarity operator. Four
+    contracts, asserted on physical plans:
+
+    1. single-file dev corpus (1-2 splits): the fan-out repartition
+       still happens (the measured 5-13× dev speedup);
+    2. caller-pre-partitioned input: NO second exchange is stacked;
+    3. many-split scan (simulated with a tiny maxPartitionBytes): no
+       round-robin exchange anywhere below the tokenize;
+    4. the explicit escape hatches (0 = skip, n = force) are honored.
+    """
+    from batch_processing_on_aws_spark.operators.neardup import shingle_index
+    from batch_processing_on_aws_spark.operators.partitioning import (
+        scan_split_estimate,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    # 1. narrow dev scan -> fan-out fires
+    assert (scan_split_estimate(docs) or 0) < spark.sparkContext.defaultParallelism
+    assert "RoundRobinPartitioning" in _physical(shingle_index(docs))
+
+    # 2. caller already partitioned -> exactly the caller's exchange
+    pre = docs.repartition(64)
+    plan = _physical(shingle_index(pre))
+    assert "RoundRobinPartitioning(64" in plan
+    assert "RoundRobinPartitioning(32" not in plan
+
+    # 3. wide scan -> NO round-robin exchange below the tokenize
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8k")
+    try:
+        wide = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        est = scan_split_estimate(wide)
+        assert est is not None and est >= spark.sparkContext.defaultParallelism
+        assert "RoundRobinPartitioning" not in _physical(shingle_index(wide))
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+    # 4. explicit escape hatches
+    assert "RoundRobinPartitioning" not in _physical(
+        shingle_index(docs, partitions=0)
+    )
+    assert "RoundRobinPartitioning(8" in _physical(shingle_index(docs, partitions=8))
