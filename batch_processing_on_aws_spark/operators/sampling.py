@@ -109,9 +109,14 @@ def mixture_plan(
     materialize the mix.
 
     Output: (source, n_docs, total_tokens, target_weight,
-    sample_rate) — one row per source present in BOTH the corpus and
-    ``weights`` (an inner join: unweighted sources are excluded from
-    the mixture by definition). Weights need not be pre-normalized.
+    sample_rate) — one row per WEIGHTED source (unweighted corpus
+    sources are excluded from the mixture by definition). A weighted
+    source with no rows in the corpus raises — same infeasibility
+    class as the zero-token case, and the silent alternative
+    (dropping it from weight normalization, so the realized mixture
+    quietly differs from the requested one — e.g. on a misspelled
+    source name) is exactly the failure a planner must surface.
+    Weights need not be pre-normalized.
 
     Scale shape: one hash-agg over the corpus (map-side partials),
     then arithmetic on the #sources-row summary — the two global
@@ -135,22 +140,28 @@ def mixture_plan(
         [(k, float(v)) for k, v in weights.items()],
         f"{source_col} string, __w double",
     )
-    totals = (
+    # LEFT join FROM the weights: a weighted source absent from the
+    # corpus surfaces as a null-n_docs row (caught in the scale
+    # aggregate below) instead of silently vanishing from the
+    # normalization via an inner join
+    agg = (
         docs.select(F.col(source_col), token_count_col.alias("__nt"))
         .groupBy(source_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__nt").cast("long").alias("total_tokens"),
         )
-        .join(F.broadcast(wdf), source_col)
     )
+    totals = wdf.join(agg, source_col, "left")
     wsum = totals.agg(F.sum("__w").alias("__wsum"))
     normed = totals.crossJoin(F.broadcast(wsum)).withColumn(
         "__nw", F.col("__w") / F.col("__wsum")
     )
-    # a weighted source with zero tokens makes the mixture infeasible
-    # (its target share can never be realized); fail loudly inside the
-    # aggregate rather than let scale=0 silently zero every rate
+    # a weighted source with zero tokens — or absent from the corpus
+    # entirely (null n_docs from the left join: misspelled name) —
+    # makes the mixture infeasible (its target share can never be
+    # realized); fail loudly inside the aggregate rather than let
+    # scale=0 silently zero every rate
     scale = normed.agg(
         F.min(
             F.when(
@@ -161,7 +172,15 @@ def mixture_plan(
                     F.concat(
                         F.lit("mixture_plan: weighted source "),
                         F.col(source_col),
-                        F.lit(" has zero tokens - mixture infeasible"),
+                        F.when(
+                            F.col("n_docs").isNull(),
+                            F.lit(
+                                " is absent from the corpus"
+                                " (misspelled?) - mixture infeasible"
+                            ),
+                        ).otherwise(
+                            F.lit(" has zero tokens - mixture infeasible")
+                        ),
                     )
                 ).cast("double")
             )

@@ -207,15 +207,22 @@ def curate_corpus(
     )
     # Optional exact-substring hygiene gate (neardup.dup_span_share —
     # the RefinedWeb-style duplicated-span ratio): drop docs whose
-    # 20-token spans are mostly boilerplate repeats. Off by default to
-    # keep the materialization bit-identical with the training_corpus
-    # oracle contract; docs shorter than the window have no spans and
-    # are never dropped.
+    # 20-token spans are mostly boilerplate repeats. The share is
+    # computed over the SURVIVING population (documents semi-joined to
+    # the post-quality/language/dedup corpus), matching how the
+    # RefinedWeb-style signal is used — a doc must not be dropped for
+    # sharing spans only with docs the earlier stages already removed.
+    # Off by default to keep the materialization bit-identical with
+    # the training_corpus oracle contract; docs shorter than the
+    # window have no spans and are never dropped.
     if max_dup_span_share is not None:
         from .operators.neardup import dup_span_share
 
+        surviving = load_table(spark, sf_dir, "documents").join(
+            corpus.select("doc_id"), "doc_id", "left_semi"
+        )
         high = (
-            dup_span_share(load_table(spark, sf_dir, "documents"))
+            dup_span_share(surviving)
             .where(F.col("dup_share") > max_dup_span_share)
             .select("doc_id")
         )

@@ -2006,9 +2006,12 @@ def mixture_sampling_plan(spark, sf_dir):
         r["source"]
         for r in docs.select("source").distinct().collect()
     ]
-    weights = {
-        s: 1.0 + (int(s[3:]) % 5 if s[3:].isdigit() else 0) for s in sources
-    }
+    # the fixture's sources are srcNN and the DuckDB oracle CASTs
+    # substr(source, 4) with NO fallback — assert the shape here
+    # instead of a Python-only fallback weight the oracle can't mirror
+    bad = [s for s in sources if not (s[:3] == "src" and s[3:].isdigit())]
+    assert not bad, f"unexpected source names (want srcNN): {bad!r}"
+    weights = {s: 1.0 + int(s[3:]) % 5 for s in sources}
     return mixture_plan(docs, weights).orderBy("source")
 
 
@@ -3814,6 +3817,11 @@ def streamed_ingest_corpus(spark, sf_dir):
                 "append"
             ).parquet(inp)
             ingest_dedup_stream(spark, inp, schema, corpus, ledger, ckpt)
+        # only the corpus is read back: drop the delivery staging,
+        # checkpoint, and ledger trees so the reused scratch dir holds
+        # just the finished parquet (bounded /tmp footprint)
+        for scratch in (inp, ledger, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
         with open(done, "w") as f:
             f.write(key)
     return spark.read.parquet(corpus).select("doc_id", "fingerprint")

@@ -311,6 +311,27 @@ def test_pii_nested_span_counts_match_masks(spark):
     assert out[2]["n_ipv4"] == 1 and out[2]["redacted"] == "bare <IP> here"
 
 
+def test_pii_count_raw_vs_staged_semantics(spark):
+    """The documented deviation between the two audit paths, pinned on
+    the nested-span case: ``pii_count`` measures RAW-text prevalence
+    (the IP inside the email local part counts 1), while
+    ``redact_pii``'s staged counts reconcile with the emitted masks
+    (the email mask consumed it: counts 0, and n_<kind> equals the
+    placeholder occurrences in the redacted text)."""
+    from batch_processing_on_aws_spark.operators.pii import pii_count
+
+    df = _docs(spark, [(1, "leak 10.0.0.1@example.com here")])
+    raw = df.select(
+        pii_count(F.col("text"), "email").alias("raw_email"),
+        pii_count(F.col("text"), "ipv4").alias("raw_ipv4"),
+    ).collect()[0]
+    assert raw["raw_email"] == 1 and raw["raw_ipv4"] == 1  # raw prevalence
+    staged = redact_pii(df).collect()[0]
+    assert staged["n_email"] == 1 and staged["n_ipv4"] == 0  # mask-reconciled
+    assert staged["redacted"].count("<EMAIL>") == staged["n_email"]
+    assert staged["redacted"].count("<IP>") == staged["n_ipv4"]
+
+
 def test_url_sentence_punctuation_not_swallowed(spark):
     """A URL at the end of a sentence must not absorb the terminator:
     'https://bad.com.' extracts domain 'bad.com', so the blocklist

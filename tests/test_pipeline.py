@@ -187,7 +187,12 @@ def test_curate_corpus_scrub_pii_flag(spark, tmp_path):
 
 def test_curate_corpus_dup_span_gate(spark, tmp_path):
     """max_dup_span_share drops exactly the docs above the threshold
-    (exact-substring hygiene) and leaves the default path untouched."""
+    (exact-substring hygiene), measured over the SURVIVING population —
+    a doc must not be dropped for sharing spans only with docs the
+    quality/language/dedup stages already removed — and leaves the
+    default path untouched."""
+    from pyspark.sql import functions as F
+
     from batch_processing_on_aws_spark.operators.neardup import dup_span_share
     from batch_processing_on_aws_spark.pipeline import curate_corpus
     from batch_processing_on_aws_spark.sources import load_table
@@ -199,11 +204,25 @@ def test_curate_corpus_dup_span_gate(spark, tmp_path):
     )
     plain_ids = {r["doc_id"] for r in plain.select("doc_id").collect()}
     gated_ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    docs = load_table(spark, SF_SMOKE, "documents")
+    surviving = docs.where(F.col("doc_id").isin([int(i) for i in plain_ids]))
     high = {
         r["doc_id"]
-        for r in dup_span_share(load_table(spark, SF_SMOKE, "documents"))
-        .where("dup_share > 0.5")
-        .collect()
+        for r in dup_span_share(surviving).where("dup_share > 0.5").collect()
     }
     assert gated_ids == plain_ids - high
-    assert high & plain_ids, "fixture should exercise the gate"
+    # the population is the point: on this fixture every span-sharing
+    # partner of a surviving doc was already removed by the
+    # quality/dedup stages, so measured over SURVIVORS nothing crosses
+    # the threshold — while the RAW-table share (the old semantics)
+    # would have over-dropped real survivors for collisions with
+    # already-deleted docs
+    raw_high = {
+        r["doc_id"]
+        for r in dup_span_share(docs).where("dup_share > 0.5").collect()
+    }
+    assert raw_high & plain_ids, "fixture should distinguish populations"
+    assert high <= raw_high
+    assert gated_ids - (plain_ids - raw_high), (
+        "gate must keep the docs only the raw population would drop"
+    )

@@ -122,3 +122,13 @@ def test_mixture_plan_guards(spark):
         mixture_plan(docs, {"a": 0.5, "b": 0.0})
     with pytest.raises(Exception, match="zero tokens"):
         mixture_plan(docs, {"a": 0.5, "b": 0.5}).collect()
+    # a weighted source with NO rows (misspelled name) must raise too,
+    # not silently drop out of the weight normalization
+    with pytest.raises(Exception, match="absent from the corpus"):
+        mixture_plan(docs, {"a": 0.5, "c": 0.5}).collect()
+    # and every weighted-and-present source still plans normally
+    rows = {
+        r["source"]: r
+        for r in mixture_plan(docs.where("source = 'a'"), {"a": 1.0}).collect()
+    }
+    assert rows["a"]["sample_rate"] == 1.0
