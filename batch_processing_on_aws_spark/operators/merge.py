@@ -152,11 +152,17 @@ def merge_into_sql(target: str, source: str, keys: Sequence[str]) -> str:
 def supports_merge_into(spark: SparkSession, provider: str = "delta") -> bool:
     """Probe whether a row-level-operation table provider is on the
     classpath (Delta: ``io.delta.tables.DeltaTable``; Iceberg: its
-    Spark catalog class). False in this container — the jars are not
-    baked in — so callers fall back to :class:`MergeWriter`."""
+    Spark catalog class; ``rowlvl``: the in-repo DSv2 catalog from
+    ``jvm/SimpleRowLevelCatalog.java``, compiled and mounted by
+    ``session.get_spark``). Delta/Iceberg jars are not baked into this
+    container, so those probes answer False and callers fall back to
+    :class:`MergeWriter`; the ``rowlvl`` probe answers True whenever
+    the session was built with the JDK toolchain present — giving the
+    MERGE INTO delegation a real execution path."""
     classes = {
         "delta": "io.delta.tables.DeltaTable",
         "iceberg": "org.apache.iceberg.spark.SparkCatalog",
+        "rowlvl": "sparkgraft.catalog.SimpleRowLevelCatalog",
     }
     cls = classes.get(provider)
     if cls is None:

@@ -14,6 +14,10 @@ pipeline) gets the same scale-aware defaults:
 - UTC session timezone so timestamp semantics are portable (and match
   the DuckDB oracle, which is UTC-naive).
 - Arrow enabled for the Pandas-UDF extension surface.
+- The in-repo row-level DSv2 catalog (jvm/SimpleRowLevelCatalog.java)
+  is compiled on demand and mounted as catalog ``rowlvl`` so MERGE
+  INTO / UPDATE / DELETE SQL execute for real (operators/merge.py
+  delegation path) without Delta/Iceberg jars.
 """
 
 from __future__ import annotations
@@ -23,6 +27,27 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+ROWLEVEL_CATALOG_CLASS = "sparkgraft.catalog.SimpleRowLevelCatalog"
+
+
+def _rowlevel_jar() -> str | None:
+    """Build (or reuse) the row-level catalog jar; None when the JDK
+    toolchain is unavailable — callers then simply get a session
+    without the ``rowlvl`` catalog."""
+    try:
+        import sys
+
+        tools = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        )
+        if tools not in sys.path:
+            sys.path.insert(0, tools)
+        from build_rowlevel_jar import build
+
+        return build(quiet=True)
+    except Exception:
+        return None
 
 
 def get_spark(
@@ -59,6 +84,16 @@ def get_spark(
         # rewrites only affected partitions, never the whole table.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
+    jar = _rowlevel_jar()
+    if jar:
+        # classpath confs only take effect at FIRST session creation
+        # (they launch the JVM); getOrCreate on an existing session
+        # ignores them, which is fine — the catalog is already there
+        builder = (
+            builder.config("spark.jars", jar)
+            .config("spark.driver.extraClassPath", jar)
+            .config("spark.sql.catalog.rowlvl", ROWLEVEL_CATALOG_CLASS)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -91,9 +91,11 @@ def test_merge_into_sql_renders_null_safe_upsert():
 
 
 def test_upsert_catalog_table_delegates_when_available(spark, tmp_path):
-    """Runs the real MERGE INTO path when a row-level-op provider is
-    on the classpath; skipped in containers without the jars (the
-    probe is the point — callers branch on it)."""
+    """The REAL MERGE INTO path, executed end-to-end against the
+    in-repo row-level DSv2 catalog (jvm/SimpleRowLevelCatalog.java,
+    mounted as ``rowlvl`` by session.get_spark). Same delegation code
+    a Delta/Iceberg deployment would hit; skipped only when the JDK
+    toolchain is absent."""
     import pytest
 
     from batch_processing_on_aws_spark.operators.merge import (
@@ -101,15 +103,77 @@ def test_upsert_catalog_table_delegates_when_available(spark, tmp_path):
         upsert_catalog_table,
     )
 
-    if not supports_merge_into(spark, "delta"):
-        pytest.skip("delta jars not on classpath")
-    spark.sql("DROP TABLE IF EXISTS __merge_t")
-    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).write.format(
-        "delta"
-    ).saveAsTable("__merge_t")
+    if not supports_merge_into(spark, "rowlvl"):
+        pytest.skip("row-level catalog jar not on classpath (no JDK?)")
+    spark.sql("DROP TABLE IF EXISTS rowlvl.default.merge_t")
+    spark.sql("CREATE TABLE rowlvl.default.merge_t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO rowlvl.default.merge_t VALUES (1,'a'),(2,'b')")
     new = spark.createDataFrame([(2, "B"), (3, "C")], ["k", "v"])
-    upsert_catalog_table(spark, "__merge_t", new, ["k"])
-    assert _rows(spark.table("__merge_t")) == [(1, "a"), (2, "B"), (3, "C")]
+    upsert_catalog_table(spark, "rowlvl.default.merge_t", new, ["k"])
+    assert _rows(spark.table("rowlvl.default.merge_t")) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "C"),
+    ]
+    # §2.9 idempotency contract: re-running the same increment is a no-op
+    upsert_catalog_table(spark, "rowlvl.default.merge_t", new, ["k"])
+    assert _rows(spark.table("rowlvl.default.merge_t")) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "C"),
+    ]
+    spark.sql("DROP TABLE rowlvl.default.merge_t")
+
+
+def test_merge_writer_matches_merge_into(spark, tmp_path):
+    """The two K4 implementations — the Parquet MergeWriter fallback
+    and the engine-delegated MERGE INTO — must produce identical
+    tables from the same base + increment (the reference's warehouse
+    UPSERT contract, init_2_s3_to_redshifht_dag.py:63-74, has ONE
+    semantics regardless of storage)."""
+    import pytest
+
+    from batch_processing_on_aws_spark.operators.merge import (
+        MergeWriter,
+        supports_merge_into,
+        upsert_catalog_table,
+    )
+
+    if not supports_merge_into(spark, "rowlvl"):
+        pytest.skip("row-level catalog jar not on classpath (no JDK?)")
+
+    def rows3(df):
+        return sorted((r["k"], r["v"], r["x"]) for r in df.collect())
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], ["k", "v", "x"]
+    )
+    increment = spark.createDataFrame(
+        [(2, "B", 20.0), (3, "c", 3.0), (4, "d", 4.0)], ["k", "v", "x"]
+    )
+
+    # path 1: plain-Parquet MergeWriter
+    writer = MergeWriter(str(tmp_path / "t"), keys=["k"], n_buckets=4)
+    writer.overwrite(base)
+    writer.upsert(spark, increment)
+    via_writer = rows3(writer.read(spark))
+
+    # path 2: engine MERGE INTO against the row-level catalog
+    spark.sql("DROP TABLE IF EXISTS rowlvl.default.eq_t")
+    spark.sql("CREATE TABLE rowlvl.default.eq_t (k BIGINT, v STRING, x DOUBLE)")
+    base.createOrReplaceTempView("__eq_base")
+    spark.sql("INSERT INTO rowlvl.default.eq_t SELECT * FROM __eq_base")
+    upsert_catalog_table(spark, "rowlvl.default.eq_t", increment, ["k"])
+    via_merge_into = rows3(spark.table("rowlvl.default.eq_t"))
+    spark.sql("DROP TABLE rowlvl.default.eq_t")
+    spark.catalog.dropTempView("__eq_base")
+
+    assert via_writer == via_merge_into == [
+        (1, "a", 1.0),
+        (2, "B", 20.0),
+        (3, "c", 3.0),
+        (4, "d", 4.0),
+    ]
 
 
 def test_supports_merge_into_probe(spark):

@@ -1,4 +1,8 @@
-"""Skew A/B bench for the dedup family (round-4 verdict task 8).
+"""Skew A/B bench for the dedup family (round-4 verdict task 8;
+round-5 adds the verification-join family — jaccard/containment/
+verified-pairs — under the same 20%-hot-template corpus, which is the
+df-cap's adversarial case: the template's shingles are hot in both the
+inverted index and the verification join).
 
 Builds two same-size corpora from sf0.1:
 
@@ -48,6 +52,13 @@ QUERIES = [
     # the aggregate-min keep-first path in remove_duplicate_spans
     "dup_span_occurrences",
     "dedup_spans_removed",
+    # round-5: the verification-join family under the df-cap's
+    # adversarial case — the template's shingles are hot (df ≈ 20% of
+    # docs), so the inverted index must cap them and the pairwise
+    # verification join must split the surviving hot candidates
+    "jaccard_dup_pairs",
+    "containment_dup_pairs",
+    "neardup_verified_pairs",
 ]
 
 
@@ -120,11 +131,15 @@ def main() -> None:
             times[q][variant] = round(best, 3)
             print(f"{variant:8s} {q:24s} {best:6.2f}s", flush=True)
 
+    out_path = "SKEW_r05.json"
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            out_path = a.split("=", 1)[1]
     report = {
         q: {**t, "skew_ratio": round(t["skewed"] / t["uniform"], 2)}
         for q, t in times.items()
     }
-    with open("SKEW_r04.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(
             {
                 "hot_pct": 20,
