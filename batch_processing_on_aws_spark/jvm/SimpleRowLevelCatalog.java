@@ -385,10 +385,18 @@ public class SimpleRowLevelCatalog implements TableCatalog {
     public void commit(WriterCommitMessage[] messages) {
       List<InternalRow> incoming = new ArrayList<>();
       for (WriterCommitMessage m : messages) {
-        if (m instanceof RowsCommitMessage) {
-          for (InternalRow r : ((RowsCommitMessage) m).rows) {
-            incoming.add(r);
-          }
+        if (!(m instanceof RowsCommitMessage)) {
+          // fail LOUD: a foreign message class here means the jar was
+          // loaded twice under different classloaders (e.g. mounted
+          // post-hoc via ADD JAR instead of at session creation) and
+          // silently dropping the rows would corrupt the table
+          throw new IllegalStateException(
+              "unexpected commit message "
+                  + (m == null ? "null" : m.getClass().getName())
+                  + " — was the catalog jar added after session start?");
+        }
+        for (InternalRow r : ((RowsCommitMessage) m).rows) {
+          incoming.add(r);
         }
       }
       synchronized (table.rows) {

@@ -163,6 +163,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -172,6 +173,21 @@ def minhash_lsh_pairs(
     self-join runs per bucket — at 100 TB this is the standard
     fuzzy-dedup plan (cf. the public MinHashLSH in Spark MLlib, which
     this mirrors without the ML pipeline wrapper).
+
+    ``max_bucket_size`` is the boilerplate-clique escape hatch: a
+    bucket holding m docs emits C(m, 2) candidate pairs, so one
+    template shared by 20% of a corpus makes the PAIR LIST itself
+    quadratic — measured 26x wall / ~2000x output under a 20%-hot
+    corpus (tools/skew_bench.py), with per-pair cost actually
+    improving; the blowup is the output's size, not a serialized plan.
+    With a cap, buckets larger than ``max_bucket_size`` are dropped
+    from pairwise candidate generation (one hash-agg on the bucket
+    key, broadcast anti-join of the tiny oversized-bucket list) — the
+    standard large-scale move (cf. Dolma/BFF bucket caps): a
+    thousand-member bucket is boilerplate, and belongs to the
+    clique/cluster path (``clustering.connected_components`` over the
+    capped pairs, or exact dedup on the template), not to a pairwise
+    verifier. Default None = exact contract (every candidate pair).
 
     Output: (doc_id_a, doc_id_b) with a < b, distinct.
     """
@@ -197,6 +213,16 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col).alias("doc"), F.explode(band_structs).alias("band")
     ).select("doc", "band.band_id", "band.band_hash")
+    if max_bucket_size is not None:
+        oversized = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(F.col("__m") > max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        banded = banded.join(
+            F.broadcast(oversized), ["band_id", "band_hash"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

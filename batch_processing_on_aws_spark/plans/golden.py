@@ -207,6 +207,66 @@ WHERE event_id % 3 = 0
 """
 
 
+_UPSERT_MERGE_INTO_SQL = """
+SELECT event_id, event_type,
+       CASE WHEN event_type = 'click' THEN ROUND(value * 2, 2) ELSE value END AS value
+FROM events
+WHERE event_id % 5 = 0
+"""
+
+
+def upsert_events_merge_into(spark, sf_dir):
+    """§2.9 through the ENGINE's ``MERGE INTO``
+    (operators/merge.py::upsert_catalog_table) against the in-repo
+    row-level DSv2 catalog (jvm/SimpleRowLevelCatalog.java, mounted as
+    ``rowlvl`` by session.get_spark): seed a catalog table with a 1/5
+    slice of events, MERGE the doubled-click increment TWICE — the
+    run-twice idempotency contract executed on the real engine
+    rewrite (ReplaceData plan, group-based copy-on-write) — and read
+    the table back. Same oracle family as ``upsert_events`` /
+    ``upsert_events_writer``: one UPSERT semantics, three
+    implementations (frames, bucketed parquet writer, engine MERGE).
+
+    On a session built without the catalog (a foreign SparkSession
+    handed in by an external harness with no JDK) the same contract
+    falls back to the frame-level upsert — identical results;
+    tests/test_merge.py::test_merge_writer_matches_merge_into pins the
+    equivalence. The in-memory catalog holds the (bounded, 1/5-slice)
+    table on the driver by design — it is the dev/test stand-in for
+    Delta/Iceberg, where this exact call delegates with no code
+    change and no driver state."""
+    from ..operators.merge import supports_merge_into, upsert_catalog_table
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 5 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    new = base.where(F.col("event_type") == "click").withColumn(
+        "value", F.round(F.col("value") * 2, 2)
+    )
+    if supports_merge_into(spark, "rowlvl") and spark.conf.get(
+        "spark.sql.catalog.rowlvl", None
+    ):
+        tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        name = f"rowlvl.default.upsert_events_m5_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} "
+            "(event_id BIGINT, event_type STRING, value DOUBLE)"
+        )
+        view = f"__mi_base_{tag}"
+        base.createOrReplaceTempView(view)
+        try:
+            spark.sql(f"INSERT INTO {name} SELECT * FROM {view}")
+        finally:
+            spark.catalog.dropTempView(view)
+        upsert_catalog_table(spark, name, new, ["event_id"])
+        upsert_catalog_table(spark, name, new, ["event_id"])
+        return spark.table(name)
+    return upsert_frames(base, new, ["event_id"])
+
+
 def upsert_events_writer(spark, sf_dir):
     """§2.9 — the same MERGE contract as ``upsert_events`` but through
     the WRITER path (bucket-partitioned parquet + dynamic partition
@@ -4000,6 +4060,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("audit_missing_events", audit_missing_events, _AUDIT_SQL),
     QueryDef("upsert_events", upsert_events, _UPSERT_SQL),
     QueryDef("upsert_events_writer", upsert_events_writer, _UPSERT_WRITER_SQL),
+    QueryDef(
+        "upsert_events_merge_into", upsert_events_merge_into, _UPSERT_MERGE_INTO_SQL
+    ),
     QueryDef("sessionize_events", sessionize_events, _SESSIONS_SQL),
     QueryDef("event_type_pivot", event_type_pivot, _PIVOT_SQL),
     QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),

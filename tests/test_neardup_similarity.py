@@ -48,6 +48,32 @@ def test_lsh_finds_planted_near_dups(spark):
     assert not any(3 in p for p in pairs)      # unrelated doc never pairs
 
 
+def test_lsh_bucket_cap_drops_boilerplate_clique(spark):
+    """``max_bucket_size``: a boilerplate clique (here 30 copies of one
+    template) emits C(30,2)=435 pairwise candidates uncapped; with the
+    cap its oversized buckets drop out entirely while the unrelated
+    normal near-dup pair is untouched. Default (None) keeps the exact
+    all-pairs contract."""
+    # exact copies: identical signatures land every member in the SAME
+    # bucket of every band, so the uncapped pair count is exactly
+    # C(30,2) and the capped run drops the clique deterministically
+    clique = [(100 + i, BASE) for i in range(30)]
+    other_a = ("unrelated prose about sort merge join exchange reuse "
+               "in adaptive query execution layers of an analytics engine")
+    docs = spark.createDataFrame(
+        clique + [(1, other_a), (2, other_a + " tail")],
+        ["doc_id", "text"],
+    )
+    uncapped = {(r["doc_id_a"], r["doc_id_b"])
+                for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in uncapped
+    assert sum(1 for a, b in uncapped if a >= 100 and b >= 100) >= 400
+    capped = {(r["doc_id_a"], r["doc_id_b"])
+              for r in minhash_lsh_pairs(docs, max_bucket_size=10).collect()}
+    assert (1, 2) in capped                       # normal pair survives
+    assert not any(a >= 100 for a, _ in capped)   # clique pairs dropped
+
+
 def test_ngram_jaccard_verification(spark):
     docs = _docs(spark)
     pairs = minhash_lsh_pairs(docs)

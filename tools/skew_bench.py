@@ -120,7 +120,18 @@ def main() -> None:
 
     run(qs[QUERIES[0]](spark, f"{ROOT}/uniform"))  # warm
 
+    # pair-emitting queries: also record OUTPUT rows per variant — a
+    # hot clique of m docs has C(m,2) true pairs, so for these the
+    # wall-time ratio tracks the output's own quadratic growth (real
+    # result rows, not a serialized plan); rows make that legible
+    PAIR_QUERIES = {
+        "doc_minhash_lsh_pairs",
+        "jaccard_dup_pairs",
+        "containment_dup_pairs",
+        "neardup_verified_pairs",
+    }
     times: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    rows: dict[str, dict[str, int]] = {q: {} for q in QUERIES}
     for variant in ("uniform", "skewed"):
         for q in QUERIES:
             best = float("inf")
@@ -129,6 +140,8 @@ def main() -> None:
                 run(qs[q](spark, f"{ROOT}/{variant}"))
                 best = min(best, time.perf_counter() - t0)
             times[q][variant] = round(best, 3)
+            if q in PAIR_QUERIES:
+                rows[q][variant] = qs[q](spark, f"{ROOT}/{variant}").count()
             print(f"{variant:8s} {q:24s} {best:6.2f}s", flush=True)
 
     out_path = "SKEW_r05.json"
@@ -139,6 +152,12 @@ def main() -> None:
         q: {**t, "skew_ratio": round(t["skewed"] / t["uniform"], 2)}
         for q, t in times.items()
     }
+    for q, r in rows.items():
+        if r:
+            report[q]["out_rows"] = r
+            report[q]["out_rows_ratio"] = round(
+                r["skewed"] / max(r["uniform"], 1), 1
+            )
     with open(out_path, "w") as f:
         json.dump(
             {
