@@ -112,3 +112,62 @@ def gopher_quality(
         & F.col("flag_stopwords")
     )
     return flags.select("*", keep.alias("keep"))
+
+
+# Fixed, interpretable weights for the linear quality model below —
+# illustrative stand-ins in the spirit of a trained fasttext/logistic
+# quality classifier (the deployment slot for real trained weights).
+# Kept as module constants so the DuckDB oracle inlines the SAME
+# numbers.
+QUALITY_WEIGHTS = {
+    "bias": -1.5,
+    "len": 2.0,       # bounded word-count feature, LEAST(n,500)/500
+    "stop": 0.8,      # bounded stopword-hit feature, LEAST(h,20)/20
+    "alpha": 1.5,     # alpha-word ratio
+    "symbol": -6.0,   # symbol-word ratio (strong penalty)
+    "mwl": 0.1,       # mean word length
+}
+
+
+def quality_logit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear quality-classifier score — the model-based stage stacked
+    on the Gopher rule features (the CCNet/fasttext-classifier shape:
+    handcrafted features x fixed weights -> log-odds). Emits the raw
+    logit, not a sigmoid: +, x and / on doubles are exactly specified
+    by IEEE 754 and reproduce bit-for-bit in any engine when the
+    association order matches, while exp() is libm-dependent — so the
+    logit hashes cross-engine and the sigmoid would not. A threshold
+    on the logit IS a threshold on the probability (monotone), so
+    nothing is lost: ``keep`` = logit > 0 = p > 0.5.
+
+    Output: (id, quality_logit rounded to 6, keep). Zero shuffles —
+    one projection pipelined into the Gopher feature scan.
+
+    Scale note: features are the exact-ratio columns of
+    :func:`gopher_quality`; the weights are module constants
+    (``QUALITY_WEIGHTS``) so the oracle and any retrained deployment
+    agree on a single source of truth.
+    """
+    w = QUALITY_WEIGHTS
+    stats = gopher_quality(df, text_col=text_col, id_col=id_col)
+    f_len = F.least(F.col("word_count"), F.lit(500)).cast("double") / 500.0
+    f_stop = F.least(F.col("stopword_hits"), F.lit(20)).cast("double") / 20.0
+    # association order is part of the cross-engine contract: the SQL
+    # oracle writes the same left-to-right chain
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["len"]) * f_len
+        + F.lit(w["stop"]) * f_stop
+        + F.lit(w["alpha"]) * F.col("alpha_word_ratio")
+        + F.lit(w["symbol"]) * F.col("symbol_word_ratio")
+        + F.lit(w["mwl"]) * F.col("mean_word_len")
+    )
+    return stats.select(
+        F.col(id_col),
+        F.round(z, 6).alias("quality_logit"),
+        (z > 0.0).alias("keep"),
+    )

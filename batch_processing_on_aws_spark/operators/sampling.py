@@ -202,3 +202,38 @@ def mixture_plan(
             ).alias("sample_rate"),
         )
     )
+
+
+def training_order(
+    df: DataFrame,
+    shard_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-shard training-order shuffle: assign every
+    row a pseudo-random ``position`` within its shard by ranking on
+    ``md5(seed:key)`` — the data-loader handoff that decorrelates a
+    corpus laid down in crawl/source order without any RNG state
+    (same md5-ordering idiom as :func:`hash_bucket` and the k-means
+    trainer sample: a pure function of (seed, key), so re-runs,
+    engines, and repartitions all agree).
+
+    Output: (shard, key, position 1..shard_size). The rank window is
+    PARTITIONED BY the shard — per-shard sort, never a global total
+    order; at 100 TB shards (source/file/date buckets) bound each
+    sort partition exactly like ``packing.pack_sequences``'s shards
+    do, and a global shuffle is the documented degenerate
+    single-shard call. Readers interleave shards round-robin by
+    position, which is the standard two-level shuffle
+    (shard-interleave x in-shard order) used for training-data
+    loaders at scale.
+    """
+    from pyspark.sql import Window
+
+    sort_key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(shard_col).orderBy(sort_key, F.col(key_col))
+    return df.select(shard_col, key_col).withColumn(
+        "position", F.row_number().over(w).cast("long")
+    )

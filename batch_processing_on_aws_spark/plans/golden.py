@@ -3461,6 +3461,89 @@ FROM m
 """
 
 
+def doc_quality_logit(spark, sf_dir):
+    """Linear quality-classifier score (operators/quality.py::
+    quality_logit): fixed interpretable weights over the Gopher rule
+    features — the CCNet/fasttext-classifier stage of a curation
+    stack. Emits the raw logit (IEEE +,x,/ reproduce bit-for-bit
+    cross-engine; exp would not), keep = logit > 0."""
+    from ..operators.quality import quality_logit
+
+    return quality_logit(load_table(spark, sf_dir, "documents"))
+
+
+# same feature CTEs as _GOPHER_SQL; the weight constants mirror
+# operators/quality.py::QUALITY_WEIGHTS, and the +/x chain is written
+# in the SAME left-to-right association as the Spark expression (IEEE
+# arithmetic is order-sensitive; identical order => identical bits)
+_QUALITY_LOGIT_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS word_count,
+         COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE), 0.0)
+           AS total_chars,
+         COALESCE(CAST(list_sum(list_transform(toks,
+             x -> len(regexp_extract_all(x, '(#|\.\.\.)')))) AS DOUBLE), 0.0)
+           AS n_symbol,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           AS n_alpha,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['the','a','an','of','to','and','in','is','that','with'],
+             lower(x)))) AS BIGINT) AS stopword_hits
+  FROM t
+),
+m AS (
+  SELECT doc_id, word_count,
+         CASE WHEN word_count > 0 THEN ROUND(total_chars / word_count, 4)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN word_count > 0 THEN ROUND(n_symbol / word_count, 4)
+              ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN word_count > 0 THEN ROUND(n_alpha / word_count, 4)
+              ELSE 0.0 END AS alpha_word_ratio,
+         stopword_hits
+  FROM s
+),
+z AS (
+  SELECT doc_id,
+         -1.5 + 2.0 * (CAST(LEAST(word_count, 500) AS DOUBLE) / 500.0)
+              + 0.8 * (CAST(LEAST(stopword_hits, 20) AS DOUBLE) / 20.0)
+              + 1.5 * alpha_word_ratio
+              + (-6.0) * symbol_word_ratio
+              + 0.1 * mean_word_len AS zz
+  FROM m
+)
+SELECT doc_id, ROUND(zz, 6) AS quality_logit, zz > 0.0 AS keep
+FROM z
+"""
+
+
+def training_shuffle_order(spark, sf_dir):
+    """Deterministic per-shard training-order shuffle
+    (operators/sampling.py::training_order): position = rank of
+    md5(seed:doc_id) within the source shard — the data-loader handoff
+    that decorrelates crawl order without RNG state. Per-shard window,
+    never a global total order."""
+    from ..operators.sampling import training_order
+
+    return training_order(load_table(spark, sf_dir, "documents"))
+
+
+_TRAINING_ORDER_SQL = r"""
+SELECT source, doc_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS position
+FROM documents
+"""
+
+
 def _augment_urls(doc_id, text):
     """Spark column: every doc gets one https URL on a per-id domain
     (mixed case, to exercise normalization); ids %3==0 add a second,
@@ -4108,6 +4191,10 @@ QUERIES: list[QueryDef] = [
     # ledger dedup, SemDeDup, corpus-frequency rarity
     QueryDef("pii_redaction", pii_redaction, _PII_SQL),
     QueryDef("gopher_quality_flags", gopher_quality_flags, _GOPHER_SQL),
+    QueryDef("doc_quality_logit", doc_quality_logit, _QUALITY_LOGIT_SQL),
+    QueryDef(
+        "training_shuffle_order", training_shuffle_order, _TRAINING_ORDER_SQL
+    ),
     QueryDef("url_domain_stats", url_domain_stats, _URL_SQL),
     QueryDef("incremental_dedup_batch", incremental_dedup_batch, _INCR_DEDUP_SQL),
     QueryDef("semantic_dedup_kept", semantic_dedup_kept, _semantic_dedup_sql()),

@@ -385,3 +385,62 @@ def test_url_balanced_parens_and_short_hosts(spark):
     assert "https://x.com/y" in urls  # clause ')' not swallowed
     assert "https://x" in urls  # single-char host
     assert "https://x.com/a(b)" in urls  # balanced parens, '.' refused
+
+
+def test_quality_logit_matches_formula_and_ranks(spark):
+    """quality_logit = fixed-weight linear model over the Gopher
+    features: verify the arithmetic against a Python recomputation on
+    one doc, and that an obviously-garbage doc scores below an
+    obviously-clean one (with keep flipping accordingly)."""
+    from batch_processing_on_aws_spark.operators.quality import (
+        QUALITY_WEIGHTS,
+        gopher_quality,
+        quality_logit,
+    )
+
+    clean = ("the quick brown fox jumps over a lazy dog and runs to "
+             "the river in the morning with great joy that is plain prose")
+    junk = "### ... ### ... ### ... $$$ %%% ^^^ &&& *** ((( )))"
+    df = _docs(spark, [(1, clean), (2, junk)])
+    stats = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    out = {r["doc_id"]: r for r in quality_logit(df).collect()}
+    w = QUALITY_WEIGHTS
+    s = stats[1]
+    z = (w["bias"]
+         + w["len"] * (min(s["word_count"], 500) / 500.0)
+         + w["stop"] * (min(s["stopword_hits"], 20) / 20.0)
+         + w["alpha"] * s["alpha_word_ratio"]
+         + w["symbol"] * s["symbol_word_ratio"]
+         + w["mwl"] * s["mean_word_len"])
+    assert abs(out[1]["quality_logit"] - z) < 1e-6
+    assert out[1]["quality_logit"] > out[2]["quality_logit"]
+    assert out[1]["keep"] is True and out[2]["keep"] is False
+
+
+def test_training_order_is_a_stable_per_shard_permutation(spark):
+    """training_order assigns each shard a 1..n permutation that is a
+    pure function of (seed, key): stable under repartitioning, changed
+    by the seed, and not the ingest order."""
+    from batch_processing_on_aws_spark.operators.sampling import training_order
+
+    rows = [(i, "web" if i % 2 else "wiki", f"t{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = training_order(df).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["source"], []).append((r["position"], r["doc_id"]))
+    for shard, pairs in by_shard.items():
+        assert sorted(p for p, _ in pairs) == list(range(1, len(pairs) + 1))
+    order = sorted((r["source"], r["doc_id"], r["position"]) for r in out)
+    again = sorted(
+        (r["source"], r["doc_id"], r["position"])
+        for r in training_order(df.repartition(7)).collect()
+    )
+    assert order == again  # partitioning-independent
+    reseeded = sorted(
+        (r["source"], r["doc_id"], r["position"])
+        for r in training_order(df, seed=7).collect()
+    )
+    assert order != reseeded  # the seed is the shuffle
+    wiki = sorted(by_shard["wiki"])
+    assert [d for _, d in wiki] != sorted(d for _, d in wiki)  # not ingest order

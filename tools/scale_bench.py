@@ -101,8 +101,15 @@ def main() -> None:
             n for n, r in report.items() if r["superlinear"]
         ),
     }
+    # MERGE into an existing file (e.g. the streaming curve from
+    # tools/stream_scale_bench.py lives under "stream_span_ledger")
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged.update(doc)
     with open(out_path, "w") as f:
-        json.dump(doc, f, indent=1, sort_keys=True)
+        json.dump(merged, f, indent=1, sort_keys=True)
     print(json.dumps({"flagged": doc["flagged_superlinear"]}))
 
 
