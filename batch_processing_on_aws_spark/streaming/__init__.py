@@ -1,4 +1,5 @@
 from .incremental import (
+    compact_ledger,
     dedup_stream,
     enrich_stream,
     incremental_merge_stream,
@@ -9,6 +10,7 @@ from .incremental import (
 from .sessionize import sessionize_stream
 
 __all__ = [
+    "compact_ledger",
     "dedup_stream",
     "enrich_stream",
     "incremental_merge_stream",

@@ -342,3 +342,97 @@ def ingest_span_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# reserved partition for folded history: real streaming epochs are
+# >= 0, so a retried epoch's dynamic overwrite can never clobber it,
+# and `__epoch != current` (the retry-exclusion filter) always keeps
+# it visible to subsequent batches
+COMPACTED_EPOCH = -1
+
+
+def compact_ledger(spark: SparkSession, ledger_path: str) -> dict:
+    """Fold the ledger's committed epoch partitions into the reserved
+    ``__epoch=-1`` partition — the periodic maintenance both ingest
+    loops' scale notes call for: the loops only ever read the ledger
+    as ONE hash set, but every delivery adds a partition, so an
+    unmaintained ledger accumulates epochs (and small files) linearly
+    with delivery count.
+
+    Crash-safety contract, in evaluation order:
+
+    - The HIGHEST epoch present is never folded. foreachBatch epochs
+      commit in order, so every epoch below the max is checkpoint-
+      committed — but the max itself may be the write of a batch that
+      crashed BEFORE its checkpoint commit, and folding it into the
+      compacted partition would let that batch's RETRY see its own
+      hashes (the self-read bug ``_read_ledger_before_epoch`` exists
+      to prevent: the retry filter excludes ``__epoch == epoch``, and
+      a fold launders those rows into ``__epoch = -1``).
+    - The fold itself is write-then-delete: the distinct union of the
+      folded epochs (plus any previous compacted partition) is
+      dynamically overwritten into ``__epoch=-1`` FIRST, and only then
+      are the folded epoch directories deleted. A crash between the
+      two leaves rows duplicated across ``-1`` and their original
+      epochs — harmless, because every reader treats the ledger as a
+      set (distinct / semi / anti joins), and the next compaction
+      folds and deletes them again.
+    - Deletes go through the Hadoop FS API, so the same code runs on
+      local disk and object stores.
+
+    Returns stats: epochs folded, rows before distinct / after, and
+    the max (kept) epoch. No-op (zero folded) on a missing, empty, or
+    single-epoch ledger.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        ledger = spark.read.parquet(ledger_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return {"folded_epochs": 0, "rows_folded": 0, "rows_compacted": 0}
+    epochs = sorted(
+        r["__epoch"] for r in ledger.select("__epoch").distinct().collect()
+    )
+    real = [e for e in epochs if e != COMPACTED_EPOCH]
+    if not real:
+        return {"folded_epochs": 0, "rows_folded": 0, "rows_compacted": 0}
+    max_epoch = real[-1]
+    fold = [e for e in epochs if e != max_epoch]
+    if fold == [] or fold == [COMPACTED_EPOCH]:
+        return {
+            "folded_epochs": 0,
+            "rows_folded": 0,
+            "rows_compacted": 0,
+            "kept_epoch": max_epoch,
+        }
+    src = ledger.where(F.col("__epoch") != F.lit(max_epoch))
+    data_cols = [c for c in ledger.columns if c != "__epoch"]
+    compacted = src.select(*data_cols).dropDuplicates()
+    n_before = src.count()
+    # Spark (correctly) refuses to overwrite a path its own plan is
+    # reading; materialize the compacted set first to cut lineage
+    # (same pattern as MergeWriter.upsert)
+    compacted = compacted.localCheckpoint(eager=True)
+    # write first (dynamic overwrite of ONLY the -1 partition) ...
+    _write_epoch_partitions(((compacted, ledger_path),), COMPACTED_EPOCH)
+    n_after = spark.read.parquet(ledger_path).where(
+        F.col("__epoch") == COMPACTED_EPOCH
+    ).count()
+    # ... then drop the folded epoch directories
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for e in fold:
+        if e == COMPACTED_EPOCH:
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(f"{ledger_path}/__epoch={e}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+    return {
+        "folded_epochs": len([e for e in fold if e != COMPACTED_EPOCH]),
+        "rows_folded": n_before,
+        "rows_compacted": n_after,
+        "kept_epoch": max_epoch,
+    }

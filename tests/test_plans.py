@@ -145,6 +145,23 @@ def _physical(df):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_quality_logit_is_shuffle_free(spark):
+    """The quality-classifier score is a pure projection over the
+    Gopher feature scan — at 100 TB it must add ZERO exchanges (a
+    map-only pass fused into whatever scan the curation plan does)."""
+    plan = _plan(spark, "doc_quality_logit")
+    assert "Exchange" not in plan, plan[:400]
+
+
+def test_training_order_windows_per_shard(spark):
+    """The training-order shuffle ranks WITHIN the shard: exactly one
+    hash-partitioned exchange on the shard key and no SinglePartition
+    global sort (which would serialize the corpus on one reducer)."""
+    plan = _plan(spark, "training_shuffle_order")
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning(source") == 1
+
+
 def test_fan_out_adaptive(spark):
     """``fan_out`` must be a NO-OP on inputs that are already wide —
     at 100 TB the scan itself provides parallelism and an

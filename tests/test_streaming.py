@@ -323,3 +323,86 @@ def test_span_ledger_delta_reflects_cleaned_text(spark):
     merged = ledger.unionByName(delta)
     cleaned2, _ = remove_spans_against_ledger(later, merged, window=4)
     assert cleaned2.collect()[0]["n_tokens_removed"] == 0  # survives
+
+
+def test_compact_ledger_folds_committed_epochs(spark, tmp_path):
+    """compact_ledger folds every epoch BELOW the max into the
+    reserved __epoch=-1 partition (write-then-delete), the ingest loop
+    keeps deduping identically afterwards, and the max epoch — which
+    may be an uncommitted crash remnant — is never folded (folding it
+    would let that epoch's retry see its own hashes)."""
+    import os
+
+    from batch_processing_on_aws_spark.streaming import ingest_dedup_stream
+    from batch_processing_on_aws_spark.streaming.incremental import (
+        COMPACTED_EPOCH,
+        _read_ledger_before_epoch,
+        compact_ledger,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    inp = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    for batch in (
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        [(3, "zeta eta")],
+        [(4, "theta iota")],
+    ):
+        land(batch)
+        ingest_dedup_stream(spark, inp, doc_schema, corpus, ledger, ckpt)
+
+    before = {r["fingerprint"] for r in spark.read.parquet(ledger).collect()}
+    epochs_before = {
+        d for d in os.listdir(ledger) if d.startswith("__epoch=")
+    }
+    assert len(epochs_before) == 3
+
+    stats = compact_ledger(spark, ledger)
+    assert stats["folded_epochs"] == 2
+    after = {r["fingerprint"] for r in spark.read.parquet(ledger).collect()}
+    assert after == before  # fold preserves the hash SET exactly
+    epochs_after = {d for d in os.listdir(ledger) if d.startswith("__epoch=")}
+    assert f"__epoch={COMPACTED_EPOCH}" in epochs_after
+    assert f"__epoch={stats['kept_epoch']}" in epochs_after
+    assert len(epochs_after) == 2  # -1 + the kept max
+
+    # idempotent: nothing below the max left to fold
+    assert compact_ledger(spark, ledger)["folded_epochs"] == 0
+
+    # the loop keeps deduping against the compacted ledger: re-deliver
+    # an old doc + a new one
+    land([(5, "alpha beta gamma"), (6, "kappa lambda")])
+    ingest_dedup_stream(spark, inp, doc_schema, corpus, ledger, ckpt)
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 3, 4, 6}  # 5 deduped against folded history
+
+    # retry-exclusion survives compaction: the (new) max epoch's own
+    # rows are still invisible to its retry, while folded history is
+    # visible
+    max_epoch = max(
+        r["__epoch"]
+        for r in spark.read.parquet(ledger).select("__epoch").distinct().collect()
+    )
+    view = _read_ledger_before_epoch(spark, ledger, max_epoch)
+    visible = {r["fingerprint"] for r in view.collect()}
+    own = {
+        r["fingerprint"]
+        for r in spark.read.parquet(ledger)
+        .where(F.col("__epoch") == max_epoch)
+        .collect()
+    }
+    assert before <= visible
+    assert not (own & visible)
