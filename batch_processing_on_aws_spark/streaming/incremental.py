@@ -170,6 +170,7 @@ def ingest_dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     fmt: str = "parquet",
+    compact_every: int | None = None,
 ) -> None:
     """Streaming corpus ingest with CROSS-BATCH exact dedup: each
     micro-batch fingerprints its documents (bag-of-words md5,
@@ -230,6 +231,8 @@ def ingest_dedup_stream(
             )
         finally:
             fresh.unpersist()
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            compact_ledger(s, ledger_path)
 
     q = (
         spark.readStream.schema(schema)
@@ -288,6 +291,7 @@ def ingest_span_dedup_stream(
     text_col: str = "text",
     window: int = 20,
     fmt: str = "parquet",
+    compact_every: int | None = None,
 ) -> None:
     """Streaming ingest with cross-batch EXACT-SUBSTRING dedup — the
     passage-level sibling of :func:`ingest_dedup_stream` (which drops
@@ -308,7 +312,10 @@ def ingest_span_dedup_stream(
     (one 16-byte hash per window position, ≈ one per token) but still
     a small fraction of raw text; bucket it on ``span_hash`` so the
     per-batch semi/anti joins co-locate, and compact old epochs
-    periodically — the loop only ever reads it as one hash set."""
+    periodically — the loop only ever reads it as one hash set
+    (``compact_every=N`` does exactly that in-loop via
+    :func:`compact_ledger`, same safety argument as
+    :func:`ingest_dedup_stream`)."""
     from ..operators.neardup import remove_spans_against_ledger
 
     def _merge(batch: DataFrame, epoch: int) -> None:
@@ -331,6 +338,8 @@ def ingest_span_dedup_stream(
             )
         finally:
             cleaned.unpersist()
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            compact_ledger(s, ledger_path)
 
     q = (
         spark.readStream.schema(schema)

@@ -406,3 +406,52 @@ def test_compact_ledger_folds_committed_epochs(spark, tmp_path):
     }
     assert before <= visible
     assert not (own & visible)
+
+
+def test_ingest_stream_auto_compacts(spark, tmp_path):
+    """compact_every folds the ledger in-loop: after several
+    deliveries the partition count stays bounded, the hash set is
+    intact, and dedup still works across the fold."""
+    import os
+
+    from batch_processing_on_aws_spark.streaming import ingest_dedup_stream
+    from batch_processing_on_aws_spark.streaming.incremental import (
+        COMPACTED_EPOCH,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    inp = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    for i in range(4):
+        spark.createDataFrame(
+            [(i * 10, f"doc number {i} alpha"), (i * 10 + 1, f"doc number {i} beta")],
+            doc_schema,
+        ).coalesce(1).write.mode("append").parquet(inp)
+        ingest_dedup_stream(
+            spark, inp, doc_schema, corpus, ledger, ckpt, compact_every=2
+        )
+
+    parts = {d for d in os.listdir(ledger) if d.startswith("__epoch=")}
+    # epochs 0..3 delivered; compaction ran at epoch 2 (folding 0,1
+    # into -1); epoch 3 not yet compacted
+    assert f"__epoch={COMPACTED_EPOCH}" in parts
+    assert len(parts) <= 3
+    assert spark.read.parquet(ledger).select("fingerprint").distinct().count() == 8
+
+    # re-delivery of a doc folded long ago is still dropped
+    spark.createDataFrame(
+        [(99, "doc number 0 alpha")], doc_schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+    ingest_dedup_stream(
+        spark, inp, doc_schema, corpus, ledger, ckpt, compact_every=2
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert 99 not in got and len(got) == 8
