@@ -392,6 +392,14 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> dict:
     Returns stats: epochs folded, rows before distinct / after, and
     the max (kept) epoch. No-op (zero folded) on a missing, empty, or
     single-epoch ledger.
+
+    The CORPUS sink deliberately keeps its epoch layout: the
+    write-then-delete crash window is harmless for a SET (duplicate
+    hashes change no join result) but would make duplicate corpus
+    ROWS visible to readers until the next fold — a plain-parquet
+    corpus has no atomic swap, so bounding its file count is a job
+    for a transactional format (operators/merge.py delegation) or an
+    offline rewrite behind a reader barrier, not this loop.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
