@@ -7,10 +7,12 @@ by name, doubles rounded to 9 significant-ish decimals, rows sorted).
 
 Usage: python tools/check_parity.py [--json=PATH] [sf_dir] [query ...]
 
-``--json=PATH`` additionally writes a per-query evidence file in the
-driver's CORRECTNESS shape (rows/schema/hash match booleans), so
-registry entries the driver hasn't sampled yet still carry committed
-hash evidence (PARITY.json at the repo root).
+A FULL-registry run (no query filter) at the default sf_dir writes
+PARITY.json automatically — the committed evidence file MUST track the
+registry (tests/test_golden_registry.py pins the sync), and round 5
+showed a full run without ``--json=`` silently leaving a stale file.
+``--json=PATH`` overrides the destination; targeted runs (explicit
+query names or a non-default sf_dir) never write unless asked.
 """
 
 from __future__ import annotations
@@ -73,6 +75,11 @@ def main() -> int:
             argv.remove(a)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    if json_path is None and not only and sf_dir == "/root/testdata/sf0.01":
+        json_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PARITY.json",
+        )
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     con = duckdb.connect()
     for t in TABLE_NAMES:
