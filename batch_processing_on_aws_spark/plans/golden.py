@@ -3523,6 +3523,19 @@ FROM z
 """
 
 
+def bpe_merge_table(spark, sf_dir):
+    """BPE tokenizer induction (operators/bpe.py::learn_bpe): the
+    learned merge table over the documents corpus. One corpus-sized
+    word-frequency pass, then vocab-sized merge rounds — the
+    production-trainer reduction. Iterative + argmax-per-round, so no
+    SQL oracle (the driver records the rows-only check); the full
+    merge SEQUENCE is pinned against a from-scratch reference trainer
+    in tests/test_bpe.py."""
+    from ..operators.bpe import learn_bpe
+
+    return learn_bpe(load_table(spark, sf_dir, "documents"), n_merges=12)
+
+
 def training_shuffle_order(spark, sf_dir):
     """Deterministic per-shard training-order shuffle
     (operators/sampling.py::training_order): position = rank of
@@ -4192,6 +4205,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("pii_redaction", pii_redaction, _PII_SQL),
     QueryDef("gopher_quality_flags", gopher_quality_flags, _GOPHER_SQL),
     QueryDef("doc_quality_logit", doc_quality_logit, _QUALITY_LOGIT_SQL),
+    QueryDef("bpe_merge_table", bpe_merge_table, None),
     QueryDef(
         "training_shuffle_order", training_shuffle_order, _TRAINING_ORDER_SQL
     ),

@@ -1,0 +1,123 @@
+"""BPE tokenizer induction: learned merge table vs a from-scratch
+reference implementation, application round-trip, determinism."""
+
+import pytest
+
+
+def _ref_bpe(word_counts, n_merges, min_pair_count=2):
+    """Reference BPE trainer (Sennrich et al. 2016 algorithm, plain
+    Python) with the engine's tie-break: (count desc, left asc,
+    right asc)."""
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                pc[pair] = pc.get(pair, 0) + c
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((left, right, left + right, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+CORPUS = [
+    (1, "low low low low low"),
+    (2, "lower lower newest newest"),
+    (3, "newest newest newest newest widest"),
+    (4, "widest widest low lower"),
+]
+
+
+def _counts():
+    wc = {}
+    for _, text in CORPUS:
+        for w in text.split():
+            wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def test_learn_bpe_matches_reference(spark):
+    from batch_processing_on_aws_spark.operators.bpe import learn_bpe
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = [
+        (r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in learn_bpe(df, n_merges=10).orderBy("rank").collect()
+    ]
+    want = _ref_bpe(_counts(), 10)
+    assert got == want
+    assert len(got) >= 5  # the fixture has structure to learn
+
+
+def test_learn_bpe_deterministic_under_repartition(spark):
+    from batch_processing_on_aws_spark.operators.bpe import learn_bpe
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    a = [tuple(r) for r in learn_bpe(df, n_merges=6).orderBy("rank").collect()]
+    b = [
+        tuple(r)
+        for r in learn_bpe(df.repartition(5), n_merges=6)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert a == b
+
+
+def test_apply_bpe_round_trips_and_compresses(spark):
+    from batch_processing_on_aws_spark.operators.bpe import apply_bpe, learn_bpe
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges = learn_bpe(df, n_merges=10)
+    out = {r["doc_id"]: r for r in apply_bpe(df, merges).collect()}
+    for doc_id, text in CORPUS:
+        pieces = out[doc_id]["pieces"]
+        # lossless: concatenating pieces and dropping the sentinel
+        # reconstructs the lowercased text
+        rebuilt = "".join(pieces).replace("</w>", " ").strip()
+        assert rebuilt == text.lower()
+        # compression: fewer pieces than raw characters+sentinels
+        raw_syms = sum(len(w) + 1 for w in text.split())
+        assert out[doc_id]["n_pieces"] < raw_syms
+    # untrained text degrades gracefully to characters
+    odd = spark.createDataFrame([(9, "zq xv")], "doc_id long, text string")
+    pieces = apply_bpe(odd, merges).collect()[0]["pieces"]
+    assert pieces == ["z", "q", "</w>", "x", "v", "</w>"]
+
+
+def test_learn_bpe_stops_when_dry(spark):
+    from batch_processing_on_aws_spark.operators.bpe import learn_bpe
+
+    # every word unique and 1 char: no pair ever reaches min count 2
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    assert learn_bpe(df, n_merges=5).count() == 0
+
+
+@pytest.mark.parametrize("n", [1, 3])
+def test_learn_bpe_respects_merge_budget(spark, n):
+    from batch_processing_on_aws_spark.operators.bpe import learn_bpe
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    assert learn_bpe(df, n_merges=n).count() == n
