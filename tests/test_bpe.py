@@ -121,3 +121,41 @@ def test_learn_bpe_respects_merge_budget(spark, n):
 
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
     assert learn_bpe(df, n_merges=n).count() == n
+
+
+def test_learn_bpe_property_matches_reference(spark):
+    """Property check: on random small corpora the Spark trainer's
+    merge sequence equals the reference trainer's, including early
+    stop. Hypothesis-driven but example-bounded — each example runs a
+    real multi-round Spark loop."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from batch_processing_on_aws_spark.operators.bpe import learn_bpe
+
+    words = st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    )
+
+    @given(st.lists(words, min_size=1, max_size=4))
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(docs):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            (r["left"], r["right"], r["merged"], r["pair_count"])
+            for r in learn_bpe(df, n_merges=4).orderBy("rank").collect()
+        ]
+        wc = {}
+        for _, ws in enumerate(docs):
+            for w in ws:
+                wc[w] = wc.get(w, 0) + 1
+        assert got == _ref_bpe(wc, 4)
+
+    check()
