@@ -76,3 +76,54 @@ def drop_sparse_columns(df: DataFrame, max_missing_ratio: float = 0.7) -> DataFr
     ratios = missing_value_ratios(df, decimals=6).collect()[0].asDict()
     keep = [c for c in df.columns if (ratios[c] or 0.0) <= max_missing_ratio]
     return df.select(*keep)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    fingerprint: Column | None = None,
+) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning audit every
+    training-data pipeline runs between two ingests: which records
+    were added, removed, changed, or carried unchanged.
+
+    ``fingerprint`` is the content identity (default: md5 of the
+    ``text`` column); rows are matched by ``key_col`` and compared by
+    fingerprint. Output: (key, status in
+    {added, removed, changed, unchanged}, old_fp, new_fp) — one row
+    per key present in EITHER snapshot, so the result doubles as a
+    changelog (filter) and an audit rollup (groupBy status).
+
+    Scale shape: one full-outer shuffle join on the key — fingerprints
+    (16 B) cross the exchange, never content; on bucketed snapshot
+    tables (bucketBy the key at write) the exchange disappears
+    entirely. Null-safe on the key like every merge-family operator.
+    """
+    fp = fingerprint if fingerprint is not None else F.md5(F.col("text"))
+    # explicit presence markers: null KEYS (matched null-safely) and
+    # null FINGERPRINTS (null content) must not masquerade as
+    # missing-side rows
+    o = old.select(
+        F.col(key_col).alias("__k"),
+        fp.alias("old_fp"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("__nk"),
+        fp.alias("new_fp"),
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(n, F.col("__k").eqNullSafe(F.col("__nk")), "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.coalesce(F.col("__k"), F.col("__nk")).alias(key_col),
+        status.alias("status"),
+        "old_fp",
+        "new_fp",
+    )

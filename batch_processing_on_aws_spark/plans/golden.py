@@ -3523,6 +3523,59 @@ FROM z
 """
 
 
+def corpus_snapshot_diff(spark, sf_dir):
+    """Dataset-versioning audit (operators/audit.py::snapshot_diff):
+    diff two corpus snapshots by content fingerprint. The second
+    snapshot is derived deterministically from the first — every
+    doc_id % 10 == 0 removed, % 10 == 1 rewritten, a % 10 == 2 slice
+    re-added under shifted ids — so all four statuses appear. One
+    full-outer join on the key; fingerprints cross the exchange,
+    content never does."""
+    from ..operators.audit import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.where(F.col("doc_id") % 10 != 0)
+    mutated = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return snapshot_diff(docs, mutated.unionByName(added))
+
+
+_SNAPSHOT_DIFF_SQL = r"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 10 = 2
+),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         o.fp AS old_fp, n.fp AS new_fp,
+         o.doc_id IS NOT NULL AS in_old, n.doc_id IS NOT NULL AS in_new
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN old_fp = new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_fp, new_fp
+FROM j
+"""
+
+
 def bpe_merge_table(spark, sf_dir):
     """BPE tokenizer induction (operators/bpe.py::learn_bpe): the
     learned merge table over the documents corpus. One corpus-sized
@@ -4206,6 +4259,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("gopher_quality_flags", gopher_quality_flags, _GOPHER_SQL),
     QueryDef("doc_quality_logit", doc_quality_logit, _QUALITY_LOGIT_SQL),
     QueryDef("bpe_merge_table", bpe_merge_table, None),
+    QueryDef("corpus_snapshot_diff", corpus_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     QueryDef(
         "training_shuffle_order", training_shuffle_order, _TRAINING_ORDER_SQL
     ),

@@ -46,3 +46,36 @@ def test_drop_sparse_columns(audit_df):
     (init-data-transformation.py:80-85) as an operator."""
     out = drop_sparse_columns(audit_df, max_missing_ratio=0.7)
     assert out.columns == ["id", "name"]
+
+
+def test_snapshot_diff_statuses(spark):
+    """added/removed/changed/unchanged classification, including the
+    null-key and null-content edge cases presence markers exist for."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.operators.audit import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "nk"), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d"), (None, "nk"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out[1] == "unchanged"
+    assert out[2] == "changed"
+    assert out[3] == "removed"
+    assert out[4] == "added"
+    # null KEY rows match null-safely -> unchanged, not added+removed
+    assert out[None] == "unchanged"
+    # null CONTENT with same key: null fingerprints compare null-safely
+    assert out[5] == "unchanged"
+    # rollup shape: one row per key in either snapshot
+    assert snapshot_diff(old, new).count() == 6
+    # custom fingerprint column
+    byid = snapshot_diff(old, new, fingerprint=F.lit("x"))
+    assert {r["status"] for r in byid.collect()} <= {
+        "added", "removed", "unchanged"
+    }
