@@ -118,3 +118,53 @@ def semantic_contamination(
         )
         .where(F.col("cos_sim") >= tau)
     )
+
+
+def remove_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_text_col: str = "text",
+    corpus_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    window: int = 13,
+) -> DataFrame:
+    """Span-level decontamination — the REMOVAL form of the n-gram
+    hygiene step: excise from every corpus document each
+    ``window``-token span whose text occurs anywhere in the benchmark
+    (the GPT-3-appendix-style "remove the colliding 13-gram and its
+    surroundings" treatment, strictly stronger than dropping flagged
+    docs: the rest of the document survives).
+
+    Composition of the span-ledger machinery the engine already
+    trusts: the benchmark's positional span hashes form the ledger
+    (``neardup.span_windows``), and the corpus is rebuilt with
+    ``neardup.remove_spans_against_ledger`` — one hash-key semi-join
+    to find covered positions, one grouped rebuild; nothing pairwise,
+    nothing driver-side. Within-corpus duplicate spans are NOT cut
+    (keep-first applies only against the benchmark here — pass the
+    corpus through ``remove_duplicate_spans`` separately for that).
+
+    Output: (doc_id, text, n_tokens_removed) for every corpus doc.
+    At 100 TB the benchmark ledger is tiny by construction (eval sets
+    are thousands of docs), so the semi-join broadcasts it.
+    """
+    from .neardup import remove_spans_against_ledger, span_windows
+
+    # synthetic benchmark ids: only the span HASHES survive into the
+    # ledger, so the id is never observed downstream
+    bench = benchmark.select(
+        F.monotonically_increasing_id().alias("__bid"),
+        F.col(bench_text_col).alias("__btext"),
+    )
+    ledger = span_windows(
+        bench, text_col="__btext", id_col="__bid", window=window
+    ).select("span_hash")
+    cleaned, _ = remove_spans_against_ledger(
+        corpus,
+        ledger,
+        text_col=corpus_text_col,
+        id_col=corpus_id_col,
+        window=window,
+        within_batch=False,
+    )
+    return cleaned

@@ -852,6 +852,7 @@ def remove_spans_against_ledger(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 20,
+    within_batch: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental ExactSubstr dedup: clean a NEW batch against the
     span hashes of everything already ingested, the exact-substring
@@ -860,7 +861,11 @@ def remove_spans_against_ledger(
 
     Cuts from each batch doc (1) every span whose hash is in
     ``ledger`` — that passage already exists in the corpus — and
-    (2) within-batch later occurrences (keep-first among the batch).
+    (2) within-batch later occurrences (keep-first among the batch;
+    disable with ``within_batch=False`` when the ledger is an
+    EXTERNAL reference rather than the corpus's own history — e.g.
+    benchmark decontamination, where corpus-internal repetition is
+    not the ledger's business).
     Returns ``(cleaned, new_hashes)``: the rebuilt batch docs and the
     distinct span hashes of the REBUILT text not already in the
     ledger, ready to append so the next batch sees this one's content.
@@ -885,26 +890,28 @@ def remove_spans_against_ledger(
     in_ledger = spans.join(known, "span_hash", "left_semi").select(
         "doc_id", "pos"
     )
-    fresh = spans.join(known, "span_hash", "left_anti")
-    batch_dups = (
-        fresh.groupBy("span_hash")
-        .agg(
-            F.count(F.lit(1)).alias("__c"),
-            F.min(F.struct("doc_id", "pos")).alias("__first"),
-        )
-        .where(F.col("__c") >= 2)
-    )
-    batch_later = (
-        fresh.join(batch_dups, "span_hash")
-        .where(
-            ~(
-                (F.col("doc_id") == F.col("__first.doc_id"))
-                & (F.col("pos") == F.col("__first.pos"))
+    cut_occ = in_ledger
+    if within_batch:
+        fresh = spans.join(known, "span_hash", "left_anti")
+        batch_dups = (
+            fresh.groupBy("span_hash")
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.min(F.struct("doc_id", "pos")).alias("__first"),
             )
+            .where(F.col("__c") >= 2)
         )
-        .select("doc_id", "pos")
-    )
-    cut_occ = in_ledger.unionByName(batch_later)
+        batch_later = (
+            fresh.join(batch_dups, "span_hash")
+            .where(
+                ~(
+                    (F.col("doc_id") == F.col("__first.doc_id"))
+                    & (F.col("pos") == F.col("__first.pos"))
+                )
+            )
+            .select("doc_id", "pos")
+        )
+        cut_occ = in_ledger.unionByName(batch_later)
     cleaned = _excise(base, cut_occ, window)
     new_hashes = (
         span_windows(cleaned, text_col="text", id_col="doc_id", window=window)

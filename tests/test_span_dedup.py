@@ -269,3 +269,43 @@ def test_winnowing_guarantee_and_compression(spark):
     n_spans = span_windows(docs, window=4).count()
     n_fp = fp.count()
     assert n_fp < 0.6 * n_spans
+
+
+def test_remove_contaminated_spans_cuts_only_benchmark_text(spark):
+    """Span-level decontamination: benchmark passages are excised from
+    corpus docs; corpus-internal repetition is deliberately untouched
+    (within_batch=False), and docs with no overlap pass through
+    verbatim (space-normalized)."""
+    from batch_processing_on_aws_spark.operators.decontam import (
+        remove_contaminated_spans,
+    )
+
+    leak = " ".join(f"b{i}" for i in range(6))  # a 6-token benchmark passage
+    rep = "r1 r2 r3 r4 r5 r6"                   # corpus-internal repeat
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words here {leak} outro tail words"),
+            (2, f"{rep} middle {rep} end filler tokens"),
+            (3, "fully clean document with its own tokens only"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame([(leak,)], "text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_contaminated_spans(
+            corpus, benchmark, window=6
+        ).collect()
+    }
+    # every input doc survives with a row
+    assert set(out) == {1, 2, 3}
+    # the leaked passage is gone from doc 1; its own words survive
+    assert all(f"b{i}" not in out[1]["text"] for i in range(6))
+    assert "intro" in out[1]["text"] and "outro" in out[1]["text"]
+    assert out[1]["n_tokens_removed"] >= 6
+    # corpus-internal repetition NOT cut (not the benchmark's business)
+    assert out[2]["text"].count("r1") == 2
+    assert out[2]["n_tokens_removed"] == 0
+    # clean doc passes through verbatim
+    assert out[3]["text"] == "fully clean document with its own tokens only"
+    assert out[3]["n_tokens_removed"] == 0
