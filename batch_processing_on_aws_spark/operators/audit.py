@@ -127,3 +127,60 @@ def snapshot_diff(
         "old_fp",
         "new_fp",
     )
+
+
+def source_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group distribution drift between two corpus snapshots — the
+    companion audit to :func:`snapshot_diff` and the retuning signal
+    for ``sampling.mixture_plan``: when a source's share moves, the
+    mixture weights that realized yesterday's target no longer do.
+
+    Output: (group, old_n, new_n, old_share, new_share, share_delta)
+    for every group present in EITHER snapshot (absent side counts 0).
+    Counts are exact longs; shares are single divisions of exact
+    integers rounded to 6 — bit-stable cross-engine, no log/entropy
+    terms whose libm rounding could differ between engines.
+
+    Scale shape: one hash-agg per snapshot (map-side partials) and a
+    full-outer join on the LOW-CARDINALITY group key plus two 1-row
+    scalar broadcasts for the totals — nothing corpus-sized shuffles.
+    """
+    def counted(df, n_name):
+        return df.groupBy(F.col(group_col).alias("__g")).agg(
+            F.count(F.lit(1)).alias(n_name)
+        )
+
+    o = counted(old, "old_n")
+    n = counted(new, "new_n")
+    joined = (
+        o.join(n, o["__g"].eqNullSafe(n["__g"]), "full_outer")
+        .select(
+            F.coalesce(o["__g"], n["__g"]).alias(group_col),
+            F.coalesce(F.col("old_n"), F.lit(0)).alias("old_n"),
+            F.coalesce(F.col("new_n"), F.lit(0)).alias("new_n"),
+        )
+    )
+    tot_o = old.agg(F.count(F.lit(1)).alias("__to"))
+    tot_n = new.agg(F.count(F.lit(1)).alias("__tn"))
+    old_share = F.round(
+        F.col("old_n") / F.greatest(F.col("__to"), F.lit(1)), 6
+    )
+    new_share = F.round(
+        F.col("new_n") / F.greatest(F.col("__tn"), F.lit(1)), 6
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot_o))
+        .crossJoin(F.broadcast(tot_n))
+        .select(
+            group_col,
+            "old_n",
+            "new_n",
+            old_share.alias("old_share"),
+            new_share.alias("new_share"),
+            F.round(new_share - old_share, 6).alias("share_delta"),
+        )
+    )

@@ -3576,6 +3576,53 @@ FROM j
 """
 
 
+def corpus_source_drift(spark, sf_dir):
+    """Per-source distribution drift (operators/audit.py::
+    source_drift) between the documents snapshot and the same
+    deterministic mutation ``corpus_snapshot_diff`` uses — the
+    mixture-retuning signal. Two hash-aggs + a full-outer join on the
+    source key + two 1-row scalar broadcasts (the TPC-H
+    scalar-subquery pattern)."""
+    from ..operators.audit import source_drift
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    new = docs.where(F.col("doc_id") % 10 != 0).unionByName(
+        docs.where(F.col("doc_id") % 10 == 2).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source"
+        )
+    )
+    return source_drift(docs, new)
+
+
+_SOURCE_DRIFT_SQL = r"""
+WITH o AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS old_n
+  FROM documents GROUP BY source
+),
+nw AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS new_n FROM (
+    SELECT source FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT source FROM documents WHERE doc_id % 10 = 2
+  ) GROUP BY source
+),
+t AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS tot_o,
+         (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0)
+           + (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 2) AS tot_n
+)
+SELECT source,
+       COALESCE(old_n, 0) AS old_n,
+       COALESCE(new_n, 0) AS new_n,
+       ROUND(COALESCE(old_n, 0) / GREATEST(tot_o, 1), 6) AS old_share,
+       ROUND(COALESCE(new_n, 0) / GREATEST(tot_n, 1), 6) AS new_share,
+       ROUND(ROUND(COALESCE(new_n, 0) / GREATEST(tot_n, 1), 6)
+             - ROUND(COALESCE(old_n, 0) / GREATEST(tot_o, 1), 6), 6)
+         AS share_delta
+FROM o FULL OUTER JOIN nw USING (source) CROSS JOIN t
+"""
+
+
 def bpe_merge_table(spark, sf_dir):
     """BPE tokenizer induction (operators/bpe.py::learn_bpe): the
     learned merge table over the documents corpus. One corpus-sized
@@ -4260,6 +4307,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("doc_quality_logit", doc_quality_logit, _QUALITY_LOGIT_SQL),
     QueryDef("bpe_merge_table", bpe_merge_table, None),
     QueryDef("corpus_snapshot_diff", corpus_snapshot_diff, _SNAPSHOT_DIFF_SQL),
+    QueryDef("corpus_source_drift", corpus_source_drift, _SOURCE_DRIFT_SQL),
     QueryDef(
         "training_shuffle_order", training_shuffle_order, _TRAINING_ORDER_SQL
     ),

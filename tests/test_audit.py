@@ -79,3 +79,27 @@ def test_snapshot_diff_statuses(spark):
     assert {r["status"] for r in byid.collect()} <= {
         "added", "removed", "unchanged"
     }
+
+
+def test_source_drift_shares_and_absent_groups(spark):
+    from batch_processing_on_aws_spark.operators.audit import source_drift
+
+    old = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "web"), (4, "wiki")],
+        "doc_id long, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "web"), (2, "wiki"), (3, "wiki"), (4, "code")],
+        "doc_id long, source string",
+    )
+    out = {r["source"]: r for r in source_drift(old, new).collect()}
+    assert set(out) == {"web", "wiki", "code"}
+    assert (out["web"]["old_n"], out["web"]["new_n"]) == (3, 1)
+    assert out["web"]["old_share"] == 0.75 and out["web"]["new_share"] == 0.25
+    assert out["web"]["share_delta"] == -0.5
+    assert (out["code"]["old_n"], out["code"]["new_n"]) == (0, 1)
+    assert out["code"]["old_share"] == 0.0
+    # empty old snapshot: shares divide by the guarded total, no NaN
+    empty = old.where("doc_id < 0")
+    out2 = {r["source"]: r for r in source_drift(empty, new).collect()}
+    assert out2["wiki"]["old_share"] == 0.0 and out2["wiki"]["old_n"] == 0

@@ -47,6 +47,8 @@ def _plan(spark, name, materialize=False):
 # - mixture_sampling_plan: broadcasts two ONE-ROW scalars (weight sum,
 #   binding min) into the #sources-row summary — same scalar-subquery
 #   pattern; the corpus side never crosses anything.
+# - corpus_source_drift: broadcasts two ONE-ROW snapshot totals into
+#   the #sources-row drift table — same scalar-subquery pattern.
 CROSS_PRODUCT_ALLOWED = {
     "embedding_topk",
     "embedding_ivf_topk",
@@ -54,6 +56,7 @@ CROSS_PRODUCT_ALLOWED = {
     "q11_part_value_concentration",
     "q15_top_supplier",
     "mixture_sampling_plan",
+    "corpus_source_drift",
 }
 
 
