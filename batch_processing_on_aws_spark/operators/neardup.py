@@ -156,6 +156,16 @@ def minhash_signatures(
     )
 
 
+# Default boilerplate-clique cap for the CURATION path (pipeline.
+# curate_corpus / plans.golden training_corpus / dup_cluster_canonical
+# / neardup_verified_pairs). Chosen well above any natural bucket in
+# the oracle corpora (measured max bucket: 3 at sf0.01, 12 at sf0.1)
+# so the capped plan is bit-identical to the uncapped contract there,
+# while a boilerplate template shared by even 1% of a large corpus
+# blows past it and falls into the linear star path below.
+CURATION_MAX_BUCKET_SIZE = 64
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -164,6 +174,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    oversized: str = "drop",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -180,17 +191,33 @@ def minhash_lsh_pairs(
     quadratic — measured 26x wall / ~2000x output under a 20%-hot
     corpus (tools/skew_bench.py), with per-pair cost actually
     improving; the blowup is the output's size, not a serialized plan.
-    With a cap, buckets larger than ``max_bucket_size`` are dropped
-    from pairwise candidate generation (one hash-agg on the bucket
-    key, broadcast anti-join of the tiny oversized-bucket list) — the
-    standard large-scale move (cf. Dolma/BFF bucket caps): a
-    thousand-member bucket is boilerplate, and belongs to the
-    clique/cluster path (``clustering.connected_components`` over the
-    capped pairs, or exact dedup on the template), not to a pairwise
-    verifier. Default None = exact contract (every candidate pair).
+    With a cap, buckets larger than ``max_bucket_size`` leave the
+    pairwise path (one hash-agg on the bucket key, broadcast anti-join
+    of the tiny oversized-bucket list) — the standard large-scale move
+    (cf. Dolma/BFF bucket caps). What happens to them is ``oversized``:
+
+    - ``"drop"`` (default): the bucket is removed entirely — a
+      thousand-member bucket is boilerplate and belongs to exact
+      dedup on the template, not a pairwise verifier.
+    - ``"star"``: each oversized bucket emits ``m - 1`` star edges
+      from the bucket's minimum doc id to every other member instead
+      of the C(m, 2) clique. For a connected-components consumer
+      (the curation path) star edges are EXACTLY connectivity-
+      equivalent to the clique — the whole template still collapses
+      into one cluster — while the pair table stays linear in the
+      bucket size. This is the mode the curation pipeline wires in
+      (``CURATION_MAX_BUCKET_SIZE``); the recall trade it accepts is
+      that pairwise VERIFIERS see only (center, member) pairs for the
+      template, not every member pair (fine: near-identical template
+      copies verify against the center too).
+
+    Default ``max_bucket_size=None`` = exact contract (every
+    candidate pair).
 
     Output: (doc_id_a, doc_id_b) with a < b, distinct.
     """
+    if oversized not in ("drop", "star"):
+        raise ValueError(f"oversized must be 'drop' or 'star', got {oversized!r}")
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     band_structs = F.array(
@@ -213,32 +240,49 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col).alias("doc"), F.explode(band_structs).alias("band")
     ).select("doc", "band.band_id", "band.band_hash")
+    star = None
     if max_bucket_size is not None:
-        oversized = (
+        big_buckets = (
             banded.groupBy("band_id", "band_hash")
             .agg(F.count(F.lit(1)).alias("__m"))
             .where(F.col("__m") > max_bucket_size)
             .select("band_id", "band_hash")
         )
+        if oversized == "star":
+            # members of oversized buckets; the per-bucket min doc is
+            # one row per oversized bucket — tiny, broadcastable
+            big = banded.join(
+                F.broadcast(big_buckets), ["band_id", "band_hash"], "left_semi"
+            )
+            centers = big.groupBy("band_id", "band_hash").agg(
+                F.min("doc").alias("__c")
+            )
+            star = (
+                big.join(F.broadcast(centers), ["band_id", "band_hash"])
+                .where(F.col("doc") != F.col("__c"))
+                .select(
+                    F.col("__c").alias("doc_id_a"),
+                    F.col("doc").alias("doc_id_b"),
+                )
+            )
         banded = banded.join(
-            F.broadcast(oversized), ["band_id", "band_hash"], "left_anti"
+            F.broadcast(big_buckets), ["band_id", "band_hash"], "left_anti"
         )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col("a.doc") < F.col("b.doc"),
-            ],
-        )
-        .select(
-            F.col("a.doc").alias("doc_id_a"), F.col("b.doc").alias("doc_id_b")
-        )
-        .distinct()
+    pairwise = a.join(
+        b,
+        on=[
+            F.col("a.band_id") == F.col("b.band_id"),
+            F.col("a.band_hash") == F.col("b.band_hash"),
+            F.col("a.doc") < F.col("b.doc"),
+        ],
+    ).select(
+        F.col("a.doc").alias("doc_id_a"), F.col("b.doc").alias("doc_id_b")
     )
+    if star is not None:
+        pairwise = pairwise.unionByName(star)
+    return pairwise.distinct()
 
 
 def simhash_signatures(

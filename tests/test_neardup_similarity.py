@@ -74,6 +74,55 @@ def test_lsh_bucket_cap_drops_boilerplate_clique(spark):
     assert not any(a >= 100 for a, _ in capped)   # clique pairs dropped
 
 
+def test_lsh_bucket_cap_star_preserves_connectivity(spark):
+    """``oversized="star"`` — the curation-path mode: an oversized
+    bucket emits m-1 star edges from the bucket-min doc instead of the
+    C(m,2) clique, so the pair table is LINEAR in the clique size, yet
+    connected components over those edges still closes the whole
+    template into ONE cluster (star edges are connectivity-equivalent
+    to the clique). This pins the recall contract the cap accepts:
+    verifiers see only (center, member) pairs for the template."""
+    from batch_processing_on_aws_spark.operators.clustering import (
+        connected_components,
+    )
+
+    clique = [(100 + i, BASE) for i in range(30)]
+    other_a = ("unrelated prose about sort merge join exchange reuse "
+               "in adaptive query execution layers of an analytics engine")
+    docs = spark.createDataFrame(
+        clique + [(1, other_a), (2, other_a + " tail")],
+        ["doc_id", "text"],
+    )
+    starred = {(r["doc_id_a"], r["doc_id_b"])
+               for r in minhash_lsh_pairs(
+                   docs, max_bucket_size=10, oversized="star").collect()}
+    assert (1, 2) in starred                      # normal pair survives
+    clique_pairs = {(a, b) for a, b in starred if a >= 100}
+    # exact copies share every band bucket, center = min doc id 100:
+    # exactly 29 star edges, not C(30,2)=435
+    assert clique_pairs == {(100, 100 + i) for i in range(1, 30)}
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in starred], ["src", "dst"]
+    )
+    comp = {r["n"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert len({comp[100 + i] for i in range(30)}) == 1  # one cluster
+
+
+def test_lsh_star_cap_is_identity_on_natural_corpus(spark):
+    """Recall contract, other side: on a corpus with no oversized
+    bucket the star-capped plan returns the EXACT uncapped pair set —
+    this is why wiring ``CURATION_MAX_BUCKET_SIZE`` into the curation
+    queries keeps their (template-free) DuckDB oracles hash-green."""
+    docs = _docs(spark)
+    uncapped = {(r["doc_id_a"], r["doc_id_b"])
+                for r in minhash_lsh_pairs(docs).collect()}
+    capped = {(r["doc_id_a"], r["doc_id_b"])
+              for r in minhash_lsh_pairs(
+                  docs, max_bucket_size=64, oversized="star").collect()}
+    assert capped == uncapped
+
+
 def test_ngram_jaccard_verification(spark):
     docs = _docs(spark)
     pairs = minhash_lsh_pairs(docs)

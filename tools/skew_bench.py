@@ -144,7 +144,7 @@ def main() -> None:
                 rows[q][variant] = qs[q](spark, f"{ROOT}/{variant}").count()
             print(f"{variant:8s} {q:24s} {best:6.2f}s", flush=True)
 
-    out_path = "SKEW_r05.json"
+    out_path = "SKEW_r06.json"
     for a in sys.argv[1:]:
         if a.startswith("--json="):
             out_path = a.split("=", 1)[1]
