@@ -113,12 +113,53 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
     return vocab.withColumn("syms", _merge(F.col("syms")))
 
 
+def _learn_bpe_local(
+    word_counts: list[tuple[str, int]], n_merges: int, min_pair_count: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The merge loop on a driver-local word histogram — the SAME
+    algorithm as the distributed loop below, statement for statement
+    (adjacent-pair counts weighted by word frequency, argmax with
+    (count desc, left asc, right asc) tie-break, left-to-right merge
+    application), so the learned table is bit-identical; pinned by
+    tests/test_bpe.py::test_local_and_distributed_paths_agree."""
+    vocab: list[list] = [[list(w) + [EOW], n] for w, n in word_counts]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((r, left, right, left + right, cnt))
+        for item in vocab:
+            syms = item[0]
+            i, out = 0, []
+            n_s = len(syms)
+            while i < n_s:
+                if i < n_s - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            item[0] = out
+    return merges
+
+
 def learn_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 20,
     min_pair_count: int = 2,
     checkpoint_every: int = 5,
+    local_histogram_max_words: int = 500_000,
 ) -> DataFrame:
     """Learn a BPE merge table from a corpus.
 
@@ -129,11 +170,42 @@ def learn_bpe(
 
     The driver holds ONE (left, right, count) row per round — the
     argmax — plus the final n_merges-row table; never data-sized
-    state.
+    state — EXCEPT on the bounded fast path: when the word histogram
+    (the vocab-sized reduction every production trainer works from)
+    has at most ``local_histogram_max_words`` distinct words, it is
+    collected once and the merge loop runs driver-local. That is how
+    HuggingFace tokenizers / SentencePiece train — the corpus pass is
+    distributed, the merge loop is not corpus-sized — and it removes
+    the n_merges × (aggregate job + one-row collect) round-trip
+    latency that dominated the distributed loop (~0.24 s/round). The
+    cap bounds driver memory like a broadcast dim (500 k words ×
+    ~50 B ≈ 25 MB); above it — a 100 TB multilingual corpus — the
+    distributed loop below runs unchanged. Set it to 0 to force the
+    distributed path.
+
+    Batching several merges per aggregate round was considered and
+    rejected for exactness: merging pair #1 creates new pairs whose
+    counts can reach pair #1's count, so on ties a batched pair #2
+    can differ from what sequential BPE would learn; only a recount
+    between merges (which both paths here do) is bit-faithful.
     """
     spark = df.sparkSession
-    vocab = _symbolize(_word_histogram(df, text_col)).localCheckpoint()
-    merges: list[tuple[int, str, str, str, int]] = []
+    hist = _word_histogram(df, text_col).localCheckpoint()
+    if (
+        local_histogram_max_words
+        and hist.count() <= local_histogram_max_words
+    ):
+        merges = _learn_bpe_local(
+            [(r["word"], int(r["n"])) for r in hist.collect()],
+            n_merges,
+            min_pair_count,
+        )
+        return spark.createDataFrame(
+            merges,
+            "rank long, left string, right string, merged string, pair_count long",
+        )
+    vocab = _symbolize(hist).localCheckpoint()
+    merges = []
     for r in range(n_merges):
         top = (
             _pair_counts(vocab)

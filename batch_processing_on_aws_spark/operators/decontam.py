@@ -120,6 +120,52 @@ def semantic_contamination(
     )
 
 
+def remove_semantic_contaminated(
+    corpus: DataFrame,
+    corpus_vectors: DataFrame,
+    benchmark_vectors: DataFrame,
+    planes: list[list[float]],
+    tau: float = 0.95,
+    id_col: str = "doc_id",
+    corpus_vec_id_col: str = "vec_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """REMOVAL form of the paraphrase case: drop from ``corpus`` every
+    document whose embedding sits within cosine ``tau`` of any
+    benchmark vector (:func:`semantic_contamination` decides; this
+    applies). The n-gram case has a finer treatment — excise just the
+    colliding span (:func:`remove_contaminated_spans`) — but a
+    PARAPHRASED leak is not span-localizable: the whole document is
+    the leak unit, so doc-drop is the correct excision granularity
+    (the same contract Gopher/Llama-style decontamination applies to
+    fuzzy eval overlap).
+
+    ``corpus_vectors`` maps ``corpus_vec_id_col`` → embedding, with
+    ids in ``corpus``'s ``id_col`` space (the documents/embeddings
+    tables here are row-aligned). Scale: the flagged set is
+    output-sized (docs near an eval vector — tiny by construction),
+    so the final anti-join broadcasts it; the corpus streams through
+    without a shuffle, same as the flag path it composes.
+
+    Output: the surviving subset of ``corpus``, schema unchanged.
+    """
+    flagged = (
+        semantic_contamination(
+            corpus_vectors,
+            benchmark_vectors,
+            planes,
+            tau=tau,
+            corpus_id_col=corpus_vec_id_col,
+            bench_id_col=bench_id_col,
+            vec_col=vec_col,
+        )
+        .select(F.col(corpus_vec_id_col).alias(id_col))
+        .distinct()
+    )
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 def remove_contaminated_spans(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -181,6 +181,8 @@ def curate_corpus(
     budget: int = 256,
     scrub_pii: bool = False,
     max_dup_span_share: float | None = None,
+    semantic_decontam_bench: str | None = None,
+    semantic_decontam_tau: float = 0.95,
 ) -> DataFrame:
     """Materialize the flagship curation pipeline (plans/golden.py::
     training_corpus — quality → language → exact dedup → near-dup
@@ -227,6 +229,30 @@ def curate_corpus(
             .select("doc_id")
         )
         corpus = corpus.join(high, "doc_id", "left_anti")
+    # Optional semantic decontamination gate (the paraphrase case,
+    # operators/decontam.py::remove_semantic_contaminated): drop docs
+    # whose row-aligned embedding sits within cosine tau of any vector
+    # in the given benchmark parquet (columns: bench_id/vec_id,
+    # embedding). Doc-drop, not span excision — a paraphrased eval
+    # leak is not span-localizable. Off by default to keep the
+    # materialization bit-identical with the training_corpus oracle.
+    if semantic_decontam_bench is not None:
+        from .operators.decontam import remove_semantic_contaminated
+        from .plans.golden import _deterministic_planes
+
+        bench = spark.read.parquet(semantic_decontam_bench)
+        if "bench_id" not in bench.columns:
+            bench = bench.withColumnRenamed("vec_id", "bench_id")
+        bench = bench.select("bench_id", "embedding")
+        dim = len(bench.select("embedding").head()["embedding"])  # 1 row
+        corpus_vecs = load_table(spark, sf_dir, "embeddings")
+        corpus = remove_semantic_contaminated(
+            corpus,
+            corpus_vecs,
+            bench,
+            _deterministic_planes(n_planes=4, dim=dim),
+            tau=semantic_decontam_tau,
+        )
     # PII scrub (operators/pii.py) runs BEFORE token counting so the
     # packing layout reflects the text that actually ships; off by
     # default to keep the materialization bit-identical with the
@@ -290,6 +316,15 @@ def main(argv: list[str] | None = None) -> int:
         help="drop docs whose duplicated 20-token-span ratio exceeds "
         "this (operators/neardup.py::dup_span_share)",
     )
+    cur.add_argument(
+        "--semantic-decontam-bench",
+        default=None,
+        help="parquet of benchmark embeddings (bench_id|vec_id, "
+        "embedding); drops docs whose embedding is within cosine "
+        "--semantic-decontam-tau of any benchmark vector "
+        "(operators/decontam.py::remove_semantic_contaminated)",
+    )
+    cur.add_argument("--semantic-decontam-tau", type=float, default=0.95)
     args = ap.parse_args(argv)
 
     spark = get_spark()
@@ -301,6 +336,8 @@ def main(argv: list[str] | None = None) -> int:
             budget=args.budget,
             scrub_pii=args.scrub_pii,
             max_dup_span_share=args.max_dup_span_share,
+            semantic_decontam_bench=args.semantic_decontam_bench,
+            semantic_decontam_tau=args.semantic_decontam_tau,
         ).count()
         print(f"{args.stage}: {n} rows")
         return 0

@@ -393,6 +393,26 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> dict:
     the max (kept) epoch. No-op (zero folded) on a missing, empty, or
     single-epoch ledger.
 
+    SINGLE-WRITER CONTRACT (round-5 verdict task 8): one ledger tree
+    has at most one writer at a time — the supported invocation is
+    the in-loop ``compact_every`` hook, which runs INSIDE
+    foreachBatch, strictly serialized with ingest epochs, so an
+    epoch can never commit *during* a fold. Calling compact_ledger
+    out-of-band against a ledger a live stream is writing is
+    unsupported, for two concrete reasons: (a) the never-fold-the-max
+    guard assumes epochs commit in order within ONE stream — with a
+    concurrent commit the "max" this function captured is no longer
+    the newest epoch, which is harmless for correctness (newly
+    committed epochs are simply not folded this round) but voids the
+    reasoning above only under a single epoch counter; two ingest
+    STREAMS sharing a tree would collide on epoch numbers outright;
+    (b) the delete phase removes directories a concurrent reader may
+    have already listed — that reader's scan can fail transiently
+    (set-semantics make a RETRY correct, but the failure is visible).
+    Schedulers that want background maintenance should pause the
+    stream (availableNow drains naturally between runs) and compact
+    between drains — exactly what the in-loop hook automates.
+
     The CORPUS sink deliberately keeps its epoch layout: the
     write-then-delete crash window is harmless for a SET (duplicate
     hashes change no join result) but would make duplicate corpus

@@ -91,13 +91,54 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    # Per-query regression gate (round-5 verdict task 4): single-query
+    # sidecar numbers swing ±3.8x between rounds on this shared VM,
+    # which hides real regressions inside host drift. BENCH_BUDGETS.json
+    # commits each query's best-of-recent-rounds time; a query over
+    # budget x tolerance gets ONE confirming re-run (min-of-2 again) —
+    # only a confirmed exceedance lands in the `regressions` list on
+    # the stdout line. Budgets only exist at the standard sf0.1 dir.
+    regressions: list[dict] = []
+    budgets_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BUDGETS.json"
+    )
+    if os.path.exists(budgets_path) and sf_num == 0.1:
+        with open(budgets_path) as f:
+            bud = json.load(f)
+        tol = float(bud.get("tolerance_x", 1.5))
+        budgets = bud.get("budgets_sec", {})
+        for name, t in sorted(times.items()):
+            ref = budgets.get(name)
+            if ref is None or t <= ref * tol:
+                continue
+            best = t
+            for _ in range(2):  # confirming re-run
+                release_persisted()
+                t0 = time.perf_counter()
+                run_query(qs[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
+            if best > ref * tol:
+                regressions.append(
+                    {
+                        "query": name,
+                        "sec": round(best, 3),
+                        "budget_sec": ref,
+                        "x": round(best / ref, 2),
+                    }
+                )
+
     total = round(sum(times.values()), 3)
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
     )
     with open(sidecar, "w") as f:
         json.dump(
-            {"sf": sf_num if sf_num is not None else sf, "queries": times},
+            {
+                "sf": sf_num if sf_num is not None else sf,
+                "queries": times,
+                "regressions": regressions,
+            },
             f,
             indent=1,
             sort_keys=True,
@@ -116,6 +157,7 @@ def main() -> None:
                 "sf": sf_num if sf_num is not None else sf,
                 "n_queries": len(times),
                 "per_query_mean_sec": round(total / max(len(times), 1), 4),
+                "regressions": regressions,
             }
         )
     )

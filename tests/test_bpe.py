@@ -72,6 +72,26 @@ def test_learn_bpe_matches_reference(spark):
     assert len(got) >= 5  # the fixture has structure to learn
 
 
+def test_local_and_distributed_paths_agree(spark):
+    """The bounded driver-local merge loop (default when the word
+    histogram fits) must learn the EXACT table the distributed loop
+    learns — forcing the distributed path via
+    ``local_histogram_max_words=0`` pins the equivalence, including
+    tie-breaks and early stop."""
+    from batch_processing_on_aws_spark.operators.bpe import learn_bpe
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    local = [tuple(r) for r in learn_bpe(df, n_merges=10).orderBy("rank").collect()]
+    dist = [
+        tuple(r)
+        for r in learn_bpe(df, n_merges=10, local_histogram_max_words=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert local == dist
+    assert len(local) >= 5
+
+
 def test_learn_bpe_deterministic_under_repartition(spark):
     from batch_processing_on_aws_spark.operators.bpe import learn_bpe
 

@@ -281,6 +281,40 @@ def test_semantic_contamination_detects_paraphrase_leak(spark):
     assert (11, 1) not in out and (12, 1) not in out
 
 
+def test_remove_semantic_contaminated_drops_paraphrase_leak(spark):
+    """The REMOVAL form of the paraphrase case: the doc whose embedding
+    near-copies a benchmark vector is dropped whole (doc-drop, not span
+    excision — a paraphrase is not span-localizable); orthogonal docs
+    survive with schema unchanged."""
+    from batch_processing_on_aws_spark.operators.decontam import (
+        remove_semantic_contaminated,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (10, "a paraphrased copy of the benchmark question"),
+            (11, "unrelated prose about join reordering"),
+            (12, "also unrelated, about shuffle partitioning"),
+        ],
+        "doc_id long, text string",
+    )
+    vectors = spark.createDataFrame(
+        [
+            (10, [1.0, 0.01, 0.0]),   # near-copy of bench 1
+            (11, [0.0, 1.0, 0.0]),
+            (12, [0.707, 0.707, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0])], "bench_id long, embedding array<double>"
+    )
+    planes = [[1.0, 0.2, 0.1], [-0.3, 1.0, 0.5]]
+    kept = remove_semantic_contaminated(docs, vectors, bench, planes, tau=0.95)
+    assert kept.columns == docs.columns
+    assert {r["doc_id"] for r in kept.collect()} == {11, 12}
+
+
 def test_blocklist_filter_drops_linking_docs(spark):
     from batch_processing_on_aws_spark.operators.urls import (
         filter_blocklisted_docs,

@@ -31,6 +31,23 @@ def test_registry_shape():
     }
 
 
+def test_rows_only_queries_carry_documented_reasons():
+    """Every registry entry WITHOUT an oracle must say why it is
+    legitimately non-SQL-expressible — the parity gate hard-fails
+    otherwise, so the registry can't silently grow oracle-less
+    queries whose correctness nobody checks."""
+    from batch_processing_on_aws_spark.plans.golden import (
+        rows_only_reasons,
+    )
+
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    reasons = rows_only_reasons()
+    assert set(reasons) >= qs - oracles, sorted(qs - oracles - set(reasons))
+    for name, why in reasons.items():
+        assert why and len(why) > 20, name  # a real sentence, not a tag
+
+
 def test_parity_sidecar_in_sync_with_registry():
     """PARITY.json (the committed full-registry oracle run the judge
     reads next to the driver's 50-query sample) must cover EXACTLY the

@@ -226,3 +226,37 @@ def test_curate_corpus_dup_span_gate(spark, tmp_path):
     assert gated_ids - (plain_ids - raw_high), (
         "gate must keep the docs only the raw population would drop"
     )
+
+
+def test_curate_corpus_semantic_decontam_gate(spark, tmp_path):
+    """--semantic-decontam-bench: a benchmark whose vector is an exact
+    copy of one surviving doc's embedding drops exactly that doc (the
+    paraphrase-leak removal form, doc granularity), leaving the rest
+    of the materialization identical."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.pipeline import curate_corpus
+    from batch_processing_on_aws_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    plain = curate_corpus(spark, SF_SMOKE, str(tmp_path / "a"), budget=64)
+    plain_ids = {r["doc_id"] for r in plain.select("doc_id").collect()}
+    victim = min(plain_ids)
+    bench_path = str(tmp_path / "bench.parquet")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    emb.where(F.col("vec_id") == victim).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    ).write.parquet(bench_path)
+    gated = curate_corpus(
+        spark,
+        SF_SMOKE,
+        str(tmp_path / "b"),
+        budget=64,
+        semantic_decontam_bench=bench_path,
+        semantic_decontam_tau=0.999,
+    )
+    gated_ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    assert victim not in gated_ids
+    # tau≈1 on near-orthogonal synthetic vectors: only the exact
+    # self-match is flagged, everything else survives untouched
+    assert gated_ids == plain_ids - {victim}

@@ -90,6 +90,19 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     report: dict[str, dict] = {}
+    # Registry hygiene gate (round-5 verdict task 7): every query
+    # without an oracle must carry a documented rows-only reason —
+    # the registry cannot silently grow oracle-less entries.
+    from batch_processing_on_aws_spark.plans.golden import rows_only_reasons
+
+    reasons = rows_only_reasons()
+    undocumented = sorted(set(qs) - set(oracles) - set(reasons))
+    if undocumented:
+        print(
+            "FAIL registry: rows-only queries without a documented "
+            f"reason: {undocumented}"
+        )
+        failures.append("__registry_rows_only_reasons__")
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -103,6 +116,27 @@ def main() -> int:
             report[name] = {"err": f"spark: {e}"[:300]}
             print(f"FAIL {name}: spark error: {e}")
             continue
+        extra: dict = {}
+        if name == "upsert_events_merge_into":
+            # round-5 verdict task 2: the query silently falls back to
+            # upsert_frames on catalog-less sessions with identical
+            # results, so a green hash alone is path-ambiguous. Assert
+            # the DSv2 engine path actually executed and record it.
+            from batch_processing_on_aws_spark.plans import golden as _g
+
+            path = _g.MERGE_INTO_EXECUTED_PATH
+            if path != "dsv2-merge-into":
+                failures.append(name)
+                report[name] = {
+                    "merge_path": path,
+                    "err": (
+                        f"executed path {path!r}, expected the DSv2 "
+                        "MERGE INTO engine path"
+                    ),
+                }
+                print(f"FAIL {name}: executed path {path!r} (fallback)")
+                continue
+            extra["merge_path"] = path
         if name not in oracles:
             report[name] = {
                 "rows_match": None,
@@ -111,7 +145,7 @@ def main() -> int:
                 "spark_rows": len(s_rows),
                 "oracle_rows": None,
                 "err": None,
-                "note": "rows-only (no oracle_sql entry)",
+                "note": f"rows-only: {reasons[name]}",
             }
             print(f"ok?  {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             continue
@@ -136,6 +170,7 @@ def main() -> int:
             "oracle_hash": _value_hash(dn),
             "secs": round(time.time() - t0, 2),
             "err": None,
+            **extra,
         }
         status = []
         if len(s_rows) != len(d_rows):

@@ -1,0 +1,164 @@
+"""Recall-at-scale evidence for the ANN family (round-5 verdict task
+5): SCALING_r05 measured the approximate top-k queries' RUNTIME at
+1x/3x/10x data but not their RESULT QUALITY — a banding scheme can
+stay fast while its recall collapses as buckets dilute. This tool
+records recall@k of each approximate path against the brute-force
+cosine top-k on the SAME data at 1x (sf0.1) and 10x (tools/
+gen_scale.py clone), promoting the dev-scale recall tests
+(tests/test_neardup_similarity.py) to measured scale evidence.
+
+recall@k = |ANN top-k ∩ exact top-k| / k, averaged over the 5 query
+vectors the registry queries use (vec_id < 5). Ties at the k-th score
+are broken identically (cos_sim desc, vec_id asc) in every path, so
+the intersection is well-defined.
+
+Usage: python tools/recall_bench.py [--json=RECALL_r06.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from batch_processing_on_aws_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SCALES = {
+    "1x": "/root/testdata/sf0.1",
+    "10x": "scaledata/x10",
+}
+EXACT = "embedding_topk"
+APPROX = ["embedding_lsh_topk", "embedding_multilsh_topk", "embedding_ivf_topk"]
+K = 10
+
+
+def _topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():  # ≤ 5 queries × k rows
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def main() -> None:
+    out_path = "RECALL_r06.json"
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            out_path = a.split("=", 1)[1]
+    spark = get_spark(app_name="recall_bench")
+    qs = entrymod.queries()
+    report: dict[str, dict] = {}
+    for scale, sf_dir in SCALES.items():
+        if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+            print(f"skip {scale}: {sf_dir} missing (run tools/gen_scale.py)")
+            continue
+        t0 = time.perf_counter()
+        exact = _topk_sets(qs[EXACT](spark, sf_dir))
+        exact_secs = round(time.perf_counter() - t0, 2)
+        report[scale] = {"brute_force_secs": exact_secs, "recall_at_k": {}}
+        for name in APPROX:
+            t0 = time.perf_counter()
+            approx = _topk_sets(qs[name](spark, sf_dir))
+            secs = round(time.perf_counter() - t0, 2)
+            recalls = [
+                len(approx.get(q, set()) & hits) / max(len(hits), 1)
+                for q, hits in sorted(exact.items())
+            ]
+            report[scale]["recall_at_k"][name] = {
+                "mean": round(sum(recalls) / len(recalls), 3),
+                "min": round(min(recalls), 3),
+                "per_query": [round(x, 3) for x in recalls],
+                "secs": secs,
+            }
+            print(
+                f"{scale:4s} {name:26s} recall@{K} "
+                f"mean={sum(recalls)/len(recalls):.3f} "
+                f"min={min(recalls):.3f} ({secs}s; brute {exact_secs}s)",
+                flush=True,
+            )
+    # Tuned-parameter variants (not registry queries): the fixture's
+    # true neighbors are WEAK (max cosine ≈ 0.40 on near-isotropic
+    # vectors), so recall at the registry parameters is bounded by the
+    # hyperplane collision probability at that similarity — e.g.
+    # cos 0.4 → per-plane p ≈ 0.63, 3 tables × 6 planes → ≈ 0.2
+    # candidate recall, which the numbers above reproduce. These
+    # variants document the knob that buys recall (more tables ×
+    # fewer planes; more IVF probes) and what it costs: candidate
+    # volume grows with the same parameters. At 100 TB you pick the
+    # operating point from a table like this one.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from batch_processing_on_aws_spark.operators.similarity import (  # noqa: E402
+        ivf_topk,
+        lsh_topk_multi,
+    )
+    from batch_processing_on_aws_spark.plans.golden import (  # noqa: E402
+        _deterministic_planes,
+    )
+    from batch_processing_on_aws_spark.sources.readers import (  # noqa: E402
+        load_table,
+    )
+
+    def _multi_tables(n_tables: int, n_planes: int, dim: int = 64):
+        flat = _deterministic_planes(n_tables * n_planes, dim)
+        return [flat[t * n_planes:(t + 1) * n_planes] for t in range(n_tables)]
+
+    for scale, sf_dir in SCALES.items():
+        if scale not in report:
+            continue
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = _topk_sets(qs[EXACT](spark, sf_dir))
+        tuned = {
+            "multilsh_6x4": lambda: lsh_topk_multi(
+                emb, queries, _multi_tables(6, 4), k=K
+            ),
+            "ivf_probe6": lambda: ivf_topk(
+                emb, queries, n_cells=16, n_probe=6, k=K
+            ),
+        }
+        report[scale]["tuned_variants"] = {}
+        for name, mk in tuned.items():
+            t0 = time.perf_counter()
+            approx = _topk_sets(mk())
+            secs = round(time.perf_counter() - t0, 2)
+            recalls = [
+                len(approx.get(q, set()) & hits) / max(len(hits), 1)
+                for q, hits in sorted(exact.items())
+            ]
+            report[scale]["tuned_variants"][name] = {
+                "mean": round(sum(recalls) / len(recalls), 3),
+                "min": round(min(recalls), 3),
+                "secs": secs,
+            }
+            print(
+                f"{scale:4s} tuned:{name:21s} recall@{K} "
+                f"mean={sum(recalls)/len(recalls):.3f} ({secs}s)",
+                flush=True,
+            )
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "k": K,
+                "queries": "vec_id < 5 (same as the registry queries)",
+                "method": "recall@k vs brute-force cosine top-k on the "
+                          "same data; 1x = sf0.1, 10x = tools/gen_scale.py "
+                          "clone (tools/recall_bench.py)",
+                "scales": report,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    print(json.dumps({s: {n: v["mean"] for n, v in r["recall_at_k"].items()}
+                      for s, r in report.items()}))
+
+
+if __name__ == "__main__":
+    main()
