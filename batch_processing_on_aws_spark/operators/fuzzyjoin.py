@@ -1,0 +1,114 @@
+"""Edit-distance fuzzy self-join (extension surface; entity/record
+dedup).
+
+Near-dup operators in this engine up to now compare documents by SET
+similarity (shingle Jaccard, MinHash, SimHash) — the right family for
+prose. Short IDENTIFIER-LIKE strings (names, product titles, user
+handles, file paths) fail that model: one typo in a ten-character name
+wrecks its shingle set's Jaccard but is edit distance 1. The canonical
+dedup primitive there is a bounded-Levenshtein join, and the canonical
+scale shape is q-gram blocking (Gravano et al. 2001, "Approximate
+String Joins in a Database (Almost) for Free"): two strings within
+edit distance d share at least max(|a|,|b|) - q + 1 - q·d of their
+positional q-grams, so any shared q-gram is a sound blocking key for
+small d relative to the string length.
+
+Scale design: the q-gram index is an equi-join key (shuffle on the
+gram), hot grams are capped by document frequency exactly like the
+rare-shingle inverted index (``neardup.rare_jaccard_pairs``) — a gram
+shared by half the table ('Supplier#' in every supplier name) would
+recreate the boilerplate-clique blowup, and dropping it costs recall
+only for pairs whose EVERY shared gram is corpus-hot, which a
+same-prefix ID population genuinely exhibits; the cap is therefore a
+tunable, and the length band (|len(a) - len(b)| ≤ d) prunes before
+the verifier. Verification is one ``levenshtein()`` per surviving
+candidate — JVM-side, identical unit-cost definition in DuckDB, so
+the whole operator is oracle-exact. Nothing is all-pairs.
+
+The exact-duplicate case (distance 0) is deliberately included:
+identical strings share every q-gram and always survive blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def qgrams(col: Column, q: int = 3) -> Column:
+    """Distinct character q-grams of a string; strings shorter than
+    ``q`` contribute themselves (so they can still block)."""
+    n = F.length(col)
+    return F.when(
+        n <= q, F.array(col)
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - q + 1),
+                lambda i: F.substring(col, i, q),
+            )
+        )
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str = "name",
+    id_col: str = "id",
+    max_distance: int = 1,
+    q: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """(id_a, id_b, distance) for every pair of rows whose strings are
+    within ``max_distance`` Levenshtein edits, discovered via a
+    df-capped q-gram inverted index with a length-band prune.
+
+    Recall contract: a true pair is found iff it shares at least one
+    q-gram whose corpus document frequency is ≤ ``max_df`` — the same
+    contract as the rare-shingle Jaccard path, pinned in
+    tests/test_fuzzyjoin.py. Raise ``max_df`` (more candidates) or
+    lower ``q`` to trade cost for recall.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).cast("long").alias("__n"),
+    )
+    idx = base.select(
+        "__id", "__n", F.explode(qgrams(F.col("__t"), q)).alias("__g")
+    )
+    hot = (
+        idx.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > max_df)
+        .select("__g")
+    )
+    idx = idx.join(F.broadcast(hot), "__g", "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__g") == F.col("b.__g"),
+                F.col("a.__id") < F.col("b.__id"),
+                # length band: |len(a)-len(b)| > d implies distance > d
+                F.abs(F.col("a.__n") - F.col("b.__n")) <= max_distance,
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb")
+        )
+        .distinct()
+    )
+    ta = base.select(F.col("__id").alias("__ida"), F.col("__t").alias("__ta"))
+    tb = base.select(F.col("__id").alias("__idb"), F.col("__t").alias("__tb"))
+    return (
+        cand.join(ta, "__ida")
+        .join(tb, "__idb")
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.levenshtein("__ta", "__tb").cast("long").alias("distance"),
+        )
+        .where(F.col("distance") <= max_distance)
+    )

@@ -1400,6 +1400,144 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01
 """
 
 
+_HTML_PREFIX = (
+    "<html><head><title>d</title><style>p{color:red}</style></head>"
+    "<body><!-- hdr --><p>"
+)
+_HTML_SUFFIX = (
+    '</p><script type="text/javascript">var x = 1 < 2;</script>'
+    "<div>footer&nbsp;&amp; legal</div></body></html>"
+)
+
+
+def html_main_text(spark, sf_dir):
+    """HTML → main-text extraction (operators/webtext.py): both engines
+    wrap each document's text in the SAME synthetic page (head, style
+    and script blocks, comment, entity-bearing footer) and run the
+    identical regexp strip chain, so the oracle checks every stage —
+    block dropping, tag stripping, entity decoding, whitespace
+    collapse — and the boilerplate text_density signal, end to end."""
+    from ..operators.webtext import extract_main_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX))
+    return extract_main_text(docs.select("doc_id", html.alias("html")))
+
+
+def _html_main_text_sql() -> str:
+    from ..operators.webtext import HTML_STRIP_CHAIN
+
+    expr = "h"
+    for pat, repl in HTML_STRIP_CHAIN:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    expr = f"trim({expr})"
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         '{_HTML_PREFIX}' || text || '{_HTML_SUFFIX.replace("'", "''")}' AS h
+  FROM documents
+)
+SELECT doc_id,
+       {expr} AS text,
+       CAST(length({expr}) AS BIGINT) AS text_len,
+       CAST(length(h) AS BIGINT) AS html_len,
+       ROUND(CAST(length({expr}) AS DOUBLE) / GREATEST(length(h), 1), 6)
+         AS text_density
+FROM pages
+"""
+
+
+def doc_encoding_stats(spark, sf_dir):
+    """Encoding-hygiene signals (operators/webtext.py::encoding_stats):
+    replacement-char / control-char / non-ASCII ratios and mojibake
+    substring hits per document — the decode-damage filter that runs
+    before linguistic quality. Exact integer counts via the
+    length-difference trick, reproduced verbatim in the oracle."""
+    from ..operators.webtext import encoding_stats
+
+    return encoding_stats(load_table(spark, sf_dir, "documents"))
+
+
+_ENCODING_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       ROUND((length(text) - length(regexp_replace(text, '\x{FFFD}', '', 'g')))
+             / GREATEST(length(text), 1), 6) AS replacement_ratio,
+       ROUND((length(text)
+              - length(regexp_replace(text,
+                  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')))
+             / GREATEST(length(text), 1), 6) AS control_ratio,
+       ROUND((length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')))
+             / GREATEST(length(text), 1), 6) AS nonascii_ratio,
+       CAST((length(text) - length(replace(text, 'Ã', '')))
+            + (length(text) - length(replace(text, 'â€', ''))) / 2
+            AS BIGINT) AS mojibake_hits
+FROM documents
+"""
+
+
+def fuzzy_name_pairs(spark, sf_dir):
+    """Bounded-Levenshtein entity dedup
+    (operators/fuzzyjoin.py::fuzzy_pairs): plant a distance-1 typo
+    copy ('Suplier') of every 7th supplier name, then recover each
+    (typo, original) pair through the df-capped q-gram index + length
+    band + levenshtein verify. Both engines build the identical input,
+    so the oracle checks blocking, banding, and the verifier's exact
+    distances end to end. The same-prefix population also pins the
+    documented recall contract: neighbor ORIGINALS (#014 vs #015,
+    distance ≥ 1) share only corpus-hot grams and are excluded by the
+    df cap in both engines alike."""
+    from ..operators.fuzzyjoin import fuzzy_pairs
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name")
+    )
+    typos = sup.where(F.col("id") % 7 == 0).select(
+        (F.col("id") + 10000).alias("id"),
+        F.regexp_replace("name", "Supplier", "Suplier").alias("name"),
+    )
+    return fuzzy_pairs(
+        sup.unionByName(typos), text_col="name", id_col="id",
+        max_distance=1, q=3, max_df=50,
+    )
+
+
+def _fuzzy_pairs_sql(q: int = 3, max_df: int = 50, max_d: int = 1) -> str:
+    return f"""
+WITH base AS (
+  SELECT s_suppkey AS id, s_name AS name FROM supplier
+  UNION ALL
+  SELECT s_suppkey + 10000 AS id,
+         regexp_replace(s_name, 'Supplier', 'Suplier') AS name
+  FROM supplier WHERE s_suppkey % 7 = 0
+), grams AS (
+  SELECT id, length(name) AS n, unnest(
+           CASE WHEN length(name) <= {q} THEN [name]
+                ELSE list_distinct(list_transform(
+                       range(1, length(name) - {q} + 2),
+                       i -> substr(name, CAST(i AS INTEGER), {q})))
+           END) AS g
+  FROM base
+), cool AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= {max_df}
+), filtered AS (
+  SELECT id, n, g FROM grams JOIN cool USING (g)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM filtered a JOIN filtered b
+    ON a.g = b.g AND a.id < b.id AND abs(a.n - b.n) <= {max_d}
+)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(ta.name, tb.name) AS BIGINT) AS distance
+FROM cand c
+JOIN base ta ON ta.id = c.id_a
+JOIN base tb ON tb.id = c.id_b
+WHERE levenshtein(ta.name, tb.name) <= {max_d}
+"""
+
+
 def part_name_features(spark, sf_dir):
     """String-function battery (SURVEY.md §2.6 F8): split, upper,
     length, concat_ws, lpad, substring, regexp_extract."""
@@ -4467,6 +4605,9 @@ QUERIES: list[QueryDef] = [
         _semantic_decontam_sql(),
     ),
     QueryDef("semantic_clean_docs", semantic_clean_docs, _semantic_clean_sql()),
+    QueryDef("html_main_text", html_main_text, _html_main_text_sql()),
+    QueryDef("doc_encoding_stats", doc_encoding_stats, _ENCODING_SQL),
+    QueryDef("fuzzy_name_pairs", fuzzy_name_pairs, _fuzzy_pairs_sql()),
     QueryDef("blocklist_filtered_docs", blocklist_filtered_docs, _BLOCKLIST_SQL),
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),
