@@ -204,6 +204,64 @@ def mixture_plan(
     )
 
 
+def temperature_weights(
+    docs: DataFrame,
+    temperature: float,
+    source_col: str = "source",
+    token_count_col: Column | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture weights — the multilingual/
+    multi-source rebalancing rule (the τ-sampling of mBERT/XLM-R and
+    the data-mixture literature): with per-source token shares p_s,
+    the target weight is p_s^(1/τ) renormalized. τ=1 keeps the
+    natural mix; τ→∞ approaches uniform; τ<1 sharpens toward the
+    head. Feed the output weights into :func:`mixture_plan` to turn
+    them into concrete down-sampling rates.
+
+    Output: (source, total_tokens, natural_share, target_weight),
+    shares and weights rounded to 6 — ``pow`` on IEEE doubles is
+    bit-identical across engines for identical inputs, and the
+    rounded division keeps the hash stable.
+
+    Scale shape: one hash-agg over the corpus, then arithmetic on the
+    #sources-row summary with two broadcast scalar crossJoins (token
+    total, weight normalizer) — the corpus is scanned once.
+
+    ``temperature`` must be > 0; τ=0 (argmax-only mixture) is
+    degenerate and rejected.
+    """
+    from .textstats import token_count
+
+    if not temperature > 0:
+        raise ValueError(
+            f"temperature_weights: temperature must be > 0, got {temperature!r}"
+        )
+    if token_count_col is None:
+        token_count_col = token_count(F.col("text"))
+    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count_col).cast("long").alias("total_tokens")
+    )
+    total = per_source.agg(
+        F.sum("total_tokens").cast("long").alias("__total")
+    )
+    shared = per_source.crossJoin(F.broadcast(total)).withColumn(
+        "__p", F.col("total_tokens") / F.col("__total")
+    )
+    powed = shared.withColumn(
+        "__w", F.pow(F.col("__p"), F.lit(1.0 / temperature))
+    )
+    norm = powed.agg(F.sum("__w").alias("__z"))
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "total_tokens",
+            F.round(F.col("__p"), 6).alias("natural_share"),
+            F.round(F.col("__w") / F.col("__z"), 6).alias("target_weight"),
+        )
+    )
+
+
 def training_order(
     df: DataFrame,
     shard_col: str = "source",

@@ -539,3 +539,64 @@ def lsh_topk_multi(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors whose LABEL DIFFERS from the
+    query's — the examples a contrastive or retrieval loss learns the
+    most from (most-confusable negatives), the batch-mining step of
+    SimCLR/DPR-style pipelines.
+
+    Same plan shape as :func:`brute_force_topk` — queries (with their
+    labels) broadcast, corpus streams through unshuffled, one
+    window-ranked top-k on the (tiny) scored side — with the
+    different-label predicate applied BEFORE scoring so same-label
+    rows never pay the cosine. Swap the scored candidate source for
+    an LSH/IVF bucket join at billion-vector scale exactly as the
+    top-k family does.
+
+    Output: (query_id, vec_id, neg_label, cos_sim, rank), rank 1..k
+    per query, ties broken by vec_id.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+            F.col(label_col).alias("__q_label"),
+        )
+    )
+    c = fan_out(corpus, partitions).select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .where(~F.col("neg_label").eqNullSafe(F.col("__q_label")))
+        .select(
+            "query_id",
+            "vec_id",
+            "neg_label",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -695,6 +695,42 @@ def embedding_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, planes, k=10)
 
 
+def hard_negative_candidates(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py::hard_negatives):
+    per query vector, the top-5 most-similar embeddings with a
+    DIFFERENT label — the most-confusable negatives a contrastive/
+    retrieval loss trains on. Brute scoring here (exactness for the
+    oracle); the billion-vector path swaps in the LSH/IVF candidate
+    join like the rest of the top-k family."""
+    from ..operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negatives(emb, queries, k=5)
+
+
+_HARD_NEG_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec, label
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.label AS neg_label,
+         ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.q_vec), 4)
+           AS cos_sim
+  FROM embeddings c, q
+  WHERE c.label IS DISTINCT FROM q.label
+)
+SELECT query_id, vec_id, neg_label, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT)
+         AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
 def _multi_tables(n_tables: int = 3, n_planes: int = 6, dim: int = 64):
     """Independent hyperplane tables carved from one deterministic LCG
     stream (table t = planes [t·n_planes, (t+1)·n_planes))."""
@@ -2285,6 +2321,41 @@ ORDER BY source
 """
 
 
+def source_temperature_weights(spark, sf_dir):
+    """Temperature-scaled mixture weights (operators/sampling.py::
+    temperature_weights, τ=2): per-source token shares flattened by
+    p^(1/τ) renormalization — the multilingual rebalancing rule; the
+    output feeds mixture_plan. pow on IEEE doubles + rounded division
+    keep the hash cross-engine stable."""
+    from ..operators.sampling import temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_weights(docs, temperature=2.0)
+
+
+_TEMPERATURE_SQL = r"""
+WITH totals AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+              AS BIGINT) AS total_tokens
+  FROM documents
+  GROUP BY source
+), shared AS (
+  SELECT *,
+         CAST(total_tokens AS DOUBLE)
+           / (SELECT SUM(total_tokens) FROM totals) AS p
+  FROM totals
+), powed AS (
+  SELECT *, POW(p, 0.5) AS w FROM shared
+)
+SELECT source, total_tokens,
+       ROUND(p, 6) AS natural_share,
+       ROUND(w / (SELECT SUM(w) FROM powed), 6) AS target_weight
+FROM powed
+"""
+
+
 def incremental_span_dedup(spark, sf_dir):
     """Cross-batch ExactSubstr dedup: even-id documents stand in for
     the already-ingested corpus (their span hashes form the ledger),
@@ -3830,6 +3901,31 @@ def bpe_merge_table(spark, sf_dir):
     return learn_bpe(load_table(spark, sf_dir, "documents"), n_merges=12)
 
 
+def bpe_tokenized_docs(spark, sf_dir):
+    """BPE APPLICATION (operators/bpe.py::apply_bpe): segment every
+    document with the merge table induced from the same corpus —
+    the corpus-sized consumer of the vocab-sized trainer, Arrow-
+    batched with the per-batch word memo. Output: (doc_id, n_pieces,
+    pieces_hash) — the piece sequence is hashed so the registry row
+    stays narrow while still pinning every piece boundary. Like the
+    trainer, replaying rank-ordered merges is iterative and non-SQL,
+    so this is a rows-only check; the application semantics are
+    pinned against the reference trainer's segmenter in
+    tests/test_bpe.py (round-trip, compression, memo equivalence)."""
+    from ..operators.bpe import apply_bpe, learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=12)
+    out = apply_bpe(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_pieces",
+        # unit-separator between pieces so the hash pins BOUNDARIES,
+        # not just the concatenated characters
+        F.md5(F.concat_ws("\x1f", F.col("pieces"))).alias("pieces_hash"),
+    )
+
+
 def training_shuffle_order(spark, sf_dir):
     """Deterministic per-shard training-order shuffle
     (operators/sampling.py::training_order): position = rank of
@@ -4469,6 +4565,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("orders_hash_sample", orders_hash_sample, _HASH_SAMPLE_SQL),
     QueryDef("mixture_sampling_plan", mixture_sampling_plan, _MIXTURE_SQL),
     QueryDef(
+        "source_temperature_weights",
+        source_temperature_weights,
+        _TEMPERATURE_SQL,
+    ),
+    QueryDef(
         "customer_spend_quartiles", customer_spend_quartiles, _QUARTILES_SQL
     ),
     QueryDef("nation_balance_extremes", nation_balance_extremes, _FULL_OUTER_SQL),
@@ -4549,6 +4650,18 @@ QUERIES: list[QueryDef] = [
     QueryDef("gopher_quality_flags", gopher_quality_flags, _GOPHER_SQL),
     QueryDef("doc_quality_logit", doc_quality_logit, _QUALITY_LOGIT_SQL),
     QueryDef(
+        "bpe_tokenized_docs",
+        bpe_tokenized_docs,
+        None,
+        rows_only_reason=(
+            "replaying a rank-ordered BPE merge table over each word "
+            "is iterative per token position and not expressible as "
+            "one SQL statement; segmentation semantics are pinned "
+            "against the reference trainer's segmenter in "
+            "tests/test_bpe.py"
+        ),
+    ),
+    QueryDef(
         "bpe_merge_table",
         bpe_merge_table,
         None,
@@ -4608,6 +4721,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("html_main_text", html_main_text, _html_main_text_sql()),
     QueryDef("doc_encoding_stats", doc_encoding_stats, _ENCODING_SQL),
     QueryDef("fuzzy_name_pairs", fuzzy_name_pairs, _fuzzy_pairs_sql()),
+    QueryDef(
+        "hard_negative_candidates", hard_negative_candidates, _HARD_NEG_SQL
+    ),
     QueryDef("blocklist_filtered_docs", blocklist_filtered_docs, _BLOCKLIST_SQL),
     # driver-green in round 1 — dashboard / TPC-H
     QueryDef("q2_orders_by_region", dashboard.q2_orders_by_region, _Q2_SQL),

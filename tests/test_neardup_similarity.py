@@ -331,3 +331,40 @@ def test_multi_table_lsh_recall_dominates_single(spark):
                   for r in lsh_topk(emb, queries, planes, k=10).collect()}
         assert multi_recall >= len(exact & single) / len(exact)
     assert multi_recall >= 0.2, f"multi-table recall collapsed: {multi_recall}"
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    """Hard-negative mining: top-k most-similar DIFFERENT-label
+    vectors per query; same-label vectors never appear however
+    similar; null labels are never 'different' from themselves."""
+    from batch_processing_on_aws_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.99, 0.1], "a"),    # most similar but SAME label
+            (3, [0.9, 0.4], "b"),     # the true hard negative
+            (4, [0.0, 1.0], "b"),     # easy negative
+            (5, [0.95, 0.2], None),   # null label: differs from 'a'
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    queries = corpus.where("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    got = [
+        (r["vec_id"], r["neg_label"], r["rank"])
+        for r in hard_negatives(corpus, queries, k=2).collect()
+    ]
+    ids = [v for v, _, _ in got]
+    assert 2 not in ids            # same label excluded
+    assert got[0][0] == 5          # null label counts as different
+    assert got[1][0] == 3          # then the hard 'b' negative
+    # null-label QUERY: nothing shares its label, null vs null excluded
+    qnull = corpus.where("vec_id = 5").select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    ids_null = {r["vec_id"] for r in hard_negatives(corpus, qnull, k=4).collect()}
+    assert ids_null == {1, 2, 3, 4}

@@ -52,6 +52,12 @@ def _plan(spark, name, materialize=False):
 CROSS_PRODUCT_ALLOWED = {
     "embedding_topk",
     "embedding_ivf_topk",
+    # brute-force family: query side broadcast, corpus streams (the
+    # documented exception; the scale path swaps in LSH/IVF buckets)
+    "hard_negative_candidates",
+    # scalar normalizers via broadcast crossJoin (TPC-H scalar-subquery
+    # pattern, both sides tiny per-source summaries)
+    "source_temperature_weights",
     "q22_idle_rich_customers",
     "q11_part_value_concentration",
     "q15_top_supplier",

@@ -132,3 +132,39 @@ def test_mixture_plan_guards(spark):
         for r in mixture_plan(docs.where("source = 'a'"), {"a": 1.0}).collect()
     }
     assert rows["a"]["sample_rate"] == 1.0
+
+
+def test_temperature_weights_flatten_toward_uniform(spark):
+    """τ=1 reproduces the natural shares; larger τ moves every weight
+    toward uniform (the head shrinks, the tail grows); weights always
+    sum to 1; τ ≤ 0 is rejected."""
+    import pytest
+
+    from batch_processing_on_aws_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "one two three four five six seven eight"),   # 8 tokens
+            (2, "fr", "un deux trois quatre"),                      # 4
+            (3, "rw", "rimwe kabiri"),                              # 2
+        ],
+        "doc_id long, source string, text string",
+    )
+    t1 = {r["source"]: r for r in temperature_weights(docs, 1.0).collect()}
+    assert t1["en"]["target_weight"] == t1["en"]["natural_share"]
+    assert abs(sum(r["target_weight"] for r in t1.values()) - 1.0) < 1e-5
+    t5 = {r["source"]: r for r in temperature_weights(docs, 5.0).collect()}
+    # head source gives up share, tail source gains
+    assert t5["en"]["target_weight"] < t1["en"]["target_weight"]
+    assert t5["rw"]["target_weight"] > t1["rw"]["target_weight"]
+    assert abs(sum(r["target_weight"] for r in t5.values()) - 1.0) < 1e-5
+    # ordering is preserved (flattened, never inverted)
+    assert (
+        t5["en"]["target_weight"]
+        > t5["fr"]["target_weight"]
+        > t5["rw"]["target_weight"]
+    )
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_weights(docs, 0.0)
