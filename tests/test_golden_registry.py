@@ -28,6 +28,7 @@ def test_registry_shape():
         "semantic_dedup_kept",
         "source_distinct_sketches",
         "bpe_merge_table",
+        "bpe_tokenized_docs",
     }
 
 
