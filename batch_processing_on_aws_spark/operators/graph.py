@@ -1,0 +1,110 @@
+"""PageRank over an edge table (extension surface; graph quality
+priors).
+
+Crawl-derived corpora use link-graph centrality as a document quality
+prior (Common Crawl publishes harmonic/PageRank centrality per host;
+curation pipelines weight or threshold on it) — alongside the
+connected-components machinery (operators/clustering.py) this gives
+the engine the second classic iterative graph op, in the same
+DataFrame-only style.
+
+Scale shape, per iteration: one equi-join of the edge table to the
+rank table on src (shuffle on the node key), one hash-agg of
+contributions by dst, one left join back to the node set. The two
+global scalars an iteration needs — dangling mass and node count —
+ride along as broadcast scalar crossJoins (the TPC-H scalar-subquery
+pattern), so there are ZERO driver round-trips inside the loop;
+lineage is truncated by localCheckpoint every few rounds exactly like
+the connected-components loop. Nothing driver-side is data-sized.
+
+Semantics: standard damped PageRank with dangling-mass
+redistribution — a node with no out-edges donates its entire rank,
+scaled by the damping factor, uniformly to all nodes, so total mass
+is conserved at every iteration (pinned to 1e-9 in tests).
+Determinism note: rank values are float SUMS whose partial order
+depends on partitioning, so outputs are reproducible within an
+engine/partitioning but not bit-portable — the registry query is
+rows-only with that documented reason, and correctness is pinned
+against closed forms and a NumPy power-iteration reference in
+tests/test_graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def page_rank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(node, rank) for every node appearing in ``edges`` (either
+    side), after ``n_iter`` damped power iterations from the uniform
+    start. Parallel edges count as parallel (a page linking twice
+    sends twice the share); self-loops are legal.
+    """
+    if not 0 < damping < 1:
+        raise ValueError(f"damping must be in (0, 1), got {damping!r}")
+    # materialize the edge table ONCE — it sits inside every
+    # iteration's lineage, and without this each localCheckpoint of
+    # the rank table would recompute the caller's upstream plan
+    # (scans, joins) checkpoint_every times over
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionAll(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # node count as a 1-row broadcast (no .count() round-trip needed
+    # per iteration; the loop only ever uses it inside the plan)
+    n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    out_deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    out_deg = out_deg.localCheckpoint()
+    ranks = nodes.crossJoin(n_df).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for i in range(n_iter):
+        r_src = ranks.withColumnRenamed("node", "__s")
+        contribs = (
+            e.join(out_deg, "__s")
+            .join(r_src, "__s")
+            .select(
+                F.col("__d").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        # dangling mass: total rank sitting on nodes with no out-edges
+        dangling = F.broadcast(
+            ranks.join(
+                out_deg.withColumnRenamed("__s", "node"), "node", "left_anti"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(n_df)
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("__n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dang") / F.col("__n")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -2321,6 +2321,41 @@ ORDER BY source
 """
 
 
+def supplier_pagerank(spark, sf_dir):
+    """PageRank (operators/graph.py::page_rank) over the
+    customer→supplier purchase graph (distinct pairs via
+    orders⋈lineitem): the relational stand-in for the link-graph
+    quality prior crawl-curation pipelines weight documents by
+    (Common Crawl publishes per-host centrality for exactly this
+    use). 4 damped iterations (a bipartite two-layer graph is
+    ordering-stable well before that; like the connected-components
+    loop this is iteration-latency-bound, not data-bound), suppliers
+    are dangling (no out-edges),
+    so the dangling-mass redistribution path is exercised on real
+    data. Ranks rounded to 8 for a stable row set; rows-only — the
+    iterative float fixed-point has no bit-portable SQL twin."""
+    from ..operators.graph import page_rank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = page_rank(edges, n_iter=4)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
 def source_temperature_weights(spark, sf_dir):
     """Temperature-scaled mixture weights (operators/sampling.py::
     temperature_weights, τ=2): per-source token shares flattened by
@@ -4568,6 +4603,18 @@ QUERIES: list[QueryDef] = [
         "source_temperature_weights",
         source_temperature_weights,
         _TEMPERATURE_SQL,
+    ),
+    QueryDef(
+        "supplier_pagerank",
+        supplier_pagerank,
+        None,
+        rows_only_reason=(
+            "iterative damped power iteration with dangling-mass "
+            "redistribution is a float fixed-point whose partial-sum "
+            "order is engine-internal — no bit-portable SQL twin; "
+            "correctness is pinned against closed forms and a NumPy "
+            "power-iteration reference in tests/test_graph.py"
+        ),
     ),
     QueryDef(
         "customer_spend_quartiles", customer_spend_quartiles, _QUARTILES_SQL

@@ -29,6 +29,7 @@ def test_registry_shape():
         "source_distinct_sketches",
         "bpe_merge_table",
         "bpe_tokenized_docs",
+        "supplier_pagerank",
     }
 
 

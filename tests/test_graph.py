@@ -1,0 +1,72 @@
+import numpy as np
+import pytest
+
+from batch_processing_on_aws_spark.operators.graph import page_rank
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["rank"] for r in page_rank(df, **kw).collect()}
+
+
+def test_two_node_cycle_is_uniform(spark):
+    got = _ranks(spark, [(1, 2), (2, 1)], n_iter=8)
+    assert got[1] == pytest.approx(0.5, abs=1e-12)
+    assert got[2] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_dangling_chain_closed_form(spark):
+    """a→b with b dangling, one iteration from uniform: b's whole rank
+    redistributes uniformly, so r(a) = 0.15/2 + 0.85·(0.5/2) = 0.2875
+    and r(b) = 0.15/2 + 0.85·(0.5 + 0.5/2) = 0.7125. Mass conserved."""
+    got = _ranks(spark, [(1, 2)], n_iter=1)
+    assert got[1] == pytest.approx(0.2875, abs=1e-12)
+    assert got[2] == pytest.approx(0.7125, abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_mass_conserved_and_authority_ranks_higher(spark):
+    # 1..5 all link to 6; 6 links back to 1 — 6 is the authority.
+    # The 1↔6 near-cycle makes convergence oscillate with period 2
+    # (decaying by damping² per double-step), so run long enough for
+    # the stationary ordering: r6 = 0.13125/0.2775 ≈ 0.473 > r1 ≈ 0.427
+    edges = [(i, 6) for i in range(1, 6)] + [(6, 1)]
+    got = _ranks(spark, edges, n_iter=40)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[6] == max(got.values())
+    assert got[6] == pytest.approx(0.13125 / 0.2775, abs=1e-3)
+    assert got[1] > got[2]  # 1 receives 6's endorsement, 2..5 only base
+    assert got[2] == pytest.approx(got[5], abs=1e-12)  # symmetric peers
+
+
+def test_matches_numpy_power_iteration(spark):
+    """Same damped power iteration (with dangling redistribution) in
+    NumPy on a fixed 8-node graph — values agree to 1e-9 after the
+    same number of iterations."""
+    rng_edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4), (4, 5),
+        (5, 4), (6, 2), (6, 0), (7, 6), (2, 7),
+    ]
+    n, d, iters = 8, 0.85, 10
+    r = np.full(n, 1.0 / n)
+    deg = np.zeros(n)
+    for s, _ in rng_edges:
+        deg[s] += 1
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = r[deg == 0].sum()
+        nxt += d * dangling / n
+        for s, t in rng_edges:
+            nxt[t] += d * r[s] / deg[s]
+        r = nxt
+    got = _ranks(spark, rng_edges, n_iter=iters)
+    for node in range(n):
+        assert got[node] == pytest.approx(r[node], abs=1e-9), node
+
+
+def test_parallel_edges_double_share_and_bad_damping(spark):
+    got = _ranks(spark, [(1, 2), (1, 2), (1, 3)], n_iter=1)
+    # node 2 receives 2/3 of node 1's share, node 3 receives 1/3
+    assert got[2] > got[3]
+    with pytest.raises(ValueError, match="damping"):
+        _ranks(spark, [(1, 2)], damping=1.0)

@@ -58,6 +58,9 @@ CROSS_PRODUCT_ALLOWED = {
     # scalar normalizers via broadcast crossJoin (TPC-H scalar-subquery
     # pattern, both sides tiny per-source summaries)
     "source_temperature_weights",
+    # per-iteration global scalars (node count, dangling mass) ride as
+    # broadcast crossJoins — zero driver round-trips in the loop
+    "supplier_pagerank",
     "q22_idle_rich_customers",
     "q11_part_value_concentration",
     "q15_top_supplier",
