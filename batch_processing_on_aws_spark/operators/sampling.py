@@ -204,6 +204,36 @@ def mixture_plan(
     )
 
 
+def per_group_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic k-per-group sample (the reservoir-sample shape,
+    without reservoir state): rank rows within each group by the md5
+    of their key (+ optional seed salt) and keep the first ``k`` —
+    uniform-ish, engine-portable, and stable across runs/partitionings
+    like every other sampler here (no RNG state to checkpoint). The
+    classic uses: per-source eval slices, human-QA draws, per-domain
+    capping of a crawl.
+
+    One window sort PARTITIONED BY the group — never a global order;
+    the output carries ``sample_rank`` (1..k within group).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"per_group_sample: k must be positive, got {k}")
+    h = F.md5(F.concat(F.col(key).cast("string"), F.lit(seed)))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
 def temperature_weights(
     docs: DataFrame,
     temperature: float,

@@ -2321,6 +2321,33 @@ ORDER BY source
 """
 
 
+def per_source_doc_sample(spark, sf_dir):
+    """Deterministic k-per-group sampling (operators/sampling.py::
+    per_group_sample): 5 docs per source ranked by md5(doc_id) — the
+    reservoir-sample shape with no RNG state, for per-source eval
+    slices and human-QA draws. One window per group, never global."""
+    from ..operators.sampling import per_group_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return per_group_sample(docs, group_col="source", key="doc_id", k=5)
+
+
+_PER_GROUP_SAMPLE_SQL = """
+SELECT doc_id, source, sample_rank
+FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS BIGINT) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 5
+"""
+
+
 def supplier_pagerank(spark, sf_dir):
     """PageRank (operators/graph.py::page_rank) over the
     customer→supplier purchase graph (distinct pairs via
@@ -4603,6 +4630,11 @@ QUERIES: list[QueryDef] = [
         "source_temperature_weights",
         source_temperature_weights,
         _TEMPERATURE_SQL,
+    ),
+    QueryDef(
+        "per_source_doc_sample",
+        per_source_doc_sample,
+        _PER_GROUP_SAMPLE_SQL,
     ),
     QueryDef(
         "supplier_pagerank",

@@ -168,3 +168,42 @@ def test_temperature_weights_flatten_toward_uniform(spark):
     )
     with pytest.raises(ValueError, match="temperature"):
         temperature_weights(docs, 0.0)
+
+
+def test_per_group_sample_exact_k_and_deterministic(spark):
+    import pytest
+
+    from batch_processing_on_aws_spark.operators.sampling import (
+        per_group_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small") for i in range(46)],
+        "doc_id long, source string",
+    )
+    got = per_group_sample(df, "source", "doc_id", k=3)
+    counts = {r["source"]: r["n"] for r in
+              got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 3, "small": 3}
+    # groups smaller than k return whole group
+    tiny = per_group_sample(df.where("doc_id >= 44"), "source", "doc_id", k=3)
+    assert tiny.count() == 2
+    # deterministic across repartitionings
+    a = sorted((r["source"], r["doc_id"]) for r in got.collect())
+    b = sorted(
+        (r["source"], r["doc_id"])
+        for r in per_group_sample(
+            df.repartition(7), "source", "doc_id", k=3
+        ).collect()
+    )
+    assert a == b
+    # a different seed draws a different sample
+    c = sorted(
+        (r["source"], r["doc_id"])
+        for r in per_group_sample(
+            df, "source", "doc_id", k=3, seed="v2"
+        ).collect()
+    )
+    assert a != c
+    with pytest.raises(ValueError, match="positive"):
+        per_group_sample(df, "source", "doc_id", k=0)
