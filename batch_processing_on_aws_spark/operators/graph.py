@@ -68,6 +68,12 @@ def page_rank(
     n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
     out_deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
     out_deg = out_deg.localCheckpoint()
+    # static sink set (nodes with no out-edges), computed once
+    sinks = F.broadcast(
+        nodes.join(
+            out_deg.withColumnRenamed("__s", "node"), "node", "left_anti"
+        ).localCheckpoint()
+    )
     ranks = nodes.crossJoin(n_df).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
@@ -84,10 +90,16 @@ def page_rank(
             .agg(F.sum("__c").alias("__in"))
         )
         # dangling mass: total rank sitting on nodes with no out-edges
+        # (the static sink set precomputed above — the per-iteration
+        # work is one semi-join of the NODE-sized rank table to a
+        # broadcast list plus a 1-row aggregate; deriving it from the
+        # contribution total via 1−Σin was tried and is SLOWER: the
+        # broadcast subplan re-executes the expensive edge join
+        # instead of reusing its exchange)
         dangling = F.broadcast(
-            ranks.join(
-                out_deg.withColumnRenamed("__s", "node"), "node", "left_anti"
-            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
+            ranks.join(sinks, "node", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
+            )
         )
         ranks = (
             nodes.join(contribs, "node", "left")
