@@ -110,6 +110,33 @@ HEADLINERS = {
         "the (doc, position) anti-join and the rebuild is one grouped "
         "aggregate, so the whole pass has no global sort."
     ),
+    "neardup_verified_pairs": (
+        "Star-capped LSH (round 6): the candidate plan carries the "
+        "bucket-size hash-agg and the broadcast anti-join of the tiny "
+        "oversized-bucket list, the star edges enter via a union below "
+        "the distinct, and the Jaccard verification join touches only "
+        "surviving candidates — a boilerplate template produces LINEAR "
+        "pairs instead of a clique (SKEW_r06.json)."
+    ),
+    "fuzzy_name_pairs": (
+        "Bounded-Levenshtein join: the q-gram inverted index is the "
+        "equi-join key, corpus-hot grams leave via a broadcast "
+        "anti-join (df cap), the length band prunes before the "
+        "verifier, and levenshtein() evaluates once per surviving "
+        "candidate inside codegen — nothing all-pairs."
+    ),
+    "html_main_text": (
+        "Crawl preparation as pure projection: the entire strip chain "
+        "is regexp_replace expressions fused into one WholeStageCodegen "
+        "span over the scan — zero shuffles, zero Python."
+    ),
+    "supplier_pagerank": (
+        "Iterative graph op: per round one edge⋈rank equi-join plus a "
+        "contribution hash-agg; node count and dangling mass ride as "
+        "broadcast 1-row crossJoins (no driver round-trips in the "
+        "loop); localCheckpoint truncates lineage so no round "
+        "recomputes the relational edge derivation."
+    ),
 }
 
 
