@@ -6,11 +6,12 @@ training pipelines use (parquet/webdataset shards of bytes + metadata).
 All Spark-side plumbing here is real and tested: schemas, Arrow-batched
 ``mapInPandas`` operators, partition sizing. The codec layer is REAL
 for formats decodable without media libs — binary PPM/PGM and
-uncompressed BMP via :func:`decode_image` (pure stdlib + numpy) —
-and STUBBED for the rest (JPEG decode, audio resample, video
-frame-sample) because those libraries are not in this container; swap
-the stub branch of ``_analyze`` for PIL/torchaudio/pyav calls in
-production; the batch shapes and signatures do not change.
+uncompressed BMP via :func:`decode_image`, and PCM RIFF/WAVE audio
+via :func:`decode_wav` (pure stdlib struct + numpy) — and STUBBED for
+the rest (JPEG decode, compressed audio, video frame-sample) because
+those libraries are not in this container; swap the stub branch of
+``_analyze`` for PIL/torchaudio/pyav calls in production; the batch
+shapes and signatures do not change.
 
 Scale notes: media rows are big (MBs), so operators cap Arrow batch
 sizes via ``spark.sql.execution.arrow.maxRecordsPerBatch`` and avoid
@@ -122,6 +123,47 @@ def decode_image(data: bytes):
     raise ValueError(f"no pure-python codec for magic {magic!r}")
 
 
+def decode_wav(data: bytes):
+    """REAL audio codec for the one format decodable without media
+    libs: RIFF/WAVE with PCM (format tag 1) 8- or 16-bit samples,
+    parsed with struct + numpy only. Returns (samples, sample_rate)
+    where samples is an (n_frames, n_channels) float64 array scaled
+    to [-1, 1]. Raises ``ValueError`` on any other or corrupt payload
+    (same contract as :func:`decode_image`): compressed codecs fall
+    back to the stub path, loudly not silently."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or n_channels < 1:
+        raise ValueError(f"unsupported WAV: format={audio_format}")
+    if bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(raw, dtype="u1").astype("float64") - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV bit depth: {bits}")
+    n_frames = len(samples) // n_channels
+    if n_frames == 0:
+        raise ValueError("empty WAV data chunk")
+    return samples[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
+
+
 def _analyze(data: bytes | None, kind: str | None):
     """One media payload → (feat, decode_ok, width, height, channels).
 
@@ -157,6 +199,28 @@ def _analyze(data: bytes | None, kind: str | None):
                 *chan_means,
             ]
             return feat, True, w, h, c
+    if kind == "audio":
+        try:
+            samples, rate = decode_wav(data)
+        except ValueError:
+            pass  # compressed/non-WAV audio — stub below
+        else:
+            import numpy as np
+
+            n_frames, n_ch = samples.shape
+            mono = samples.mean(axis=1)
+            zc = float(np.mean(np.abs(np.diff(np.signbit(mono)))))
+            feat = [
+                float(n_frames) / rate,        # duration seconds
+                float(rate),
+                float(n_ch),
+                float(np.sqrt((mono**2).mean())),  # RMS level
+                float(np.abs(samples).max()),      # peak
+                zc,                                # zero-crossing rate
+                float(mono.mean()),                # DC offset
+                float(mono.std()),
+            ]
+            return feat, True, None, None, n_ch
     digest = hashlib.sha256(data).digest()
     return [b / 255.0 for b in digest[:8]], True, None, None, None
 

@@ -174,3 +174,71 @@ def test_extract_features_real_dims_for_decodable_images(spark):
     # non-decodable image falls back to the stub: no dims, still ok
     assert out[3]["width"] is None and out[3]["decode_ok"] is True
     assert out[4]["width"] is None and len(out[4]["feat"]) == 8
+
+
+def _wav_bytes(freq=440.0, rate=8000, seconds=0.5, channels=1, bits=16,
+               amp=0.5):
+    import struct
+
+    import numpy as np
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    mono = amp * np.sin(2 * np.pi * freq * t)
+    frames = np.tile(mono[:, None], (1, channels))
+    if bits == 16:
+        raw = (frames * 32767).astype("<i2").tobytes()
+    else:
+        raw = ((frames * 127) + 128).astype("u1").tobytes()
+    block_align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align,
+                      block_align, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_wav_sine_values():
+    import numpy as np
+
+    from batch_processing_on_aws_spark.operators.multimodal import decode_wav
+
+    samples, rate = decode_wav(_wav_bytes(channels=2))
+    assert rate == 8000
+    assert samples.shape == (4000, 2)
+    # 0.5-amplitude sine: RMS = 0.5/sqrt(2), peak ~0.5
+    assert abs(np.sqrt((samples[:, 0] ** 2).mean()) - 0.3536) < 0.01
+    assert abs(np.abs(samples).max() - 0.5) < 0.01
+    # 8-bit path decodes to the same signal at lower precision
+    s8, _ = decode_wav(_wav_bytes(bits=8))
+    assert abs(np.sqrt((s8[:, 0] ** 2).mean()) - 0.3536) < 0.02
+
+
+def test_decode_wav_rejects_non_pcm():
+    import pytest
+
+    from batch_processing_on_aws_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFfakewav")  # truncated, no chunks
+    with pytest.raises(ValueError):
+        decode_wav(b"\xff\xd8not audio at all, nope")
+
+
+def test_extract_features_real_audio(spark):
+    """A real PCM WAV payload yields true duration/rate/RMS features
+    through the Arrow batch path; a fake 'RIFF' payload falls back to
+    the hash stub without failing the row."""
+    rows = [
+        (10, "audio", "audio/wav", _wav_bytes(seconds=2.0), (None, None, 2000)),
+        (11, "audio", "audio/wav", b"RIFFfakewav", (None, None, 99)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    real = out[10]
+    assert real["decode_ok"] and real["channels"] == 1
+    assert abs(real["feat"][0] - 2.0) < 1e-6      # duration seconds
+    assert real["feat"][1] == 8000.0              # sample rate
+    assert abs(real["feat"][3] - 0.3536) < 0.01   # RMS
+    stub = out[11]
+    assert stub["decode_ok"] and stub["channels"] is None
