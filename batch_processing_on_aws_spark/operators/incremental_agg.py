@@ -1,0 +1,123 @@
+"""Incremental aggregate maintenance (materialized-view upkeep).
+
+The reference's weekly cadence recomputes its dashboard aggregates
+from the full fact table every run (journey-data-transformation.py
+rebuilds, then Redshift re-aggregates per dashboard query). The
+engine-grade version maintains the aggregate INCREMENTALLY: each new
+batch contributes map-side partial aggregates over just the batch,
+which merge into the stored per-group state by the usual monoid laws
+(sum ⊕ sum, count ⊕ count, min via least, max via greatest; avg is
+derived sum/count at read time, never stored). Cost per refresh is
+O(batch) + a keyed merge on the touched groups — independent of the
+fact table's history, which is the whole point at 100 TB where the
+history is unreadable weekly.
+
+Contract: APPEND-ONLY facts. min/max are not invertible — a retracted
+row cannot un-narrow them — so deletes/updates require either
+recompute of the touched groups or an invertible-only spec
+(sum/count); ``IncrementalAgg`` refuses min/max retraction by not
+offering a retract API at all (the honest contract, same spirit as
+the single-writer note on compact_ledger).
+
+Storage: the state table rides :class:`~..operators.merge.MergeWriter`
+(bucketed parquet, dynamic partition overwrite), so refresh is
+idempotent per batch ONLY if the caller keys batches (exactly-once
+delivery, e.g. Structured Streaming's foreachBatch epoch semantics or
+file-at-a-time ingestion). Re-applying the same rows twice
+double-counts — the same contract as any partial-aggregate merge.
+
+Correctness gate: the registry query ``incremental_daily_events``
+maintains the state over two disjoint halves of the events table and
+the DuckDB oracle computes the SAME aggregate over the full table in
+one shot — incremental == recompute, hash-exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import MergeWriter
+
+# aggregate kind -> (partial expression builder, merge expression)
+_KINDS = ("sum", "count", "min", "max")
+
+
+class IncrementalAgg:
+    """Maintain ``SELECT keys, aggs FROM fact GROUP BY keys``
+    incrementally under append-only batches.
+
+    ``aggs``: mapping output column -> ("sum"|"count"|"min"|"max",
+    input column). ``count`` counts non-null values of the input
+    column (use a literal ``1`` column for COUNT(*) semantics —
+    :func:`apply_batch` accepts expressions).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        keys: Sequence[str],
+        aggs: dict[str, tuple[str, str]],
+        n_buckets: int = 32,
+    ):
+        for out, (kind, _) in aggs.items():
+            if kind not in _KINDS:
+                raise ValueError(
+                    f"agg {out!r}: unknown kind {kind!r}; known: {_KINDS}"
+                )
+        self.keys = list(keys)
+        self.aggs = dict(aggs)
+        self.writer = MergeWriter(path, keys=self.keys, n_buckets=n_buckets)
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        """Per-group partial aggregates over ONE batch (map-side
+        combine does the heavy lifting; the shuffle carries one row
+        per touched group)."""
+        exprs = []
+        for out, (kind, col) in self.aggs.items():
+            if kind == "sum":
+                exprs.append(F.sum(col).alias(out))
+            elif kind == "count":
+                exprs.append(F.count(col).cast("long").alias(out))
+            elif kind == "min":
+                exprs.append(F.min(col).alias(out))
+            elif kind == "max":
+                exprs.append(F.max(col).alias(out))
+        return batch.groupBy(*self.keys).agg(*exprs)
+
+    def _merge(self, old: DataFrame, part: DataFrame) -> DataFrame:
+        o = old.alias("o")
+        p = part.alias("p")
+        joined = o.join(p, on=self.keys, how="full_outer")
+        cols = [
+            F.coalesce(*[F.col(f"{s}.{k}") for s in ("o", "p")]).alias(k)
+            for k in self.keys
+        ]
+        for out, (kind, _) in self.aggs.items():
+            a, b = F.col(f"o.{out}"), F.col(f"p.{out}")
+            if kind in ("sum", "count"):
+                merged = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+            elif kind == "min":
+                merged = F.least(F.coalesce(a, b), F.coalesce(b, a))
+            else:  # max
+                merged = F.greatest(F.coalesce(a, b), F.coalesce(b, a))
+            cols.append(merged.alias(out))
+        return joined.select(*cols)
+
+    def apply_batch(self, spark: SparkSession, batch: DataFrame) -> None:
+        """Fold one append-only batch into the stored aggregate."""
+        part = self._partial(batch)
+        if self.writer._exists(spark):
+            state = self._merge(self.writer.read(spark), part)
+            # the merged state covers every group present on either
+            # side, so upsert semantics reduce to overwrite of the
+            # touched buckets; localCheckpoint cuts the self-read
+            # lineage before MergeWriter rewrites the files
+            self.writer.upsert(spark, state.localCheckpoint())
+        else:
+            self.writer.overwrite(part)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.writer.read(spark)

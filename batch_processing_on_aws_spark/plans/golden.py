@@ -2321,6 +2321,60 @@ ORDER BY source
 """
 
 
+def incremental_daily_events(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance
+    (operators/incremental_agg.py::IncrementalAgg): per-day event
+    stats kept up to date by folding two DISJOINT batches (event_id
+    parity halves) into a bucketed state table — the engine-grade form
+    of the reference's weekly full recompute (SURVEY §3.1). The oracle
+    aggregates the FULL table in one shot, so the hash proves
+    incremental == recompute exactly. Every maintained aggregate is
+    order-independent (counts, integer sums, min/max), so the merge is
+    bit-stable under any partitioning. The state tree is rebuilt from
+    scratch per invocation (deterministic; scratch under $TMPDIR)."""
+    import shutil
+    import tempfile
+
+    from ..operators.incremental_agg import IncrementalAgg
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_incragg_{tag}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("event_date"),
+        "event_id",
+        "value",
+        (F.col("event_type") == "click").cast("long").alias("is_click"),
+    )
+    agg = IncrementalAgg(
+        path,
+        keys=["event_date"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "n_clicks": ("sum", "is_click"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+    agg.apply_batch(spark, events.where(F.col("event_id") % 2 == 0))
+    agg.apply_batch(spark, events.where(F.col("event_id") % 2 == 1))
+    return agg.read(spark)
+
+
+_INCR_AGG_SQL = """
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(COUNT(event_id) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicks,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1
+"""
+
+
 def per_source_doc_sample(spark, sf_dir):
     """Deterministic k-per-group sampling (operators/sampling.py::
     per_group_sample): 5 docs per source ranked by md5(doc_id) — the
@@ -4635,6 +4689,9 @@ QUERIES: list[QueryDef] = [
         "per_source_doc_sample",
         per_source_doc_sample,
         _PER_GROUP_SAMPLE_SQL,
+    ),
+    QueryDef(
+        "incremental_daily_events", incremental_daily_events, _INCR_AGG_SQL
     ),
     QueryDef(
         "supplier_pagerank",

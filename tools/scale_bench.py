@@ -53,6 +53,11 @@ SCALES = {
     "3x": "scaledata/x3",
     "10x": "scaledata/x10",
 }
+# round-6: a 30x point (scaledata/x30, ~0.5 GB of parquet — real I/O,
+# not page-cache noise) extends the curve far enough that linear vs
+# quadratic candidate generation separates unambiguously
+if os.path.isdir("scaledata/x30"):
+    SCALES["30x"] = "scaledata/x30"
 
 
 def run_query(df) -> None:
@@ -92,6 +97,12 @@ def main() -> None:
             # >1.5×K = super-linear beyond machine noise at this size
             "superlinear": g10 > 15.0,
         }
+        if "30x" in t:
+            g30 = round(t["30x"] / t["1x"], 2)
+            report[name]["growth_30x"] = g30
+            report[name]["superlinear"] = (
+                report[name]["superlinear"] or g30 > 45.0
+            )
     doc = {
         "scales": SCALES,
         "method": "min of 2 runs, noop sink, shared session, copies are "
