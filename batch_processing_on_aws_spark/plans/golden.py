@@ -2337,9 +2337,12 @@ def incremental_daily_events(spark, sf_dir):
 
     from ..operators.incremental_agg import IncrementalAgg
 
+    # per-process scratch: reruns in one process rebuild the same tree
+    # (deleted first), while concurrent harnesses (bench vs parity)
+    # can never clobber each other's state mid-read
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_incragg_{tag}"
+        tempfile.gettempdir(), f"spark_graft_incragg_{tag}_{os.getpid()}"
     )
     shutil.rmtree(path, ignore_errors=True)
     events = load_table(spark, sf_dir, "events").select(
