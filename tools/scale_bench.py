@@ -46,6 +46,13 @@ QUERIES = [
     "doc_token_rarity",
     "q7_nation_trade_flows",
     "pricing_summary",
+    # round-6 additions under measurement: q-gram blocking (supplier
+    # names clone 30x -> shared names stress the df cap), regexp-chain
+    # projection, brute hard negatives, incremental agg maintenance
+    "fuzzy_name_pairs",
+    "html_main_text",
+    "hard_negative_candidates",
+    "incremental_daily_events",
 ]
 
 SCALES = {
