@@ -2001,6 +2001,82 @@ def clean_corpus(spark, sf_dir):
     )
 
 
+def corpus_dataset_card(spark, sf_dir):
+    """Dataset-card metrics as ONE long-format query (metric, scope,
+    value) — the summary table a dataset release ships (HF dataset
+    cards, Dolma's corpus reports): corpus-level doc/token counts,
+    language share, exact-duplicate rate, plus per-source doc counts.
+    Pure composition of existing oracle-checked signals; every value
+    is an exact integer or an exactly-representable ratio (0/1 sums),
+    so the card is bit-stable cross-engine."""
+    from ..operators.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = language_scores(docs).select("doc_id", "pred_lang")
+    fp = fingerprint(docs).select("doc_id", "md5_normalized")
+    base = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("nt")
+    )
+    corpus = (
+        base.join(lang, "doc_id")
+        .join(fp, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.round(
+                F.avg((F.col("pred_lang") == "en").cast("double")), 6
+            ).alias("pct_english"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("md5_normalized") / F.count(F.lit(1)),
+                6,
+            ).alias("exact_dup_rate"),
+        )
+    )
+    corpus_long = corpus.selectExpr(
+        "stack(4, "
+        "'n_docs', double(n_docs), "
+        "'n_tokens', double(n_tokens), "
+        "'pct_english', pct_english, "
+        "'exact_dup_rate', exact_dup_rate) as (metric, value)"
+    ).select("metric", F.lit("corpus").alias("scope"), "value")
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    ).select(
+        F.lit("n_docs").alias("metric"),
+        F.col("source").alias("scope"),
+        "value",
+    )
+    return corpus_long.unionByName(per_source)
+
+
+def _dataset_card_sql() -> str:
+    return f"""
+WITH lang AS (
+  SELECT doc_id, pred_lang FROM ({_lang_sql()})
+), base AS (
+  SELECT doc_id, source,
+         CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+') END)
+              AS BIGINT) AS nt,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fpx
+  FROM documents
+), c AS (
+  SELECT COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+         ROUND(AVG(CASE WHEN pred_lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+           AS pct_english,
+         ROUND(1.0 - CAST(COUNT(DISTINCT fpx) AS DOUBLE) / COUNT(*), 6)
+           AS exact_dup_rate
+  FROM base JOIN lang USING (doc_id)
+)
+SELECT 'n_docs' AS metric, 'corpus' AS scope, CAST(n_docs AS DOUBLE) AS value FROM c
+UNION ALL SELECT 'n_tokens', 'corpus', CAST(n_tokens AS DOUBLE) FROM c
+UNION ALL SELECT 'pct_english', 'corpus', pct_english FROM c
+UNION ALL SELECT 'exact_dup_rate', 'corpus', exact_dup_rate FROM c
+UNION ALL SELECT 'n_docs', source, CAST(COUNT(*) AS DOUBLE) FROM base GROUP BY source
+"""
+
+
 def _clean_corpus_sql() -> str:
     return f"""
 WITH q AS (
@@ -4696,6 +4772,7 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "incremental_daily_events", incremental_daily_events, _INCR_AGG_SQL
     ),
+    QueryDef("corpus_dataset_card", corpus_dataset_card, _dataset_card_sql()),
     QueryDef(
         "supplier_pagerank",
         supplier_pagerank,
