@@ -166,6 +166,104 @@ def minhash_signatures(
 CURATION_MAX_BUCKET_SIZE = 64
 
 
+def band_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, band_id, band_hash) — the banded MinHash signature
+    stream. This is both the candidate-join key inside
+    :func:`minhash_lsh_pairs` and the persistable unit of the FUZZY
+    cross-batch ledger (:func:`dedup_against_band_ledger`): ~40 bytes
+    per (doc, band), never document text."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col).alias("doc"), F.explode(band_structs).alias("band")
+    ).select("doc", "band.band_id", "band.band_hash")
+
+
+def dedup_against_band_ledger(
+    batch: DataFrame,
+    ledger: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-batch incremental NEAR-dup dedup: the fuzzy sibling of
+    ``dedup.dedup_against_ledger`` (exact fingerprints) — drop every
+    batch doc that LSH-collides with anything already accepted, where
+    the accepted corpus is represented only by its persisted band
+    hashes (:func:`band_signatures` rows; at 100 TB a bucketed table
+    on (band_id, band_hash), joined without shuffling the ledger).
+
+    Within-batch policy is EARLIER-OCCURRENCE-WINS, computed linearly:
+    per (band_id, band_hash) bucket the minimum doc id survives and
+    every larger id in the bucket drops — one hash-agg + one equi-join,
+    NO pairwise self-join, so a boilerplate template in the batch
+    costs O(m), not C(m,2) (the same discipline as the star cap).
+    This is the greedy ingest-time policy, deliberately NOT
+    transitive-closure dedup — batch docs that collide only with a
+    DROPPED doc still drop (they share its bucket), but chains that
+    never share a bucket stay separate; the offline clustering path
+    (connected_components) is the tool for full closure.
+
+    Returns ``(kept, new_ledger_rows)``: the surviving batch rows
+    (schema unchanged) and the band rows to append to the ledger —
+    bands of KEPT docs only, so the ledger stays a faithful signature
+    of the accepted corpus and the pass is idempotent (re-ingesting a
+    kept doc's identical text collides with its own bands and drops).
+    """
+    banded = band_signatures(
+        batch, text_col, id_col, n_hashes, bands, shingle_n
+    )
+    led = ledger.select("band_id", "band_hash")
+    hit_ledger = (
+        banded.join(led, ["band_id", "band_hash"], "left_semi")
+        .select("doc")
+        .distinct()
+    )
+    bucket_min = banded.groupBy("band_id", "band_hash").agg(
+        F.min("doc").alias("__m")
+    )
+    later = (
+        banded.join(bucket_min, ["band_id", "band_hash"])
+        .where(F.col("doc") > F.col("__m"))
+        .select("doc")
+        .distinct()
+    )
+    dropped = hit_ledger.unionByName(later).distinct()
+    kept = batch.join(
+        dropped.withColumnRenamed("doc", id_col), id_col, "left_anti"
+    )
+    new_rows = banded.join(dropped, "doc", "left_anti").select(
+        F.col("doc").alias(id_col), "band_id", "band_hash"
+    )
+    return kept, new_rows
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -218,28 +316,7 @@ def minhash_lsh_pairs(
     """
     if oversized not in ("drop", "star"):
         raise ValueError(f"oversized must be 'drop' or 'star', got {oversized!r}")
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh_{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col).alias("doc"), F.explode(band_structs).alias("band")
-    ).select("doc", "band.band_id", "band.band_hash")
+    banded = band_signatures(df, text_col, id_col, n_hashes, bands, shingle_n)
     star = None
     if max_bucket_size is not None:
         big_buckets = (

@@ -656,6 +656,58 @@ FROM bands a JOIN bands b
 """
 
 
+def incremental_neardup_batch(spark, sf_dir):
+    """Cross-batch incremental NEAR-dup dedup
+    (operators/neardup.py::dedup_against_band_ledger): even-id docs
+    stand in for the already-accepted corpus (their banded MinHash
+    signatures form the fuzzy ledger), odd-id docs are the incoming
+    batch — a batch doc drops on any band collision with the ledger
+    or with a smaller-id batch doc (earlier-occurrence-wins, computed
+    via bucket-min, no pairwise join). The exact-fingerprint sibling
+    is `incremental_dedup_batch`; this is the fuzzy ingest path."""
+    from ..operators.neardup import band_signatures, dedup_against_band_ledger
+
+    docs = load_table(spark, sf_dir, "documents")
+    ledger = band_signatures(docs.where(F.col("doc_id") % 2 == 0))
+    kept, _ = dedup_against_band_ledger(
+        docs.where(F.col("doc_id") % 2 == 1), ledger
+    )
+    return kept.select("doc_id", "source")
+
+
+def _incr_neardup_sql(n_hashes: int = 8, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    band_rows = ", ".join(
+        "({b}, md5({cols}))".format(
+            b=b,
+            cols=" || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS ({_minhash_sql(n_hashes)}),
+all_bands AS (
+  SELECT doc_id AS doc, b.* FROM sig,
+  LATERAL (VALUES {band_rows}) AS b(band_id, band_hash)
+),
+led AS (SELECT band_id, band_hash FROM all_bands WHERE doc % 2 = 0),
+bb AS (SELECT * FROM all_bands WHERE doc % 2 = 1),
+hit AS (
+  SELECT DISTINCT doc FROM bb SEMI JOIN led USING (band_id, band_hash)
+),
+mins AS (
+  SELECT band_id, band_hash, MIN(doc) AS m FROM bb GROUP BY 1, 2
+),
+later AS (
+  SELECT DISTINCT bb.doc FROM bb JOIN mins USING (band_id, band_hash)
+  WHERE bb.doc > mins.m
+)
+SELECT doc_id, source FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT doc FROM hit UNION SELECT doc FROM later)
+"""
+
+
 def embedding_topk(spark, sf_dir):
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4896,6 +4948,11 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("url_domain_stats", url_domain_stats, _URL_SQL),
     QueryDef("incremental_dedup_batch", incremental_dedup_batch, _INCR_DEDUP_SQL),
+    QueryDef(
+        "incremental_neardup_batch",
+        incremental_neardup_batch,
+        _incr_neardup_sql(),
+    ),
     QueryDef(
         "semantic_dedup_kept",
         semantic_dedup_kept,

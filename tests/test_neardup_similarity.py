@@ -368,3 +368,45 @@ def test_hard_negatives_exclude_same_label(spark):
     )
     ids_null = {r["vec_id"] for r in hard_negatives(corpus, qnull, k=4).collect()}
     assert ids_null == {1, 2, 3, 4}
+
+
+def test_band_ledger_incremental_neardup(spark):
+    """Fuzzy cross-batch dedup: a batch doc drops on any band collision
+    with the persisted ledger or with a smaller-id batch doc; kept
+    docs' bands (and only theirs) become the ledger increment, so
+    re-ingesting an accepted doc's text drops it (idempotency)."""
+    from batch_processing_on_aws_spark.operators.neardup import (
+        band_signatures,
+        dedup_against_band_ledger,
+    )
+
+    accepted = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    ledger = band_signatures(accepted)
+    batch = spark.createDataFrame(
+        [
+            (11, BASE),                             # exact dup of ledger doc
+            (12, BASE.replace("quick", "swift")),   # near-dup of ledger doc
+            (13, "fresh prose about bucketed shuffle joins and adaptive "
+                 "query execution in distributed analytics engines"),
+            (14, "fresh prose about bucketed shuffle joins and adaptive "
+                 "query execution in distributed analytics engines"),
+            # 14 = exact dup of 13 (earlier batch doc) -> drops in-batch
+        ],
+        ["doc_id", "text"],
+    )
+    kept, new_rows = dedup_against_band_ledger(batch, ledger)
+    assert {r["doc_id"] for r in kept.collect()} == {13}
+    assert kept.columns == batch.columns
+    # ledger increment covers exactly the kept doc
+    assert {r["doc_id"] for r in new_rows.collect()} == {13}
+    # idempotency: re-ingesting doc 13's text against the grown ledger
+    grown = ledger.unionByName(
+        new_rows.select(F.col("doc_id").alias("doc"), "band_id", "band_hash")
+    ).select("band_id", "band_hash")
+    again = spark.createDataFrame(
+        [(21, "fresh prose about bucketed shuffle joins and adaptive "
+              "query execution in distributed analytics engines")],
+        ["doc_id", "text"],
+    )
+    kept2, _ = dedup_against_band_ledger(again, grown)
+    assert kept2.count() == 0
