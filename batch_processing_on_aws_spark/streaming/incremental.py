@@ -246,6 +246,79 @@ def ingest_dedup_stream(
     q.awaitTermination()
 
 
+def ingest_neardup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    corpus_path: str,
+    ledger_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fmt: str = "parquet",
+    compact_every: int | None = None,
+) -> None:
+    """Streaming corpus ingest with CROSS-BATCH near-dup dedup — the
+    FUZZY sibling of :func:`ingest_dedup_stream` (exact fingerprints)
+    and :func:`ingest_span_dedup_stream` (exact substrings), completing
+    the ledger-dedup family at the third granularity. Each micro-batch
+    runs ``operators/neardup.py::dedup_against_band_ledger``: banded
+    MinHash signatures of everything previously ACCEPTED form the
+    ledger; a batch doc drops on any band collision with the ledger or
+    with a smaller-id doc in the same batch (bucket-min, linear — a
+    boilerplate template in one delivery costs O(m), never C(m,2)).
+
+    Same crash contract as the exact loop, verbatim: epoch-keyed
+    dynamic overwrite for corpus and ledger, retry excludes its own
+    epoch's ledger partition (``_read_ledger_before_epoch``), the
+    ledger is (band_id, band_hash) rows only (~40 B/doc·band, never
+    text), in-loop ``compact_every`` folds committed epochs under the
+    single-writer contract documented on :func:`compact_ledger`.
+
+    Recall contract is the LSH one: a near-dup is caught iff it shares
+    a band with an accepted doc — tune n_hashes/bands upstream in
+    ``band_signatures`` defaults; exact duplicates always collide.
+    """
+    from ..operators.neardup import band_signatures, dedup_against_band_ledger
+
+    def _merge(batch: DataFrame, epoch: int) -> None:
+        s = batch.sparkSession
+        ledger = _read_ledger_before_epoch(s, ledger_path, epoch)
+        if ledger is None:
+            led = band_signatures(batch.limit(0), text_col, id_col).select(
+                "band_id", "band_hash"
+            )
+        else:
+            led = ledger.select("band_id", "band_hash")
+        kept, new_rows = dedup_against_band_ledger(
+            batch, led, text_col=text_col, id_col=id_col
+        )
+        kept.persist()
+        try:
+            _write_epoch_partitions(
+                (
+                    (kept, corpus_path),
+                    (new_rows.select("band_id", "band_hash"), ledger_path),
+                ),
+                epoch,
+            )
+        finally:
+            kept.unpersist()
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            compact_ledger(s, ledger_path)
+
+    q = (
+        spark.readStream.schema(schema)
+        .format(fmt)
+        .load(input_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,

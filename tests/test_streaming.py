@@ -455,3 +455,55 @@ def test_ingest_stream_auto_compacts(spark, tmp_path):
     )
     got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     assert 99 not in got and len(got) == 8
+
+
+def test_ingest_neardup_stream_cross_batch(spark, tmp_path):
+    """Fuzzy cross-batch ledger dedup through a real streaming query:
+    a NEAR-duplicate (one-word edit) of a batch-1 doc delivered in
+    batch 2 is dropped via band collision — the case the exact
+    fingerprint loop misses — while novel text survives; restarts
+    reprocess nothing and both sinks stay epoch-partitioned."""
+    from batch_processing_on_aws_spark.streaming import (
+        ingest_neardup_stream,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the tall green hills tonight")
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    inp = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    land([(1, base), (2, base)])  # 2 = in-batch exact dup, min id wins
+    ingest_neardup_stream(spark, inp, doc_schema, corpus, ledger, ckpt)
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1}
+
+    # batch 2: a one-word near-dup of doc 1, plus genuinely new text
+    land([
+        (3, base.replace("quick", "swift")),
+        (4, "entirely different prose about sort merge join exchange "
+            "reuse in adaptive query execution layers of an engine"),
+    ])
+    ingest_neardup_stream(spark, inp, doc_schema, corpus, ledger, ckpt)
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 4}
+
+    # restart with nothing new: checkpoint prevents reprocessing
+    ingest_neardup_stream(spark, inp, doc_schema, corpus, ledger, ckpt)
+    assert spark.read.parquet(corpus).count() == 2
+    # ledger holds band rows for KEPT docs only (2 docs x 4 bands)
+    assert spark.read.parquet(ledger).count() == 8
+    import os
+
+    assert any(d.startswith("__epoch=") for d in os.listdir(corpus))
+    assert any(d.startswith("__epoch=") for d in os.listdir(ledger))
