@@ -59,6 +59,10 @@ QUERIES = [
     "jaccard_dup_pairs",
     "containment_dup_pairs",
     "neardup_verified_pairs",
+    # round-6: the fuzzy ingest path's bucket-min policy is built for
+    # exactly this corpus — 20% of the batch in one template bucket
+    # must cost O(m) and emit LINEAR kept-rows, never a clique
+    "incremental_neardup_batch",
 ]
 
 
@@ -129,6 +133,9 @@ def main() -> None:
         "jaccard_dup_pairs",
         "containment_dup_pairs",
         "neardup_verified_pairs",
+        # not pair-shaped (kept docs), tracked for the same reason:
+        # the output size is the skew story
+        "incremental_neardup_batch",
     }
     times: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
     rows: dict[str, dict[str, int]] = {q: {} for q in QUERIES}
