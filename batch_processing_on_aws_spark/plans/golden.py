@@ -4620,6 +4620,118 @@ def streamed_ingest_corpus(spark, sf_dir):
     return spark.read.parquet(corpus).select("doc_id", "fingerprint")
 
 
+def streamed_neardup_corpus(spark, sf_dir):
+    """END-TO-END streaming FUZZY-dedup correctness: the documents
+    table arrives as TWO deliveries (deterministic doc_id hash split)
+    through ``streaming/incremental.py::ingest_neardup_stream`` — the
+    banded-MinHash ledger loop. The returned frame is the accepted
+    corpus: within each delivery a band-bucket's minimum doc id
+    survives, and the second delivery drops every doc band-colliding
+    with what the first admitted. The oracle reproduces exactly those
+    cumulative semantics in SQL over the same md5 band hashes, so the
+    stream's fuzzy dedup policy (not just its plumbing) is
+    hash-verified — the near-dup sibling of ``streamed_ingest_corpus``.
+
+    Same scratch contract as that query: content-keyed reuse under
+    ``$TMPDIR/spark_graft_ingest_nd_*``, trimmed to the finished
+    corpus."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.sampling import hash_bucket
+    from ..streaming.incremental import ingest_neardup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_nd_{key}")
+    inp, corpus, ledger, ckpt = (
+        os.path.join(root, d) for d in ("in", "corpus", "ledger", "ckpt")
+    )
+    done = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        b = hash_bucket(F.col("doc_id"))
+        for lo, hi in ((0, 50), (50, 100)):
+            docs.where((b >= lo) & (b < hi)).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+            ingest_neardup_stream(spark, inp, schema, corpus, ledger, ckpt)
+        for scratch in (inp, ledger, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(key)
+    return spark.read.parquet(corpus).select("doc_id")
+
+
+def _streamed_neardup_sql(n_hashes: int = 8, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    band_rows = ", ".join(
+        "({b}, md5({cols}))".format(
+            b=b,
+            cols=" || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS ({_minhash_sql(n_hashes)}),
+all_bands AS (
+  SELECT doc_id AS doc,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS bkt,
+         b.*
+  FROM sig, LATERAL (VALUES {band_rows}) AS b(band_id, band_hash)
+),
+b1 AS (SELECT * FROM all_bands WHERE bkt < 50),
+b2 AS (SELECT * FROM all_bands WHERE bkt >= 50),
+b1_mins AS (
+  SELECT band_id, band_hash, MIN(doc) AS m FROM b1 GROUP BY 1, 2
+),
+drop1 AS (
+  SELECT DISTINCT b1.doc FROM b1 JOIN b1_mins USING (band_id, band_hash)
+  WHERE b1.doc > b1_mins.m
+),
+kept1 AS (
+  SELECT DISTINCT doc FROM b1 WHERE doc NOT IN (SELECT doc FROM drop1)
+),
+ledger AS (
+  SELECT band_id, band_hash FROM b1 SEMI JOIN kept1 USING (doc)
+),
+b2_mins AS (
+  SELECT band_id, band_hash, MIN(doc) AS m FROM b2 GROUP BY 1, 2
+),
+drop2 AS (
+  SELECT DISTINCT doc FROM b2 SEMI JOIN ledger USING (band_id, band_hash)
+  UNION
+  SELECT DISTINCT b2.doc FROM b2 JOIN b2_mins USING (band_id, band_hash)
+  WHERE b2.doc > b2_mins.m
+)
+SELECT doc AS doc_id FROM kept1
+UNION ALL
+SELECT DISTINCT doc AS doc_id FROM b2
+WHERE doc NOT IN (SELECT doc FROM drop2)
+"""
+
+
 _STREAM_INGEST_SQL = r"""
 WITH fp AS (
   SELECT doc_id,
@@ -4952,6 +5064,11 @@ QUERIES: list[QueryDef] = [
         "incremental_neardup_batch",
         incremental_neardup_batch,
         _incr_neardup_sql(),
+    ),
+    QueryDef(
+        "streamed_neardup_corpus",
+        streamed_neardup_corpus,
+        _streamed_neardup_sql(),
     ),
     QueryDef(
         "semantic_dedup_kept",
