@@ -133,6 +133,7 @@ def quality_logit(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    weights: dict | None = None,
 ) -> DataFrame:
     """Linear quality-classifier score — the model-based stage stacked
     on the Gopher rule features (the CCNet/fasttext-classifier shape:
@@ -152,7 +153,7 @@ def quality_logit(
     (``QUALITY_WEIGHTS``) so the oracle and any retrained deployment
     agree on a single source of truth.
     """
-    w = QUALITY_WEIGHTS
+    w = QUALITY_WEIGHTS if weights is None else weights
     stats = gopher_quality(df, text_col=text_col, id_col=id_col)
     f_len = F.least(F.col("word_count"), F.lit(500)).cast("double") / 500.0
     f_stop = F.least(F.col("stopword_hits"), F.lit(20)).cast("double") / 20.0
@@ -171,3 +172,112 @@ def quality_logit(
         F.round(z, 6).alias("quality_logit"),
         (z > 0.0).alias("keep"),
     )
+
+
+def _logit_features(row) -> list[float]:
+    """The classifier's feature transform, shared by the Spark-side
+    trainer and the oracle generator so their design matrices are
+    bit-identical: [bounded-len, bounded-stop, alpha, symbol, mwl] —
+    the SAME transform (and the same ORDER as the weight keys len/
+    stop/alpha/symbol/mwl) that :func:`quality_logit` applies."""
+    return [
+        min(row["word_count"], 500) / 500.0,
+        min(row["stopword_hits"], 20) / 20.0,
+        row["alpha_word_ratio"],
+        row["symbol_word_ratio"],
+        row["mean_word_len"],
+    ]
+
+
+def _fit_logistic(X, y, n_iter: int, lr: float, l2: float):
+    """Full-batch gradient descent on standardized features — one pure
+    deterministic numpy function, shared verbatim by the Spark-side
+    trainer and the DuckDB oracle generator so both produce IDENTICAL
+    float64 weights from an identical (identically ORDERED) sample.
+    Returns (bias, weights) in the ORIGINAL feature space."""
+    import numpy as np
+
+    X = np.asarray(X, dtype="float64")
+    y = np.asarray(y, dtype="float64")
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0)
+    sd = np.where(sd == 0.0, 1.0, sd)
+    Xs = (X - mu) / sd
+    n, d = Xs.shape
+    w = np.zeros(d)
+    b = 0.0
+    for _ in range(n_iter):
+        z = Xs @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        w -= lr * (Xs.T @ err / n + l2 * w)
+        b -= lr * float(err.mean())
+    w_raw = w / sd
+    b_raw = b - float((w * mu / sd).sum())
+    return b_raw, w_raw
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: Column | None = None,
+    n_train: int = 4096,
+    n_iter: int = 300,
+    lr: float = 1.0,
+    l2: float = 1e-3,
+    seed: int = 42,
+) -> dict:
+    """TRAIN the linear quality classifier instead of shipping fixed
+    weights — the missing step between the Gopher features and
+    :func:`quality_logit`'s scoring projection (production pipelines
+    train fastText/logistic classifiers on labeled seed sets; this is
+    the linear case, in-engine). Labels default to the Gopher rule
+    verdict (``keep``), i.e. distilling the hard rule set into a
+    smooth, thresholdable score; pass ``label_col`` (a 0/1 column on
+    the gopher_quality output) for real labels.
+
+    Scale shape — the k-means/IVF pattern exactly
+    (similarity._train_centroids): the trainer sees only a BOUNDED
+    deterministic sample (the ``n_train`` rows with the smallest
+    ``md5(seed || ':' || id)``, a TakeOrdered — no full sort, no
+    corpus shuffle) and fits driver-side with numpy; the CORPUS-sized
+    work is the scoring projection, which stays zero-shuffle. md5
+    rather than xxhash64 so the draw — and therefore the trained
+    weights — reproduce outside Spark, which is what lets the DuckDB
+    oracle re-train identical weights and inline them as literals.
+
+    Returns the weight dict in :data:`QUALITY_WEIGHTS` form
+    (bias/len/stop/alpha/symbol/mwl), ready for
+    ``quality_logit(df, weights=...)``.
+    """
+    stats = gopher_quality(df, text_col=text_col, id_col=id_col)
+    label = F.col("keep").cast("double") if label_col is None else label_col
+    sample = (
+        stats.select(
+            F.col(id_col).alias("__id"),
+            "word_count",
+            "stopword_hits",
+            "alpha_word_ratio",
+            "symbol_word_ratio",
+            "mean_word_len",
+            label.alias("__y"),
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("__id").cast("string"))),
+            F.col("__id"),
+        )
+        .limit(n_train)
+        .collect()
+    )
+    X = [_logit_features(r) for r in sample]
+    y = [float(r["__y"]) for r in sample]
+    b, w = _fit_logistic(X, y, n_iter=n_iter, lr=lr, l2=l2)
+    return {
+        "bias": float(b),
+        "len": float(w[0]),
+        "stop": float(w[1]),
+        "alpha": float(w[2]),
+        "symbol": float(w[3]),
+        "mwl": float(w[4]),
+    }

@@ -3924,6 +3924,157 @@ def gopher_quality_flags(spark, sf_dir):
     return gopher_quality(docs)
 
 
+def trained_quality_scores(spark, sf_dir):
+    """Quality classifier TRAINED in-engine, then scored corpus-wide
+    (operators/quality.py::train_quality_classifier → quality_logit):
+    a bounded md5-deterministic sample of the Gopher features fits a
+    driver-side logistic regression (the k-means/IVF trainer pattern),
+    labels = the Gopher rule verdict (rule-set distillation into a
+    smooth score), and the corpus-sized work is the zero-shuffle
+    scoring projection. The oracle RE-TRAINS the identical weights
+    from the DuckDB-computed (hash-green) feature matrix with the same
+    shared numpy fitter and inlines them as literals — so training
+    determinism AND scoring exactness are both in the gate."""
+    from ..operators.quality import quality_logit, train_quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = train_quality_classifier(docs)
+    return quality_logit(docs, weights=w)
+
+
+def _oracle_quality_weights(
+    n_train: int = 4096, n_iter: int = 300, lr: float = 1.0,
+    l2: float = 1e-3, seed: int = 42,
+) -> dict | None:
+    """Re-train the quality classifier OUTSIDE Spark: the same
+    md5-ordered sample drawn via DuckDB from the driver's correctness
+    scale, the same feature transform and numpy fitter
+    (quality._logit_features / quality._fit_logistic), therefore the
+    same float64 weights bit-for-bit. None if the parquet isn't
+    readable here (callers then register a rows-only check)."""
+    import duckdb
+
+    from ..operators.quality import _fit_logistic, _logit_features
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    feats = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM read_parquet('{src}')
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS word_count,
+         COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE), 0.0)
+           AS total_chars,
+         COALESCE(CAST(list_sum(list_transform(toks,
+             x -> len(regexp_extract_all(x, '(#|\.\.\.)')))) AS DOUBLE), 0.0)
+           AS n_symbol,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           AS n_alpha,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['the','a','an','of','to','and','in','is','that','with'],
+             lower(x)))) AS BIGINT) AS stopword_hits
+  FROM t
+),
+m AS (
+  SELECT doc_id, word_count,
+         CASE WHEN word_count > 0 THEN ROUND(total_chars / word_count, 4)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN word_count > 0 THEN ROUND(n_symbol / word_count, 4)
+              ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN word_count > 0 THEN ROUND(n_alpha / word_count, 4)
+              ELSE 0.0 END AS alpha_word_ratio,
+         stopword_hits
+  FROM s
+)
+SELECT word_count, stopword_hits, alpha_word_ratio, symbol_word_ratio,
+       mean_word_len,
+       CASE WHEN (word_count BETWEEN 20 AND 100000)
+                 AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                 AND (symbol_word_ratio <= 0.1)
+                 AND (alpha_word_ratio >= 0.8)
+                 AND (stopword_hits >= 2)
+            THEN 1.0 ELSE 0.0 END AS y
+FROM m
+ORDER BY md5('{seed}:' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {n_train}
+""".format(src=f"{sf_dir}/documents.parquet", seed=seed, n_train=n_train)
+    try:
+        cur = duckdb.connect().execute(feats)
+        cols = [d[0] for d in cur.description]
+        rows = [dict(zip(cols, r)) for r in cur.fetchall()]
+    except Exception:
+        return None
+    if not rows:
+        return None
+    X = [_logit_features(r) for r in rows]
+    y = [r["y"] for r in rows]
+    b, w = _fit_logistic(X, y, n_iter=n_iter, lr=lr, l2=l2)
+    return {
+        "bias": float(b), "len": float(w[0]), "stop": float(w[1]),
+        "alpha": float(w[2]), "symbol": float(w[3]), "mwl": float(w[4]),
+    }
+
+
+def _trained_quality_sql() -> str | None:
+    w = _oracle_quality_weights()
+    if w is None:
+        return None
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS word_count,
+         COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE), 0.0)
+           AS total_chars,
+         COALESCE(CAST(list_sum(list_transform(toks,
+             x -> len(regexp_extract_all(x, '(#|\.\.\.)')))) AS DOUBLE), 0.0)
+           AS n_symbol,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           AS n_alpha,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['the','a','an','of','to','and','in','is','that','with'],
+             lower(x)))) AS BIGINT) AS stopword_hits
+  FROM t
+),
+m AS (
+  SELECT doc_id, word_count,
+         CASE WHEN word_count > 0 THEN ROUND(total_chars / word_count, 4)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN word_count > 0 THEN ROUND(n_symbol / word_count, 4)
+              ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN word_count > 0 THEN ROUND(n_alpha / word_count, 4)
+              ELSE 0.0 END AS alpha_word_ratio,
+         stopword_hits
+  FROM s
+),
+z AS (
+  SELECT doc_id,
+         {bias} + {w_len} * (CAST(LEAST(word_count, 500) AS DOUBLE) / 500.0)
+              + {w_stop} * (CAST(LEAST(stopword_hits, 20) AS DOUBLE) / 20.0)
+              + {w_alpha} * alpha_word_ratio
+              + {w_symbol} * symbol_word_ratio
+              + {w_mwl} * mean_word_len AS zz
+  FROM m
+)
+SELECT doc_id, ROUND(zz, 6) AS quality_logit, zz > 0.0 AS keep FROM z
+""".format(
+        bias=repr(w["bias"]), w_len=f"({w['len']!r})",
+        w_stop=f"({w['stop']!r})", w_alpha=f"({w['alpha']!r})",
+        w_symbol=f"({w['symbol']!r})", w_mwl=f"({w['mwl']!r})",
+    )
+
+
 _GOPHER_SQL = r"""
 WITH t AS (
   SELECT doc_id,
@@ -5029,6 +5180,16 @@ QUERIES: list[QueryDef] = [
     QueryDef("pii_redaction", pii_redaction, _PII_SQL),
     QueryDef("gopher_quality_flags", gopher_quality_flags, _GOPHER_SQL),
     QueryDef("doc_quality_logit", doc_quality_logit, _QUALITY_LOGIT_SQL),
+    QueryDef(
+        "trained_quality_scores",
+        trained_quality_scores,
+        _trained_quality_sql(),
+        rows_only_reason=(
+            "oracle requires re-training the classifier from the "
+            "correctness-scale parquet; when that data is unreadable "
+            "here the query drops to a rows-only check"
+        ),
+    ),
     QueryDef(
         "bpe_tokenized_docs",
         bpe_tokenized_docs,

@@ -478,3 +478,45 @@ def test_training_order_is_a_stable_per_shard_permutation(spark):
     assert order != reseeded  # the seed is the shuffle
     wiki = sorted(by_shard["wiki"])
     assert [d for _, d in wiki] != sorted(d for _, d in wiki)  # not ingest order
+
+
+def test_train_quality_classifier_separates_and_is_deterministic(spark):
+    """The in-engine trainer: on a corpus where the Gopher rule cleanly
+    splits good prose from symbol soup, the trained logistic weights
+    reproduce the rule's verdicts through quality_logit scoring; the
+    weights are bit-identical under repartitioning (md5-ordered
+    sample); and a custom 0/1 label column is honored."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.operators.quality import (
+        quality_logit,
+        train_quality_classifier,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "tall green hills with a happy bark that echoes in the valley")
+    bad = "### ### ### ... ... ### 123 456 789 ### ... ###"
+    docs = spark.createDataFrame(
+        [(i, good + f" extra{i}") for i in range(30)]
+        + [(100 + i, bad) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    w = train_quality_classifier(docs, n_train=60, n_iter=200)
+    assert set(w) == {"bias", "len", "stop", "alpha", "symbol", "mwl"}
+    scored = {r["doc_id"]: r["keep"]
+              for r in quality_logit(docs, weights=w).collect()}
+    assert all(scored[i] for i in range(30))           # good docs keep
+    assert not any(scored[100 + i] for i in range(30))  # junk rejected
+    # determinism: identical float64 weights under a different layout
+    w2 = train_quality_classifier(docs.repartition(7), n_train=60, n_iter=200)
+    assert w == w2
+    # custom labels flip the learned sign structure
+    w_inv = train_quality_classifier(
+        docs,
+        label_col=(F.col("symbol_word_ratio") > 0.1).cast("double"),
+        n_train=60,
+        n_iter=200,
+    )
+    inv = {r["doc_id"]: r["keep"]
+           for r in quality_logit(docs, weights=w_inv).collect()}
+    assert inv[100] and not inv[0]
