@@ -600,3 +600,137 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def _pq_train(Xn, m: int, k_codes: int, seed: int, max_iter: int):
+    """Per-subspace codebooks for product quantization: split the
+    normalized sample into ``m`` contiguous dim/m blocks and run the
+    SAME seeded Lloyd k-means per block (seed + s). One pure numpy
+    function shared by the Spark path and the oracle generator —
+    identical sample ⇒ bit-identical codebooks."""
+    import numpy as np
+
+    dim = Xn.shape[1]
+    d = dim // m
+    return np.stack(
+        [_kmeans(Xn[:, s * d:(s + 1) * d], k_codes, seed + s, max_iter)
+         for s in range(m)]
+    )
+
+
+def _l2_normalize(X):
+    import numpy as np
+
+    n = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    n[n == 0.0] = 1.0
+    return X / n
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    max_iter: int = 8,
+    n_train: int = 4096,
+) -> DataFrame:
+    """Product-quantization ANN (the FAISS PQ/ADC kernel): corpus
+    vectors are L2-normalized, split into ``m`` subspaces, and each
+    subvector is replaced by the index of its nearest codebook
+    centroid — ``m`` small ints (m·log2(k_codes) bits, here 32 bits)
+    instead of dim floats, a 64× compression at dim=64. A query scores
+    a compressed vector WITHOUT decompressing it: per subspace the dot
+    products against all ``k_codes`` centroids form a lookup table
+    (asymmetric distance computation), and the approximate cosine is
+    the sequential sum of ``m`` table lookups.
+
+    Scale shape: codebooks train driver-side on the same bounded
+    md5-deterministic sample as the IVF quantizer (constant in corpus
+    size); ENCODING is an Arrow-batched numpy projection with the
+    codebooks riding the task closure — no shuffle; SCORING emits
+    (corpus × |Q|) candidate rows from the same pass (the query set is
+    bounded and broadcast inside the closure), and only the final
+    top-k window shuffles. At 100 TB the production composition is
+    IVF-PQ — reuse ``_assign_cells`` for the coarse lists and apply
+    this ADC kernel inside each probed cell; the kernel itself is what
+    this operator pins.
+
+    Determinism: codebook training, encoding argmax (ties → lower
+    code, numpy first-hit), and the fixed s=0..m-1 summation order are
+    all reproducible outside Spark, so the DuckDB oracle re-derives
+    identical codebooks/codes/scores; rounding happens ONCE, JVM-side
+    (F.round, matching DuckDB ROUND), never in numpy.
+
+    Output: (query_id, vec_id, pq_score rounded to 4, rank 1..k).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    sample = (
+        c.orderBy(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("vec_id").cast("string")))
+        )
+        .limit(n_train)
+        .select("c_vec")
+        .collect()
+    )
+    X = np.asarray([r["c_vec"] for r in sample], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    cb = _pq_train(_l2_normalize(X), m, k_codes, seed, max_iter)  # m×k×d
+    halfs = (cb**2).sum(2) / 2.0                                  # m×k
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()  # bounded query set, same contract as the broadcast paths
+    qids = [r["qid"] for r in qrows]
+    Qn = _l2_normalize(np.asarray([r["qv"] for r in qrows], dtype=np.float64))
+    # tab[qi, s, code] = dot(q_s, centroid) — the ADC lookup tables
+    tab = np.stack(
+        [Qn[:, s * d:(s + 1) * d] @ cb[s].T for s in range(m)], axis=1
+    )
+    nq = len(qids)
+
+    @pandas_udf("array<double>")
+    def _adc(vs):
+        Xb = _l2_normalize(
+            np.asarray(vs.tolist(), dtype=np.float64).reshape(-1, dim)
+        )
+        nb = Xb.shape[0]
+        codes = np.empty((nb, m), dtype=np.int64)
+        for s in range(m):
+            scores = Xb[:, s * d:(s + 1) * d] @ cb[s].T - halfs[s][None, :]
+            codes[:, s] = scores.argmax(1)
+        out = np.zeros((nb, nq), dtype=np.float64)
+        for s in range(m):  # fixed sequential order — the contract
+            out += tab[:, s, :][:, codes[:, s]].T
+        return pd.Series(list(out))
+
+    scored = c.select("vec_id", _adc("c_vec").alias("__sc")).select(
+        "vec_id", F.posexplode("__sc").alias("__qi", "__raw")
+    )
+    qmap = F.array(*[F.lit(q) for q in qids])
+    scored = scored.select(
+        F.element_at(qmap, F.col("__qi") + 1).alias("query_id"),
+        "vec_id",
+        F.round(F.col("__raw"), 4).alias("pq_score"),
+    ).where(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -868,6 +868,143 @@ def _dlist(xs) -> str:
     return "[" + ", ".join(repr(float(x)) for x in xs) + "]::DOUBLE[]"
 
 
+def embedding_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py::pq_topk):
+    normalized corpus vectors compressed to m=8 4-bit codes, queries
+    scored via ADC lookup tables — the FAISS PQ kernel. The oracle
+    re-derives the identical codebooks from the same md5 sample,
+    recomputes every doc's codes with inlined centroid literals, and
+    sums the same per-subspace lookup tables in the same fixed order,
+    so compression, encoding argmax, and ADC scoring are ALL
+    hash-checked."""
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, k=10)
+
+
+def _oracle_pq_tables(
+    m: int = 8, k_codes: int = 16, seed: int = 42, max_iter: int = 8,
+    n_train: int = 4096,
+):
+    """Re-derive the PQ codebooks + ADC query tables OUTSIDE Spark
+    (same md5 sample via DuckDB, same shared numpy trainers), for the
+    oracle to inline as literals. None if the parquet isn't readable."""
+    import duckdb
+    import numpy as np
+
+    from ..operators.similarity import _l2_normalize, _pq_train
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    try:
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT CAST(embedding AS DOUBLE[]) "
+            f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            f"ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)) "
+            f"LIMIT {n_train}"
+        ).fetchall()
+        qrows = con.execute(
+            f"SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+            f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            f"WHERE vec_id < 5 ORDER BY vec_id"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows or not qrows:
+        return None
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if X.shape[1] % m != 0:
+        return None
+    d = X.shape[1] // m
+    cb = _pq_train(_l2_normalize(X), m, k_codes, seed, max_iter)
+    halfs = (cb**2).sum(2) / 2.0
+    qids = [r[0] for r in qrows]
+    Qn = _l2_normalize(np.asarray([r[1] for r in qrows], dtype=np.float64))
+    tab = np.stack(
+        [Qn[:, s * d:(s + 1) * d] @ cb[s].T for s in range(m)], axis=1
+    )
+    return cb, halfs, tab, qids, d
+
+
+def _pq_sql(
+    m: int = 8, k_codes: int = 16, k: int = 10, seed: int = 42,
+    max_iter: int = 8, n_train: int = 4096,
+) -> str | None:
+    got = _oracle_pq_tables(m, k_codes, seed, max_iter, n_train)
+    if got is None:
+        return None
+    cb, halfs, tab, qids, d = got
+
+    def sub(s: int) -> str:
+        return f"xn[{s * d + 1}:{(s + 1) * d}]"
+
+    score_lists = ",\n         ".join(
+        "["
+        + ", ".join(
+            f"list_dot_product({sub(s)}, {_dlist(cb[s][j])}) - ({halfs[s][j]!r})"
+            for j in range(k_codes)
+        )
+        + f"] AS l{s}"
+        for s in range(m)
+    )
+    code_cols = ", ".join(
+        f"list_position(l{s}, list_aggregate(l{s}, 'max')) - 1 AS c{s}"
+        for s in range(m)
+    )
+    ptab_rows = ",\n  ".join(
+        f"({qid}, {s}, {j}, {tab[qi][s][j]!r})"
+        for qi, qid in enumerate(qids)
+        for s in range(m)
+        for j in range(k_codes)
+    )
+    chain = "\n           + ".join(
+        f"(SELECT partial FROM ptab WHERE ptab.qid = q.qid"
+        f" AND ptab.s = {s} AND ptab.code = codes.c{s})"
+        for s in range(m)
+    )
+    return f"""
+WITH ptab(qid, s, code, partial) AS (VALUES
+  {ptab_rows}
+),
+q(qid) AS (VALUES {", ".join(f"({x})" for x in qids)}),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+norm AS (
+  SELECT vec_id,
+         CASE WHEN list_dot_product(x, x) = 0 THEN x
+              ELSE list_transform(x, v -> v / sqrt(list_dot_product(x, x)))
+         END AS xn
+  FROM base
+),
+lists AS (
+  SELECT vec_id,
+         {score_lists}
+  FROM norm
+),
+codes AS (
+  SELECT vec_id, {code_cols} FROM lists
+),
+scored AS (
+  SELECT q.qid AS query_id, codes.vec_id,
+         ROUND({chain}, 4) AS pq_score
+  FROM codes, q
+  WHERE codes.vec_id <> q.qid
+)
+SELECT query_id, vec_id, pq_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY pq_score DESC, vec_id ASC) AS BIGINT)
+         AS rank
+FROM scored QUALIFY rank <= {k}
+"""
+
+
 def _lsh_topk_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
     """DuckDB twin of ``embedding_lsh_topk``: hyperplanes inlined as
     literals, bucket = Σ 2^i·[v·p_i ≥ 0], then the same rescore/rank
@@ -5262,6 +5399,16 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef(
         "embedding_multilsh_topk", embedding_multilsh_topk, _multilsh_topk_sql()
+    ),
+    QueryDef(
+        "embedding_pq_topk",
+        embedding_pq_topk,
+        _pq_sql(),
+        rows_only_reason=(
+            "oracle requires re-deriving the PQ codebooks from the "
+            "correctness-scale parquet; when that data is unreadable "
+            "here the query drops to a rows-only check"
+        ),
     ),
     QueryDef(
         "semantic_contaminated_docs",

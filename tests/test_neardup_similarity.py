@@ -410,3 +410,33 @@ def test_band_ledger_incremental_neardup(spark):
     )
     kept2, _ = dedup_against_band_ledger(again, grown)
     assert kept2.count() == 0
+
+
+def test_pq_topk_cluster_structure_and_determinism(spark):
+    """PQ/ADC: on cluster-structured vectors the compressed search
+    returns the query's own cluster ahead of orthogonal ones; output
+    is identical under repartitioning (deterministic codebooks from
+    the md5 sample); indivisible dims are rejected."""
+    import pytest
+
+    from batch_processing_on_aws_spark.operators.similarity import pq_topk
+
+    # two tight axis clusters + distractors, dim 8, m=4 subspaces
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0, 0.05 * (i % 3)] + [0.0] * 6))              # cluster A
+        rows.append((100 + i, [0.0] * 4 + [1.0, 0.05 * (i % 3)] + [0.0] * 2))  # cluster B
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(corpus, queries, m=4, k_codes=4, k=10, n_train=64)
+    got = [r["vec_id"] for r in out.collect()]
+    assert len(got) == 10
+    assert all(v < 100 for v in got)  # all results from the query's cluster
+    out2 = pq_topk(
+        corpus.repartition(5), queries, m=4, k_codes=4, k=10, n_train=64
+    )
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in out2.collect()]
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(corpus, queries, m=3, k_codes=4, k=5, n_train=64).collect()

@@ -33,7 +33,12 @@ SCALES = {
     "10x": "scaledata/x10",
 }
 EXACT = "embedding_topk"
-APPROX = ["embedding_lsh_topk", "embedding_multilsh_topk", "embedding_ivf_topk"]
+APPROX = [
+    "embedding_lsh_topk",
+    "embedding_multilsh_topk",
+    "embedding_ivf_topk",
+    "embedding_pq_topk",
+]
 K = 10
 
 
@@ -115,6 +120,10 @@ def main() -> None:
             F.col("vec_id").alias("query_id"), "embedding"
         )
         exact = _topk_sets(qs[EXACT](spark, sf_dir))
+        from batch_processing_on_aws_spark.operators.similarity import (  # noqa: E402
+            pq_topk,
+        )
+
         tuned = {
             "multilsh_6x4": lambda: lsh_topk_multi(
                 emb, queries, _multi_tables(6, 4), k=K
@@ -122,6 +131,10 @@ def main() -> None:
             "ivf_probe6": lambda: ivf_topk(
                 emb, queries, n_cells=16, n_probe=6, k=K
             ),
+            # PQ's recall knob is BITS: m=16 subspaces (64-bit codes)
+            # vs the registry default m=8 (32-bit) — the sidecar's 10x
+            # row shows why code resolution must grow with the corpus
+            "pq_m16": lambda: pq_topk(emb, queries, m=16, k_codes=16, k=K),
         }
         report[scale]["tuned_variants"] = {}
         for name, mk in tuned.items():
