@@ -734,3 +734,151 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def _ivfpq_model(X, Q, n_cells, n_probe, m, k_codes, seed, max_iter):
+    """Derive the full IVF-PQ model (coarse centroids, residual
+    codebooks, per-query probe sets, coarse dots, ADC tables) from the
+    raw sample + query matrices — ONE pure numpy function shared by
+    ivfpq_topk and the DuckDB oracle generator, so both sides hold
+    bit-identical parameters."""
+    import numpy as np
+
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    Xn = _l2_normalize(X)
+    coarse = _kmeans(Xn, n_cells, seed, max_iter)
+    chalf = (coarse**2).sum(1) / 2.0
+    s_cell = (Xn @ coarse.T - chalf[None, :]).argmax(1)
+    cb = _pq_train(Xn - coarse[s_cell], m, k_codes, seed + 100, max_iter)
+    halfs = (cb**2).sum(2) / 2.0
+    Qn = _l2_normalize(np.asarray(Q, dtype=np.float64))
+    qc = Qn @ coarse.T
+    # probe sets: top n_probe cells by q·c − ‖c‖²/2, ties → lower cell
+    order = np.argsort(-(qc - chalf[None, :]), axis=1, kind="stable")
+    probes = [set(order[i, :n_probe].tolist()) for i in range(len(Qn))]
+    tab = np.stack(
+        [Qn[:, s * d:(s + 1) * d] @ cb[s].T for s in range(m)], axis=1
+    )
+    return coarse, chalf, cb, halfs, qc, probes, tab, d
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    max_iter: int = 8,
+    n_train: int = 4096,
+) -> DataFrame:
+    """IVF-PQ — the production FAISS index shape, composed from the
+    engine's two ANN halves: a coarse quantizer assigns every
+    (normalized) vector to one of ``n_cells`` inverted lists, and the
+    RESIDUAL to its cell centroid is product-quantized to ``m``
+    codebook codes; a query probes its ``n_probe`` nearest cells and
+    scores only those lists via ADC —
+    ``score(x) ≈ q·c_cell + Σ_s q_s·cb[s][code_s]``.
+
+    Both trainers run driver-side on the one bounded md5 sample
+    (coarse k-means, then per-subspace k-means on the sample's
+    residuals — shared seeded numpy, reproducible outside Spark).
+    The corpus pass is ONE Arrow-batched projection that assigns the
+    cell, encodes the residual, AND applies the probe filter — so the
+    emitted candidate stream is already ≈ corpus · n_probe / n_cells
+    per query and only the final top-k window shuffles. That is the
+    candidate-reduction IVF adds over plain :func:`pq_topk`, and the
+    compression PQ adds over :func:`ivf_topk` (the inverted lists
+    store 32-bit codes, not vectors).
+
+    Summation order is the cross-engine contract: ``q·c_cell`` first,
+    then subspaces s = 0..m−1 sequentially; rounding happens once,
+    JVM-side. The oracle re-derives coarse centroids, codebooks, probe
+    sets, and lookup tables from the same sample and replays the
+    identical chain.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    sample = (
+        c.orderBy(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("vec_id").cast("string")))
+        )
+        .limit(n_train)
+        .select("c_vec")
+        .collect()
+    )
+    X = np.asarray([r["c_vec"] for r in sample], dtype=np.float64)
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    qids = [r["qid"] for r in qrows]
+    Q = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    model = _ivfpq_model(X, Q, n_cells, n_probe, m, k_codes, seed, max_iter)
+    coarse, chalf, cb, halfs, qc, probes, tab, d = model
+    dim = X.shape[1]
+    nq = len(qids)
+
+    def _score(batches):
+        for pdf in batches:
+            Xb = _l2_normalize(
+                np.asarray(pdf["c_vec"].tolist(), dtype=np.float64).reshape(
+                    -1, dim
+                )
+            )
+            cells = (Xb @ coarse.T - chalf[None, :]).argmax(1)
+            R = Xb - coarse[cells]
+            nb = Xb.shape[0]
+            codes = np.empty((nb, m), dtype=np.int64)
+            for s in range(m):
+                sc = R[:, s * d:(s + 1) * d] @ cb[s].T - halfs[s][None, :]
+                codes[:, s] = sc.argmax(1)
+            out_v, out_q, out_s = [], [], []
+            ids = pdf["vec_id"].to_numpy()
+            for qi in range(nq):
+                mask = np.isin(cells, list(probes[qi]))
+                if not mask.any():
+                    continue
+                acc = np.full(int(mask.sum()), 0.0)
+                acc += qc[qi][cells[mask]]          # q·c_cell first
+                for s in range(m):                  # then s = 0..m−1
+                    acc += tab[qi, s, :][codes[mask, s]]
+                out_v.append(ids[mask])
+                out_q.append(np.full(int(mask.sum()), qids[qi]))
+                out_s.append(acc)
+            if out_v:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.concatenate(out_v),
+                        "query_id": np.concatenate(out_q),
+                        "__raw": np.concatenate(out_s),
+                    }
+                )
+
+    scored = c.mapInPandas(
+        _score, "vec_id long, query_id long, __raw double"
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("__raw"), 4).alias("pq_score"),
+    ).where(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -886,6 +886,155 @@ def embedding_pq_topk(spark, sf_dir):
     return pq_topk(emb, queries, k=10)
 
 
+def embedding_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (operators/similarity.py::ivfpq_topk) — the production
+    FAISS index shape: coarse inverted lists + residual product
+    quantization + ADC scoring over probed cells only. The oracle
+    re-derives the ENTIRE model (coarse centroids, residual codebooks,
+    probe sets, lookup tables) from the same md5 sample through the
+    shared numpy derivation and replays cell assignment, residual
+    encoding, probe filtering, and the fixed-order score chain in
+    SQL — the deepest ANN check in the registry."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(emb, queries, k=10)
+
+
+def _ivfpq_sql(
+    n_cells: int = 16, n_probe: int = 3, m: int = 8, k_codes: int = 16,
+    k: int = 10, seed: int = 42, max_iter: int = 8, n_train: int = 4096,
+) -> str | None:
+    import duckdb
+    import numpy as np
+
+    from ..operators.similarity import _ivfpq_model
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    try:
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT CAST(embedding AS DOUBLE[]) "
+            f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            f"ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)) "
+            f"LIMIT {n_train}"
+        ).fetchall()
+        qrows = con.execute(
+            f"SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+            f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            f"WHERE vec_id < 5 ORDER BY vec_id"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows or not qrows:
+        return None
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if X.shape[1] % m != 0:
+        return None
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    coarse, chalf, cb, halfs, qc, probes, tab, d = _ivfpq_model(
+        X, Q, n_cells, n_probe, m, k_codes, seed, max_iter
+    )
+    dim = X.shape[1]
+    coarse_list = ",\n  ".join(
+        f"({j}, {_dlist(coarse[j])})" for j in range(len(coarse))
+    )
+    coarse_scores = "[" + ", ".join(
+        f"list_dot_product(xn, {_dlist(coarse[j])}) - ({chalf[j]!r})"
+        for j in range(len(coarse))
+    ) + "]"
+    score_lists = ",\n         ".join(
+        "["
+        + ", ".join(
+            f"list_dot_product(r[{s * d + 1}:{(s + 1) * d}], "
+            f"{_dlist(cb[s][j])}) - ({halfs[s][j]!r})"
+            for j in range(k_codes)
+        )
+        + f"] AS l{s}"
+        for s in range(m)
+    )
+    code_cols = ", ".join(
+        f"list_position(l{s}, list_aggregate(l{s}, 'max')) - 1 AS c{s}"
+        for s in range(m)
+    )
+    qp_rows = ",\n  ".join(
+        f"({qid}, {cell}, {qc[qi][cell]!r})"
+        for qi, qid in enumerate(qids)
+        for cell in sorted(probes[qi])
+    )
+    ptab_rows = ",\n  ".join(
+        f"({qid}, {s}, {j}, {tab[qi][s][j]!r})"
+        for qi, qid in enumerate(qids)
+        for s in range(m)
+        for j in range(k_codes)
+    )
+    chain = "\n           + ".join(
+        f"(SELECT partial FROM ptab WHERE ptab.qid = qp.qid"
+        f" AND ptab.s = {s} AND ptab.code = codes.c{s})"
+        for s in range(m)
+    )
+    return f"""
+WITH cellv(cell, cvec) AS (VALUES
+  {coarse_list}
+),
+qp(qid, cell, dotqc) AS (VALUES
+  {qp_rows}
+),
+ptab(qid, s, code, partial) AS (VALUES
+  {ptab_rows}
+),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+norm AS (
+  SELECT vec_id,
+         CASE WHEN list_dot_product(x, x) = 0 THEN x
+              ELSE list_transform(x, v -> v / sqrt(list_dot_product(x, x)))
+         END AS xn
+  FROM base
+),
+assigned AS (
+  SELECT vec_id, xn,
+         list_position({coarse_scores},
+                       list_aggregate({coarse_scores}, 'max')) - 1 AS cell
+  FROM norm
+),
+resid AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, {dim + 1}),
+                        i -> a.xn[CAST(i AS INT)] - cv.cvec[CAST(i AS INT)])
+           AS r
+  FROM assigned a JOIN cellv cv ON cv.cell = a.cell
+),
+lists AS (
+  SELECT vec_id, cell,
+         {score_lists}
+  FROM resid
+),
+codes AS (
+  SELECT vec_id, cell, {code_cols} FROM lists
+),
+scored AS (
+  SELECT qp.qid AS query_id, codes.vec_id,
+         ROUND(qp.dotqc
+           + {chain}, 4) AS pq_score
+  FROM codes JOIN qp ON qp.cell = codes.cell
+  WHERE codes.vec_id <> qp.qid
+)
+SELECT query_id, vec_id, pq_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY pq_score DESC, vec_id ASC) AS BIGINT)
+         AS rank
+FROM scored QUALIFY rank <= {k}
+"""
+
+
 def _oracle_pq_tables(
     m: int = 8, k_codes: int = 16, seed: int = 42, max_iter: int = 8,
     n_train: int = 4096,
@@ -5399,6 +5548,16 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef(
         "embedding_multilsh_topk", embedding_multilsh_topk, _multilsh_topk_sql()
+    ),
+    QueryDef(
+        "embedding_ivfpq_topk",
+        embedding_ivfpq_topk,
+        _ivfpq_sql(),
+        rows_only_reason=(
+            "oracle requires re-deriving the IVF-PQ model from the "
+            "correctness-scale parquet; when that data is unreadable "
+            "here the query drops to a rows-only check"
+        ),
     ),
     QueryDef(
         "embedding_pq_topk",

@@ -440,3 +440,32 @@ def test_pq_topk_cluster_structure_and_determinism(spark):
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in out2.collect()]
     with pytest.raises(ValueError, match="not divisible"):
         pq_topk(corpus, queries, m=3, k_codes=4, k=5, n_train=64).collect()
+
+
+def test_ivfpq_topk_cluster_structure_and_determinism(spark):
+    """IVF-PQ: same cluster fixture as the PQ test — the probed-cells
+    candidate reduction must still return the query's own cluster
+    first (the coarse quantizer separates the two axis clusters into
+    different cells, so probing keeps recall); deterministic under
+    repartitioning."""
+    from batch_processing_on_aws_spark.operators.similarity import ivfpq_topk
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0, 0.05 * (i % 3)] + [0.0] * 6))
+        rows.append((100 + i, [0.0] * 4 + [1.0, 0.05 * (i % 3)] + [0.0] * 2))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(
+        corpus, queries, n_cells=4, n_probe=2, m=4, k_codes=4, k=10, n_train=64
+    )
+    got = [r["vec_id"] for r in out.collect()]
+    assert len(got) == 10
+    assert all(v < 100 for v in got)
+    out2 = ivfpq_topk(
+        corpus.repartition(5), queries,
+        n_cells=4, n_probe=2, m=4, k_codes=4, k=10, n_train=64,
+    )
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in out2.collect()]
