@@ -301,6 +301,41 @@ def upsert_events_merge_into(spark, sf_dir):
     return upsert_frames(base, new, ["event_id"])
 
 
+def versioned_upsert_events(spark, sf_dir):
+    """§2.9 through the VERSIONED writer
+    (operators/versioned.py::VersionedTable): the same 1/5-slice
+    doubled-click upsert contract as its three siblings (frames,
+    bucketed writer, engine MERGE INTO), executed as manifest commits
+    with file-level structural sharing — and the run-twice idempotency
+    here additionally leaves an AUDITED version chain (v1 seed, v2/v3
+    content-equal merges) with v1 still readable via time travel.
+    Oracle: identical to `upsert_events_merge_into`. Scratch per
+    process under $TMPDIR, rebuilt per invocation."""
+    import shutil
+    import tempfile
+
+    from ..operators.versioned import VersionedTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_vtab_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 5 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    new = base.where(F.col("event_type") == "click").withColumn(
+        "value", F.round(F.col("value") * 2, 2)
+    )
+    vt = VersionedTable(path, keys=["event_id"])
+    vt.overwrite(base)
+    vt.upsert(spark, new)
+    vt.upsert(spark, new)
+    return vt.read(spark).select("event_id", "event_type", "value")
+
+
 def upsert_events_writer(spark, sf_dir):
     """§2.9 — the same MERGE contract as ``upsert_events`` but through
     the WRITER path (bucket-partitioned parquet + dynamic partition
@@ -5410,6 +5445,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("upsert_events_writer", upsert_events_writer, _UPSERT_WRITER_SQL),
     QueryDef(
         "upsert_events_merge_into", upsert_events_merge_into, _UPSERT_MERGE_INTO_SQL
+    ),
+    QueryDef(
+        "versioned_upsert_events",
+        versioned_upsert_events,
+        _UPSERT_MERGE_INTO_SQL,
     ),
     QueryDef("sessionize_events", sessionize_events, _SESSIONS_SQL),
     QueryDef("event_type_pivot", event_type_pivot, _PIVOT_SQL),
