@@ -53,6 +53,9 @@ QUERIES = [
     "html_main_text",
     "hard_negative_candidates",
     "incremental_daily_events",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "incremental_neardup_batch",
 ]
 
 SCALES = {
