@@ -126,8 +126,16 @@ class MergeWriter:
         # a single MERGE INTO and the checkpoint disappears.)
         merged = merged.localCheckpoint(eager=True)
         # Dynamic overwrite replaces only partitions present in `merged`
-        # = exactly the touched buckets.
-        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path)
+        # = exactly the touched buckets. The mode is pinned as a
+        # WRITE-level option (overrides any session conf): on a foreign
+        # SparkSession without session.get_spark's dynamic default, a
+        # static overwrite would silently ERASE every untouched bucket.
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.path)
+        )
 
 
 def merge_into_sql(target: str, source: str, keys: Sequence[str]) -> str:

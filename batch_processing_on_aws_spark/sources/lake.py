@@ -29,10 +29,17 @@ from pyspark.sql import functions as F
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: Sequence[str], mode: str = "overwrite"
 ) -> None:
-    """Hive-style partitioned parquet write. With the session's
-    dynamic partitionOverwriteMode, ``overwrite`` replaces only the
-    partitions present in ``df`` — the idempotent re-run shape."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    """Hive-style partitioned parquet write. ``overwrite`` replaces
+    only the partitions present in ``df`` — the idempotent re-run
+    shape. The dynamic mode is pinned as a write-level option so the
+    contract holds on ANY session (a static overwrite on a foreign
+    session would erase the partitions the increment didn't touch)."""
+    (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def read_pruned(

@@ -225,3 +225,28 @@ def test_merge_into_reaches_capability_gate_without_provider(spark):
         assert leftovers == []
     finally:
         spark.sql("DROP TABLE IF EXISTS mi_capability_probe")
+
+
+def test_upsert_survives_static_overwrite_session(spark, tmp_path):
+    """Foreign-session hazard (round 6): MergeWriter.upsert's dynamic
+    partition overwrite is pinned as a WRITE-level option, so on a
+    session whose partitionOverwriteMode is the Spark default (static)
+    the untouched buckets still survive — previously they would have
+    been silently erased."""
+    from batch_processing_on_aws_spark.operators.merge import MergeWriter
+
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf, "dynamic")
+    spark.conf.set(conf, "static")
+    try:
+        w = MergeWriter(str(tmp_path / "t"), keys=["id"], n_buckets=8)
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "id long, val string"
+        )
+        w.overwrite(df)
+        w.upsert(spark, spark.createDataFrame([(0, "NEW")], "id long, val string"))
+        got = {(r["id"], r["val"]) for r in w.read(spark).collect()}
+        assert len(got) == 40                      # nothing erased
+        assert (0, "NEW") in got and (1, "v1") in got
+    finally:
+        spark.conf.set(conf, prev)
