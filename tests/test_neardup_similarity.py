@@ -469,3 +469,90 @@ def test_ivfpq_topk_cluster_structure_and_determinism(spark):
         n_cells=4, n_probe=2, m=4, k_codes=4, k=10, n_train=64,
     )
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in out2.collect()]
+
+
+def test_pq_batched_shortlist_equals_unbatched(spark):
+    """The per-Arrow-batch top-R emission (_batch_keep_mask) must not
+    change results: pq_topk over one batch (coalesce(1) — the whole
+    corpus passes a single keep-mask) and over many batches
+    (repartition(8) — each batch emits its own shortlist, the window
+    merges them) are row-identical, for both the raw ADC ranking
+    (refine=None) and the exact-rerank path. Round-6 verdict task 2:
+    the final window input is bounded by n_batches·R per query, never
+    corpus-sized."""
+    from batch_processing_on_aws_spark.operators.similarity import pq_topk
+    from batch_processing_on_aws_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for refine in (None, 50):
+        one = pq_topk(emb.coalesce(1), queries, k=10, refine=refine)
+        many = pq_topk(emb.repartition(8), queries, k=10, refine=refine)
+        assert [tuple(r) for r in one.collect()] == [
+            tuple(r) for r in many.collect()
+        ], f"batched/unbatched divergence at refine={refine}"
+
+
+def test_multiprobe_lsh_recall_dominates_home_bucket(spark):
+    """Multi-probe LSH (probe_radius>0) can only ADD candidate
+    buckets, so its recall must dominate the home-bucket-only run on
+    the same planes — and at the registry operating point (6 planes,
+    radius 4) it must clear the round-7 recall floor on the real
+    embeddings."""
+    from batch_processing_on_aws_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, queries, k=10).collect()}
+    planes = _deterministic_planes(n_planes=6, dim=64)
+    home = {(r["query_id"], r["vec_id"])
+            for r in lsh_topk(emb, queries, planes, k=10).collect()}
+    probed = {(r["query_id"], r["vec_id"])
+              for r in lsh_topk(
+                  emb, queries, planes, k=10, probe_radius=4
+              ).collect()}
+    home_recall = len(exact & home) / len(exact)
+    probed_recall = len(exact & probed) / len(exact)
+    assert probed_recall >= home_recall
+    assert probed_recall >= 0.5, f"multiprobe recall collapsed: {probed_recall}"
+
+
+def test_probe_masks_cover_hamming_ball():
+    """probe_masks(b, r) is exactly the Hamming ball of radius r:
+    Σ_{i≤r} C(b,i) distinct masks, each with ≤ r bits set, home
+    (mask 0) first."""
+    import math
+
+    from batch_processing_on_aws_spark.operators.similarity import probe_masks
+
+    for b, r in [(4, 1), (6, 4), (8, 2)]:
+        masks = probe_masks(b, r)
+        assert masks[0] == 0
+        assert len(masks) == len(set(masks))
+        assert len(masks) == sum(math.comb(b, i) for i in range(r + 1))
+        assert all(m < 2**b and bin(m).count("1") <= r for m in masks)
+
+
+def test_pq_refine_output_is_exact_cosine(spark):
+    """With refine, pq_topk's cos_sim column must equal the true
+    rounded cosine (brute_force_topk's value) for every returned
+    pair — the re-rank is EXACT on the shortlist, approximation only
+    decides shortlist membership."""
+    from batch_processing_on_aws_spark.operators.similarity import pq_topk
+    from batch_processing_on_aws_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"]): r["cos_sim"]
+             for r in brute_force_topk(emb, queries, k=500).collect()}
+    for r in pq_topk(emb, queries, k=10).collect():
+        key = (r["query_id"], r["vec_id"])
+        assert key in exact
+        assert r["cos_sim"] == exact[key], f"re-rank score drift at {key}"

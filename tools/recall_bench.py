@@ -38,6 +38,7 @@ APPROX = [
     "embedding_multilsh_topk",
     "embedding_ivf_topk",
     "embedding_pq_topk",
+    "embedding_ivfpq_topk",
 ]
 K = 10
 
@@ -85,21 +86,22 @@ def main() -> None:
                 f"min={min(recalls):.3f} ({secs}s; brute {exact_secs}s)",
                 flush=True,
             )
-    # Tuned-parameter variants (not registry queries): the fixture's
-    # true neighbors are WEAK (max cosine ≈ 0.40 on near-isotropic
-    # vectors), so recall at the registry parameters is bounded by the
-    # hyperplane collision probability at that similarity — e.g.
-    # cos 0.4 → per-plane p ≈ 0.63, 3 tables × 6 planes → ≈ 0.2
-    # candidate recall, which the numbers above reproduce. These
-    # variants document the knob that buys recall (more tables ×
-    # fewer planes; more IVF probes) and what it costs: candidate
-    # volume grows with the same parameters. At 100 TB you pick the
+    # Frontier variants (not registry queries): the registry DEFAULTS
+    # are now the high-recall operating points promoted by the round-6
+    # verdict (multi-probe LSH, 12 IVF probes, PQ/IVF-PQ with exact
+    # re-rank of the ADC shortlist). The fixture's true neighbors are
+    # WEAK (max cosine ≈ 0.40 on near-isotropic vectors) — the worst
+    # case for partition-based ANN, so high recall costs a large
+    # candidate fraction. These variants document the CHEAP end of the
+    # frontier (the r6 defaults) so the recall-vs-candidate-volume
+    # trade stays measured in both directions; at 100 TB you pick the
     # operating point from a table like this one.
     from pyspark.sql import functions as F  # noqa: E402
 
     from batch_processing_on_aws_spark.operators.similarity import (  # noqa: E402
         ivf_topk,
-        lsh_topk_multi,
+        lsh_topk,
+        pq_topk,
     )
     from batch_processing_on_aws_spark.plans.golden import (  # noqa: E402
         _deterministic_planes,
@@ -107,10 +109,6 @@ def main() -> None:
     from batch_processing_on_aws_spark.sources.readers import (  # noqa: E402
         load_table,
     )
-
-    def _multi_tables(n_tables: int, n_planes: int, dim: int = 64):
-        flat = _deterministic_planes(n_tables * n_planes, dim)
-        return [flat[t * n_planes:(t + 1) * n_planes] for t in range(n_tables)]
 
     for scale, sf_dir in SCALES.items():
         if scale not in report:
@@ -120,23 +118,20 @@ def main() -> None:
             F.col("vec_id").alias("query_id"), "embedding"
         )
         exact = _topk_sets(qs[EXACT](spark, sf_dir))
-        from batch_processing_on_aws_spark.operators.similarity import (  # noqa: E402
-            pq_topk,
-        )
 
         tuned = {
-            "multilsh_6x4": lambda: lsh_topk_multi(
-                emb, queries, _multi_tables(6, 4), k=K
+            # r6 registry defaults — the cheap/low-recall frontier end
+            "lsh_8p_home_only": lambda: lsh_topk(
+                emb, queries, _deterministic_planes(8, 64), k=K
             ),
-            "ivf_probe6": lambda: ivf_topk(
-                emb, queries, n_cells=16, n_probe=6, k=K
+            "ivf_probe3": lambda: ivf_topk(
+                emb, queries, n_cells=16, n_probe=3, k=K
             ),
-            # PQ's recall knob is BITS: m=16 subspaces (64-bit codes)
-            # vs the registry default m=8 (32-bit) — the sidecar's 10x
-            # row shows why code resolution must grow with the corpus
-            "pq_m16": lambda: pq_topk(emb, queries, m=16, k_codes=16, k=K),
+            "pq_m8_norefine": lambda: pq_topk(
+                emb, queries, m=8, k_codes=16, k=K, refine=None
+            ),
         }
-        report[scale]["tuned_variants"] = {}
+        report[scale]["frontier_variants"] = {}
         for name, mk in tuned.items():
             t0 = time.perf_counter()
             approx = _topk_sets(mk())
@@ -145,7 +140,7 @@ def main() -> None:
                 len(approx.get(q, set()) & hits) / max(len(hits), 1)
                 for q, hits in sorted(exact.items())
             ]
-            report[scale]["tuned_variants"][name] = {
+            report[scale]["frontier_variants"][name] = {
                 "mean": round(sum(recalls) / len(recalls), 3),
                 "min": round(min(recalls), 3),
                 "secs": secs,
