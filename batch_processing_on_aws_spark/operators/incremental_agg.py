@@ -87,18 +87,36 @@ class IncrementalAgg:
                 exprs.append(F.max(col).alias(out))
         return batch.groupBy(*self.keys).agg(*exprs)
 
+    def _key_cond(self, left: str, right: str):
+        cond = F.col(f"{left}.{self.keys[0]}").eqNullSafe(
+            F.col(f"{right}.{self.keys[0]}")
+        )
+        for k in self.keys[1:]:
+            cond = cond & F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
+        return cond
+
     def _merge(self, old: DataFrame, part: DataFrame) -> DataFrame:
         o = old.alias("o")
         p = part.alias("p")
-        joined = o.join(p, on=self.keys, how="full_outer")
+        # eqNullSafe: a name-list join is null-unsafe, so a NULL-key
+        # group would fork into two state rows instead of merging
+        joined = o.join(p, on=self._key_cond("o", "p"), how="full_outer")
         cols = [
             F.coalesce(*[F.col(f"{s}.{k}") for s in ("o", "p")]).alias(k)
             for k in self.keys
         ]
         for out, (kind, _) in self.aggs.items():
             a, b = F.col(f"o.{out}"), F.col(f"p.{out}")
-            if kind in ("sum", "count"):
+            if kind == "count":
                 merged = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+            elif kind == "sum":
+                # NULL iff both partials are NULL — SQL SUM over an
+                # all-NULL group is NULL, and the incremental state
+                # must agree with a full recompute bit-for-bit; a bare
+                # coalesce-to-0 merge would yield 0 instead
+                merged = F.when(
+                    a.isNull() & b.isNull(), F.lit(None)
+                ).otherwise(F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)))
             elif kind == "min":
                 merged = F.least(F.coalesce(a, b), F.coalesce(b, a))
             else:  # max
@@ -107,17 +125,46 @@ class IncrementalAgg:
         return joined.select(*cols)
 
     def apply_batch(self, spark: SparkSession, batch: DataFrame) -> None:
-        """Fold one append-only batch into the stored aggregate."""
+        """Fold one append-only batch into the stored aggregate.
+
+        Touched-groups-only (round-6 verdict task 3): the stored state
+        is read with partition pruning to the buckets the batch's
+        groups hash into, then SEMI-JOINED to the batch's group keys —
+        so the merge input, the merged frame, and the upsert are all
+        O(touched groups), never O(|state|). Untouched groups' parquet
+        files are not read and not rewritten (byte-identical across a
+        refresh — pinned by test_untouched_buckets_not_rewritten);
+        per-refresh cost is O(batch) + the keyed merge on touched
+        groups, which is what makes daily upkeep of a per-user/
+        per-domain aggregate viable at 100 TB.
+        """
+        from .merge import BUCKET_COL
+
         part = self._partial(batch)
-        if self.writer._exists(spark):
-            state = self._merge(self.writer.read(spark), part)
-            # the merged state covers every group present on either
-            # side, so upsert semantics reduce to overwrite of the
-            # touched buckets; localCheckpoint cuts the self-read
-            # lineage before MergeWriter rewrites the files
-            self.writer.upsert(spark, state.localCheckpoint())
-        else:
+        if not self.writer._exists(spark):
             self.writer.overwrite(part)
+            return
+        # prune state read to the buckets the batch can touch, then
+        # keep only the exact touched groups within those buckets
+        part_b = self.writer._bucketed(part)
+        touched = [
+            r[BUCKET_COL]
+            for r in part_b.select(BUCKET_COL).distinct().collect()
+        ]
+        old = (
+            spark.read.parquet(self.writer.path)
+            .where(F.col(BUCKET_COL).isin(touched))
+            .drop(BUCKET_COL)
+        )
+        old_touched = old.alias("o").join(
+            part.select(*self.keys).alias("p"),
+            on=self._key_cond("o", "p"),
+            how="left_semi",
+        )
+        state = self._merge(old_touched, part)
+        # localCheckpoint cuts the self-read lineage before
+        # MergeWriter rewrites the touched buckets underneath it
+        self.writer.upsert(spark, state.localCheckpoint())
 
     def read(self, spark: SparkSession) -> DataFrame:
         return self.writer.read(spark)
