@@ -68,12 +68,14 @@ def page_rank(
     n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
     out_deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
     out_deg = out_deg.localCheckpoint()
-    # static sink set (nodes with no out-edges), computed once
-    sinks = F.broadcast(
-        nodes.join(
-            out_deg.withColumnRenamed("__s", "node"), "node", "left_anti"
-        ).localCheckpoint()
-    )
+    # static sink set (nodes with no out-edges), computed once. NO
+    # broadcast hint: dangling nodes are commonly 20-40% of a real
+    # crawl graph, i.e. node-scale — a forced broadcast would risk
+    # OOM at exactly the scale this operator targets. AQE picks a
+    # broadcast join on its own when the set is actually small.
+    sinks = nodes.join(
+        out_deg.withColumnRenamed("__s", "node"), "node", "left_anti"
+    ).localCheckpoint()
     ranks = nodes.crossJoin(n_df).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )

@@ -244,7 +244,13 @@ def curate_corpus(
         if "bench_id" not in bench.columns:
             bench = bench.withColumnRenamed("vec_id", "bench_id")
         bench = bench.select("bench_id", "embedding")
-        dim = len(bench.select("embedding").head()["embedding"])  # 1 row
+        head = bench.select("embedding").head()  # 1 row
+        if head is None or head["embedding"] is None:
+            raise ValueError(
+                f"semantic-decontam benchmark {semantic_decontam_bench!r} "
+                "is empty or has no embedding values"
+            )
+        dim = len(head["embedding"])
         corpus_vecs = load_table(spark, sf_dir, "embeddings")
         corpus = remove_semantic_contaminated(
             corpus,

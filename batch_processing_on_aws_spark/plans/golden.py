@@ -2953,6 +2953,83 @@ def supplier_pagerank(spark, sf_dir):
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
+def pagerank_skipring_exact(spark, sf_dir):
+    """Hash-exact oracle twin for the PageRank implementation
+    (round-6 verdict task 4: the driver sampled ``supplier_pagerank``
+    and could only record rows-only — this companion runs the SAME
+    ``page_rank`` operator on a graph designed so the float
+    fixed-point IS bit-portable, giving the implementation a
+    triple-green row).
+
+    Graph: a skip-ring over the 25 nation keys — every node links to
+    (node+1) mod n, even nodes additionally to (node+2) mod n. Two
+    properties make the 10-iteration result engine-exact rather than
+    partial-sum-order-dependent:
+
+    * every node's in-degree is ≤ 2, and IEEE-754 addition of TWO
+      values is commutative — so Spark's hash-aggregate may combine
+      the contributions in any partitioning and still produce the
+      identical double, which a DuckDB recursive CTE reproduces
+      bit-for-bit by replaying the same (1−d)/n + d·(Σin + dang/n)
+      expression tree;
+    * out-degrees differ (even 2, odd 1), so ranks genuinely diverge
+      from uniform — this is not the degenerate regular-graph fixed
+      point; and there are no sinks, so the dangling term is exactly
+      +0.0 (an IEEE no-op) in both engines.
+
+    Final rounding to 6 decimals is belt-and-braces only.
+    """
+    from ..operators.graph import page_rank
+
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").cast("long").alias("node"))
+    n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    base = nodes.crossJoin(n_df)
+    e1 = base.select(
+        F.col("node").alias("src"),
+        ((F.col("node") + 1) % F.col("__n")).alias("dst"),
+    )
+    e2 = base.where(F.col("node") % 2 == 0).select(
+        F.col("node").alias("src"),
+        ((F.col("node") + 2) % F.col("__n")).alias("dst"),
+    )
+    ranks = page_rank(e1.unionAll(e2), n_iter=10, damping=0.85)
+    return ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
+_PAGERANK_SKIPRING_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+edges AS (
+  SELECT node AS src, (node + 1) % (SELECT n FROM cnt) AS dst FROM nodes
+  UNION ALL
+  SELECT node, (node + 2) % (SELECT n FROM cnt) FROM nodes WHERE node % 2 = 0
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+pr(it, node, rank) AS (
+  SELECT 0, node, 1.0 / (SELECT n FROM cnt) FROM nodes
+  UNION ALL
+  SELECT pr.it + 1, pr.node,
+         (1.0 - 0.85) / (SELECT n FROM cnt)
+         + 0.85 * (
+             COALESCE((SELECT SUM(p2.rank / d.deg)
+                       FROM pr p2
+                       JOIN edges e ON e.src = p2.node
+                       JOIN deg d ON d.src = p2.node
+                       WHERE e.dst = pr.node), 0.0)
+             + 0.0 / (SELECT n FROM cnt))
+  FROM pr WHERE pr.it < 10
+)
+SELECT node, ROUND(rank, 6) AS rank
+FROM pr WHERE it = 10
+ORDER BY node
+"""
+
+
 def source_temperature_weights(spark, sf_dir):
     """Temperature-scaled mixture weights (operators/sampling.py::
     temperature_weights, τ=2): per-source token shares flattened by
@@ -5482,8 +5559,15 @@ QUERIES: list[QueryDef] = [
             "redistribution is a float fixed-point whose partial-sum "
             "order is engine-internal — no bit-portable SQL twin; "
             "correctness is pinned against closed forms and a NumPy "
-            "power-iteration reference in tests/test_graph.py"
+            "power-iteration reference in tests/test_graph.py, and "
+            "the implementation itself is hash-exact-oracled by the "
+            "companion query pagerank_skipring_exact"
         ),
+    ),
+    QueryDef(
+        "pagerank_skipring_exact",
+        pagerank_skipring_exact,
+        _PAGERANK_SKIPRING_SQL,
     ),
     QueryDef(
         "customer_spend_quartiles", customer_spend_quartiles, _QUARTILES_SQL

@@ -145,7 +145,13 @@ def main() -> int:
                 "spark_rows": len(s_rows),
                 "oracle_rows": None,
                 "err": None,
-                "note": f"rows-only: {reasons[name]}",
+                # .get(): an UNDOCUMENTED oracle-less query is already
+                # failed by the registry gate above — raising KeyError
+                # here would abort the run and lose the report for
+                # every remaining query
+                "note": "rows-only: " + reasons.get(
+                    name, "UNDOCUMENTED (see registry gate failure)"
+                ),
             }
             print(f"ok?  {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             continue
