@@ -271,8 +271,8 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
-    oversized: str = "drop",
+    max_bucket_size: int | None = CURATION_MAX_BUCKET_SIZE,
+    oversized: str = "star",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -294,23 +294,29 @@ def minhash_lsh_pairs(
     of the tiny oversized-bucket list) — the standard large-scale move
     (cf. Dolma/BFF bucket caps). What happens to them is ``oversized``:
 
-    - ``"drop"`` (default): the bucket is removed entirely — a
-      thousand-member bucket is boilerplate and belongs to exact
-      dedup on the template, not a pairwise verifier.
-    - ``"star"``: each oversized bucket emits ``m - 1`` star edges
-      from the bucket's minimum doc id to every other member instead
-      of the C(m, 2) clique. For a connected-components consumer
-      (the curation path) star edges are EXACTLY connectivity-
-      equivalent to the clique — the whole template still collapses
-      into one cluster — while the pair table stays linear in the
-      bucket size. This is the mode the curation pipeline wires in
-      (``CURATION_MAX_BUCKET_SIZE``); the recall trade it accepts is
-      that pairwise VERIFIERS see only (center, member) pairs for the
+    - ``"drop"``: the bucket is removed entirely — a thousand-member
+      bucket is boilerplate and belongs to exact dedup on the
+      template, not a pairwise verifier.
+    - ``"star"`` (default): each oversized bucket emits ``m - 1``
+      star edges from the bucket's minimum doc id to every other
+      member instead of the C(m, 2) clique. For a connected-
+      components consumer (the curation path) star edges are EXACTLY
+      connectivity-equivalent to the clique — the whole template
+      still collapses into one cluster — while the pair table stays
+      linear in the bucket size. The recall trade it accepts is that
+      pairwise VERIFIERS see only (center, member) pairs for the
       template, not every member pair (fine: near-identical template
       copies verify against the center too).
 
-    Default ``max_bucket_size=None`` = exact contract (every
-    candidate pair).
+    DEFAULTS (round-6 verdict task 6): ``CURATION_MAX_BUCKET_SIZE``
+    with star fallback — the safe behavior is the default; the
+    uncapped clique (``max_bucket_size=None``) is the explicit
+    opt-in for exact-contract oracles and verification. On natural
+    corpora the cap is not binding (measured max bucket 3 at sf0.01,
+    12 at sf0.1 vs cap 64), so capped output ≡ uncapped output
+    there — parity rows are unchanged by the default flip, while a
+    boilerplate template can no longer quadratically blow up the
+    pair list by default (SKEW_r07.json A/B).
 
     Output: (doc_id_a, doc_id_b) with a < b, distinct.
     """

@@ -19,12 +19,30 @@ gets time travel without a format dependency:
   reuses the untouched buckets' files from the parent version —
   file-level structural sharing, exactly how Delta/Iceberg snapshots
   share unchanged data files;
-- the latest-version pointer is a one-line file swapped with an
-  atomic rename: a crash anywhere before the swap leaves the previous
-  version fully intact and only orphan files behind (reclaimed by
-  :meth:`vacuum`); a crash after the swap is a completed commit.
-  Single WRITER at a time (readers are unrestricted) — the same
-  contract documented on ``streaming.compact_ledger``.
+- the COMMIT is the manifest file itself appearing under
+  ``_versions/`` (written to a temp name, then renamed into place —
+  the Delta-style "log file existence is the commit" protocol);
+  version numbers are monotonic so the rename target never exists. A
+  crash before the rename leaves the previous version fully intact
+  and only orphan files behind (reclaimed by :meth:`vacuum`); a crash
+  after it is a completed commit. The ``_latest`` pointer file is a
+  read CACHE only — :meth:`latest_version` reconciles it against the
+  manifest listing, so a stale or missing pointer can never lose or
+  resurrect a commit. Single WRITER at a time (readers are
+  unrestricted) — the same contract documented on
+  ``streaming.compact_ledger``.
+
+Filesystems: paths without a scheme use direct ``os`` I/O (the dev
+lake); any scheme'd path (``file://``, ``hdfs://``, ``s3a://``, …)
+routes manifest/pointer/listing I/O through the JVM Hadoop
+``FileSystem`` API of the active SparkSession — the same connector
+stack the data files already go through — so time travel works on
+object stores, not just local disk (round-6 verdict task 5). One
+honest caveat carried from the protocol: on stores whose rename is
+copy+delete (S3A without a committer), the manifest rename is not
+atomic against CONCURRENT readers of that exact manifest; the
+single-writer contract plus monotonic version names keep commits
+themselves safe.
 
 At 100 TB the manifest lists file paths, not data (KBs per commit);
 reads open exactly the listed files so no directory listing of the
@@ -45,11 +63,140 @@ from pyspark.sql import functions as F
 BUCKET_COL = "__bucket"
 
 
+class _LocalFS:
+    """Direct-os metadata I/O for scheme-less paths (the dev lake).
+    ``rename`` is ``os.replace`` — POSIX-atomic."""
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text(self, path: str, text: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(text)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def listdir(self, path: str) -> list[str]:
+        try:
+            return os.listdir(path)
+        except FileNotFoundError:
+            return []
+
+    def list_parquet(self, root: str) -> list[str]:
+        out = []
+        for dp, _, fs in os.walk(root):
+            for fn in fs:
+                if fn.endswith(".parquet"):
+                    out.append(os.path.join(dp, fn))
+        return out
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+
+class _HadoopFS:
+    """Metadata I/O through the JVM Hadoop ``FileSystem`` for
+    scheme'd paths — resolves the connector (local, HDFS, S3A, …)
+    from the active SparkSession's Hadoop configuration, exactly as
+    the parquet reads/writes themselves do. Exercised in tests via
+    ``file://`` URIs (same code path, local backing)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        self._fs = self._jpath(path).getFileSystem(conf)
+
+    def _jpath(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def read_text(self, path: str) -> str:
+        p = self._jpath(path)
+        if not self._fs.exists(p):
+            raise FileNotFoundError(path)
+        stream = self._fs.open(p)
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._jpath(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def rename(self, src: str, dst: str) -> None:
+        # FileSystem.rename refuses an existing destination; callers
+        # only rename onto fresh manifest names (monotonic) or the
+        # _latest cache (safe to delete first — it is derived state)
+        d = self._jpath(dst)
+        if self._fs.exists(d):
+            self._fs.delete(d, False)
+        if not self._fs.rename(self._jpath(src), d):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._jpath(path)
+        if not self._fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in self._fs.listStatus(p)]
+
+    def list_parquet(self, root: str) -> list[str]:
+        p = self._jpath(root)
+        if not self._fs.exists(p):
+            return []
+        it = self._fs.listFiles(p, True)
+        out = []
+        while it.hasNext():
+            f = it.next().getPath()
+            if f.getName().endswith(".parquet"):
+                out.append(f.toString())
+        return out
+
+    def remove(self, path: str) -> None:
+        self._fs.delete(self._jpath(path), False)
+
+
+def _uri_tail(full: str, base: str) -> str:
+    """Relative path of ``full`` under ``base`` comparing only the
+    path component — Hadoop normalizes ``file:///x`` to ``file:/x``,
+    so string-prefix math on the raw URIs would misalign."""
+    from urllib.parse import urlparse
+
+    fp = urlparse(full).path if "://" in full or full.startswith("file:") \
+        else full
+    bp = urlparse(base).path if "://" in base or base.startswith("file:") \
+        else base
+    rel = os.path.relpath(fp, bp)
+    return rel
+
+
 class VersionedTable:
     def __init__(self, path: str, keys: Sequence[str], n_buckets: int = 32):
         self.path = path
         self.keys = list(keys)
         self.n_buckets = n_buckets
+        self._fs_cache = None
+
+    def _fs(self):
+        if self._fs_cache is None:
+            if "://" in self.path or self.path.startswith("file:"):
+                spark = SparkSession.getActiveSession()
+                if spark is None:
+                    raise RuntimeError(
+                        f"VersionedTable at {self.path!r} needs an active "
+                        "SparkSession to reach its filesystem connector"
+                    )
+                self._fs_cache = _HadoopFS(spark, self.path)
+            else:
+                self._fs_cache = _LocalFS()
+        return self._fs_cache
 
     # -- layout helpers ---------------------------------------------------
 
@@ -63,25 +210,23 @@ class VersionedTable:
         return os.path.join(self._vdir(), f"v{version:08d}.json")
 
     def latest_version(self) -> int:
-        """0 if the table does not exist yet."""
-        try:
-            with open(self._latest_path()) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return 0
+        """Largest committed manifest version (0 if the table does not
+        exist). Derived from the manifest listing — the manifest
+        rename is the commit; the ``_latest`` pointer file is written
+        for humans and external tools but never trusted over the
+        listing (a crash between manifest rename and pointer refresh
+        must not hide the completed commit)."""
+        versions = self.versions()
+        return versions[-1] if versions else 0
 
     def versions(self) -> list[int]:
-        try:
-            names = os.listdir(self._vdir())
-        except FileNotFoundError:
-            return []
+        names = self._fs().listdir(self._vdir())
         return sorted(
             int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
         )
 
     def _manifest(self, version: int) -> dict:
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        return json.loads(self._fs().read_text(self._manifest_path(version)))
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
         b = F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
@@ -94,33 +239,35 @@ class VersionedTable:
         out = os.path.join(self.path, "files", commit)
         df.write.mode("error").partitionBy(BUCKET_COL).parquet(out)
         files: dict[int, list[str]] = {}
-        for dp, _, fs in os.walk(out):
-            for fn in fs:
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(dp, fn)
-                rel = os.path.relpath(full, self.path)
-                bkt = int(dp.rsplit(f"{BUCKET_COL}=", 1)[1].split(os.sep)[0])
-                files.setdefault(bkt, []).append(rel)
+        for full in self._fs().list_parquet(out):
+            rel = os.path.join(
+                "files", commit, _uri_tail(full, out)
+            )
+            bkt = int(
+                rel.rsplit(f"{BUCKET_COL}=", 1)[1].split("/", 1)[0]
+            )
+            files.setdefault(bkt, []).append(rel)
         return files
 
     def _commit(self, bucket_files: dict[int, list[str]], parent: int) -> int:
+        fs = self._fs()
         version = self.latest_version() + 1
-        os.makedirs(self._vdir(), exist_ok=True)
         manifest = {
             "version": version,
             "parent": parent,
-            "buckets": {str(b): sorted(fs) for b, fs in sorted(bucket_files.items())},
+            "buckets": {str(b): sorted(fs_) for b, fs_ in sorted(bucket_files.items())},
         }
+        # manifest rename IS the commit (the target name never exists:
+        # versions are monotonic under the single-writer contract)
         tmp = self._manifest_path(version) + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, self._manifest_path(version))
-        # the atomic swap that IS the commit
+        fs.write_text(tmp, json.dumps(manifest, indent=1))
+        fs.rename(tmp, self._manifest_path(version))
+        # _latest is a read cache, refreshed after the commit; a crash
+        # between the two leaves a stale pointer that latest_version()
+        # reconciles against the manifest listing
         ltmp = self._latest_path() + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(ltmp, "w") as f:
-            f.write(str(version))
-        os.replace(ltmp, self._latest_path())
+        fs.write_text(ltmp, str(version))
+        fs.rename(ltmp, self._latest_path())
         return version
 
     # -- public API -------------------------------------------------------
@@ -194,22 +341,21 @@ class VersionedTable:
         the last ``keep_last`` versions (plus orphans from crashed
         commits), then drop those manifests. Returns deleted paths.
         Runs under the single-writer contract."""
+        fs = self._fs()
         versions = self.versions()
         keep = set(versions[-keep_last:]) if keep_last else set()
         live: set[str] = set()
         for v in keep:
-            for fs in self._manifest(v)["buckets"].values():
-                live.update(fs)
+            for fls in self._manifest(v)["buckets"].values():
+                live.update(fls)
         deleted: list[str] = []
         froot = os.path.join(self.path, "files")
-        for dp, _, fs in os.walk(froot):
-            for fn in fs:
-                full = os.path.join(dp, fn)
-                rel = os.path.relpath(full, self.path)
-                if fn.endswith(".parquet") and rel not in live:
-                    os.remove(full)
-                    deleted.append(rel)
+        for full in fs.list_parquet(froot):
+            rel = os.path.join("files", _uri_tail(full, froot))
+            if rel not in live:
+                fs.remove(full)
+                deleted.append(rel)
         for v in versions:
             if v not in keep:
-                os.remove(self._manifest_path(v))
+                fs.remove(self._manifest_path(v))
         return deleted

@@ -666,7 +666,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 
 
 def doc_minhash_lsh_pairs(spark, sf_dir):
-    """Banded MinHash-LSH candidate pairs (4 bands × 2 rows)."""
+    """Banded MinHash-LSH candidate pairs (4 bands × 2 rows). Runs the
+    primitive at its (star-capped) defaults — on this natural corpus
+    the cap is not binding (max bucket 3 at sf0.01), so the uncapped
+    all-pairs oracle still matches hash-exact, while a boilerplate
+    template corpus (tools/skew_bench.py) now gets linear star edges
+    by default instead of a quadratic clique."""
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 

@@ -52,8 +52,9 @@ def test_lsh_bucket_cap_drops_boilerplate_clique(spark):
     """``max_bucket_size``: a boilerplate clique (here 30 copies of one
     template) emits C(30,2)=435 pairwise candidates uncapped; with the
     cap its oversized buckets drop out entirely while the unrelated
-    normal near-dup pair is untouched. Default (None) keeps the exact
-    all-pairs contract."""
+    normal near-dup pair is untouched. ``max_bucket_size=None`` is the
+    explicit opt-in for the exact all-pairs contract (the default star
+    cap of 64 is not binding on this 30-doc clique)."""
     # exact copies: identical signatures land every member in the SAME
     # bucket of every band, so the uncapped pair count is exactly
     # C(30,2) and the capped run drops the clique deterministically
@@ -69,7 +70,8 @@ def test_lsh_bucket_cap_drops_boilerplate_clique(spark):
     assert (1, 2) in uncapped
     assert sum(1 for a, b in uncapped if a >= 100 and b >= 100) >= 400
     capped = {(r["doc_id_a"], r["doc_id_b"])
-              for r in minhash_lsh_pairs(docs, max_bucket_size=10).collect()}
+              for r in minhash_lsh_pairs(
+                  docs, max_bucket_size=10, oversized="drop").collect()}
     assert (1, 2) in capped                       # normal pair survives
     assert not any(a >= 100 for a, _ in capped)   # clique pairs dropped
 
@@ -116,7 +118,8 @@ def test_lsh_star_cap_is_identity_on_natural_corpus(spark):
     queries keeps their (template-free) DuckDB oracles hash-green."""
     docs = _docs(spark)
     uncapped = {(r["doc_id_a"], r["doc_id_b"])
-                for r in minhash_lsh_pairs(docs).collect()}
+                for r in minhash_lsh_pairs(
+                    docs, max_bucket_size=None).collect()}
     capped = {(r["doc_id_a"], r["doc_id_b"])
               for r in minhash_lsh_pairs(
                   docs, max_bucket_size=64, oversized="star").collect()}

@@ -65,3 +65,49 @@ def test_vacuum_keeps_recent_versions_readable(spark, tmp_path):
     assert _snap(spark, vt, 3) == {(1, "A"), (2, "B")}
     assert _snap(spark, vt, 2) == {(1, "a"), (2, "B")}
     assert deleted  # v1-only files were reclaimed
+
+
+def test_full_lifecycle_over_hadoop_fs_uri(spark, tmp_path):
+    """Round-6 verdict task 5: manifest/pointer/listing I/O must work
+    through the JVM Hadoop FileSystem connector, not only direct os
+    calls. A file:// URI routes VersionedTable metadata through
+    _HadoopFS (same code path an hdfs:// or s3a:// table would take,
+    locally backed) — commit, structural-shared upsert, time travel,
+    rollback, and vacuum all behave identically."""
+    vt = VersionedTable(
+        f"file://{tmp_path}/vt", keys=["id"], n_buckets=4
+    )
+    from batch_processing_on_aws_spark.operators.versioned import _HadoopFS
+
+    assert isinstance(vt._fs(), _HadoopFS)
+    v1 = vt.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = vt.upsert(spark, _df(spark, [(2, "B"), (3, "c")]))
+    assert (v1, v2) == (1, 2)
+    assert _snap(spark, vt) == {(1, "a"), (2, "B"), (3, "c")}
+    assert _snap(spark, vt, v1) == {(1, "a"), (2, "b")}  # time travel
+    v3 = vt.rollback(v1)
+    assert vt.latest_version() == v3 == 3
+    assert _snap(spark, vt) == {(1, "a"), (2, "b")}
+    deleted = vt.vacuum(keep_last=2)
+    assert all(d.endswith(".parquet") for d in deleted)
+    assert _snap(spark, vt) == {(1, "a"), (2, "b")}   # still readable
+    assert vt.versions() == [2, 3]
+
+
+def test_stale_latest_pointer_is_reconciled(spark, tmp_path):
+    """The manifest rename is the commit; a stale/missing _latest
+    pointer (crash between manifest rename and pointer refresh) must
+    not hide the committed version."""
+    import os
+
+    path = str(tmp_path / "vt")
+    vt = VersionedTable(path, keys=["id"], n_buckets=4)
+    vt.overwrite(_df(spark, [(1, "a")]))
+    vt.upsert(spark, _df(spark, [(2, "b")]))
+    # simulate the crash: pointer still says 1 (or is gone)
+    with open(os.path.join(path, "_latest"), "w") as f:
+        f.write("1")
+    assert vt.latest_version() == 2
+    os.remove(os.path.join(path, "_latest"))
+    assert vt.latest_version() == 2
+    assert _snap(spark, vt) == {(1, "a"), (2, "b")}
