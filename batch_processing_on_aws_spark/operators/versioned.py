@@ -163,6 +163,20 @@ class _HadoopFS:
         self._fs.delete(self._jpath(path), False)
 
 
+def _changed_buckets(mf_a: dict, mf_b: dict) -> list[str]:
+    """Buckets whose file LISTS differ between two manifests. Because
+    commits share untouched buckets' files with their parent
+    (structural sharing), an identical file list proves the bucket's
+    DATA is identical — no read needed to know nothing changed there.
+    This is what makes :meth:`VersionedTable.changes` O(changed
+    buckets), not O(table): the manifest diff is metadata-only."""
+    return [
+        b
+        for b in sorted(set(mf_a) | set(mf_b), key=int)
+        if sorted(mf_a.get(b, [])) != sorted(mf_b.get(b, []))
+    ]
+
+
 def _uri_tail(full: str, base: str) -> str:
     """Relative path of ``full`` under ``base`` comparing only the
     path component — Hadoop normalizes ``file:///x`` to ``file:/x``,
@@ -327,6 +341,113 @@ class VersionedTable:
         if not paths:
             raise ValueError(f"version {v} is empty")
         return spark.read.parquet(*paths)
+
+    def delete(self, spark: SparkSession, condition) -> int:
+        """SQL-DELETE semantics as a NEW version: drop the rows where
+        ``condition`` is TRUE (NULL-predicate rows are KEPT, matching
+        ANSI DELETE), rewriting ONLY the buckets that contain a
+        matching row — untouched buckets stay file-shared with the
+        parent. Two passes, both bounded: a predicate scan over the
+        current snapshot to find the touched buckets (inherent for an
+        arbitrary predicate — there is no index; Parquet min/max
+        pushdown still applies), then a survivor rewrite that reads
+        ONLY the touched buckets' files."""
+        parent = self.latest_version()
+        if parent == 0:
+            raise ValueError("delete on a table with no committed version")
+        manifest = self._manifest(parent)["buckets"]
+        cond = condition.cast("boolean")
+        cur = self._bucketed(self.read(spark, parent))
+        touched = [
+            r[BUCKET_COL]
+            for r in cur.where(cond).select(BUCKET_COL).distinct().collect()
+        ]
+        if not touched:
+            # audited no-op: a fresh manifest sharing every file
+            return self._commit(
+                {int(b): list(fs) for b, fs in manifest.items()}, parent
+            )
+        touched_files = [
+            os.path.join(self.path, f)
+            for b in touched
+            for f in manifest.get(str(b), [])
+        ]
+        survivors = self._bucketed(spark.read.parquet(*touched_files)).where(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        survivors = survivors.localCheckpoint(eager=True)
+        files = self._write_commit(survivors)
+        combined = {
+            int(b): list(fs)
+            for b, fs in manifest.items()
+            if int(b) not in set(touched)
+        }
+        # a bucket whose rows were ALL deleted writes no files: it
+        # must still drop out of the manifest, so start from the
+        # shared set and add only what the survivor write produced
+        combined.update(files)
+        return self._commit(combined, parent)
+
+    def changes(
+        self, spark: SparkSession, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Row-level change feed between two committed versions (CDC —
+        the ``table_changes`` read Delta/Iceberg expose): one row per
+        key whose state differs, ``change_type`` ∈ insert / update /
+        delete, with ``old_<col>`` / ``new_<col>`` values.
+
+        Scale shape: the manifest diff (metadata-only,
+        :func:`_changed_buckets`) proves any bucket with an identical
+        file list is unchanged — structural sharing means upserts and
+        deletes copy untouched buckets' file lists verbatim — so ONLY
+        differing buckets are read on either side. A CDC read after a
+        small upsert costs O(touched buckets), never O(table). Within
+        the differing buckets a null-safe full-outer join on the keys
+        classifies each row; carried-over rows that were rewritten
+        with identical values are filtered out (value-equal ⇒ not a
+        change)."""
+        mf_a = self._manifest(v_from)["buckets"]
+        mf_b = self._manifest(v_to)["buckets"]
+        diff = _changed_buckets(mf_a, mf_b)
+        a_files = [
+            os.path.join(self.path, f) for b in diff for f in mf_a.get(b, [])
+        ]
+        b_files = [
+            os.path.join(self.path, f) for b in diff for f in mf_b.get(b, [])
+        ]
+
+        def side(files, other):
+            if files:
+                return spark.read.parquet(*files)
+            if other:
+                return spark.read.parquet(*other).limit(0)
+            return self.read(spark, v_to).limit(0)  # schema-only probe
+
+        old = side(a_files, b_files)
+        new = side(b_files, a_files)
+        val_cols = [
+            c for c in old.columns
+            if c not in self.keys and c != BUCKET_COL
+        ]
+        o = old.select(*self.keys, *val_cols).withColumn("__o", F.lit(1))
+        n = new.select(*self.keys, *val_cols).withColumn("__n", F.lit(1))
+        on = [o[k].eqNullSafe(n[k]) for k in self.keys]
+        j = o.join(n, on, "full_outer")
+        same = F.lit(True)
+        for c in val_cols:
+            same = same & o[c].eqNullSafe(n[c])
+        change = (
+            F.when(o["__o"].isNull(), F.lit("insert"))
+            .when(n["__n"].isNull(), F.lit("delete"))
+            .when(~same, F.lit("update"))
+        )
+        sel = (
+            [F.coalesce(o[k], n[k]).alias(k) for k in self.keys]
+            + [change.alias("change_type")]
+            + [o[c].alias(f"old_{c}") for c in val_cols]
+            + [n[c].alias(f"new_{c}") for c in val_cols]
+        )
+        return j.select(*sel).where(F.col("change_type").isNotNull())
 
     def rollback(self, to_version: int) -> int:
         """Restore an old state as a NEW version (no files move — the

@@ -336,6 +336,98 @@ def versioned_upsert_events(spark, sf_dir):
     return vt.read(spark).select("event_id", "event_type", "value")
 
 
+def versioned_changes_feed(spark, sf_dir):
+    """CDC change feed over the versioned table
+    (operators/versioned.py::VersionedTable.changes — the
+    ``table_changes`` read Delta/Iceberg expose): seed v1 with the
+    1/5-slice of events, commit v2 as an upsert that UPDATES the
+    doubled clicks and INSERTS a disjoint 1/5-slice of views, commit
+    v3 as a DELETE of the ``event_id % 10 = 5`` keys — then emit the
+    v1→v2 and v2→v3 feeds union'd with a ``leg`` tag. Covers all
+    three change types through the real DML ops; the manifest diff
+    means each leg reads only the buckets its commit touched.
+    Oracle: DuckDB replays both states and both diffs with null-safe
+    IS DISTINCT FROM joins."""
+    import shutil
+    import tempfile
+
+    from ..operators.versioned import VersionedTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_vtab_cdc_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events")
+    base = events.where(F.col("event_id") % 5 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    inc = base.where(F.col("event_type") == "click").withColumn(
+        "value", F.round(F.col("value") * 2, 2)
+    ).unionByName(
+        events.where(
+            (F.col("event_id") % 5 == 1) & (F.col("event_type") == "view")
+        ).select("event_id", "event_type", "value")
+    )
+    vt = VersionedTable(path, keys=["event_id"])
+    v1 = vt.overwrite(base)
+    v2 = vt.upsert(spark, inc)
+    v3 = vt.delete(spark, F.col("event_id") % 10 == 5)
+    fwd = vt.changes(spark, v1, v2).withColumn("leg", F.lit("v1_v2"))
+    bwd = vt.changes(spark, v2, v3).withColumn("leg", F.lit("v2_v3"))
+    return fwd.unionByName(bwd).select(
+        "leg", "event_id", "change_type",
+        "old_event_type", "new_event_type", "old_value", "new_value",
+    )
+
+
+_VERSIONED_CDC_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 5 = 0
+),
+inc AS (
+  SELECT event_id, event_type, ROUND(value * 2, 2) AS value
+  FROM base WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, event_type, value FROM events
+  WHERE event_id % 5 = 1 AND event_type = 'view'
+),
+v2 AS (
+  SELECT * FROM inc
+  UNION ALL
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.event_id = b.event_id)
+),
+v3 AS (SELECT * FROM v2 WHERE NOT COALESCE(event_id % 10 = 5, FALSE)),
+fwd AS (
+  SELECT 'v1_v2' AS leg,
+         COALESCE(o.event_id, n.event_id) AS event_id,
+         CASE WHEN o.event_id IS NULL THEN 'insert'
+              WHEN n.event_id IS NULL THEN 'delete'
+              WHEN (o.event_type IS DISTINCT FROM n.event_type)
+                OR (o.value IS DISTINCT FROM n.value) THEN 'update'
+         END AS change_type,
+         o.event_type AS old_event_type, n.event_type AS new_event_type,
+         o.value AS old_value, n.value AS new_value
+  FROM base o FULL OUTER JOIN v2 n ON o.event_id = n.event_id
+),
+bwd AS (
+  SELECT 'v2_v3' AS leg,
+         COALESCE(o.event_id, n.event_id) AS event_id,
+         CASE WHEN o.event_id IS NULL THEN 'insert'
+              WHEN n.event_id IS NULL THEN 'delete'
+              WHEN (o.event_type IS DISTINCT FROM n.event_type)
+                OR (o.value IS DISTINCT FROM n.value) THEN 'update'
+         END AS change_type,
+         o.event_type AS old_event_type, n.event_type AS new_event_type,
+         o.value AS old_value, n.value AS new_value
+  FROM v2 o FULL OUTER JOIN v3 n ON o.event_id = n.event_id
+)
+SELECT * FROM (SELECT * FROM fwd UNION ALL SELECT * FROM bwd)
+WHERE change_type IS NOT NULL
+"""
+
+
 def upsert_events_writer(spark, sf_dir):
     """§2.9 — the same MERGE contract as ``upsert_events`` but through
     the WRITER path (bucket-partitioned parquet + dynamic partition
@@ -5603,6 +5695,9 @@ QUERIES: list[QueryDef] = [
         "versioned_upsert_events",
         versioned_upsert_events,
         _UPSERT_MERGE_INTO_SQL,
+    ),
+    QueryDef(
+        "versioned_changes_feed", versioned_changes_feed, _VERSIONED_CDC_SQL
     ),
     QueryDef("sessionize_events", sessionize_events, _SESSIONS_SQL),
     QueryDef("event_type_pivot", event_type_pivot, _PIVOT_SQL),

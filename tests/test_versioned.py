@@ -111,3 +111,68 @@ def test_stale_latest_pointer_is_reconciled(spark, tmp_path):
     os.remove(os.path.join(path, "_latest"))
     assert vt.latest_version() == 2
     assert _snap(spark, vt) == {(1, "a"), (2, "b")}
+
+
+def test_delete_semantics_and_bucket_sharing(spark, tmp_path):
+    """delete(): rows where the predicate is TRUE go away, NULL-
+    predicate rows are KEPT (ANSI DELETE), only buckets containing a
+    match are rewritten, and a bucket whose rows are all deleted
+    drops out of the manifest entirely."""
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=8)
+    rows = [(i, f"v{i}") for i in range(40)] + [(100, None)]
+    vt.overwrite(_df(spark, rows))
+    m1 = vt._manifest(1)["buckets"]
+    # val IS NULL makes the predicate NULL for id=100 -> kept
+    v2 = vt.delete(spark, F.length("val") > 2)  # v10..v39 match
+    assert v2 == 2
+    kept = _snap(spark, vt)
+    assert kept == {(i, f"v{i}") for i in range(10)} | {(100, None)}
+    m2 = vt._manifest(2)["buckets"]
+    survivor_buckets = {
+        str(r["__b"]) for r in _df(spark, [(i, "") for i in list(range(10)) + [100]])
+        .select(F.pmod(F.hash("id"), F.lit(8)).alias("__b")).collect()
+    }
+    # every bucket with no survivors is gone from the manifest
+    assert set(m2) == survivor_buckets
+    # no-match delete commits an audited no-op sharing every file
+    v3 = vt.delete(spark, F.col("id") > 10_000)
+    assert vt._manifest(3)["buckets"] == m2
+    assert _snap(spark, vt, v3) == kept
+    assert m1  # silence unused warning
+
+
+def test_changes_classifies_and_prunes(spark, tmp_path):
+    """changes(): insert/update/delete classified, value-identical
+    rewrites filtered out, and two structurally identical versions
+    (rollback shares every file) diff to EMPTY off the manifest alone."""
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
+    v1 = vt.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, None)]))
+    # update 2, insert 5, rewrite 3 with the SAME value (no change),
+    # update 4 from NULL
+    v2 = vt.upsert(spark, _df(spark, [(2, "B"), (5, "e"), (3, "c"), (4, "d")]))
+    feed = {
+        (r["id"], r["change_type"], r["old_val"], r["new_val"])
+        for r in vt.changes(spark, v1, v2).collect()
+    }
+    assert feed == {
+        (2, "update", "b", "B"),
+        (4, "update", None, "d"),
+        (5, "insert", None, "e"),
+    }
+    v3 = vt.delete(spark, F.col("id") == 2)
+    feed2 = {
+        (r["id"], r["change_type"], r["old_val"], r["new_val"])
+        for r in vt.changes(spark, v2, v3).collect()
+    }
+    assert feed2 == {(2, "delete", "B", None)}
+    # rollback to v2 shares v2's files verbatim: the manifest diff is
+    # empty, so the CDC read touches no data at all
+    v4 = vt.rollback(v2)
+    from batch_processing_on_aws_spark.operators.versioned import (
+        _changed_buckets,
+    )
+
+    assert _changed_buckets(
+        vt._manifest(v2)["buckets"], vt._manifest(v4)["buckets"]
+    ) == []
+    assert vt.changes(spark, v2, v4).count() == 0
