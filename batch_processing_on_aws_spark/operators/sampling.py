@@ -234,6 +234,73 @@ def per_group_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    k: int,
+    key: str = "doc_id",
+    group_col: str | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Weighted random sampling without replacement (Efraimidis &
+    Spirakis A-ES), derandomized the house way: the uniform draw is
+    the md5 of the row key (+ seed salt) instead of RNG state, so the
+    sample is stable across runs, partitionings, and engines — the
+    property every sampler in this module keeps so training subsets
+    are reproducible from the key alone.
+
+    A-ES: draw u ~ U(0,1], give each row priority u^(1/w), keep the
+    top-k — inclusion probability proportional to weight, provably
+    (the Gumbel-trick/exponential-race argument). We rank by the
+    monotone-equivalent ln(u)/w, ROUNDED to 6 so the cross-engine
+    ``ln`` ulp gap can't flip an order the oracle disagrees with;
+    ties break by key.
+
+    Scale shape: grouped (``group_col``) → one window partitioned by
+    the group, never global. Global (``group_col=None``) → orderBy +
+    limit, which Spark executes as TakeOrderedAndProject: per-
+    partition top-k heaps merged on one k-sized reducer — no global
+    sort, no single-partition window. Weights must be positive; rows
+    with NULL or non-positive weight are excluded (they would get
+    ±inf priorities).
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if isinstance(weight_col, str)
+        else weight_col.cast("double")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key).cast("string"), F.lit(seed))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    pr = F.round(F.log(u) / w, 6)
+    t = (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("weight", w)
+        .withColumn("priority", pr)
+    )
+    if group_col is None:
+        return (
+            t.orderBy(F.col("priority").desc(), F.col(key).asc())
+            .limit(k)
+            .withColumn("sample_rank", F.lit(None).cast("long"))
+        )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("priority").desc(), F.col(key).asc()
+    )
+    return t.withColumn(
+        "sample_rank", F.row_number().over(win).cast("long")
+    ).where(F.col("sample_rank") <= k)
+
+
 def temperature_weights(
     docs: DataFrame,
     temperature: float,

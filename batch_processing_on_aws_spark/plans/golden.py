@@ -1621,6 +1621,106 @@ FROM events GROUP BY 1
 """
 
 
+def event_type_trend(spark, sf_dir):
+    """Per-type OLS trend of daily event volume
+    (operators/trend.py::group_trend): is each event type growing?
+    Sufficient statistics accumulate as exact BIGINT sums (bit-
+    portable under any partitioning); the float enters once, in the
+    final closed-form division — so the DuckDB oracle replaying the
+    same sums and the same one-shot double expression is hash-exact.
+    x is the day index from the corpus epoch (2024-01-01), keeping
+    the BIGINT cross terms tiny."""
+    from ..operators.trend import group_trend
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    pts = daily.withColumn(
+        "x", F.datediff(F.col("d"), F.to_date(F.lit("2024-01-01")))
+    )
+    return group_trend(pts, ["event_type"], "x", "y")
+
+
+_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type, CAST(d - DATE '2024-01-01' AS BIGINT) AS x, y FROM daily
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY 1
+),
+m AS (
+  SELECT event_type, n_points,
+         CAST(n_points * sxx - sx * sx AS DOUBLE) AS vx,
+         CAST(n_points * syy - sy * sy AS DOUBLE) AS vy,
+         CAST(n_points * sxy - sx * sy AS DOUBLE) AS cov,
+         CAST(sx AS DOUBLE) AS fsx, CAST(sy AS DOUBLE) AS fsy
+  FROM s
+)
+SELECT event_type, n_points,
+       ROUND(CASE WHEN vx > 0 THEN cov / vx END, 6) AS slope,
+       ROUND(CASE WHEN vx > 0
+                  THEN (fsy - (cov / vx) * fsx) / CAST(n_points AS DOUBLE)
+             END, 6) AS intercept,
+       ROUND(CASE WHEN vx > 0 AND vy > 0
+                  THEN (cov * cov) / (vx * vy) END, 6) AS r2
+FROM m
+"""
+
+
+def zorder_cell_stats(spark, sf_dir):
+    """Z-order layout audit (operators/zorder.py): Morton-interleave
+    (user_id, day-index) over events, cut the z range into cells (the
+    files a z-sorted range writer produces), and emit each cell's row
+    count, (x, y) bounding box, and whether the fixed box query
+    user∈[40,80) × day∈[10,20) could SKIP it on min/max alone — the
+    quantified "ZORDER BY makes both filters prune" claim. Pure bit
+    arithmetic inside codegen; the oracle replays the identical
+    shift/and/or expression."""
+    from ..operators.zorder import cell_stats
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        F.col("user_id").cast("long").alias("ux"),
+        F.datediff(
+            F.to_date("ts"), F.to_date(F.lit("2024-01-01"))
+        ).cast("long").alias("dy"),
+    )
+    return cell_stats(
+        t, "ux", "dy", bits=8, cell_shift=8, box=(40, 80, 10, 20)
+    )
+
+
+def _zorder_sql() -> str:
+    from ..operators.zorder import z_value_sql
+
+    z = z_value_sql("ux", "dy", 8)
+    return f"""
+WITH t AS (
+  SELECT CAST(user_id AS BIGINT) AS ux,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS dy
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+z AS (SELECT ux, dy, ({z}) >> 8 AS z_cell FROM t)
+SELECT z_cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(ux) AS min_x, MAX(ux) AS max_x,
+       MIN(dy) AS min_y, MAX(dy) AS max_y,
+       (MAX(ux) < 40 OR MIN(ux) >= 80 OR MAX(dy) < 10 OR MIN(dy) >= 20)
+         AS can_skip
+FROM z GROUP BY 1
+"""
+
+
 def distinct_users_per_type(spark, sf_dir):
     """Exact + approximate distinct: distinct users per event type
     (the approx twin is checked rows-only via a tolerance test)."""
@@ -3012,6 +3112,46 @@ FROM (
   FROM documents
 )
 WHERE sample_rank <= 5
+"""
+
+
+def weighted_doc_sample(spark, sf_dir):
+    """Weighted sampling without replacement
+    (operators/sampling.py::weighted_sample — Efraimidis-Spirakis
+    A-ES, derandomized): 10 docs per source with inclusion
+    probability ∝ text length, priorities from md5-derived uniforms
+    so the draw is reproducible from the keys alone. The 6-rounded
+    ln(u)/w priority + key tiebreak keeps the ranking bit-identical
+    cross-engine; DuckDB replays the whole race."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("text_len")
+    )
+    return weighted_sample(
+        docs, "text_len", k=10, key="doc_id", group_col="source"
+    ).select("source", "doc_id", "weight", "priority", "sample_rank")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(LENGTH(text) AS DOUBLE) AS weight,
+         ROUND(
+           LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) + 1) / 4294967296.0)
+           / CAST(LENGTH(text) AS DOUBLE), 6) AS priority
+  FROM documents
+  WHERE LENGTH(text) > 0
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY source ORDER BY priority DESC, doc_id ASC
+         ) AS BIGINT) AS sample_rank
+  FROM t
+)
+SELECT source, doc_id, weight, priority, sample_rank
+FROM r WHERE sample_rank <= 10
 """
 
 
@@ -5639,6 +5779,9 @@ QUERIES: list[QueryDef] = [
         _TEMPERATURE_SQL,
     ),
     QueryDef(
+        "weighted_doc_sample", weighted_doc_sample, _WEIGHTED_SAMPLE_SQL
+    ),
+    QueryDef(
         "per_source_doc_sample",
         per_source_doc_sample,
         _PER_GROUP_SAMPLE_SQL,
@@ -5702,6 +5845,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("sessionize_events", sessionize_events, _SESSIONS_SQL),
     QueryDef("event_type_pivot", event_type_pivot, _PIVOT_SQL),
     QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),
+    QueryDef("event_type_trend", event_type_trend, _TREND_SQL),
+    QueryDef("zorder_cell_stats", zorder_cell_stats, _zorder_sql()),
     QueryDef("distinct_users_per_type", distinct_users_per_type, _DISTINCT_SQL),
     QueryDef("purchase_attribution", purchase_attribution, _ASOF_SQL),
     QueryDef("clicks_before_purchase", clicks_before_purchase, _RANGE_SQL),

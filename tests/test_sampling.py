@@ -207,3 +207,67 @@ def test_per_group_sample_exact_k_and_deterministic(spark):
     assert a != c
     with pytest.raises(ValueError, match="positive"):
         per_group_sample(df, "source", "doc_id", k=0)
+
+
+def test_weighted_sample_proportional_inclusion(spark):
+    """A-ES with md5-derived uniforms: a row with 50x the weight must
+    be sampled far more often across seed replications (the inclusion-
+    probability-proportional-to-weight contract, checked empirically
+    over 40 independent salted draws)."""
+    from batch_processing_on_aws_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 50.0 if i == 0 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy_hits = light_hits = 0
+    for s in range(40):
+        picked = {
+            r["doc_id"]
+            for r in weighted_sample(
+                df, "w", k=10, key="doc_id", seed=f"s{s}"
+            ).collect()
+        }
+        heavy_hits += 0 in picked
+        light_hits += 1 in picked
+    # heavy weight ~ always in a k=10 of n=100 draw; unit weight ~ k/n
+    assert heavy_hits >= 35
+    assert light_hits <= 15
+
+
+def test_weighted_sample_grouped_and_guards(spark):
+    from batch_processing_on_aws_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b", float(i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    out = weighted_sample(df, "w", k=5, key="doc_id", group_col="g")
+    got = out.collect()
+    # zero-weight rows (i % 7 == 0) are excluded, ranks are 1..5/group
+    assert all(r["weight"] > 0 for r in got)
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append(r["sample_rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_g.values())
+    # determinism: the same call returns the same sample
+    again = weighted_sample(df, "w", k=5, key="doc_id", group_col="g")
+    assert {(r["g"], r["doc_id"]) for r in got} == {
+        (r["g"], r["doc_id"]) for r in again.collect()
+    }
+
+
+def test_weighted_sample_global_is_take_ordered(spark):
+    """The global path must compile to TakeOrderedAndProject (merged
+    per-partition heaps), not a single-partition window or sort."""
+    from batch_processing_on_aws_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(0, 10_000, 1, 8).selectExpr(
+        "id AS doc_id", "CAST(1 + id % 13 AS DOUBLE) AS w"
+    )
+    out = weighted_sample(df, "w", k=25, key="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert out.count() == 25
