@@ -61,6 +61,7 @@ CROSS_PRODUCT_ALLOWED = {
     # per-iteration global scalars (node count, dangling mass) ride as
     # broadcast crossJoins — zero driver round-trips in the loop
     "supplier_pagerank",
+    "pagerank_skipring_exact",  # same loop, closed-form oracle twin
     "q22_idle_rich_customers",
     "q11_part_value_concentration",
     "q15_top_supplier",

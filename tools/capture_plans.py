@@ -130,6 +130,27 @@ HEADLINERS = {
         "is regexp_replace expressions fused into one WholeStageCodegen "
         "span over the scan — zero shuffles, zero Python."
     ),
+    "embedding_pq_topk": (
+        "PQ ANN with bounded shortlists (round 7): the ADC Arrow pass "
+        "emits only each batch's top-R rows per query (np.argpartition "
+        "inside the scoring kernel, one-quantum tie margin), so the "
+        "rank window's input is ≤ n_batches·R rows per query — never "
+        "corpus-sized — and the exact-cosine re-rank touches only the "
+        "window's survivors."
+    ),
+    "versioned_changes_feed": (
+        "Manifest-pruned CDC: each leg's scan lists ONLY the parquet "
+        "files of buckets whose manifest file lists differ between the "
+        "two versions (structural sharing proves the rest unchanged "
+        "without reading them); the classification is one null-safe "
+        "full-outer hash join on the key within those buckets."
+    ),
+    "zorder_cell_stats": (
+        "Z-order layout audit: the Morton interleave is a pure "
+        "shift/and/or projection fused into the scan's codegen span; "
+        "one partial+final hash-agg computes every cell's bounding "
+        "box — no window, no sort, no Python."
+    ),
     "supplier_pagerank": (
         "Iterative graph op: per round one edge⋈rank equi-join plus a "
         "contribution hash-agg; node count and dangling mass ride as "
