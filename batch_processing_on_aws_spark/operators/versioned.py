@@ -311,13 +311,21 @@ class VersionedTable:
             for f in old_manifest.get(str(b), [])
         ]
         if old_touched_files:
-            old = spark.read.parquet(*old_touched_files)
+            old = spark.read.option("mergeSchema", "true").parquet(
+                *old_touched_files
+            )
             # file-list reads drop the hive-derived bucket column;
             # recompute it (pure function of the keys)
-            old = self._bucketed(old.select(*new.columns))
+            if BUCKET_COL in old.columns:
+                old = old.drop(BUCKET_COL)
+            old = self._bucketed(old)
             on = [new_b[k].eqNullSafe(old[k]) for k in self.keys]
             survivors = old.join(new_b, on=on, how="left_anti")
-            merged = new_b.unionByName(survivors)
+            # schema evolution (add-column): unionByName aligns by
+            # name and null-fills whichever side lacks a column, so an
+            # increment may carry NEW columns (old rows read as NULL)
+            # and old files keep their written schema untouched
+            merged = new_b.unionByName(survivors, allowMissingColumns=True)
         else:
             merged = new_b
         merged = merged.localCheckpoint(eager=True)
@@ -340,7 +348,10 @@ class VersionedTable:
         ]
         if not paths:
             raise ValueError(f"version {v} is empty")
-        return spark.read.parquet(*paths)
+        # mergeSchema: a version may span commits written before and
+        # after a schema evolution; the union schema (evolution is
+        # add-column only) null-fills older files' missing columns
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def delete(self, spark: SparkSession, condition) -> int:
         """SQL-DELETE semantics as a NEW version: drop the rows where
@@ -372,7 +383,9 @@ class VersionedTable:
             for b in touched
             for f in manifest.get(str(b), [])
         ]
-        survivors = self._bucketed(spark.read.parquet(*touched_files)).where(
+        survivors = self._bucketed(
+            spark.read.option("mergeSchema", "true").parquet(*touched_files)
+        ).where(
             ~F.coalesce(cond, F.lit(False))
         )
         survivors = survivors.localCheckpoint(eager=True)
@@ -418,13 +431,31 @@ class VersionedTable:
 
         def side(files, other):
             if files:
-                return spark.read.parquet(*files)
+                return spark.read.option("mergeSchema", "true").parquet(*files)
             if other:
-                return spark.read.parquet(*other).limit(0)
+                return (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*other)
+                    .limit(0)
+                )
             return self.read(spark, v_to).limit(0)  # schema-only probe
 
         old = side(a_files, b_files)
         new = side(b_files, a_files)
+        # align across a schema evolution: a column present on only
+        # one side (added after v_from) null-fills on the other, so
+        # the diff sees it and reports old_<c>=NULL for pre-evolution
+        # rows
+        for c in new.columns:
+            if c not in old.columns:
+                old = old.withColumn(
+                    c, F.lit(None).cast(new.schema[c].dataType)
+                )
+        for c in old.columns:
+            if c not in new.columns:
+                new = new.withColumn(
+                    c, F.lit(None).cast(old.schema[c].dataType)
+                )
         val_cols = [
             c for c in old.columns
             if c not in self.keys and c != BUCKET_COL
@@ -448,6 +479,48 @@ class VersionedTable:
             + [n[c].alias(f"new_{c}") for c in val_cols]
         )
         return j.select(*sel).where(F.col("change_type").isNotNull())
+
+    def compact(
+        self, spark: SparkSession, min_files: int = 2
+    ) -> int | None:
+        """Small-files compaction as a NEW content-identical version:
+        every bucket whose manifest lists ≥ ``min_files`` files is
+        rewritten into fresh (coalesced) files; buckets already at one
+        file stay shared with the parent. Steady-state upserts accrete
+        one file per touched bucket per commit — at 100 TB that is the
+        classic small-files decay (every read opens every accreted
+        file), and this is the OPTIMIZE/rewrite_data_files maintenance
+        op that heals it. Content is byte-for-byte the same row set
+        (asserted by test); old versions keep reading their own files
+        until :meth:`vacuum` reclaims them. Returns the new version,
+        or None when nothing needed compacting. Runs under the
+        single-writer contract."""
+        parent = self.latest_version()
+        if parent == 0:
+            return None
+        manifest = self._manifest(parent)["buckets"]
+        fat = {b: fs for b, fs in manifest.items() if len(fs) >= min_files}
+        if not fat:
+            return None
+        paths = [
+            os.path.join(self.path, f) for fs in fat.values() for f in fs
+        ]
+        rows = self._bucketed(
+            spark.read.option("mergeSchema", "true").parquet(*paths)
+        )
+        # one output file per compacted bucket: partitionBy splits by
+        # bucket again, so a single upstream partition per bucket is
+        # enough; repartition on the bucket key achieves that without
+        # a global sort
+        rows = rows.repartition(len(fat), F.col(BUCKET_COL))
+        files = self._write_commit(rows)
+        combined = {
+            int(b): list(fs)
+            for b, fs in manifest.items()
+            if b not in fat
+        }
+        combined.update(files)
+        return self._commit(combined, parent)
 
     def rollback(self, to_version: int) -> int:
         """Restore an old state as a NEW version (no files move — the

@@ -176,3 +176,55 @@ def test_changes_classifies_and_prunes(spark, tmp_path):
         vt._manifest(v2)["buckets"], vt._manifest(v4)["buckets"]
     ) == []
     assert vt.changes(spark, v2, v4).count() == 0
+
+
+def test_compact_merges_small_files_content_identical(spark, tmp_path):
+    """Repeated upserts accrete one file per touched bucket per
+    commit; compact() must fold each fat bucket to ONE file in a new
+    version whose row set is byte-identical, leave single-file
+    buckets shared, and leave pre-compaction versions readable."""
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
+    vt.overwrite(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    for rnd in range(3):  # accrete files in id=0's bucket
+        vt.upsert(spark, _df(spark, [(0, f"r{rnd}")]))
+    before = _snap(spark, vt)
+    m = vt._manifest(vt.latest_version())["buckets"]
+    fat = {b for b, fs in m.items() if len(fs) >= 2}
+    assert fat, "setup should have accreted multi-file buckets"
+    v = vt.compact(spark)
+    m2 = vt._manifest(v)["buckets"]
+    assert _snap(spark, vt) == before            # content identical
+    assert all(len(fs) == 1 for fs in m2.values())
+    for b in set(m) - fat:                        # thin buckets shared
+        assert m2[b] == m[b]
+    # idempotent: nothing left to compact
+    assert vt.compact(spark) is None
+    # pre-compaction version still reads its own files
+    assert _snap(spark, vt, v - 1) == before
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """An increment may carry a NEW column: old rows read as NULL in
+    it, old versions keep their written schema, and the CDC diff
+    across the evolution boundary reports the new column."""
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
+    v1 = vt.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    inc = spark.createDataFrame(
+        [(2, "B", "en"), (3, "c", "fr")], "id long, val string, lang string"
+    )
+    v2 = vt.upsert(spark, inc)
+    got = {
+        (r["id"], r["val"], r["lang"])
+        for r in vt.read(spark).collect()
+    }
+    assert got == {(1, "a", None), (2, "B", "en"), (3, "c", "fr")}
+    # time travel keeps the original schema
+    assert "lang" not in vt.read(spark, v1).columns
+    feed = {
+        (r["id"], r["change_type"], r["old_lang"], r["new_lang"])
+        for r in vt.changes(spark, v1, v2).collect()
+    }
+    assert feed == {
+        (2, "update", None, "en"),
+        (3, "insert", None, "fr"),
+    }
