@@ -263,7 +263,12 @@ class VersionedTable:
             files.setdefault(bkt, []).append(rel)
         return files
 
-    def _commit(self, bucket_files: dict[int, list[str]], parent: int) -> int:
+    def _commit(
+        self,
+        bucket_files: dict[int, list[str]],
+        parent: int,
+        txn: dict | None = None,
+    ) -> int:
         fs = self._fs()
         version = self.latest_version() + 1
         manifest = {
@@ -271,6 +276,12 @@ class VersionedTable:
             "parent": parent,
             "buckets": {str(b): sorted(fs_) for b, fs_ in sorted(bucket_files.items())},
         }
+        if txn is not None:
+            # writer-transaction stamp (the Delta txn-appId/version
+            # idempotence protocol): a streaming foreachBatch records
+            # (app, epoch) with its commit so a crash-replayed epoch
+            # can be detected and skipped — see txn_applied()
+            manifest["txn"] = txn
         # manifest rename IS the commit (the target name never exists:
         # versions are monotonic under the single-writer contract)
         tmp = self._manifest_path(version) + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -286,20 +297,36 @@ class VersionedTable:
 
     # -- public API -------------------------------------------------------
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, txn: dict | None = None) -> int:
         """Full refresh as a NEW version (the old one stays readable)."""
         parent = self.latest_version()
         files = self._write_commit(self._bucketed(df))
-        return self._commit(files, parent)
+        return self._commit(files, parent, txn=txn)
 
-    def upsert(self, spark: SparkSession, new: DataFrame) -> int:
+    def txn_applied(self, app_id: str, epoch: int) -> bool:
+        """Has a writer transaction (``app_id``, ``epoch``) already
+        committed? Scans manifests newest-first and stops at the
+        app's LATEST stamp — epochs are monotonic per checkpointed
+        stream, so ``epoch <= latest`` means the replayed batch
+        already landed. Vacuum caveat: keep_last must exceed the
+        replay horizon (Structured Streaming replays at most the last
+        unfinished epoch, so any keep_last >= 2 is safe)."""
+        for v in reversed(self.versions()):
+            t = self._manifest(v).get("txn")
+            if t and t.get("app") == app_id:
+                return epoch <= t["epoch"]
+        return False
+
+    def upsert(
+        self, spark: SparkSession, new: DataFrame, txn: dict | None = None
+    ) -> int:
         """Keyed merge as a NEW version: only the touched buckets'
         files are written; untouched buckets are file-shared with the
         parent manifest. Same null-safe win-by-key semantics as
         MergeWriter.upsert."""
         parent = self.latest_version()
         if parent == 0:
-            return self.overwrite(new)
+            return self.overwrite(new, txn=txn)
         new_b = self._bucketed(new)
         touched = [
             r[BUCKET_COL] for r in new_b.select(BUCKET_COL).distinct().collect()
@@ -336,7 +363,7 @@ class VersionedTable:
             if int(b) not in touched
         }
         combined.update(files)
-        return self._commit(combined, parent)
+        return self._commit(combined, parent, txn=txn)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version

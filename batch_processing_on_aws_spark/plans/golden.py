@@ -428,6 +428,100 @@ WHERE change_type IS NOT NULL
 """
 
 
+def streamed_versioned_events(spark, sf_dir):
+    """END-TO-END streaming into the VERSIONED table
+    (streaming/incremental.py::ingest_versioned_stream): two real
+    availableNow deliveries — the v1 seed slice, then the
+    update+insert increment — each landing as an audited
+    VersionedTable commit stamped with the writer transaction
+    (app_id, epoch), so a crash-replayed epoch is skipped rather than
+    double-committed. The returned frame is the final table state;
+    the oracle replays the same two-step merge in SQL (the
+    ``versioned_changes_feed`` v2 state). Scratch is keyed on the
+    source identity and reused across invocations, like the other
+    streaming registry queries."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..streaming.incremental import ingest_versioned_stream
+
+    src = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_vstream_{key}"
+    )
+    inp, table, ckpt = (
+        os.path.join(root, d) for d in ("in", "table", "ckpt")
+    )
+    done = os.path.join(root, "_COMPLETE")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events")
+        base = events.where(F.col("event_id") % 5 == 0).select(
+            "event_id", "event_type", "value"
+        )
+        inc = base.where(F.col("event_type") == "click").withColumn(
+            "value", F.round(F.col("value") * 2, 2)
+        ).unionByName(
+            events.where(
+                (F.col("event_id") % 5 == 1)
+                & (F.col("event_type") == "view")
+            ).select("event_id", "event_type", "value")
+        )
+        for delivery in (base, inc):
+            delivery.coalesce(1).write.mode("append").parquet(inp)
+            ingest_versioned_stream(
+                spark, inp, schema, table, ["event_id"], ckpt,
+                app_id="vstream",
+            )
+        for scratch in (inp, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(key)
+    from ..operators.versioned import VersionedTable
+
+    vt = VersionedTable(table, keys=["event_id"])
+    return vt.read(spark).select("event_id", "event_type", "value")
+
+
+_STREAM_VERSIONED_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 5 = 0
+),
+inc AS (
+  SELECT event_id, event_type, ROUND(value * 2, 2) AS value
+  FROM base WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, event_type, value FROM events
+  WHERE event_id % 5 = 1 AND event_type = 'view'
+)
+SELECT * FROM inc
+UNION ALL
+SELECT b.* FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.event_id = b.event_id)
+"""
+
+
 def upsert_events_writer(spark, sf_dir):
     """§2.9 — the same MERGE contract as ``upsert_events`` but through
     the WRITER path (bucket-partitioned parquet + dynamic partition
@@ -5841,6 +5935,11 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef(
         "versioned_changes_feed", versioned_changes_feed, _VERSIONED_CDC_SQL
+    ),
+    QueryDef(
+        "streamed_versioned_events",
+        streamed_versioned_events,
+        _STREAM_VERSIONED_SQL,
     ),
     QueryDef("sessionize_events", sessionize_events, _SESSIONS_SQL),
     QueryDef("event_type_pivot", event_type_pivot, _PIVOT_SQL),

@@ -66,6 +66,57 @@ def incremental_merge_stream(
     q.awaitTermination()
 
 
+def ingest_versioned_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    table_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    app_id: str = "ingest",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """The versioned sibling of :func:`incremental_merge_stream`: each
+    drained micro-batch lands as a NEW audited version of a
+    :class:`~..operators.versioned.VersionedTable` — so the streaming
+    table gets time travel, CDC between any two epochs, and rollback
+    for free, on top of the keyed-merge semantics.
+
+    Exactly-once is belt-and-braces: the checkpointed file source
+    already delivers each file once, and every commit carries a
+    writer-transaction stamp (``app_id``, epoch) — the Delta
+    txn-appId protocol — so a foreachBatch epoch REPLAYED after a
+    crash between the table commit and the checkpoint advance is
+    detected via ``txn_applied`` and skipped instead of minting a
+    duplicate (even-if-content-equal) version. Single writer per
+    table, as everywhere in this family.
+    """
+    from ..operators.versioned import VersionedTable
+
+    vt = VersionedTable(table_path, keys=keys)
+    stream = spark.readStream.format(fmt).schema(schema).load(input_dir)
+    if transform is not None:
+        stream = transform(stream)
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if vt.txn_applied(app_id, epoch_id):
+            return  # crash-replayed epoch: already committed
+        vt.upsert(
+            batch.sparkSession, batch, txn={"app": app_id, "epoch": epoch_id}
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def dedup_stream(
     events: DataFrame,
     keys: Sequence[str],

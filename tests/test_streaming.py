@@ -565,3 +565,79 @@ def test_compact_ledger_interleaved_epoch_commit(spark, tmp_path, monkeypatch):
     hashes2 = {(r["band_id"], r["band_hash"]) for r in led2.collect()}
     assert hashes2 == hashes
     assert stats2["kept_epoch"] == 3
+
+
+def test_versioned_stream_epoch_replay_skipped(spark, tmp_path):
+    """ingest_versioned_stream: each epoch lands as an audited
+    version stamped (app, epoch); a crash-REPLAYED epoch (foreachBatch
+    re-invoked with the same epoch_id after the table commit but
+    before the checkpoint advance) must be detected via txn_applied
+    and skipped — no duplicate version, state unchanged."""
+    from batch_processing_on_aws_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    path = str(tmp_path / "vt")
+    vt = VersionedTable(path, keys=["id"], n_buckets=4)
+
+    def commit(epoch, rows):
+        df = spark.createDataFrame(rows, "id long, val string")
+        if not vt.txn_applied("app", epoch):
+            vt.upsert(spark, df, txn={"app": "app", "epoch": epoch})
+
+    commit(0, [(1, "a"), (2, "b")])
+    commit(1, [(2, "B"), (3, "c")])
+    assert vt.latest_version() == 2
+    state = {(r["id"], r["val"]) for r in vt.read(spark).collect()}
+    # the crash replay: same epoch arrives again
+    commit(1, [(2, "B"), (3, "c")])
+    assert vt.latest_version() == 2              # no duplicate commit
+    assert {(r["id"], r["val"]) for r in vt.read(spark).collect()} == state
+    # an OLDER epoch replay is also skipped (epochs are monotonic)
+    commit(0, [(1, "a"), (2, "b")])
+    assert vt.latest_version() == 2
+    # the next real epoch still lands
+    commit(2, [(4, "d")])
+    assert vt.latest_version() == 3
+    assert vt._manifest(3)["txn"] == {"app": "app", "epoch": 2}
+
+
+def test_versioned_stream_end_to_end(spark, tmp_path):
+    """Two availableNow deliveries through the real stream: two
+    audited versions with txn stamps, CDC between them shows exactly
+    the second delivery's effect."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from batch_processing_on_aws_spark.operators.versioned import (
+        VersionedTable,
+    )
+    from batch_processing_on_aws_spark.streaming.incremental import (
+        ingest_versioned_stream,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.StringType())]
+    )
+    inp = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    d2 = spark.createDataFrame([(2, "B"), (3, "c")], schema)
+    for d in (d1, d2):
+        d.coalesce(1).write.mode("append").parquet(inp)
+        ingest_versioned_stream(
+            spark, inp, schema, table, ["id"], ckpt, app_id="t"
+        )
+    vt = VersionedTable(table, keys=["id"])
+    assert vt.versions() == [1, 2]
+    assert vt._manifest(1)["txn"]["app"] == "t"
+    assert {(r["id"], r["val"]) for r in vt.read(spark).collect()} == {
+        (1, "a"), (2, "B"), (3, "c"),
+    }
+    feed = {
+        (r["id"], r["change_type"]) for r in vt.changes(spark, 1, 2).collect()
+    }
+    assert feed == {(2, "update"), (3, "insert")}
+    assert os.path.isdir(ckpt)
