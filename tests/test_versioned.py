@@ -228,3 +228,98 @@ def test_schema_evolution_add_column(spark, tmp_path):
         (2, "update", None, "en"),
         (3, "insert", None, "fr"),
     }
+
+
+def test_randomized_lifecycle_matches_model(spark, tmp_path):
+    """Model-based check: a seeded random sequence of
+    upsert/delete/rollback/compact ops against a plain-dict model —
+    after every op the table equals the model, every historical
+    version equals its model snapshot, and changes(v, v') equals the
+    brute-force snapshot diff. The armor that catches interactions no
+    single-feature test stages."""
+    import random
+
+    rng = random.Random(20240814)
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
+    model: dict[int, str] = {i: f"v{i}" for i in range(12)}
+    vt.overwrite(_df(spark, sorted(model.items())))
+    snaps = {1: dict(model)}
+    for _ in range(10):
+        op = rng.choice(["upsert", "delete", "rollback", "compact"])
+        if op == "upsert":
+            rows = [
+                (rng.randrange(20), f"u{rng.randrange(1000)}")
+                for _ in range(rng.randrange(1, 5))
+            ]
+            dedup = {k: v for k, v in rows}  # upsert: last-wins per key
+            v = vt.upsert(spark, _df(spark, sorted(dedup.items())))
+            model.update(dedup)
+        elif op == "delete":
+            cut = rng.randrange(20)
+            v = vt.delete(spark, F.col("id") >= cut)
+            model = {k: x for k, x in model.items() if k < cut}
+        elif op == "rollback":
+            target = rng.choice(sorted(snaps))
+            v = vt.rollback(target)
+            model = dict(snaps[target])
+        else:
+            got = vt.compact(spark)
+            if got is None:
+                continue
+            v = got
+        snaps[v] = dict(model)
+        assert _snap(spark, vt) == set(model.items()), f"after {op}"
+    # every recorded version still time-travels to its snapshot
+    for v, snap in snaps.items():
+        if snap:
+            assert _snap(spark, vt, v) == set(snap.items()), f"v{v}"
+    # CDC between consecutive recorded versions == brute model diff
+    vs = sorted(snaps)
+    for a, b in zip(vs, vs[1:]):
+        sa, sb = snaps[a], snaps[b]
+        want = set()
+        for k in sa.keys() | sb.keys():
+            if k not in sa:
+                want.add((k, "insert", None, sb[k]))
+            elif k not in sb:
+                want.add((k, "delete", sa[k], None))
+            elif sa[k] != sb[k]:
+                want.add((k, "update", sa[k], sb[k]))
+        got = {
+            (r["id"], r["change_type"], r["old_val"], r["new_val"])
+            for r in vt.changes(spark, a, b).collect()
+        }
+        assert got == want, f"changes({a},{b})"
+
+
+def test_crash_before_manifest_rename_preserves_parent(spark, tmp_path, monkeypatch):
+    """The commit protocol's crash claim, staged: a writer dying
+    AFTER data files land but BEFORE the manifest rename leaves the
+    previous version fully intact (reads, latest_version) with only
+    orphan files behind — and vacuum reclaims exactly those."""
+    import batch_processing_on_aws_spark.operators.versioned as vmod
+
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
+    vt.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+
+    real_rename = vmod._LocalFS.rename
+
+    def crash_on_manifest(self, src, dst):
+        if "_versions" in dst and dst.endswith(".json"):
+            raise RuntimeError("simulated crash before commit rename")
+        return real_rename(self, src, dst)
+
+    monkeypatch.setattr(vmod._LocalFS, "rename", crash_on_manifest)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        vt.upsert(spark, _df(spark, [(2, "B")]))
+    monkeypatch.undo()
+    # the table is exactly the parent version
+    assert vt.latest_version() == 1
+    assert _snap(spark, vt) == {(1, "a"), (2, "b")}
+    # the crashed commit's files are orphans; vacuum reclaims them and
+    # the table still reads
+    deleted = vt.vacuum(keep_last=1)
+    assert deleted, "crash should have left orphan data files"
+    assert _snap(spark, vt) == {(1, "a"), (2, "b")}
