@@ -4287,6 +4287,77 @@ FROM documents
 """
 
 
+def media_phash(spark, sf_dir):
+    """Image perceptual hashing through the REAL decode path
+    (operators/multimodal.py::perceptual_hash): each document id
+    becomes a 9×8 grayscale PGM whose pixel at (x, y) is the
+    arithmetic ``(id·37 + x·5 + y·11) mod 256`` — built as actual P5
+    bytes, decoded by the pure-numpy codec, grayscaled, grid-sampled,
+    and dHash-packed. Because the pixels are an arithmetic function,
+    the DuckDB oracle recomputes the SAME 64 bits analytically
+    (generate_series grid + neighbor comparison + MSB-first packing)
+    without ever seeing a byte of PGM — so decode, sampling, bit
+    order, and hex packing are all value-checked cross-engine. The
+    image is exactly (hash_size+1)×hash_size so the nearest-neighbor
+    grid is the identity (resize correctness is pinned separately in
+    tests/test_multimodal.py against a numpy reference)."""
+    from ..operators.multimodal import perceptual_hash
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                raster = bytes(
+                    (int(mid) * 37 + x * 5 + y * 11) % 256
+                    for y in range(8)
+                    for x in range(9)
+                )
+                payloads.append(b"P5 9 8 255\n" + raster)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "data": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, data binary")
+    return perceptual_hash(media).select("media_id", "phash", "decode_ok")
+
+
+_MEDIA_PHASH_SQL = """
+WITH g AS (
+  SELECT d.doc_id, y.range AS y, x.range AS x,
+         (d.doc_id * 37 + x.range * 5 + y.range * 11) % 256 AS gray
+  FROM documents d, range(8) y, range(9) x
+),
+b AS (
+  SELECT g1.doc_id,
+         CAST(g1.y * 8 + g1.x AS BIGINT) AS idx,
+         CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+  FROM g g1
+  JOIN g g2 ON g1.doc_id = g2.doc_id AND g1.y = g2.y AND g2.x = g1.x + 1
+  WHERE g1.x < 8
+),
+h AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN idx < 32
+                  THEN CAST(bit AS BIGINT) << CAST(31 - idx AS INT)
+                  ELSE 0 END) AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN idx >= 32
+                  THEN CAST(bit AS BIGINT) << CAST(63 - idx AS INT)
+                  ELSE 0 END) AS BIGINT) AS lo
+  FROM b GROUP BY 1
+)
+SELECT doc_id AS media_id, printf('%08x%08x', hi, lo) AS phash,
+       TRUE AS decode_ok
+FROM h
+"""
+
+
 # Fixture index page in the TfL shape (reference
 # init_3_web_scraping_dag.py:26-98): first table, a folder marker row,
 # file rows whose names end in the extract date range, plus the decoys
@@ -5854,6 +5925,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("null_group_semantics", null_group_semantics, _NULLGROUP_SQL),
     QueryDef("clean_corpus", clean_corpus, _clean_corpus_sql()),
     QueryDef("media_features", media_features, _MEDIA_SQL),
+    QueryDef("media_phash", media_phash, _MEDIA_PHASH_SQL),
     QueryDef("links_manifest", links_manifest, _LINKS_MANIFEST_SQL),
     QueryDef("dup_span_occurrences", dup_span_occurrences, _DUP_SPANS_SQL),
     QueryDef("doc_dup_span_share", doc_dup_span_share, _DUP_SHARE_SQL),

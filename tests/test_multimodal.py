@@ -242,3 +242,71 @@ def test_extract_features_real_audio(spark):
     assert abs(real["feat"][3] - 0.3536) < 0.01   # RMS
     stub = out[11]
     assert stub["decode_ok"] and stub["channels"] is None
+
+
+# ------------------------------------------------- perceptual hash
+
+
+def test_dhash_reference_and_resize():
+    """dhash_hex against a brute-force reference on a LARGER image
+    (exercises the index-map nearest-neighbor downscale, which the
+    registry's 9x8 identity-grid oracle deliberately does not)."""
+    import numpy as np
+
+    from batch_processing_on_aws_spark.operators.multimodal import dhash_hex
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 55, 3), dtype=np.uint8)
+    a = img.astype(np.int64)
+    gray = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    ys = [(i * 40) // 8 for i in range(8)]
+    xs = [(i * 55) // 9 for i in range(9)]
+    v = 0
+    for y in ys:
+        for j in range(8):
+            v = (v << 1) | int(gray[y][xs[j + 1]] > gray[y][xs[j]])
+    assert dhash_hex(img) == format(v, "016x")
+
+
+def test_dhash_perceptual_properties():
+    """The property that makes dHash a NEAR-dup key: a uniform
+    brightness shift keeps the hash identical (gradients unchanged),
+    while an unrelated image differs in many bits."""
+    import numpy as np
+
+    from batch_processing_on_aws_spark.operators.multimodal import dhash_hex
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(30, 200, (32, 32, 3), dtype=np.uint8)
+    brighter = np.clip(img.astype(np.int64) + 20, 0, 255).astype(np.uint8)
+    assert dhash_hex(img) == dhash_hex(brighter)
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    d = bin(int(dhash_hex(img), 16) ^ int(dhash_hex(other), 16)).count("1")
+    assert d > 10
+
+
+def test_perceptual_hash_formats_and_failures(spark):
+    """Same content through PGM and BMP must hash identically (codec-
+    independent fingerprint); undecodable payloads yield decode_ok
+    False with NULL hash."""
+    import numpy as np
+
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        dhash_hex,
+        decode_image,
+        perceptual_hash,
+    )
+
+    rng = np.random.default_rng(13)
+    gray_rows = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+    # gray BMP: r=g=b so Rec.601 luma == the gray value
+    bmp = _bmp24(
+        9, 8, [[(int(v),) * 3 for v in row] for row in gray_rows]
+    )
+    pgm = b"P5 9 8 255\n" + bytes(int(v) for row in gray_rows for v in row)
+    assert dhash_hex(decode_image(pgm)) == dhash_hex(decode_image(bmp))
+    rows = [(1, pgm), (2, bmp), (3, b"\x89PNG not decodable")]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = {r["media_id"]: r for r in perceptual_hash(df).collect()}
+    assert out[1]["phash"] == out[2]["phash"] is not None
+    assert out[3]["decode_ok"] is False and out[3]["phash"] is None
