@@ -41,6 +41,43 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k over a scored candidate set, with a partial
+    pre-prune so the global per-query window never sees a corpus-scaled
+    input.
+
+    The naive shape — one ``Window.partitionBy(query_id)`` over all
+    candidates — funnels every candidate for a query through a single
+    reducer; at high-recall probe settings (IVF n_probe=12/16, LSH
+    multi-probe) that is ~the whole corpus per query. Instead, rank
+    within ``(query_id, spark_partition_id())`` first and keep ≤k per
+    group: any row in the global top-k is by definition in its own
+    group's top-k under the same total order (cos_sim desc, vec_id
+    asc), so the prune is rank-preserving. The global window then sees
+    ≤ num_partitions·k rows per query — bounded by plan width, not
+    corpus size. This is the JVM-side twin of ``_batch_keep_mask`` in
+    the PQ paths.
+
+    Expects columns ``query_id``, ``vec_id``, ``cos_sim`` (extra
+    columns pass through). Output adds ``rank`` (long, 1..k), ordered
+    by (query_id, rank).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col("cos_sim").desc(), F.col("vec_id").asc()]
+    pw = Window.partitionBy("query_id", "__part").orderBy(*order)
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("__part", F.spark_partition_id())
+        .withColumn("__pr", F.row_number().over(pw))
+        .where(F.col("__pr") <= k)
+        .drop("__part", "__pr")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_arrow(a, b):
     """Cosine similarity as an Arrow-batched Pandas UDF (numpy dot
     products over whole batches). The expression form above stays
@@ -86,8 +123,6 @@ def brute_force_topk(
     Output: (query_id, vec_id, cos_sim, rank), rank 1..k, ties broken
     by vec_id for determinism.
     """
-    from pyspark.sql import Window
-
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -106,14 +141,7 @@ def brute_force_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _ranked_topk(scored, k)
 
 
 def embedding_neardup_pairs(
@@ -406,14 +434,7 @@ def ivf_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _ranked_topk(scored, k)
 
 
 def hyperplane_signature(vec_col, planes: list[list[float]]):
@@ -484,8 +505,6 @@ def lsh_topk(
     equi-join, so the scale shape survives; only the (broadcast)
     query side fans out Σ_{i≤r} C(b,i) rows per query.
     """
-    from pyspark.sql import Window
-
     c = fan_out(corpus, partitions).select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
     ).withColumn("bucket", hyperplane_signature(F.col("c_vec"), planes))
@@ -508,14 +527,7 @@ def lsh_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _ranked_topk(scored, k)
 
 
 def lsh_topk_multi(
@@ -546,8 +558,6 @@ def lsh_topk_multi(
     collisions, so min() just picks the one value. The corpus never
     cross-joins anything.
     """
-    from pyspark.sql import Window
-
     c = fan_out(corpus, partitions).select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
@@ -584,14 +594,7 @@ def lsh_topk_multi(
         .groupBy("query_id", "vec_id")
         .agg(F.min("cos_sim").alias("cos_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _ranked_topk(scored, k)
 
 
 def hard_negatives(
@@ -621,8 +624,6 @@ def hard_negatives(
     Output: (query_id, vec_id, neg_label, cos_sim, rank), rank 1..k
     per query, ties broken by vec_id.
     """
-    from pyspark.sql import Window
-
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -645,14 +646,7 @@ def hard_negatives(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _ranked_topk(scored, k)
 
 
 def _pq_train(Xn, m: int, k_codes: int, seed: int, max_iter: int):

@@ -559,3 +559,56 @@ def test_pq_refine_output_is_exact_cosine(spark):
         key = (r["query_id"], r["vec_id"])
         assert key in exact
         assert r["cos_sim"] == exact[key], f"re-rank score drift at {key}"
+
+
+def test_ranked_topk_partial_prune_equals_unbounded_window(spark):
+    """_ranked_topk (partial top-k within (query_id, partition) before
+    the global window) must be row-identical to the naive single-window
+    plan — the prune is rank-preserving because ties are totally
+    ordered by (cos_sim desc, vec_id asc). Run on real embeddings with
+    a multi-partition scored set so the partial stage actually prunes."""
+    from pyspark.sql import Window
+
+    from batch_processing_on_aws_spark.operators.similarity import (
+        _as_double,
+        _ranked_topk,
+        cosine,
+    )
+    from batch_processing_on_aws_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = F.broadcast(
+        emb.where(F.col("vec_id") < 7).select(
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("q_vec"),
+        )
+    )
+    scored = (
+        emb.repartition(8)
+        .select(
+            F.col("vec_id"), _as_double(F.col("embedding")).alias("c_vec")
+        )
+        .crossJoin(queries)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+        )
+    )
+    k = 10
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    unbounded = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    bounded = _ranked_topk(scored, k).collect()
+    assert [tuple(r) for r in bounded] == [tuple(r) for r in unbounded]
+    # the bounded plan must actually carry the partial-rank stage:
+    # two window operators, not one
+    plan = _ranked_topk(scored, k)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("window") >= 2
