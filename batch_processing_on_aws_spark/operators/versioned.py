@@ -76,8 +76,16 @@ class _LocalFS:
         with open(path, "w") as f:
             f.write(text)
 
-    def rename(self, src: str, dst: str) -> None:
-        os.replace(src, dst)
+    def rename(self, src: str, dst: str, overwrite: bool = True) -> None:
+        if overwrite:
+            os.replace(src, dst)
+            return
+        # exclusive commit rename: hardlink+unlink is the POSIX-atomic
+        # fail-if-exists move — a concurrent writer racing to the same
+        # manifest name gets FileExistsError instead of clobbering a
+        # committed version
+        os.link(src, dst)
+        os.remove(src)
 
     def listdir(self, path: str) -> list[str]:
         try:
@@ -131,14 +139,21 @@ class _HadoopFS:
         finally:
             out.close()
 
-    def rename(self, src: str, dst: str) -> None:
-        # FileSystem.rename refuses an existing destination; callers
-        # only rename onto fresh manifest names (monotonic) or the
-        # _latest cache (safe to delete first — it is derived state)
+    def rename(self, src: str, dst: str, overwrite: bool = True) -> None:
+        # Hadoop FileSystem.rename refuses an existing destination —
+        # exactly the exclusive semantics manifest commits need. Only
+        # the _latest read cache (derived state) deletes-then-renames.
         d = self._jpath(dst)
         if self._fs.exists(d):
+            if not overwrite:
+                raise FileExistsError(dst)
             self._fs.delete(d, False)
         if not self._fs.rename(self._jpath(src), d):
+            # rename returns false (not an exception) when dst appeared
+            # between the exists check and the rename — surface the
+            # collision distinctly from an I/O failure
+            if not overwrite and self._fs.exists(d):
+                raise FileExistsError(dst)
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def listdir(self, path: str) -> list[str]:
@@ -268,25 +283,62 @@ class VersionedTable:
         bucket_files: dict[int, list[str]],
         parent: int,
         txn: dict | None = None,
+        operation: str = "overwrite",
+        committed_at: str | None = None,
     ) -> int:
         fs = self._fs()
         version = self.latest_version() + 1
         manifest = {
             "version": version,
             "parent": parent,
+            "operation": operation,
             "buckets": {str(b): sorted(fs_) for b, fs_ in sorted(bucket_files.items())},
         }
+        if committed_at is None:
+            # engine-side convenience default; deterministic callers
+            # (golden queries, oracles) thread an explicit timestamp
+            from datetime import datetime, timezone
+
+            committed_at = datetime.now(timezone.utc).isoformat()
+        manifest["committed_at"] = committed_at
+        # fold the per-app writer-transaction stamps FORWARD: every
+        # manifest carries the latest (app -> epoch) map, so the stamp
+        # survives vacuum truncating old manifests — the Delta
+        # setTransaction-retention property, without a separate file.
+        # Epochs are monotonic per app; max() keeps the defensive
+        # invariant even if a replayed epoch somehow re-commits.
+        txns: dict[str, int] = {}
+        if parent > 0:
+            try:
+                txns.update(self._manifest(parent).get("txns") or {})
+            except FileNotFoundError:
+                pass  # legacy table vacuumed before fold-forward existed
         if txn is not None:
             # writer-transaction stamp (the Delta txn-appId/version
             # idempotence protocol): a streaming foreachBatch records
             # (app, epoch) with its commit so a crash-replayed epoch
             # can be detected and skipped — see txn_applied()
             manifest["txn"] = txn
-        # manifest rename IS the commit (the target name never exists:
-        # versions are monotonic under the single-writer contract)
+            prev = txns.get(txn["app"])
+            txns[txn["app"]] = max(txn["epoch"], prev) if prev is not None \
+                else txn["epoch"]
+        if txns:
+            manifest["txns"] = txns
+        # manifest rename IS the commit — EXCLUSIVE (fail-if-exists):
+        # versions are monotonic under the single-writer contract, so
+        # an existing destination means a second writer raced us; fail
+        # loudly instead of silently clobbering a committed version
         tmp = self._manifest_path(version) + f".tmp.{uuid.uuid4().hex[:8]}"
         fs.write_text(tmp, json.dumps(manifest, indent=1))
-        fs.rename(tmp, self._manifest_path(version))
+        try:
+            fs.rename(tmp, self._manifest_path(version), overwrite=False)
+        except FileExistsError:
+            fs.remove(tmp)
+            raise RuntimeError(
+                f"concurrent commit detected: version {version} already "
+                f"exists at {self.path!r} — single-writer contract violated; "
+                "this writer's commit was NOT applied"
+            )
         # _latest is a read cache, refreshed after the commit; a crash
         # between the two leaves a stale pointer that latest_version()
         # reconciles against the manifest listing
@@ -297,28 +349,86 @@ class VersionedTable:
 
     # -- public API -------------------------------------------------------
 
-    def overwrite(self, df: DataFrame, txn: dict | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        txn: dict | None = None,
+        committed_at: str | None = None,
+    ) -> int:
         """Full refresh as a NEW version (the old one stays readable)."""
         parent = self.latest_version()
         files = self._write_commit(self._bucketed(df))
-        return self._commit(files, parent, txn=txn)
+        return self._commit(
+            files, parent, txn=txn, operation="overwrite",
+            committed_at=committed_at,
+        )
 
     def txn_applied(self, app_id: str, epoch: int) -> bool:
         """Has a writer transaction (``app_id``, ``epoch``) already
-        committed? Scans manifests newest-first and stops at the
-        app's LATEST stamp — epochs are monotonic per checkpointed
-        stream, so ``epoch <= latest`` means the replayed batch
-        already landed. Vacuum caveat: keep_last must exceed the
-        replay horizon (Structured Streaming replays at most the last
-        unfinished epoch, so any keep_last >= 2 is safe)."""
-        for v in reversed(self.versions()):
+        committed? The latest manifest carries the fold-forward
+        ``txns`` map (app -> latest stamped epoch), so the answer is
+        one metadata read and — because every commit copies the map
+        forward — SURVIVES vacuum truncating old manifests, even when
+        non-txn commits (compact/delete/rollback) interleave after the
+        stream's last stamped version. Epochs are monotonic per
+        checkpointed stream, so ``epoch <= latest`` means the replayed
+        batch already landed. Tables written before fold-forward fall
+        back to the legacy newest-first per-manifest scan."""
+        versions = self.versions()
+        if not versions:
+            return False
+        latest = self._manifest(versions[-1])
+        if "txns" in latest:
+            e = latest["txns"].get(app_id)
+            return e is not None and epoch <= e
+        for v in reversed(versions):
             t = self._manifest(v).get("txn")
             if t and t.get("app") == app_id:
                 return epoch <= t["epoch"]
         return False
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one dict per live commit, newest first —
+        ``version``, ``parent``, ``operation``, ``committed_at``, and
+        the writer ``txn`` stamp when present. Metadata-only (reads
+        manifests, never data files); commits vacuumed away no longer
+        appear, like Delta's log-retention horizon."""
+        out = []
+        for v in reversed(self.versions()):
+            m = self._manifest(v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "parent": m.get("parent"),
+                    "operation": m.get("operation"),
+                    "committed_at": m.get("committed_at"),
+                    "txn": m.get("txn"),
+                }
+            )
+        return out
+
+    def version_as_of(self, timestamp: str) -> int:
+        """Largest live version with ``committed_at <= timestamp``
+        (timestamp-travel resolution). Timestamps compare as strings —
+        ISO-8601 UTC, which orders lexicographically; callers supply
+        ``committed_at`` explicitly when determinism matters."""
+        best = None
+        for v in self.versions():
+            at = self._manifest(v).get("committed_at")
+            if at is not None and at <= timestamp:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version committed at or before {timestamp!r}"
+            )
+        return best
+
     def upsert(
-        self, spark: SparkSession, new: DataFrame, txn: dict | None = None
+        self,
+        spark: SparkSession,
+        new: DataFrame,
+        txn: dict | None = None,
+        committed_at: str | None = None,
     ) -> int:
         """Keyed merge as a NEW version: only the touched buckets'
         files are written; untouched buckets are file-shared with the
@@ -363,9 +473,21 @@ class VersionedTable:
             if int(b) not in touched
         }
         combined.update(files)
-        return self._commit(combined, parent, txn=txn)
+        return self._commit(
+            combined, parent, txn=txn, operation="upsert",
+            committed_at=committed_at,
+        )
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of: str | None = None,
+    ) -> DataFrame:
+        if version is not None and as_of is not None:
+            raise ValueError("pass version OR as_of, not both")
+        if as_of is not None:
+            version = self.version_as_of(as_of)
         v = self.latest_version() if version is None else version
         manifest = self._manifest(v)
         paths = [
@@ -380,7 +502,10 @@ class VersionedTable:
         # add-column only) null-fills older files' missing columns
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
-    def delete(self, spark: SparkSession, condition) -> int:
+    def delete(
+        self, spark: SparkSession, condition,
+        committed_at: str | None = None,
+    ) -> int:
         """SQL-DELETE semantics as a NEW version: drop the rows where
         ``condition`` is TRUE (NULL-predicate rows are KEPT, matching
         ANSI DELETE), rewriting ONLY the buckets that contain a
@@ -403,7 +528,8 @@ class VersionedTable:
         if not touched:
             # audited no-op: a fresh manifest sharing every file
             return self._commit(
-                {int(b): list(fs) for b, fs in manifest.items()}, parent
+                {int(b): list(fs) for b, fs in manifest.items()}, parent,
+                operation="delete", committed_at=committed_at,
             )
         touched_files = [
             os.path.join(self.path, f)
@@ -426,7 +552,9 @@ class VersionedTable:
         # must still drop out of the manifest, so start from the
         # shared set and add only what the survivor write produced
         combined.update(files)
-        return self._commit(combined, parent)
+        return self._commit(
+            combined, parent, operation="delete", committed_at=committed_at
+        )
 
     def changes(
         self, spark: SparkSession, v_from: int, v_to: int
@@ -508,7 +636,8 @@ class VersionedTable:
         return j.select(*sel).where(F.col("change_type").isNotNull())
 
     def compact(
-        self, spark: SparkSession, min_files: int = 2
+        self, spark: SparkSession, min_files: int = 2,
+        committed_at: str | None = None,
     ) -> int | None:
         """Small-files compaction as a NEW content-identical version:
         every bucket whose manifest lists ≥ ``min_files`` files is
@@ -547,21 +676,31 @@ class VersionedTable:
             if b not in fat
         }
         combined.update(files)
-        return self._commit(combined, parent)
+        return self._commit(
+            combined, parent, operation="compact", committed_at=committed_at
+        )
 
-    def rollback(self, to_version: int) -> int:
+    def rollback(
+        self, to_version: int, committed_at: str | None = None
+    ) -> int:
         """Restore an old state as a NEW version (no files move — the
         new manifest simply points at the target's files), so the
         rollback itself is audited and reversible."""
         target = self._manifest(to_version)["buckets"]
         return self._commit({int(b): list(fs) for b, fs in target.items()},
-                            parent=self.latest_version())
+                            parent=self.latest_version(),
+                            operation="rollback", committed_at=committed_at)
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Delete data files referenced ONLY by manifests older than
         the last ``keep_last`` versions (plus orphans from crashed
         commits), then drop those manifests. Returns deleted paths.
-        Runs under the single-writer contract."""
+        Runs under the single-writer contract. Writer-transaction
+        stamps are safe at ANY keep_last: every commit folds the
+        (app -> epoch) map forward (``txns``), so truncating old
+        manifests — even past non-txn commits like compact/delete that
+        landed after a stream's last stamped version — never loses
+        the idempotence evidence ``txn_applied`` needs."""
         fs = self._fs()
         versions = self.versions()
         keep = set(versions[-keep_last:]) if keep_last else set()

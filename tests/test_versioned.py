@@ -304,10 +304,10 @@ def test_crash_before_manifest_rename_preserves_parent(spark, tmp_path, monkeypa
 
     real_rename = vmod._LocalFS.rename
 
-    def crash_on_manifest(self, src, dst):
+    def crash_on_manifest(self, src, dst, overwrite=True):
         if "_versions" in dst and dst.endswith(".json"):
             raise RuntimeError("simulated crash before commit rename")
-        return real_rename(self, src, dst)
+        return real_rename(self, src, dst, overwrite)
 
     monkeypatch.setattr(vmod._LocalFS, "rename", crash_on_manifest)
     import pytest as _pytest
@@ -323,3 +323,112 @@ def test_crash_before_manifest_rename_preserves_parent(spark, tmp_path, monkeypa
     deleted = vt.vacuum(keep_last=1)
     assert deleted, "crash should have left orphan data files"
     assert _snap(spark, vt) == {(1, "a"), (2, "b")}
+
+
+def test_double_writer_manifest_collision_raises(spark, tmp_path):
+    """Exclusive commit rename: if a second writer races the same
+    version number (single-writer contract violated), its commit must
+    RAISE and the already-committed manifest must be byte-identical
+    after — never silently clobbered."""
+    import json
+
+    import pytest
+
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
+    vt.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    committed = vt._fs().read_text(vt._manifest_path(1))
+    # writer B holds a stale view in which no version exists yet, so
+    # it computes next-version = 1 — the collision
+    files = vt._write_commit(vt._bucketed(_df(spark, [(9, "CLOBBER")])))
+    from unittest import mock
+
+    with mock.patch.object(VersionedTable, "latest_version", return_value=0):
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            vt._commit(files, parent=0)
+    assert vt._fs().read_text(vt._manifest_path(1)) == committed
+    assert json.loads(committed)["buckets"]  # still the real commit
+    assert _snap(spark, vt, 1) == {(1, "a"), (2, "b")}
+    # no stray tmp manifests left behind by the failed commit
+    leftovers = [n for n in vt._fs().listdir(vt._vdir()) if ".tmp." in n]
+    assert leftovers == []
+
+
+def test_double_writer_collision_over_hadoop_fs_uri(spark, tmp_path):
+    """Same collision contract through the JVM Hadoop FileSystem
+    path (file:// URI) — exists-check + rename-refusal instead of the
+    POSIX hardlink trick."""
+    import pytest
+
+    vt = VersionedTable(f"file://{tmp_path}/t", keys=["id"], n_buckets=4)
+    vt.overwrite(_df(spark, [(1, "a")]))
+    committed = vt._fs().read_text(vt._manifest_path(1))
+    files = vt._write_commit(vt._bucketed(_df(spark, [(9, "CLOBBER")])))
+    from unittest import mock
+
+    with mock.patch.object(VersionedTable, "latest_version", return_value=0):
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            vt._commit(files, parent=0)
+    assert vt._fs().read_text(vt._manifest_path(1)) == committed
+    assert _snap(spark, vt, 1) == {(1, "a")}
+
+
+def test_txn_stamp_survives_vacuum_past_interleaved_commits(spark, tmp_path):
+    """The ADVICE round-7 hazard: a stream stamps (app, epoch) at v2,
+    then NON-txn commits (delete + compact) land, then vacuum keeps
+    only the newest manifests. With stamps folded forward into every
+    manifest, txn_applied must still see the epoch — a crash-replayed
+    epoch must NOT be re-upserted onto newer state."""
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
+    vt.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    vt.upsert(spark, _df(spark, [(2, "B")]), txn={"app": "s1", "epoch": 7})
+    assert vt.txn_applied("s1", 7)
+    # interleaved non-txn commits AFTER the stream's last stamped epoch
+    vt.delete(spark, F.col("id") == 3)
+    vt.compact(spark, min_files=1)
+    deleted = vt.vacuum(keep_last=2)  # drops the stamped v2 manifest
+    assert 2 not in vt.versions()
+    assert deleted is not None
+    # the stamp survived truncation via the fold-forward txns map
+    assert vt.txn_applied("s1", 7)
+    assert vt.txn_applied("s1", 6)
+    assert not vt.txn_applied("s1", 8)
+    assert not vt.txn_applied("other_app", 1)
+
+
+def test_history_and_timestamp_travel(spark, tmp_path):
+    """DESCRIBE HISTORY carries operation + caller-supplied commit
+    timestamps; read(as_of=) resolves to the newest version at or
+    before the timestamp."""
+    import pytest
+
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
+    vt.overwrite(_df(spark, [(1, "a")]), committed_at="2026-01-01T00:00:00Z")
+    vt.upsert(spark, _df(spark, [(1, "A2")]),
+              committed_at="2026-01-02T00:00:00Z")
+    vt.delete(spark, F.col("id") == 99,  # audited no-op delete
+              committed_at="2026-01-03T00:00:00Z")
+    vt.rollback(1, committed_at="2026-01-04T00:00:00Z")
+    h = vt.history()
+    assert [x["version"] for x in h] == [4, 3, 2, 1]
+    assert [x["operation"] for x in h] == [
+        "rollback", "delete", "upsert", "overwrite"
+    ]
+    assert [x["committed_at"] for x in h] == [
+        "2026-01-04T00:00:00Z", "2026-01-03T00:00:00Z",
+        "2026-01-02T00:00:00Z", "2026-01-01T00:00:00Z",
+    ]
+    assert h[0]["parent"] == 3
+    # timestamp travel: exact hit, between-commits, and too-early
+    assert vt.version_as_of("2026-01-02T00:00:00Z") == 2
+    assert vt.version_as_of("2026-01-02T12:00:00Z") == 2
+    assert _snap(spark, vt.read(spark, version=None) and vt, 1) == {(1, "a")}
+    assert {(r["id"], r["val"])
+            for r in vt.read(spark, as_of="2026-01-01T09:00:00Z").collect()} \
+        == {(1, "a")}
+    assert {(r["id"], r["val"])
+            for r in vt.read(spark, as_of="2026-01-05T00:00:00Z").collect()} \
+        == {(1, "a")}  # latest is the rollback to v1 content
+    with pytest.raises(ValueError):
+        vt.version_as_of("2025-12-31T00:00:00Z")
+    with pytest.raises(ValueError):
+        vt.read(spark, version=1, as_of="2026-01-01T00:00:00Z")
