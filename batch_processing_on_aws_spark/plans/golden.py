@@ -381,6 +381,93 @@ def versioned_changes_feed(spark, sf_dir):
     )
 
 
+def versioned_history_travel(spark, sf_dir):
+    """DESCRIBE HISTORY + timestamp travel over the versioned table
+    (operators/versioned.py::VersionedTable.history / read(as_of=)):
+    stage a four-commit lifecycle (overwrite, upsert, delete,
+    rollback) with caller-supplied commit timestamps, then emit one
+    row per history entry with the row count obtained by TIMESTAMP
+    travel to that entry's own committed_at — every row routes through
+    version_as_of resolution, and the counts are data-derived so the
+    oracle replays the lifecycle, not a constant table. Metadata stays
+    manifest-sized: history() reads manifests, never data files; the
+    four counts each read one resolved snapshot."""
+    import shutil
+    import tempfile
+
+    from ..operators.versioned import VersionedTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_vtab_hist_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events")
+    base = events.where(F.col("event_id") % 5 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    inc = base.where(F.col("event_type") == "click").withColumn(
+        "value", F.round(F.col("value") * 2, 2)
+    ).unionByName(
+        events.where(
+            (F.col("event_id") % 5 == 1) & (F.col("event_type") == "view")
+        ).select("event_id", "event_type", "value")
+    )
+    vt = VersionedTable(path, keys=["event_id"])
+    vt.overwrite(base, committed_at="2026-03-01T00:00:00Z")
+    vt.upsert(spark, inc, committed_at="2026-03-02T00:00:00Z")
+    vt.delete(spark, F.col("event_id") % 10 == 5,
+              committed_at="2026-03-03T00:00:00Z")
+    vt.rollback(1, committed_at="2026-03-04T00:00:00Z")
+    rows = [
+        (
+            h["version"],
+            h["parent"],
+            h["operation"],
+            h["committed_at"],
+            vt.read(spark, as_of=h["committed_at"]).count(),
+        )
+        for h in vt.history()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, parent long, operation string, "
+        "committed_at string, n_rows long",
+    ).orderBy("version")
+
+
+_VERSIONED_HISTORY_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 5 = 0
+),
+inc AS (
+  SELECT event_id, event_type, ROUND(value * 2, 2) AS value
+  FROM base WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, event_type, value FROM events
+  WHERE event_id % 5 = 1 AND event_type = 'view'
+),
+v2 AS (
+  SELECT * FROM inc
+  UNION ALL
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.event_id = b.event_id)
+),
+v3 AS (SELECT * FROM v2 WHERE NOT COALESCE(event_id % 10 = 5, FALSE))
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'overwrite',
+   '2026-03-01T00:00:00Z', (SELECT COUNT(*) FROM base)),
+  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'upsert',
+   '2026-03-02T00:00:00Z', (SELECT COUNT(*) FROM v2)),
+  (CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'delete',
+   '2026-03-03T00:00:00Z', (SELECT COUNT(*) FROM v3)),
+  (CAST(4 AS BIGINT), CAST(3 AS BIGINT), 'rollback',
+   '2026-03-04T00:00:00Z', (SELECT COUNT(*) FROM base))
+) AS t(version, parent, operation, committed_at, n_rows)
+ORDER BY version
+"""
+
+
 _VERSIONED_CDC_SQL = """
 WITH base AS (
   SELECT event_id, event_type, value FROM events WHERE event_id % 5 = 0
@@ -6007,6 +6094,11 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef(
         "versioned_changes_feed", versioned_changes_feed, _VERSIONED_CDC_SQL
+    ),
+    QueryDef(
+        "versioned_history_travel",
+        versioned_history_travel,
+        _VERSIONED_HISTORY_SQL,
     ),
     QueryDef(
         "streamed_versioned_events",

@@ -242,33 +242,52 @@ def test_randomized_lifecycle_matches_model(spark, tmp_path):
     rng = random.Random(20240814)
     vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
     model: dict[int, str] = {i: f"v{i}" for i in range(12)}
-    vt.overwrite(_df(spark, sorted(model.items())))
+
+    def ts(n):
+        return f"2026-02-{n:02d}T00:00:00Z"
+
+    vt.overwrite(_df(spark, sorted(model.items())), committed_at=ts(1))
     snaps = {1: dict(model)}
+    ops_log = {1: ("overwrite", ts(1))}
+    step = 1
     for _ in range(10):
         op = rng.choice(["upsert", "delete", "rollback", "compact"])
+        step += 1
         if op == "upsert":
             rows = [
                 (rng.randrange(20), f"u{rng.randrange(1000)}")
                 for _ in range(rng.randrange(1, 5))
             ]
             dedup = {k: v for k, v in rows}  # upsert: last-wins per key
-            v = vt.upsert(spark, _df(spark, sorted(dedup.items())))
+            v = vt.upsert(spark, _df(spark, sorted(dedup.items())),
+                          committed_at=ts(step))
             model.update(dedup)
         elif op == "delete":
             cut = rng.randrange(20)
-            v = vt.delete(spark, F.col("id") >= cut)
+            v = vt.delete(spark, F.col("id") >= cut, committed_at=ts(step))
             model = {k: x for k, x in model.items() if k < cut}
         elif op == "rollback":
             target = rng.choice(sorted(snaps))
-            v = vt.rollback(target)
+            v = vt.rollback(target, committed_at=ts(step))
             model = dict(snaps[target])
         else:
-            got = vt.compact(spark)
+            got = vt.compact(spark, committed_at=ts(step))
             if got is None:
+                step -= 1
                 continue
             v = got
         snaps[v] = dict(model)
+        ops_log[v] = (op, ts(step))
         assert _snap(spark, vt) == set(model.items()), f"after {op}"
+    # DESCRIBE HISTORY mirrors the op log (every committed version,
+    # newest first, with the threaded timestamps); timestamp travel
+    # resolves each commit's own timestamp to itself
+    hist = {h["version"]: (h["operation"], h["committed_at"])
+            for h in vt.history()}
+    assert hist == ops_log
+    assert [h["version"] for h in vt.history()] == sorted(ops_log)[::-1]
+    for v, (_, at) in ops_log.items():
+        assert vt.version_as_of(at) == v
     # every recorded version still time-travels to its snapshot
     for v, snap in snaps.items():
         if snap:
