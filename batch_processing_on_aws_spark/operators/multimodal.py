@@ -340,6 +340,85 @@ def perceptual_hash(df: DataFrame, hash_size: int = 8) -> DataFrame:
     return df.select("media_id", "data").mapInPandas(run, schema=PHASH_SCHEMA)
 
 
+def media_neardup_pairs(
+    phash_df: DataFrame,
+    id_col: str = "media_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-duplicate pairs by dHash Hamming distance ≤
+    ``max_hamming`` — the pairing step over :func:`perceptual_hash`
+    codes that closes the image-dedup loop (re-encodes, brightness
+    shifts, and resizes hash near-identically; exact sha256 can't see
+    them).
+
+    Pigeonhole banding exactly as ``neardup.simhash_neardup_pairs``:
+    split the 64-bit code into ``max_hamming + 1`` chunks — any pair
+    within Hamming t agrees exactly on ≥ 1 chunk — so candidates come
+    from a same-(chunk_id, chunk_val) equi-join, never a cross
+    product; shuffle is O(images × chunks). Chunks are carved from
+    the HEX STRING (``conv(substr, 16, 10)``, ≤ 16 bits each) so the
+    top bit of a 64-bit code never hits signed-long overflow, and the
+    exact Hamming verify sums per-chunk ``bit_count(xor)`` over the
+    same carving — all JVM codegen, no Python.
+
+    Output: (media_id_a, media_id_b, hamming), a < b, distinct.
+    """
+    n_chunks = max_hamming + 1
+    if 16 % n_chunks:
+        raise ValueError(
+            f"max_hamming + 1 = {n_chunks} must divide the 16 hex digits"
+        )
+    nib = 16 // n_chunks  # hex digits per chunk
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.conv(
+                    F.substring(F.col("ph"), c * nib + 1, nib), 16, 10
+                ).cast("long").alias("chunk_val"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    banded = (
+        phash_df.where(F.col(phash_col).isNotNull())
+        .select(F.col(id_col).alias("mid"), F.col(phash_col).alias("ph"))
+        .select("mid", "ph", F.explode(chunks).alias("c"))
+        .select("mid", "ph", "c.chunk_id", "c.chunk_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = sum(
+        F.bit_count(
+            F.conv(F.substring(F.col("a.ph"), c * nib + 1, nib), 16, 10)
+            .cast("long")
+            .bitwiseXOR(
+                F.conv(
+                    F.substring(F.col("b.ph"), c * nib + 1, nib), 16, 10
+                ).cast("long")
+            )
+        )
+        for c in range(n_chunks)
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_id") == F.col("b.chunk_id"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col("a.mid") < F.col("b.mid"),
+            ],
+        )
+        .select(
+            F.col("a.mid").alias("media_id_a"),
+            F.col("b.mid").alias("media_id_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def media_dedup_by_content(df: DataFrame) -> DataFrame:
     """Exact media dedup on payload hash — JVM-side sha2 over the
     binary column, no Python. Returns one keeper per distinct payload."""

@@ -4445,6 +4445,125 @@ FROM h
 """
 
 
+def media_neardup_pairs(spark, sf_dir):
+    """Image near-duplicate PAIR MINING end-to-end
+    (operators/multimodal.py::media_neardup_pairs over
+    ``perceptual_hash``): every document id plants three perceptual
+    twins — a base 9×8 P5 image with pixel
+    ``md5(id:x:y)[:2] mod 128`` (< 128, so +64 never wraps), a
+    brightness-shifted copy (+64 — gradients unchanged ⇒ identical
+    dHash), and a 2× nearest-neighbor blow-up (the index-map grid
+    samples the same pixels ⇒ identical dHash). The REAL pipeline
+    runs: P5 bytes built per id, decoded by the numpy codec,
+    dHash-packed, then banded-Hamming paired (4×16-bit pigeonhole
+    chunks, exact ``bit_count(xor)`` verify ≤ 3). md5 pixels make
+    per-id hashes effectively uniform over 64 bits, so cross-id
+    Hamming-≤3 collisions are ~impossible and the output stays LINEAR
+    in the corpus — an arithmetic pixel function collapses to
+    id-mod-m residue cliques and quadratic pairs (measured: 916 k
+    pairs at sf0.1), the exact skew this operator family exists to
+    avoid. The DuckDB oracle recomputes the 64
+    bits analytically per id, fans out the three variants, and replays
+    the banding join + Hamming verify — candidate generation,
+    chunk carving, and the radius are all value-checked cross-engine."""
+    from ..operators.multimodal import media_neardup_pairs as pairs_op
+    from ..operators.multimodal import perceptual_hash
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id")
+
+    def build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["doc_id"]:
+                did = int(mid)
+
+                def gray(x, y):
+                    h = hashlib.md5(f"{did}:{x}:{y}".encode()).hexdigest()
+                    return int(h[:2], 16) % 128
+
+                base = [[gray(x, y) for x in range(9)] for y in range(8)]
+                v0 = b"P5 9 8 255\n" + bytes(
+                    v for row in base for v in row
+                )
+                v1 = b"P5 9 8 255\n" + bytes(
+                    v + 64 for row in base for v in row
+                )
+                v2 = b"P5 18 16 255\n" + bytes(
+                    base[yy // 2][xx // 2]
+                    for yy in range(16)
+                    for xx in range(18)
+                )
+                for var, payload in enumerate((v0, v1, v2)):
+                    ids.append(did * 3 + var)
+                    payloads.append(payload)
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, data binary")
+    return pairs_op(perceptual_hash(media)).orderBy(
+        "media_id_a", "media_id_b"
+    )
+
+
+_MEDIA_NEARDUP_SQL = """
+WITH g AS (
+  SELECT d.doc_id, y.range AS y, x.range AS x,
+         ('0x' || substr(md5(
+            CAST(d.doc_id AS VARCHAR) || ':' ||
+            CAST(x.range AS VARCHAR) || ':' ||
+            CAST(y.range AS VARCHAR)), 1, 2))::BIGINT % 128 AS gray
+  FROM documents d, range(8) y, range(9) x
+),
+b AS (
+  SELECT g1.doc_id,
+         CAST(g1.y * 8 + g1.x AS BIGINT) AS idx,
+         CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+  FROM g g1
+  JOIN g g2 ON g1.doc_id = g2.doc_id AND g1.y = g2.y AND g2.x = g1.x + 1
+  WHERE g1.x < 8
+),
+h AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN idx < 32
+                  THEN CAST(bit AS BIGINT) << CAST(31 - idx AS INT)
+                  ELSE 0 END) AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN idx >= 32
+                  THEN CAST(bit AS BIGINT) << CAST(63 - idx AS INT)
+                  ELSE 0 END) AS BIGINT) AS lo
+  FROM b GROUP BY 1
+),
+m AS (
+  SELECT doc_id * 3 + v.range AS media_id, hi, lo FROM h, range(3) v
+),
+banded AS (
+  SELECT media_id, hi, lo, c.range AS chunk_id,
+         CASE c.range
+           WHEN 0 THEN (hi >> 16) & 65535
+           WHEN 1 THEN hi & 65535
+           WHEN 2 THEN (lo >> 16) & 65535
+           ELSE lo & 65535
+         END AS chunk_val
+  FROM m, range(4) c
+),
+pairs AS (
+  SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b,
+         CAST(bit_count(xor(a.hi, b.hi))
+            + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+  FROM banded a
+  JOIN banded b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.media_id < b.media_id
+)
+SELECT media_id_a, media_id_b, hamming FROM pairs
+WHERE hamming <= 3
+ORDER BY media_id_a, media_id_b
+"""
+
+
 # Fixture index page in the TfL shape (reference
 # init_3_web_scraping_dag.py:26-98): first table, a folder marker row,
 # file rows whose names end in the extract date range, plus the decoys
@@ -6013,6 +6132,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("clean_corpus", clean_corpus, _clean_corpus_sql()),
     QueryDef("media_features", media_features, _MEDIA_SQL),
     QueryDef("media_phash", media_phash, _MEDIA_PHASH_SQL),
+    QueryDef("media_neardup_pairs", media_neardup_pairs, _MEDIA_NEARDUP_SQL),
     QueryDef("links_manifest", links_manifest, _LINKS_MANIFEST_SQL),
     QueryDef("dup_span_occurrences", dup_span_occurrences, _DUP_SPANS_SQL),
     QueryDef("doc_dup_span_share", doc_dup_span_share, _DUP_SHARE_SQL),

@@ -310,3 +310,86 @@ def test_perceptual_hash_formats_and_failures(spark):
     out = {r["media_id"]: r for r in perceptual_hash(df).collect()}
     assert out[1]["phash"] == out[2]["phash"] is not None
     assert out[3]["decode_ok"] is False and out[3]["phash"] is None
+
+
+def test_media_neardup_pairs_planted_twins(spark):
+    """Banded Hamming pairing over dHash codes: planted perceptual
+    twins (brightness-shifted and 2x-resized copies — dHash-invariant
+    by construction) must ALL pair at hamming 0; a few-bit perturbed
+    copy pairs within the radius; an unrelated image pairs with
+    nothing. The pigeonhole guarantee (Hamming <= 3 => >= 1 of 4
+    16-bit chunks identical) makes recall on the planted set exact,
+    not probabilistic."""
+    import numpy as np
+
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        decode_image,
+        dhash_hex,
+        media_neardup_pairs,
+        perceptual_hash,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 128, (16, 18), dtype=np.uint8)  # headroom: +64 safe
+
+    def pgm(img):
+        h, w = img.shape
+        return (f"P5 {w} {h} 255\n").encode() + bytes(
+            int(v) for row in img for v in row
+        )
+
+    bright = (base + 64).astype(np.uint8)
+    resized = np.kron(base, np.ones((2, 2), dtype=np.uint8))  # 32x36 2x blow-up
+    # perturb: force-flip grid bit (0,0) — grid cells are pixels
+    # [0, 0] and [0, 2] on the 16x18 canvas — in whichever direction
+    # INVERTS the base's comparison; the collateral bit (0,1) may also
+    # flip, keeping total distance within the radius
+    pert = base.copy().astype(np.int64)
+    if base[0, 2] > base[0, 0]:
+        pert[0, 0], pert[0, 2] = 127, 0
+    else:
+        pert[0, 0], pert[0, 2] = 0, 127
+    pert = pert.astype(np.uint8)
+    other = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    imgs = {1: base, 2: bright, 3: resized, 4: pert, 5: other}
+    # sanity on the planted geometry before the distributed run
+    h = {k: dhash_hex(decode_image(pgm(v))) for k, v in imgs.items()}
+    assert h[1] == h[2] == h[3]
+    d14 = bin(int(h[1], 16) ^ int(h[4], 16)).count("1")
+    d15 = bin(int(h[1], 16) ^ int(h[5], 16)).count("1")
+    assert 1 <= d14 <= 3 and d15 > 3
+
+    df = spark.createDataFrame(
+        [(k, bytearray(pgm(v))) for k, v in imgs.items()],
+        "media_id long, data binary",
+    )
+    pairs = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in media_neardup_pairs(perceptual_hash(df)).collect()
+    }
+    assert pairs[(1, 2)] == pairs[(1, 3)] == pairs[(2, 3)] == 0
+    assert (1, 4) in pairs and 1 <= pairs[(1, 4)] <= 3
+    assert pairs[(2, 4)] == pairs[(1, 4)]  # twin pairs identically
+    assert not any(5 in p for p in pairs)  # unrelated image: no pairs
+
+
+def test_media_neardup_pairs_null_hash_and_radius(spark):
+    """NULL phashes (undecodable payloads) are excluded, and the
+    Hamming radius is enforced exactly: a pair at distance
+    max_hamming+1 that still shares a chunk must be verified OUT."""
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        media_neardup_pairs,
+    )
+
+    rows = [
+        (1, "00000000000000ff"),
+        (2, "00000000000000f0"),  # hamming 4 from 1, shares 3 chunks: OUT
+        (3, "00000000000000fe"),  # hamming 1 from 1, 3 from 2: both IN
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, phash string")
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in media_neardup_pairs(df).collect()
+    }
+    assert got == {(1, 3): 1, (2, 3): 3}
