@@ -638,6 +638,8 @@ class VersionedTable:
     def compact(
         self, spark: SparkSession, min_files: int = 2,
         committed_at: str | None = None,
+        zorder_by: tuple[str, str] | None = None,
+        z_bits: int = 8,
     ) -> int | None:
         """Small-files compaction as a NEW content-identical version:
         every bucket whose manifest lists ≥ ``min_files`` files is
@@ -650,7 +652,16 @@ class VersionedTable:
         (asserted by test); old versions keep reading their own files
         until :meth:`vacuum` reclaims them. Returns the new version,
         or None when nothing needed compacting. Runs under the
-        single-writer contract."""
+        single-writer contract.
+
+        ``zorder_by=(x_col, y_col)`` makes this OPTIMIZE ZORDER BY:
+        each rewritten bucket's rows are additionally sorted by the
+        Morton interleave of the two keys (``operators.zorder``), so
+        row groups inside the compacted file carry bounded (x, y)
+        min/max footer boxes and a box query prunes WITHIN the bucket
+        — clustering composes with the table format without changing
+        the manifest protocol. Rows with NULL keys sort together at
+        the front (z of NULL is NULL), content identity untouched."""
         parent = self.latest_version()
         if parent == 0:
             return None
@@ -669,6 +680,16 @@ class VersionedTable:
         # enough; repartition on the bucket key achieves that without
         # a global sort
         rows = rows.repartition(len(fat), F.col(BUCKET_COL))
+        if zorder_by is not None:
+            from .zorder import z_value
+
+            xc, yc = zorder_by
+            rows = rows.sortWithinPartitions(
+                F.col(BUCKET_COL),
+                z_value(
+                    F.col(xc).cast("long"), F.col(yc).cast("long"), z_bits
+                ),
+            )
         files = self._write_commit(rows)
         combined = {
             int(b): list(fs)

@@ -63,6 +63,118 @@ def z_value_sql(x: str, y: str, bits: int = 16) -> str:
     return " | ".join(parts)
 
 
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    cell_shift: int = 10,
+    mode: str = "overwrite",
+) -> None:
+    """Physically write ``df`` in a z-clustered layout: assign each
+    row to cell ``z >> cell_shift`` and write one parquet file per
+    cell (``partitionBy`` on the cell id; the shuffle hashes each
+    cell to exactly one task, so each cell directory holds one file,
+    internally sorted by the full z-value for row-group pruning
+    inside big cells). Every file then covers a bounded (x, y) box
+    and ordinary parquet min/max footer stats prune it for any box
+    query that misses the box — the write path of the
+    :func:`cell_stats` audit, i.e. what Delta's ``OPTIMIZE ZORDER
+    BY`` produces. Deterministic: the cell cut is pure bit
+    arithmetic, not range-sampling, so the layout (and its footer
+    stats) is bit-stable across runs — which is what lets an oracle
+    replay the physical layout analytically. Rows with NULL keys are
+    excluded (a real writer gives them a dedicated file; callers that
+    must keep them route them separately).
+
+    At 100 TB: one shuffle on the cell id (same cost class as any
+    repartition), parallel writes, no global sort — z-ordering is
+    spiritually a sort but the Morton trick makes it a hash-shaped
+    plan."""
+    zc = z_value(F.col(x_col).cast("long"), F.col(y_col).cast("long"), bits)
+    out = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .withColumn("__z", zc)
+        .withColumn("z_cell", F.shiftright(F.col("__z"), cell_shift))
+    )
+    (
+        out.repartition(F.col("z_cell"))
+        .sortWithinPartitions("z_cell", "__z")
+        .drop("__z")
+        .write.mode(mode)
+        .partitionBy("z_cell")
+        .parquet(path)
+    )
+
+
+def parquet_layout_audit(
+    spark,
+    files: list[str],
+    x_col: str,
+    y_col: str,
+    box: tuple[int, int, int, int],
+) -> DataFrame:
+    """Row-group-level audit of a PHYSICAL parquet layout: for every
+    row group of every file, the footer min/max statistics of the two
+    clustering keys and whether the box query ``(x_lo, x_hi, y_lo,
+    y_hi)`` (half-open) could SKIP it on those stats alone — the
+    exact test a parquet reader applies before touching data pages.
+    This is the ground-truth counterpart of :func:`cell_stats`: cells
+    are the PLAN, footers are what actually got written.
+
+    Distributed: the file list is parallelized and each task reads
+    only FOOTERS via pyarrow (KBs per file, never data pages) — at a
+    100 TB table with 10⁵–10⁶ files the audit is a metadata-sized
+    map, not a driver loop."""
+    import pandas as pd
+
+    x_lo, x_hi, y_lo, y_hi = box
+    fdf = spark.createDataFrame(
+        [(f,) for f in sorted(files)], "file string"
+    ).repartition(max(1, min(len(files), 64)))
+    schema = (
+        "file string, row_group int, n_rows long, "
+        "min_x long, max_x long, min_y long, max_y long, can_skip boolean"
+    )
+
+    def audit(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                xi, yi = idx[x_col], idx[y_col]
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    sx = rg.column(xi).statistics
+                    sy = rg.column(yi).statistics
+                    skip = (
+                        sx.max < x_lo
+                        or sx.min >= x_hi
+                        or sy.max < y_lo
+                        or sy.min >= y_hi
+                    )
+                    rows.append(
+                        (f, g, rg.num_rows, sx.min, sx.max,
+                         sy.min, sy.max, skip)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "row_group", "n_rows",
+                    "min_x", "max_x", "min_y", "max_y", "can_skip",
+                ],
+            )
+
+    return fdf.mapInPandas(audit, schema)
+
+
 def cell_stats(
     df: DataFrame,
     x_col: str,

@@ -1902,6 +1902,66 @@ FROM z GROUP BY 1
 """
 
 
+def zorder_layout_audit(spark, sf_dir):
+    """The z-order WRITE path, audited against PHYSICAL parquet
+    footers (operators/zorder.py::zorder_write + parquet_layout_audit):
+    write events' (user_id, day-index) z-clustered to scratch — one
+    file per z-cell, deterministic bit-arithmetic cut, internally
+    z-sorted — then read the footer min/max statistics back with
+    pyarrow (distributed, footers only) and aggregate them per cell
+    with the same box-query skip test the reader applies. Because the
+    cell cut is deterministic, the WRITTEN layout's footer stats must
+    equal the analytic per-cell stats — so the oracle is
+    ``zorder_cell_stats``' SQL verbatim: physical footers ==
+    analytic cells, hash-exact. This is the claim `zorder_cell_stats`
+    computes and this query PROVES on disk."""
+    import shutil
+    import tempfile
+
+    from ..operators.zorder import parquet_layout_audit, zorder_write
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zlay_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        F.col("user_id").cast("long").alias("ux"),
+        F.datediff(
+            F.to_date("ts"), F.to_date(F.lit("2024-01-01"))
+        ).cast("long").alias("dy"),
+    )
+    zorder_write(t, path, "ux", "dy", bits=8, cell_shift=8)
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    audit = parquet_layout_audit(
+        spark, files, "ux", "dy", box=(40, 80, 10, 20)
+    )
+    return (
+        audit.withColumn(
+            "z_cell",
+            F.regexp_extract("file", r"z_cell=(-?\d+)", 1).cast("long"),
+        )
+        .groupBy("z_cell")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_x").alias("min_x"),
+            F.max("max_x").alias("max_x"),
+            F.min("min_y").alias("min_y"),
+            F.max("max_y").alias("max_y"),
+        )
+        .withColumn(
+            "can_skip",
+            (F.col("max_x") < 40)
+            | (F.col("min_x") >= 80)
+            | (F.col("max_y") < 10)
+            | (F.col("min_y") >= 20),
+        )
+    )
+
+
 def distinct_users_per_type(spark, sf_dir):
     """Exact + approximate distinct: distinct users per event type
     (the approx twin is checked rows-only via a tolerance test)."""
@@ -6230,6 +6290,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),
     QueryDef("event_type_trend", event_type_trend, _TREND_SQL),
     QueryDef("zorder_cell_stats", zorder_cell_stats, _zorder_sql()),
+    QueryDef("zorder_layout_audit", zorder_layout_audit, _zorder_sql()),
     QueryDef("distinct_users_per_type", distinct_users_per_type, _DISTINCT_SQL),
     QueryDef("purchase_attribution", purchase_attribution, _ASOF_SQL),
     QueryDef("clicks_before_purchase", clicks_before_purchase, _RANGE_SQL),

@@ -137,3 +137,105 @@ def test_group_trend_null_rows_excluded(spark):
     r = group_trend(df, ["g"], "x", "y").collect()[0]
     assert r["n_points"] == 3
     assert r["slope"] == 3.0
+
+
+def test_zorder_write_real_file_skipping_beats_x_sort(spark, tmp_path):
+    """The physical claim behind OPTIMIZE ZORDER: on a 64x64 grid, a
+    y-band box query can skip most FILES of the z-clustered layout on
+    parquet footer stats alone (every file covers an 8x8 block), while
+    an x-sorted layout skips none (every x-stripe spans all of y).
+    Footer statistics are read back with pyarrow — the audit measures
+    what was WRITTEN, not the analytic cells."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.operators.zorder import (
+        parquet_layout_audit,
+        zorder_write,
+    )
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zpath, xpath = str(tmp_path / "z"), str(tmp_path / "xsort")
+    # bits=6 -> 12-bit z; cell_shift=6 -> 64 cells of 64 codes = 8x8 boxes
+    zorder_write(grid, zpath, "x", "y", bits=6, cell_shift=6)
+    (
+        grid.repartitionByRange(64, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(xpath)
+    )
+    box = (0, 64, 0, 8)  # all x, y in [0, 8)
+    zfiles = glob.glob(f"{zpath}/**/*.parquet", recursive=True)
+    xfiles = glob.glob(f"{xpath}/*.parquet")
+    assert len(zfiles) == 64
+    za = parquet_layout_audit(spark, zfiles, "x", "y", box)
+    xa = parquet_layout_audit(spark, xfiles, "x", "y", box)
+    # file-level skip: every row group of the file skippable
+    z_skip = (
+        za.groupBy("file").agg(F.min("can_skip").alias("s"))
+        .where("s").count()
+    )
+    x_skip = (
+        xa.groupBy("file").agg(F.min("can_skip").alias("s"))
+        .where("s").count()
+    )
+    assert z_skip == 56  # all 8x8 blocks except the by=0 row of blocks
+    assert x_skip == 0
+    # layout is lossless: the written rows are exactly the grid
+    back = spark.read.parquet(zpath).select("x", "y")
+    assert back.count() == 64 * 64
+    assert back.exceptAll(grid).count() == 0
+
+
+def test_compact_zorder_by_clusters_within_bucket(spark, tmp_path):
+    """compact(zorder_by=...) must stay content-identical AND leave
+    each compacted bucket file physically sorted by the Morton code —
+    the property that gives row-group pruning inside the file."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.operators.versioned import (
+        VersionedTable,
+    )
+    from batch_processing_on_aws_spark.operators.zorder import z_value
+
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
+    rows = [(i, i % 37, (i * 7) % 53) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    vt.overwrite(df)
+    vt.upsert(
+        spark,
+        spark.createDataFrame(rows[:100], "id long, x long, y long"),
+    )
+    before = {tuple(r) for r in vt.read(spark).select("id", "x", "y").collect()}
+    v = vt.compact(spark, min_files=2, zorder_by=("x", "y"), z_bits=6)
+    assert v is not None
+    after = {tuple(r) for r in vt.read(spark, v).select("id", "x", "y").collect()}
+    assert after == before
+    # every compacted file is internally non-decreasing in z
+    import os
+
+    manifest = vt._manifest(v)["buckets"]
+    parent_files = set()
+    for fs in vt._manifest(v - 1)["buckets"].values():
+        parent_files.update(fs)
+    fresh = [
+        os.path.join(vt.path, f)
+        for fs in manifest.values()
+        for f in fs
+        if f not in parent_files
+    ]
+    assert fresh
+    for f in fresh:
+        zs = [
+            r["z"]
+            for r in spark.read.parquet(f)
+            .select(
+                z_value(
+                    F.col("x").cast("long"), F.col("y").cast("long"), 6
+                ).alias("z")
+            )
+            .collect()
+        ]
+        assert zs == sorted(zs), f
