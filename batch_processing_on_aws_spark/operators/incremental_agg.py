@@ -12,12 +12,19 @@ O(batch) + a keyed merge on the touched groups — independent of the
 fact table's history, which is the whole point at 100 TB where the
 history is unreadable weekly.
 
-Contract: APPEND-ONLY facts. min/max are not invertible — a retracted
-row cannot un-narrow them — so deletes/updates require either
-recompute of the touched groups or an invertible-only spec
-(sum/count); ``IncrementalAgg`` refuses min/max retraction by not
-offering a retract API at all (the honest contract, same spirit as
-the single-writer note on compact_ledger).
+Contract: APPEND-ONLY facts through :meth:`IncrementalAgg.apply_batch`.
+min/max are not invertible — a retracted row cannot un-narrow them —
+so specs containing them stay append-only and deletes/updates require
+a recompute of the touched groups. For the aggregates that ARE
+invertible (sum/count), :meth:`IncrementalAgg.apply_changes` closes
+the limitation: it consumes a row-level change feed
+(:meth:`~.versioned.VersionedTable.changes` — insert/update/delete
+with old_/new_ values) and folds SIGNED contributions (+new, −old)
+into the state, so update- and delete-bearing increments still match
+a full recompute hash-exact. Groups whose designated row count
+reaches zero become tombstones: the state row stays (a later insert
+merges onto it correctly) but :meth:`read` hides it, exactly as a
+recompute would show no row.
 
 Storage: the state table rides :class:`~..operators.merge.MergeWriter`
 (bucketed parquet, dynamic partition overwrite), so refresh is
@@ -61,14 +68,28 @@ class IncrementalAgg:
         keys: Sequence[str],
         aggs: dict[str, tuple[str, str]],
         n_buckets: int = 32,
+        rowcount: str | None = None,
     ):
+        """``rowcount`` (optional) names an agg output of kind
+        ``count`` whose input column is non-null on EVERY fact row
+        (a key column, or a literal-1 column) — the group's row count.
+        Required for :meth:`apply_changes` (it decides when a group
+        has been fully retracted); when set, :meth:`read` hides
+        zero-count tombstone groups."""
         for out, (kind, _) in aggs.items():
             if kind not in _KINDS:
                 raise ValueError(
                     f"agg {out!r}: unknown kind {kind!r}; known: {_KINDS}"
                 )
+        if rowcount is not None and (
+            rowcount not in aggs or aggs[rowcount][0] != "count"
+        ):
+            raise ValueError(
+                f"rowcount {rowcount!r} must name a ('count', ...) agg"
+            )
         self.keys = list(keys)
         self.aggs = dict(aggs)
+        self.rowcount = rowcount
         self.writer = MergeWriter(path, keys=self.keys, n_buckets=n_buckets)
 
     def _partial(self, batch: DataFrame) -> DataFrame:

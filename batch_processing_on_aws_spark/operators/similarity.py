@@ -649,6 +649,23 @@ def hard_negatives(
     return _ranked_topk(scored, k)
 
 
+def _scored_schema(corpus: DataFrame, queries: DataFrame,
+                   id_col: str, query_id_col: str):
+    """Output schema for the PQ/IVF-PQ Arrow scoring pass, with the id
+    field TYPES derived from the actual input columns — string or int
+    ids flow through unchanged instead of being silently miscast to
+    long (ADVICE r7)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("vec_id", corpus.schema[id_col].dataType),
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            StructField("__raw", DoubleType()),
+        ]
+    )
+
+
 def _pq_train(Xn, m: int, k_codes: int, seed: int, max_iter: int):
     """Per-subspace codebooks for product quantization: split the
     normalized sample into ``m`` contiguous dim/m blocks and run the
@@ -850,7 +867,7 @@ def pq_topk(
             )
 
     scored = c.mapInPandas(
-        _adc, "vec_id long, query_id long, __raw double"
+        _adc, _scored_schema(corpus, queries, id_col, query_id_col)
     ).select(
         "query_id",
         "vec_id",
@@ -1016,7 +1033,7 @@ def ivfpq_topk(
                 )
 
     scored = c.mapInPandas(
-        _score, "vec_id long, query_id long, __raw double"
+        _score, _scored_schema(corpus, queries, id_col, query_id_col)
     ).select(
         "query_id",
         "vec_id",

@@ -944,8 +944,35 @@ def doc_minhash_lsh_pairs(spark, sf_dir):
     the cap is not binding (max bucket 3 at sf0.01), so the uncapped
     all-pairs oracle still matches hash-exact, while a boilerplate
     template corpus (tools/skew_bench.py) now gets linear star edges
-    by default instead of a quadratic clique."""
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    by default instead of a quadratic clique. GUARD (ADVICE r7): the
+    capped-equals-uncapped equivalence holds ONLY while no bucket hits
+    the cap, so this query first asserts that on the live fixture —
+    a future corpus change that makes the cap bind fails LOUDLY here
+    instead of silently diverging from the uncapped SQL twin."""
+    from ..operators.neardup import (
+        CURATION_MAX_BUCKET_SIZE,
+        band_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    row = (
+        band_signatures(docs)
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.max("m").alias("max_bucket"))
+        .collect()[0]
+    )
+    if row["max_bucket"] is not None and (
+        row["max_bucket"] > CURATION_MAX_BUCKET_SIZE
+    ):
+        raise AssertionError(
+            f"minhash LSH bucket cap binds on this fixture "
+            f"(max bucket {row['max_bucket']} > cap "
+            f"{CURATION_MAX_BUCKET_SIZE}): the capped default no longer "
+            "matches the uncapped oracle — re-derive the oracle or raise "
+            "the cap explicitly"
+        )
+    return minhash_lsh_pairs(docs)
 
 
 def _minhash_pairs_sql(n_hashes: int = 8, bands: int = 4) -> str:

@@ -612,3 +612,29 @@ def test_ranked_topk_partial_prune_equals_unbounded_window(spark):
     # two window operators, not one
     plan = _ranked_topk(scored, k)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("window") >= 2
+
+
+def test_pq_topk_string_ids_flow_through(spark):
+    """The PQ Arrow pass's output schema derives from the INPUT id
+    column types (ADVICE r7): string corpus/query ids must flow
+    through pq_topk and ivfpq_topk unchanged, not be miscast to long."""
+    from batch_processing_on_aws_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+    from batch_processing_on_aws_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id").isin("v1", "v2", "v3")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for fn in (pq_topk, ivfpq_topk):
+        out = fn(emb, queries, k=5).collect()
+        assert out, fn.__name__
+        assert all(
+            isinstance(r["vec_id"], str) and r["vec_id"].startswith("v")
+            for r in out
+        ), fn.__name__
+        assert all(isinstance(r["query_id"], str) for r in out), fn.__name__

@@ -50,6 +50,19 @@ def _topk_sets(df) -> dict[int, set[int]]:
     return out
 
 
+def _timed(mk) -> tuple[dict[int, set[int]], float]:
+    """min-of-2 timing, same discipline as the skew/scale benches: a
+    single-run number on a shared VM folds scheduler/GC/JIT noise into
+    the measurement — the round-7 sidecar's 1x brute-force baseline
+    (6.9 s vs 1.05 s at 10x) was exactly that warm-up contamination."""
+    best, result = float("inf"), None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        result = _topk_sets(mk())
+        best = min(best, time.perf_counter() - t0)
+    return result, round(best, 2)
+
+
 def main() -> None:
     out_path = "RECALL_r06.json"
     for a in sys.argv[1:]:
@@ -57,19 +70,27 @@ def main() -> None:
             out_path = a.split("=", 1)[1]
     spark = get_spark(app_name="recall_bench")
     qs = entrymod.queries()
+    # Warm the JVM/codegen AND the Python/Arrow worker pool before any
+    # timed run (the PQ paths fork per-core pandas workers on first
+    # use) — otherwise the first-measured query absorbs the whole
+    # session's startup cost.
+    first_dir = next(
+        (d for d in SCALES.values()
+         if os.path.exists(os.path.join(d, "embeddings.parquet"))),
+        None,
+    )
+    if first_dir:
+        _topk_sets(qs[EXACT](spark, first_dir))
+        _topk_sets(qs["embedding_pq_topk"](spark, first_dir))
     report: dict[str, dict] = {}
     for scale, sf_dir in SCALES.items():
         if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
             print(f"skip {scale}: {sf_dir} missing (run tools/gen_scale.py)")
             continue
-        t0 = time.perf_counter()
-        exact = _topk_sets(qs[EXACT](spark, sf_dir))
-        exact_secs = round(time.perf_counter() - t0, 2)
+        exact, exact_secs = _timed(lambda: qs[EXACT](spark, sf_dir))
         report[scale] = {"brute_force_secs": exact_secs, "recall_at_k": {}}
         for name in APPROX:
-            t0 = time.perf_counter()
-            approx = _topk_sets(qs[name](spark, sf_dir))
-            secs = round(time.perf_counter() - t0, 2)
+            approx, secs = _timed(lambda: qs[name](spark, sf_dir))
             recalls = [
                 len(approx.get(q, set()) & hits) / max(len(hits), 1)
                 for q, hits in sorted(exact.items())
@@ -133,9 +154,7 @@ def main() -> None:
         }
         report[scale]["frontier_variants"] = {}
         for name, mk in tuned.items():
-            t0 = time.perf_counter()
-            approx = _topk_sets(mk())
-            secs = round(time.perf_counter() - t0, 2)
+            approx, secs = _timed(mk)
             recalls = [
                 len(approx.get(q, set()) & hits) / max(len(hits), 1)
                 for q, hits in sorted(exact.items())
@@ -157,7 +176,8 @@ def main() -> None:
                 "queries": "vec_id < 5 (same as the registry queries)",
                 "method": "recall@k vs brute-force cosine top-k on the "
                           "same data; 1x = sf0.1, 10x = tools/gen_scale.py "
-                          "clone (tools/recall_bench.py)",
+                          "clone; warmed session, min-of-2 timings "
+                          "(tools/recall_bench.py)",
                 "scales": report,
             },
             f,
