@@ -145,6 +145,138 @@ class IncrementalAgg:
             cols.append(merged.alias(out))
         return joined.select(*cols)
 
+    def _merge_retract(self, old: DataFrame, part: DataFrame) -> DataFrame:
+        """Merge SIGNED partials (retraction deltas) into the state.
+        Counts add (deltas may be negative); each sum goes NULL exactly
+        when its companion count reaches zero — SQL's SUM over a group
+        with no non-null values is NULL, and the retracted state must
+        agree with a full recompute bit-for-bit (the 0-vs-NULL trap of
+        invertible aggregates)."""
+        o = old.alias("o")
+        p = part.alias("p")
+        joined = o.join(p, on=self._key_cond("o", "p"), how="full_outer")
+        cols = [
+            F.coalesce(*[F.col(f"{s}.{k}") for s in ("o", "p")]).alias(k)
+            for k in self.keys
+        ]
+        cnt_for_col = {
+            col: out for out, (kind, col) in self.aggs.items()
+            if kind == "count"
+        }
+        merged_cnt = {
+            out: F.coalesce(F.col(f"o.{out}"), F.lit(0))
+            + F.coalesce(F.col(f"p.{out}"), F.lit(0))
+            for out, (kind, _) in self.aggs.items()
+            if kind == "count"
+        }
+        for out, (kind, col) in self.aggs.items():
+            a, b = F.col(f"o.{out}"), F.col(f"p.{out}")
+            if kind == "count":
+                merged = merged_cnt[out]
+            else:  # sum — __init__/apply_changes guarantee a companion
+                merged = F.when(
+                    merged_cnt[cnt_for_col[col]] == 0, F.lit(None)
+                ).otherwise(
+                    F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+                )
+            cols.append(merged.alias(out))
+        return joined.select(*cols)
+
+    def _side_col(self, changes: DataFrame, col: str, side: str):
+        """Resolve a fact column inside a change-feed row: table-key
+        columns appear unprefixed (identical on both sides); value
+        columns appear as old_<col> / new_<col>."""
+        if col in changes.columns:
+            return F.col(col)
+        pref = f"{side}_{col}"
+        if pref in changes.columns:
+            return F.col(pref)
+        raise ValueError(
+            f"column {col!r} not found in the change feed "
+            f"(neither {col!r} nor {pref!r})"
+        )
+
+    def apply_changes(self, spark: SparkSession, changes: DataFrame) -> None:
+        """Fold a row-level CHANGE FEED (``VersionedTable.changes``
+        shape: ``change_type`` ∈ insert/update/delete, table keys
+        unprefixed, values as ``old_<col>`` / ``new_<col>``) into the
+        stored aggregate — the retraction path that closes the
+        append-only limitation for invertible specs.
+
+        Each change row contributes signed deltas: ``insert`` adds its
+        new values to the new-side group, ``delete`` subtracts its old
+        values from the old-side group, ``update`` does both (the
+        group key itself may change — each side routes to its own
+        group). Deltas reduce to one row per touched group (sum → sum
+        of signed values, NULL iff no non-null contribution; count →
+        signed non-null tally), then merge through
+        :meth:`_merge_retract` with the same touched-groups-only
+        pruning as :meth:`apply_batch` — cost O(changes) + the keyed
+        merge, never O(state), so CDC-driven upkeep composes with
+        manifest-pruned ``changes()`` into an end-to-end O(delta)
+        refresh.
+
+        Requirements (validated): every agg is sum/count (min/max are
+        not invertible — use a recompute), every sum has a companion
+        count over the SAME column (decides when the sum returns to
+        NULL), and ``rowcount`` is set (detects fully-retracted
+        groups, which :meth:`read` then hides exactly as a recompute
+        would)."""
+        if self.rowcount is None:
+            raise ValueError(
+                "apply_changes needs rowcount= set at construction "
+                "(a ('count', <never-null col>) agg output)"
+            )
+        count_cols = {
+            col for _, (kind, col) in self.aggs.items() if kind == "count"
+        }
+        for out, (kind, col) in self.aggs.items():
+            if kind not in ("sum", "count"):
+                raise ValueError(
+                    f"agg {out!r} is {kind!r}: not invertible — a change "
+                    "feed cannot retract min/max; recompute the touched "
+                    "groups instead"
+                )
+            if kind == "sum" and col not in count_cols:
+                raise ValueError(
+                    f"sum {out!r} over {col!r} needs a companion "
+                    f"('count', {col!r}) agg to restore SQL's "
+                    "NULL-sum-for-empty-group semantics under retraction"
+                )
+
+        def contributions(side: str, sign: int, types: tuple[str, ...]):
+            rows = changes.where(F.col("change_type").isin(*types))
+            cols = [
+                self._side_col(changes, k, side).alias(k) for k in self.keys
+            ]
+            for out, (kind, col) in self.aggs.items():
+                v = self._side_col(changes, col, side)
+                if kind == "sum":
+                    cols.append((F.lit(sign) * v).alias(out))
+                else:  # count: signed tally of non-null values
+                    cols.append(
+                        F.when(v.isNotNull(), F.lit(sign))
+                        .otherwise(F.lit(0)).cast("long").alias(out)
+                    )
+            return rows.select(*cols)
+
+        deltas = contributions("new", 1, ("insert", "update")).unionByName(
+            contributions("old", -1, ("delete", "update"))
+        )
+        part = deltas.groupBy(*self.keys).agg(
+            *[F.sum(out).alias(out) for out in self.aggs]
+        )
+        # counts must stay integral after the signed reduce
+        part = part.select(
+            *self.keys,
+            *[
+                F.col(out).cast("long").alias(out)
+                if kind == "count" else F.col(out)
+                for out, (kind, _) in self.aggs.items()
+            ],
+        )
+        self._fold(spark, part, self._merge_retract)
+
     def apply_batch(self, spark: SparkSession, batch: DataFrame) -> None:
         """Fold one append-only batch into the stored aggregate.
 
@@ -159,9 +291,13 @@ class IncrementalAgg:
         groups, which is what makes daily upkeep of a per-user/
         per-domain aggregate viable at 100 TB.
         """
+        self._fold(spark, self._partial(batch), self._merge)
+
+    def _fold(self, spark: SparkSession, part: DataFrame, merge_fn) -> None:
+        """Merge per-group partials into the state with touched-groups
+        pruning (shared by the append and retraction paths)."""
         from .merge import BUCKET_COL
 
-        part = self._partial(batch)
         if not self.writer._exists(spark):
             self.writer.overwrite(part)
             return
@@ -182,10 +318,15 @@ class IncrementalAgg:
             on=self._key_cond("o", "p"),
             how="left_semi",
         )
-        state = self._merge(old_touched, part)
+        state = merge_fn(old_touched, part)
         # localCheckpoint cuts the self-read lineage before
         # MergeWriter rewrites the touched buckets underneath it
         self.writer.upsert(spark, state.localCheckpoint())
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return self.writer.read(spark)
+        out = self.writer.read(spark)
+        if self.rowcount is not None:
+            # zero-count tombstones (groups fully retracted by
+            # apply_changes) are invisible, as in a recompute
+            out = out.where(F.col(self.rowcount) > 0)
+        return out

@@ -141,3 +141,148 @@ def test_all_null_sum_group_stays_null(spark, tmp_path):
     )
     got = {r["grp"]: (r["n"], r["total"]) for r in agg.read(spark).collect()}
     assert got == {"a": (2, None), "b": (2, 5)}
+
+
+INV_AGGS = {
+    "n_rows": ("count", "id"),
+    "n_vals": ("count", "amount"),
+    "total": ("sum", "amount"),
+}
+
+
+def _cdc_state(spark, tmp_path, name):
+    import shutil
+
+    p = str(tmp_path / name)
+    shutil.rmtree(p, ignore_errors=True)
+    return IncrementalAgg(
+        p, keys=["grp"], aggs=INV_AGGS, rowcount="n_rows"
+    )
+
+
+def _read_map(spark, agg):
+    return {
+        r["grp"]: (r["n_rows"], r["n_vals"], r["total"])
+        for r in agg.read(spark).collect()
+    }
+
+
+def test_apply_changes_matches_recompute_end_to_end(spark, tmp_path):
+    """CDC-driven maintenance through a REAL VersionedTable change
+    feed: seed the base, apply a DML lifecycle (upsert updating +
+    inserting, then a delete), feed each changes() leg into
+    apply_changes — the state must equal a recompute over the FINAL
+    snapshot, including a fully-retracted group disappearing."""
+    from batch_processing_on_aws_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(str(tmp_path / "facts"), keys=["id"], n_buckets=4)
+    base = [
+        ("a", 1, 10), ("a", 2, 20), ("b", 3, 30), ("b", 4, None),
+        ("c", 5, 50),
+    ]
+    df = _rows(spark, [(g, i, a) for g, i, a in base]).select(
+        "id", "grp", "amount"
+    )
+    v1 = vt.overwrite(df)
+    agg = _cdc_state(spark, tmp_path, "state")
+    agg.apply_batch(spark, vt.read(spark, v1))
+    # upsert: update id=2 amount 20->25, MOVE id=3 from b to a,
+    # insert id=6 into b
+    inc = spark.createDataFrame(
+        [(2, "a", 25), (3, "a", 33), (6, "b", 60)],
+        "id long, grp string, amount long",
+    )
+    v2 = vt.upsert(spark, inc)
+    agg.apply_changes(spark, vt.changes(spark, v1, v2))
+    # delete ALL of group c and the null-amount row of b
+    v3 = vt.delete(spark, (F.col("grp") == "c") | F.col("amount").isNull())
+    agg.apply_changes(spark, vt.changes(spark, v2, v3))
+    want = {
+        r["grp"]: (r["n_rows"], r["n_vals"], r["total"])
+        for r in vt.read(spark, v3)
+        .groupBy("grp")
+        .agg(
+            F.count("id").alias("n_rows"),
+            F.count("amount").alias("n_vals"),
+            F.sum("amount").alias("total"),
+        )
+        .collect()
+    }
+    got = _read_map(spark, agg)
+    assert got == want
+    assert "c" not in got  # fully-retracted group hidden like a recompute
+
+
+def test_apply_changes_tombstone_resurrects_on_insert(spark, tmp_path):
+    """A group retracted to zero rows must come back correctly when a
+    later change feed inserts into it (the tombstone is valid empty
+    state, not a corpse)."""
+    agg = _cdc_state(spark, tmp_path, "state2")
+    agg.apply_batch(spark, _rows(spark, [("a", 1, 5), ("b", 2, 7)]))
+    feed_del = spark.createDataFrame(
+        [(2, "delete", "b", None, 7, None)],
+        "id long, change_type string, old_grp string, new_grp string, "
+        "old_amount long, new_amount long",
+    )
+    agg.apply_changes(spark, feed_del)
+    assert set(_read_map(spark, agg)) == {"a"}
+    feed_ins = spark.createDataFrame(
+        [(9, "insert", None, "b", None, 40)],
+        "id long, change_type string, old_grp string, new_grp string, "
+        "old_amount long, new_amount long",
+    )
+    agg.apply_changes(spark, feed_ins)
+    assert _read_map(spark, agg)["b"] == (1, 1, 40)
+
+
+def test_apply_changes_sum_returns_to_null_when_values_gone(spark, tmp_path):
+    """Deleting every NON-NULL value of a group (while null-value rows
+    remain) must take the sum back to NULL, not 0 — SQL SUM over an
+    all-NULL group is NULL and the retracted state must match a
+    recompute bit-for-bit."""
+    agg = _cdc_state(spark, tmp_path, "state3")
+    agg.apply_batch(
+        spark, _rows(spark, [("a", 1, 11), ("a", 2, None)])
+    )
+    feed = spark.createDataFrame(
+        [(1, "delete", "a", None, 11, None)],
+        "id long, change_type string, old_grp string, new_grp string, "
+        "old_amount long, new_amount long",
+    )
+    agg.apply_changes(spark, feed)
+    assert _read_map(spark, agg)["a"] == (1, 0, None)
+
+
+def test_apply_changes_contract_validation(spark, tmp_path):
+    """min/max specs, sums without companion counts, and missing
+    rowcount are all refused loudly."""
+    import shutil
+
+    feed = spark.createDataFrame(
+        [(1, "insert", None, "a", None, 1)],
+        "id long, change_type string, old_grp string, new_grp string, "
+        "old_amount long, new_amount long",
+    )
+    p = str(tmp_path / "v1")
+    shutil.rmtree(p, ignore_errors=True)
+    no_rowcount = IncrementalAgg(p, ["grp"], dict(INV_AGGS))
+    with pytest.raises(ValueError, match="rowcount"):
+        no_rowcount.apply_changes(spark, feed)
+    with pytest.raises(ValueError, match="rowcount"):
+        IncrementalAgg(p, ["grp"], dict(INV_AGGS), rowcount="total")
+    minmax = IncrementalAgg(
+        str(tmp_path / "v2"), ["grp"],
+        {"n_rows": ("count", "id"), "hi": ("max", "amount")},
+        rowcount="n_rows",
+    )
+    with pytest.raises(ValueError, match="not invertible"):
+        minmax.apply_changes(spark, feed)
+    no_companion = IncrementalAgg(
+        str(tmp_path / "v3"), ["grp"],
+        {"n_rows": ("count", "id"), "total": ("sum", "amount")},
+        rowcount="n_rows",
+    )
+    with pytest.raises(ValueError, match="companion"):
+        no_companion.apply_changes(spark, feed)
