@@ -386,3 +386,87 @@ def bigram_rarity_stats(
         .otherwise(F.lit(0.0))
         .alias("rare_bigram_ratio"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Bigram language-model fluency score per document — the
+    CCNet-style "perplexity under a corpus LM" curation signal, one
+    level up from :func:`token_rarity_stats`' unigram family: a doc of
+    individually common words in gibberish ORDER scores badly here and
+    fine there.
+
+    Model: add-one-smoothed bigram LM trained on the corpus itself —
+    p(w₂|w₁) = (c(w₁,w₂) + 1) / (c(w₁,·) + V), V = distinct unigrams.
+    Per token the negative log-likelihood is quantized ONCE to
+    micro-nats (``round(-ln(p)·10⁶)`` — an exact BIGINT), so every
+    aggregation after the quantization is integer arithmetic and the
+    result is bit-stable under any partitioning/order — the same trick
+    that makes the rest of this module hash-exact cross-engine, here
+    buying an actual log-prob score instead of avoiding it. -ln(p) is
+    evaluated on (count, count, V) integer triples that both engines
+    see identically, so the only float op happens on identical inputs.
+
+    Output per doc: ``n_bigrams`` (0 for docs under 2 tokens),
+    ``nll_micro`` (total micro-nats, NULL when no bigrams),
+    ``avg_nll`` (mean nats/token as double, the score to threshold
+    on; NULL when no bigrams).
+
+    Shape: one corpus bigram hash-agg (map-side partials absorb the
+    Zipf head), context counts as a second tiny agg OVER the bigram
+    table, V as a broadcast 1-row crossJoin, then an equi-join of the
+    exploded doc bigram stream to the two count tables and a per-doc
+    hash-agg — two shuffles on narrow keys, no window, no Python.
+    """
+    from .partitioning import fan_out
+
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    docs = fan_out(df, partitions).select(
+        F.col(id_col).alias("__id"), toks.alias("__t")
+    )
+    k = F.size("__t")
+    bigrams = F.when(
+        k >= 2,
+        F.zip_with(
+            F.slice("__t", 1, k - 1),
+            F.slice("__t", 2, k - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    )
+    stream = docs.select("__id", F.explode_outer(bigrams).alias("bg"))
+    pairs = stream.where(F.col("bg").isNotNull()).select(
+        "__id", "bg.w1", "bg.w2"
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
+    vocab = docs.select(F.explode("__t").alias("u")).agg(
+        F.countDistinct("u").alias("__v")
+    )
+    nll_micro = F.round(
+        -F.log((F.col("__c2") + 1) / (F.col("__c1") + F.col("__v")))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("__id", nll_micro.alias("__nm"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__nm").alias("nll_micro"),
+        )
+    )
+    base = docs.select(F.col("__id")).distinct()
+    return base.join(scored, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.col("nll_micro"),
+        F.round(
+            F.col("nll_micro") / F.col("__n") / F.lit(1_000_000.0), 6
+        ).alias("avg_nll"),
+    )

@@ -329,7 +329,7 @@ def versioned_upsert_events(spark, sf_dir):
     new = base.where(F.col("event_type") == "click").withColumn(
         "value", F.round(F.col("value") * 2, 2)
     )
-    vt = VersionedTable(path, keys=["event_id"])
+    vt = VersionedTable(path, keys=["event_id"], n_buckets=8)
     vt.overwrite(base)
     vt.upsert(spark, new)
     vt.upsert(spark, new)
@@ -369,7 +369,9 @@ def versioned_changes_feed(spark, sf_dir):
             (F.col("event_id") % 5 == 1) & (F.col("event_type") == "view")
         ).select("event_id", "event_type", "value")
     )
-    vt = VersionedTable(path, keys=["event_id"])
+    # 8 buckets: scenario cost is per-commit file/task fixed overhead,
+    # and bucket count is physical layout only — invisible to the oracle
+    vt = VersionedTable(path, keys=["event_id"], n_buckets=8)
     v1 = vt.overwrite(base)
     v2 = vt.upsert(spark, inc)
     v3 = vt.delete(spark, F.col("event_id") % 10 == 5)
@@ -413,7 +415,7 @@ def versioned_history_travel(spark, sf_dir):
             (F.col("event_id") % 5 == 1) & (F.col("event_type") == "view")
         ).select("event_id", "event_type", "value")
     )
-    vt = VersionedTable(path, keys=["event_id"])
+    vt = VersionedTable(path, keys=["event_id"], n_buckets=8)
     vt.overwrite(base, committed_at="2026-03-01T00:00:00Z")
     vt.upsert(spark, inc, committed_at="2026-03-02T00:00:00Z")
     vt.delete(spark, F.col("event_id") % 10 == 5,
@@ -579,7 +581,7 @@ def streamed_versioned_events(spark, sf_dir):
             delivery.coalesce(1).write.mode("append").parquet(inp)
             ingest_versioned_stream(
                 spark, inp, schema, table, ["event_id"], ckpt,
-                app_id="vstream",
+                app_id="vstream", n_buckets=8,
             )
         for scratch in (inp, ckpt):
             shutil.rmtree(scratch, ignore_errors=True)
@@ -3390,11 +3392,18 @@ def cdc_incremental_daily_events(spark, sf_dir):
             F.round(F.col("value") * 100).cast("long").alias("value_cents"),
         )
     )
-    vt = VersionedTable(os.path.join(scratch, "facts"), keys=["event_id"])
+    # 8 buckets for both scratch tables: the scenario stages six
+    # bucketed commits/folds, and 32-way layouts pay 4x the file/task
+    # fixed costs for the same correctness at this data size; bucket
+    # count is physical layout only, invisible to the oracle
+    vt = VersionedTable(
+        os.path.join(scratch, "facts"), keys=["event_id"], n_buckets=8
+    )
     v1 = vt.overwrite(facts)
     agg = IncrementalAgg(
         os.path.join(scratch, "state"),
         keys=["event_date"],
+        n_buckets=8,
         aggs={
             "n_events": ("count", "event_id"),
             "n_clicks": ("sum", "is_click"),
@@ -5782,6 +5791,54 @@ def doc_bigram_rarity(spark, sf_dir):
     return bigram_rarity_stats(docs)
 
 
+def doc_bigram_lm_scores(spark, sf_dir):
+    """Bigram-LM fluency scores (operators/textstats.py::
+    bigram_lm_scores): add-one-smoothed corpus bigram LM, per-token
+    NLL quantized ONCE to micro-nat BIGINTs so every aggregate after
+    the single float op is exact integer arithmetic — a real log-prob
+    perplexity signal (CCNet-style) made bit-portable, where the
+    rarity family deliberately stayed integer-only. The one float op
+    (-ln of a count ratio) evaluates on identical integer triples in
+    both engines."""
+    from ..operators.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+_BIGRAM_LM_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE list_transform(
+                regexp_split_to_array(trim(text), '\s+'),
+                x -> lower(x)) END AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i.r] AS w1, toks[i.r + 1] AS w2
+  FROM t, UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks))
+                      ELSE []::BIGINT[] END) AS i(r)
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT u) AS v
+      FROM (SELECT unnest(toks) AS u FROM t)),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(ROUND(-ln((c2.c2 + 1) / (c1.c1 + v.v)) * 1000000, 0)
+              AS BIGINT) AS nm
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+),
+agg AS (SELECT doc_id, COUNT(*) AS n, SUM(nm) AS s
+        FROM scored GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(agg.s AS BIGINT) AS nll_micro,
+       ROUND(CAST(agg.s AS DOUBLE) / agg.n / 1000000, 6) AS avg_nll
+FROM (SELECT DISTINCT doc_id FROM t) d LEFT JOIN agg USING (doc_id)
+"""
+
+
 _BIGRAM_RARITY_SQL = r"""
 WITH t AS (
   SELECT doc_id,
@@ -6538,6 +6595,7 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("doc_token_rarity", doc_token_rarity, _RARITY_SQL),
     QueryDef("doc_bigram_rarity", doc_bigram_rarity, _BIGRAM_RARITY_SQL),
+    QueryDef("doc_bigram_lm_scores", doc_bigram_lm_scores, _BIGRAM_LM_SQL),
     QueryDef("containment_dup_pairs", containment_dup_pairs, _CONTAINMENT_SQL),
     QueryDef("doc_chunks", doc_chunks, _CHUNKS_SQL),
     QueryDef(

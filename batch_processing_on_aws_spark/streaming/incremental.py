@@ -76,6 +76,7 @@ def ingest_versioned_stream(
     app_id: str = "ingest",
     transform: Callable[[DataFrame], DataFrame] | None = None,
     fmt: str = "parquet",
+    n_buckets: int = 32,
 ) -> None:
     """The versioned sibling of :func:`incremental_merge_stream`: each
     drained micro-batch lands as a NEW audited version of a
@@ -94,7 +95,7 @@ def ingest_versioned_stream(
     """
     from ..operators.versioned import VersionedTable
 
-    vt = VersionedTable(table_path, keys=keys)
+    vt = VersionedTable(table_path, keys=keys, n_buckets=n_buckets)
     stream = spark.readStream.format(fmt).schema(schema).load(input_dir)
     if transform is not None:
         stream = transform(stream)

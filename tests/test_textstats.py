@@ -89,3 +89,53 @@ def test_bigram_rarity_stats(spark):
     assert out[2]["min_bigram_freq"] == 1
     assert out[2]["rare_bigram_ratio"] == 1.0  # counts 1,2,2 all <= 2
     assert out[1]["min_bigram_freq"] == 1
+
+
+def test_bigram_lm_scores_match_python_reference(spark):
+    """bigram_lm_scores against a from-scratch add-one-smoothed bigram
+    LM: exact micro-nat totals per doc, fluent text scoring better
+    (lower avg NLL) than the same words shuffled into gibberish, and
+    sub-2-token docs surfacing with n_bigrams 0 and NULL scores."""
+    import math
+    from collections import Counter
+
+    from batch_processing_on_aws_spark.operators.textstats import (
+        bigram_lm_scores,
+    )
+
+    fluent = "the cat sat on the mat and the cat sat on the rug"
+    gibberish = "mat the on rug cat the sat and on the cat mat sat the"
+    rows = [
+        (1, fluent),
+        (2, fluent),            # repetition makes these bigrams common
+        (3, gibberish),
+        (4, "single"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_micro"], r["avg_nll"])
+        for r in bigram_lm_scores(df).collect()
+    }
+    # python reference over the same corpus
+    docs = {i: (t or "").strip().lower().split() for i, t in rows}
+    bigrams = [
+        (t[i], t[i + 1])
+        for t in docs.values() for i in range(len(t) - 1)
+    ]
+    c2 = Counter(bigrams)
+    c1 = Counter(w1 for w1, _ in bigrams)
+    v = len({w for t in docs.values() for w in t})
+    for did, t in docs.items():
+        if len(t) < 2:
+            assert got[did] == (0, None, None), did
+            continue
+        nms = [
+            round(-math.log((c2[(a, b)] + 1) / (c1[a] + v)) * 1e6)
+            for a, b in zip(t, t[1:])
+        ]
+        want = (len(nms), sum(nms), round(sum(nms) / len(nms) / 1e6, 6))
+        assert got[did] == want, did
+    # fluency separates: the repeated fluent doc beats the shuffle
+    assert got[1][2] < got[3][2]

@@ -117,7 +117,20 @@ def build(root: str = ROOT, src: str = SRC, hot_pct: int = 20) -> None:
 def main() -> None:
     build()
     spark = get_spark(app_name="skew_bench")
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # The registry doc_minhash_lsh_pairs wrapper ASSERTS the star-cap
+    # is not binding (its uncapped DuckDB oracle is only valid then) —
+    # this harness runs the deliberately-oversized template corpus
+    # where the cap binding is the POINT, so measure the operator at
+    # the same defaults without the parity-contract guard.
+    from batch_processing_on_aws_spark.operators.neardup import (
+        minhash_lsh_pairs,
+    )
+    from batch_processing_on_aws_spark.sources.readers import load_table
+
+    qs["doc_minhash_lsh_pairs"] = lambda s, d: minhash_lsh_pairs(
+        load_table(s, d, "documents")
+    )
 
     def run(df):
         df.write.format("noop").mode("overwrite").save()
