@@ -14,9 +14,12 @@ the sketch column is what makes the count COMPOSABLE (persist
 per-source/per-day sketches, union any subset later: any
 source-set × date-range distinct count without touching the data).
 
-Estimates are implementation-defined (lgK-dependent), so the golden
-query registers WITHOUT a DuckDB oracle (rows-only driver check);
-the accuracy window is pinned by pytest against exact counts.
+HLL estimates are implementation-defined (lgK-dependent), so that
+golden query registers WITHOUT a DuckDB oracle (rows-only driver
+check; accuracy pinned by pytest against exact counts). The KMV
+sketch below is the deterministic counterpart: md5-fraction hashes
+make the whole sketch SQL-replayable, so the mergeable-sketch family
+also carries a hash-exact oracle row (``kmv_distinct_users``).
 """
 
 from __future__ import annotations
@@ -58,4 +61,132 @@ def union_distinct_estimate(
         F.hll_sketch_estimate(
             F.hll_union_agg(F.col(sketch_col), F.lit(allow_different_lg_k))
         ).alias("est_distinct")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group (Bar-Yossef et al.,
+    RANDOM'02) — the DETERMINISTIC, cross-engine-replayable sibling of
+    :func:`distinct_sketches`: where HLL binaries are engine-internal
+    (rows-only oracle), KMV is k smallest md5-derived hash fractions,
+    so a SQL oracle replays hashing, ranking, and the estimator
+    bit-for-bit and the sketch family gets a hash-exact correctness
+    row.
+
+    Model: md5 maps distinct keys ~uniformly onto [0, 1) (first 8 hex
+    chars as a 32-bit integer fraction — the md5-portability trick the
+    MinHash/sampling family already relies on). If the k-th smallest
+    distinct hash is U_(k), then E[U_(k)] ≈ k/(n+1), so
+    ``(k-1)/U_(k)`` is the standard (unbiased) KMV estimate; relative
+    standard error ≈ 1/√(k−2) (~9 % at k=128). A group with ≤ k
+    distinct keys keeps ALL its hashes and the count is exact.
+
+    The sketch STATE is the k hashes (``kmv_hashes``, ascending) —
+    persist it per batch/partition and merge with
+    :func:`kmv_union_estimate`: the union of two KMV sketches is the k
+    smallest of the merged hash sets, so composability costs
+    O(sketches × k), zero re-scan, same as HLL.
+
+    Plan shape: one (group, key) hash-agg dedups keys; the per-group
+    k-smallest runs the partial-rank pre-prune (rank within
+    (group, spark_partition_id()) ≤ k BEFORE the per-group window — the
+    same bounded-window move as ``similarity._ranked_topk``), so the
+    global window never sees a group's full distinct stream; exact
+    per-group distinct counts ride the same dedup'd rows as a plain
+    hash-agg.
+
+    Output: (group, n_distinct_kept ≤ k, kmv_hashes array<long>,
+    est_distinct double — EXACT when the group kept < k hashes).
+    """
+    from pyspark.sql import Window
+
+    hashed = (
+        df.select(F.col(group_col).alias("grp"), F.col(key_col).alias("key"))
+        .where(F.col("key").isNotNull())
+        .distinct()
+        .select(
+            "grp",
+            F.conv(
+                F.substring(F.md5(F.col("key").cast("string")), 1, 8), 16, 10
+            ).cast("long").alias("h"),
+        )
+        # distinct keys can collide on the 32-bit fraction; KMV is
+        # defined over the distinct HASH set
+        .distinct()
+    )
+    counts = hashed.groupBy("grp").agg(F.count(F.lit(1)).alias("__n"))
+    pw = Window.partitionBy("grp", "__part").orderBy("h")
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = (
+        hashed.withColumn("__part", F.spark_partition_id())
+        .withColumn("__pr", F.row_number().over(pw))
+        .where(F.col("__pr") <= k)
+        .drop("__part", "__pr")
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+    )
+    est = F.when(
+        F.col("n_distinct_kept") < k,
+        F.col("n_distinct_kept").cast("double"),
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1))
+            * F.lit(4294967296.0)
+            / F.try_element_at("kmv_hashes", F.lit(k)),
+            6,
+        )
+    )
+    return (
+        kept.groupBy("grp")
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv_hashes"))
+        .join(counts, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.least(F.col("__n"), F.lit(k)).cast("long").alias(
+                "n_distinct_kept"
+            ),
+            "kmv_hashes",
+            est.alias("est_distinct"),
+        )
+    )
+
+
+def kmv_union_estimate(
+    sketches: DataFrame,
+    hashes_col: str = "kmv_hashes",
+    k: int = 128,
+) -> DataFrame:
+    """Merge persisted KMV sketches into ONE global distinct estimate:
+    the union sketch is the k smallest distinct hashes across all
+    input sketches — O(#sketches × k) rows through one explode +
+    bounded rank, zero re-scan of the data, and still deterministic /
+    SQL-replayable. Exact when the union holds < k hashes."""
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("__part").orderBy("h")
+    pooled = (
+        sketches.select(F.explode(hashes_col).alias("h"))
+        .distinct()
+        # partial k-smallest per partition first: the one global-order
+        # window then sees ≤ partitions·k rows, not #sketches·k
+        .withColumn("__part", F.spark_partition_id())
+        .withColumn("__pr", F.row_number().over(pw))
+        .where(F.col("__pr") <= k)
+        .drop("__part", "__pr")
+        .withColumn("__r", F.row_number().over(Window.orderBy("h")))
+        .where(F.col("__r") <= k)
+    )
+    n = F.max("__r")
+    kth = F.max(F.when(F.col("__r") == k, F.col("h")))
+    return pooled.agg(
+        F.when(n < k, n.cast("double"))
+        .otherwise(
+            F.round(F.lit(float(k - 1)) * F.lit(4294967296.0) / kth, 6)
+        )
+        .alias("est_distinct")
     )

@@ -6223,6 +6223,65 @@ WHERE fingerprint NOT IN (SELECT fingerprint FROM first_batch)
 """
 
 
+def kmv_distinct_users(spark, sf_dir):
+    """K-minimum-values distinct sketch per event type
+    (operators/sketches.py::kmv_distinct) — the DETERMINISTIC sibling
+    of the HLL family: md5-fraction hashes, k smallest per group,
+    (k−1)/U_(k) estimator, exact below k. Where HLL binaries are
+    engine-internal (``source_distinct_sketches`` is rows-only), every
+    piece of this sketch replays in SQL, so the mergeable-sketch
+    FAMILY gets a hash-exact correctness row — the same
+    companion-query move ``pagerank_skipring_exact`` made for
+    PageRank. The sketch state is projected to scalar columns
+    (checksum + kth hash) so the oracle compares exact integers; the
+    estimate's one float division runs on identical integers in both
+    engines."""
+    from ..operators.sketches import kmv_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    k = 128
+    sk = kmv_distinct(events, key_col="user_id", group_col="event_type", k=k)
+    return sk.select(
+        "event_type",
+        "n_distinct_kept",
+        F.aggregate(
+            "kmv_hashes", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("kmv_checksum"),
+        F.try_element_at("kmv_hashes", F.lit(k)).alias("kth_hash"),
+        "est_distinct",
+    ).orderBy("event_type")
+
+
+_KMV_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_type AS grp, user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+h AS (
+  SELECT DISTINCT grp,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM d
+),
+r AS (
+  SELECT grp, h,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM h
+),
+kept AS (SELECT * FROM r WHERE r <= 128)
+SELECT grp AS event_type,
+       CAST(LEAST(MAX(n), 128) AS BIGINT) AS n_distinct_kept,
+       CAST(SUM(h) AS BIGINT) AS kmv_checksum,
+       CAST(MAX(CASE WHEN r = 128 THEN h END) AS BIGINT) AS kth_hash,
+       CASE WHEN MAX(n) < 128 THEN CAST(MAX(n) AS DOUBLE)
+            ELSE ROUND(127.0 * 4294967296.0
+                       / MAX(CASE WHEN r = 128 THEN h END), 6)
+       END AS est_distinct
+FROM kept GROUP BY 1
+ORDER BY event_type
+"""
+
+
 def source_distinct_sketches(spark, sf_dir):
     """Mergeable HLL distinct tracking
     (operators/sketches.py): per-source sketch of document
@@ -6602,6 +6661,7 @@ QUERIES: list[QueryDef] = [
         "doc_distinctive_tokens", doc_distinctive_tokens, _DISTINCTIVE_SQL
     ),
     QueryDef("streamed_ingest_corpus", streamed_ingest_corpus, _STREAM_INGEST_SQL),
+    QueryDef("kmv_distinct_users", kmv_distinct_users, _KMV_SQL),
     QueryDef(
         "source_distinct_sketches",
         source_distinct_sketches,

@@ -36,3 +36,62 @@ def test_topk_plans_as_take_ordered(spark):
     df = top_revenue_orders(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_distinct_accuracy_and_exact_small_groups(spark):
+    """KMV estimate within ~4 standard errors of the exact distinct
+    count on real data; groups with < k distinct keys are EXACT; the
+    whole operator is deterministic (same result twice)."""
+    from batch_processing_on_aws_spark.operators.sketches import (
+        kmv_distinct,
+    )
+    from batch_processing_on_aws_spark.sources import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    k = 128
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got1 = {r["event_type"]: r["est_distinct"]
+            for r in kmv_distinct(events, "user_id", "event_type", k=k).collect()}
+    got2 = {r["event_type"]: r["est_distinct"]
+            for r in kmv_distinct(events, "user_id", "event_type", k=k).collect()}
+    assert got1 == got2  # deterministic, unlike RNG-seeded sketches
+    se = 1.0 / (k - 2) ** 0.5
+    for g, n in exact.items():
+        est = got1[g]
+        if n < k:
+            assert est == float(n), g
+        else:
+            assert abs(est - n) / n < 4 * se, (g, est, n)
+
+
+def test_kmv_union_matches_direct_sketch(spark):
+    """Mergeability: union of per-source sketches estimates the global
+    distinct count about as well as one direct sketch over the union —
+    and exactly equals it when the k smallest hashes coincide."""
+    from batch_processing_on_aws_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_union_estimate,
+    )
+    from batch_processing_on_aws_spark.sources import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    k = 128
+    sketches = kmv_distinct(events, "user_id", "event_type", k=k)
+    merged = kmv_union_estimate(sketches, k=k).collect()[0]["est_distinct"]
+    # one direct sketch over everything
+    direct = kmv_distinct(
+        events.withColumn("__all", F.lit(1)), "user_id", "__all", k=k
+    ).collect()[0]["est_distinct"]
+    # the union's k smallest hashes ARE the direct sketch's k smallest
+    # (same hash function, same data), so the two estimates are equal
+    assert merged == direct
+    exact = events.select("user_id").where(
+        F.col("user_id").isNotNull()
+    ).distinct().count()
+    se = 1.0 / (k - 2) ** 0.5
+    assert abs(merged - exact) / exact < 4 * se
