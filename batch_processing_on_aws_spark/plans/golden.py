@@ -383,6 +383,140 @@ def versioned_changes_feed(spark, sf_dir):
     )
 
 
+def streamed_attribution_pairs(spark, sf_dir):
+    """STREAM-STREAM interval join end-to-end
+    (streaming/incremental.py::stream_interval_join): clicks and
+    purchases arrive as two file STREAMS (each split into two
+    deliveries by event time), and one availableNow run — batched
+    file-at-a-time so the event-time machinery actually cycles —
+    joins every purchase to the same user's clicks in the preceding
+    day. Cross-delivery pairs (purchase in delivery 2, click buffered
+    from delivery 1) exercise real join state. The watermark is set
+    beyond the data's span, so nothing is late and the emitted pair
+    set is delivery-schedule-independent — which is what lets the
+    batch SQL oracle replay the stream's output hash-exact (the
+    eviction/lateness contract is pinned separately in
+    tests/test_streaming.py). Scratch is keyed on the input's
+    identity and reused across invocations, like
+    ``streamed_ingest_corpus``."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..streaming.incremental import stream_interval_join
+
+    src = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ssj_{key}")
+    c_in, p_in, out, ckpt = (
+        os.path.join(root, d) for d in ("clicks", "purchases", "out", "ckpt")
+    )
+    done = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events")
+        clicks = events.where(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = events.where(F.col("event_type") == "purchase").select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        cut = F.lit("2024-07-01").cast("timestamp")
+        for half in (
+            lambda d, c: d.where(c < cut),
+            lambda d, c: d.where(~(c < cut)),
+        ):
+            half(clicks, F.col("click_ts")).coalesce(1).write.mode(
+                "append"
+            ).parquet(c_in)
+            half(purchases, F.col("purchase_ts")).coalesce(1).write.mode(
+                "append"
+            ).parquet(p_in)
+        cs = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("click_id", T.LongType()),
+                T.StructField("click_ts", T.TimestampType()),
+            ]
+        )
+        ps = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("purchase_id", T.LongType()),
+                T.StructField("purchase_ts", T.TimestampType()),
+            ]
+        )
+        cstream = (
+            spark.readStream.schema(cs)
+            .option("maxFilesPerTrigger", 1).parquet(c_in)
+        )
+        pstream = (
+            spark.readStream.schema(ps)
+            .option("maxFilesPerTrigger", 1).parquet(p_in)
+        )
+        joined = stream_interval_join(
+            cstream, pstream, on="user_id",
+            left_ts="click_ts", right_ts="purchase_ts",
+            max_gap="1 day", watermark="400 days",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        for scratch in (c_in, p_in, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(key)
+    return spark.read.parquet(out).select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("gap_us"),
+    )
+
+
+_STREAM_SSJ_SQL = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts,
+       date_diff('microsecond', c.click_ts, p.purchase_ts) AS gap_us
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND p.purchase_ts > c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 DAY
+"""
+
+
 def versioned_history_travel(spark, sf_dir):
     """DESCRIBE HISTORY + timestamp travel over the versioned table
     (operators/versioned.py::VersionedTable.history / read(as_of=)):
@@ -6527,6 +6661,11 @@ QUERIES: list[QueryDef] = [
         "versioned_history_travel",
         versioned_history_travel,
         _VERSIONED_HISTORY_SQL,
+    ),
+    QueryDef(
+        "streamed_attribution_pairs",
+        streamed_attribution_pairs,
+        _STREAM_SSJ_SQL,
     ),
     QueryDef(
         "streamed_versioned_events",

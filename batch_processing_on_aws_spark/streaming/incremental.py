@@ -598,3 +598,56 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> dict:
         "rows_compacted": n_after,
         "kept_epoch": max_epoch,
     }
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the last join shape in the
+    Structured Streaming matrix this module covers (stream⋈static is
+    :func:`enrich_stream`): right-side events match left-side events
+    with the same key whose timestamp strictly precedes them by at
+    most ``max_gap`` (``l_ts < r_ts ≤ l_ts + max_gap`` — the
+    click→purchase attribution window, emitting EVERY qualifying pair;
+    the as-of "latest only" variant is the batch ``operators.asof``).
+
+    Both sides carry watermarks — the state-cleanup contract: a
+    buffered LEFT row is evicted once the watermark passes
+    ``l_ts + max_gap`` (no future right row could match it), a RIGHT
+    row once the watermark passes its own timestamp, so state is
+    bounded by (watermark + gap) × arrival rate, never by stream
+    length. INNER join only here: with it, emitted pairs are
+    independent of micro-batch boundaries in the no-late-drop regime,
+    which is what lets a batch SQL oracle replay the stream's output
+    hash-exact; outer stream-stream joins emit unmatched rows on
+    EVICTION (timing-dependent) and are deliberately not wrapped.
+
+    Column names must be disjoint apart from ``on`` (pre-alias the
+    sides); the join key equality plus the two-sided time-range
+    predicate is exactly the form Spark's state store optimizes.
+
+    Operational note (measured): the event-time watermark only
+    advances BETWEEN micro-batches of one run — a restart-per-delivery
+    pattern (one availableNow batch per run) keeps re-reading the
+    checkpointed start watermark, so state never evicts across such
+    runs. Run continuously (or multi-batch via maxFilesPerTrigger,
+    as the eviction test does); single-batch catch-up runs stay
+    CORRECT, they just hold state longer.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] > lw[left_ts])
+        & (
+            rw[right_ts]
+            <= lw[left_ts] + F.expr(f"interval {max_gap}")
+        )
+    )
+    return lw.join(rw, cond, "inner").drop(rw[on])

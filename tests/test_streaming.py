@@ -641,3 +641,98 @@ def test_versioned_stream_end_to_end(spark, tmp_path):
     }
     assert feed == {(2, "update"), (3, "insert")}
     assert os.path.isdir(ckpt)
+
+
+def test_stream_interval_join_cross_batch_and_eviction(spark, tmp_path):
+    """Stream-stream interval join, one continuous run batched file-
+    at-a-time (maxFilesPerTrigger=1) so the event-time watermark
+    actually advances between micro-batches: a purchase matches clicks
+    buffered from EARLIER batches (cross-batch state), a same-key
+    purchase beyond the 30-min gap never matches, a purchase inside
+    two clicks' windows emits BOTH pairs — and once the global
+    watermark (MIN across the two streams) passes the clicks'
+    eviction thresholds, a later too-late purchase that would have
+    matched them emits NOTHING while fresh pairs keep flowing: real
+    state cleanup, observed via shrinking stateOperators rows."""
+    import datetime as dt
+    import time
+
+    from batch_processing_on_aws_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    cs = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("click_id", T.LongType()),
+            T.StructField("click_ts", T.TimestampType()),
+        ]
+    )
+    ps = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("purchase_id", T.LongType()),
+            T.StructField("purchase_ts", T.TimestampType()),
+        ]
+    )
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 12, 0) + dt.timedelta(minutes=minute)
+
+    def w(sub, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp_path / sub))
+        time.sleep(0.05)  # distinct mtimes fix the file-source order
+
+    # interleaved file sequence; each becomes (part of) a micro-batch
+    w("c", [(1, 101, t(0)), (1, 102, t(10)), (2, 201, t(0)),
+            (3, 301, t(0))], cs)
+    w("p", [(3, 3001, t(5))], ps)                      # in-batch pair
+    w("c", [(4, 401, t(150))], cs)
+    w("p", [(1, 1001, t(20)), (2, 2001, t(120))], ps)  # cross-batch ×2;
+    #   2001 is 120 min after its click (beyond gap) AND pushes the
+    #   purchase-side watermark to t110
+    w("c", [(5, 501, t(152))], cs)                     # click side advances
+    w("p", [(5, 5001, t(153))], ps)                    # fresh pair
+    w("c", [(6, 601, t(153))], cs)
+    w("p", [(1, 1002, t(25)), (4, 4001, t(160))], ps)  # 1002 arrives after
+    #   the user-1 clicks' state (thresholds t30/t40) was evicted
+
+    clicks = (
+        spark.readStream.schema(cs).option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "c"))
+    )
+    purch = (
+        spark.readStream.schema(ps).option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "p"))
+    )
+    joined = stream_interval_join(
+        clicks, purch, on="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        max_gap="30 minutes", watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {
+        (3001, 301),
+        (1001, 101), (1001, 102),
+        (5001, 501),
+        (4001, 401),
+    }
+    # the watermark moved and state actually SHRANK at least once
+    wm = [p.eventTime.get("watermark") for p in q.recentProgress]
+    assert len(set(wm)) > 1, wm
+    state = [s.numRowsTotal for p in q.recentProgress
+             for s in p.stateOperators]
+    assert any(b < a for a, b in zip(state, state[1:])), state
