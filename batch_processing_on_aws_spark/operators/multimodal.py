@@ -345,6 +345,8 @@ def media_neardup_pairs(
     id_col: str = "media_id",
     phash_col: str = "phash",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 64,
+    oversized: str = "star",
 ) -> DataFrame:
     """Image near-duplicate pairs by dHash Hamming distance ≤
     ``max_hamming`` — the pairing step over :func:`perceptual_hash`
@@ -362,8 +364,27 @@ def media_neardup_pairs(
     exact Hamming verify sums per-chunk ``bit_count(xor)`` over the
     same carving — all JVM codegen, no Python.
 
+    ``max_bucket_size`` is the exact-dup-clique escape hatch, the
+    same scale hazard (and the same default-on star answer) as
+    ``neardup.minhash_lsh_pairs``: a viral image re-posted m times
+    shares ALL its chunks, so one bucket mints C(m, 2) candidate
+    pairs. Buckets above the cap leave the pairwise path; with
+    ``oversized="star"`` each emits (bucket-min, member) edges
+    instead — Hamming-verified like every pair, connectivity-
+    equivalent for a connected-components consumer on exact-dup
+    cliques (hamming 0 throughout), LINEAR in the bucket. The
+    recall trade on heterogeneous oversized buckets is documented on
+    the LSH primitive; ``max_bucket_size=None`` is the exact
+    all-pairs contract (what the uncapped oracle replays). Route
+    exact payload dups to ``media_dedup_by_content`` first and this
+    cap rarely binds.
+
     Output: (media_id_a, media_id_b, hamming), a < b, distinct.
     """
+    if oversized not in ("drop", "star"):
+        raise ValueError(
+            f"oversized must be 'drop' or 'star', got {oversized!r}"
+        )
     n_chunks = max_hamming + 1
     if 16 % n_chunks:
         raise ValueError(
@@ -387,6 +408,52 @@ def media_neardup_pairs(
         .select("mid", "ph", F.explode(chunks).alias("c"))
         .select("mid", "ph", "c.chunk_id", "c.chunk_val")
     )
+    star = None
+    if max_bucket_size is not None:
+        big = (
+            banded.groupBy("chunk_id", "chunk_val")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(F.col("__m") > max_bucket_size)
+            .select("chunk_id", "chunk_val")
+        )
+        if oversized == "star":
+            members = banded.join(
+                F.broadcast(big), ["chunk_id", "chunk_val"], "left_semi"
+            )
+            centers = members.groupBy("chunk_id", "chunk_val").agg(
+                F.min("mid").alias("__c_mid")
+            ).join(
+                members.select(
+                    F.col("mid").alias("__c_mid"), F.col("ph").alias("__c_ph")
+                ).distinct(),
+                "__c_mid",
+            )
+            star_h = sum(
+                F.bit_count(
+                    F.conv(F.substring(F.col("__c_ph"), c * nib + 1, nib),
+                           16, 10).cast("long")
+                    .bitwiseXOR(
+                        F.conv(F.substring(F.col("ph"), c * nib + 1, nib),
+                               16, 10).cast("long")
+                    )
+                )
+                for c in range(n_chunks)
+            ).cast("long")
+            star = (
+                members.join(
+                    F.broadcast(centers), ["chunk_id", "chunk_val"]
+                )
+                .where(F.col("mid") != F.col("__c_mid"))
+                .select(
+                    F.least("__c_mid", "mid").alias("media_id_a"),
+                    F.greatest("__c_mid", "mid").alias("media_id_b"),
+                    star_h.alias("hamming"),
+                )
+                .where(F.col("hamming") <= max_hamming)
+            )
+        banded = banded.join(
+            F.broadcast(big), ["chunk_id", "chunk_val"], "left_anti"
+        )
     a, b = banded.alias("a"), banded.alias("b")
     hamming = sum(
         F.bit_count(
@@ -400,7 +467,7 @@ def media_neardup_pairs(
         )
         for c in range(n_chunks)
     ).cast("long")
-    return (
+    pairwise = (
         a.join(
             b,
             on=[
@@ -415,8 +482,10 @@ def media_neardup_pairs(
             hamming.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    if star is not None:
+        pairwise = pairwise.unionByName(star)
+    return pairwise.distinct()
 
 
 def media_dedup_by_content(df: DataFrame) -> DataFrame:

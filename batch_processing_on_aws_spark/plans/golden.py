@@ -4834,9 +4834,38 @@ def media_neardup_pairs(spark, sf_dir):
             yield pd.DataFrame({"media_id": ids, "data": payloads})
 
     media = docs.mapInPandas(build, "media_id long, data binary")
-    return pairs_op(perceptual_hash(media)).orderBy(
-        "media_id_a", "media_id_b"
+    # decode once: the guard below and the pairing both consume the
+    # hashes, and re-running the Python decode pass would double cost
+    ph = perceptual_hash(media).localCheckpoint(eager=True)
+    # GUARD (same contract as doc_minhash_lsh_pairs): the uncapped SQL
+    # oracle is only valid while the star-cap default is not binding —
+    # assert no 16-bit chunk bucket exceeds it so fixture drift fails
+    # loudly instead of silently diverging
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("i"),
+                F.substring("phash", c * 4 + 1, 4).alias("v"),
+            )
+            for c in range(4)
+        ]
     )
+    row = (
+        ph.where(F.col("phash").isNotNull())
+        .select(F.explode(chunk_structs).alias("c"))
+        .groupBy("c.i", "c.v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.max("m").alias("max_bucket"))
+        .collect()[0]
+    )
+    if row["max_bucket"] is not None and row["max_bucket"] > 64:
+        raise AssertionError(
+            f"dHash chunk bucket cap binds on this fixture (max bucket "
+            f"{row['max_bucket']} > 64): the star-capped default no "
+            "longer matches the uncapped oracle — re-derive the oracle "
+            "or pass max_bucket_size explicitly"
+        )
+    return pairs_op(ph).orderBy("media_id_a", "media_id_b")
 
 
 _MEDIA_NEARDUP_SQL = """

@@ -393,3 +393,31 @@ def test_media_neardup_pairs_null_hash_and_radius(spark):
         for r in media_neardup_pairs(df).collect()
     }
     assert got == {(1, 3): 1, (2, 3): 3}
+
+
+def test_media_neardup_star_cap_on_viral_clique(spark):
+    """The exact-dup-clique escape hatch: 40 identical hashes in one
+    corpus would mint C(40,2)=780 pairs uncapped; with the cap binding
+    they collapse to 39 star edges from the min id — still one
+    connected component for a CC consumer — while uncapped remains the
+    exact contract and natural near-dups pair regardless."""
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        media_neardup_pairs,
+    )
+
+    viral = [(i, "deadbeefdeadbeef") for i in range(40)]
+    other = [(100, "00000000000000ff"), (101, "00000000000000fe")]
+    df = spark.createDataFrame(viral + other, "media_id long, phash string")
+    capped = media_neardup_pairs(df, max_bucket_size=10).collect()
+    star = {(r["media_id_a"], r["media_id_b"]) for r in capped
+            if r["media_id_b"] < 100}
+    assert star == {(0, i) for i in range(1, 40)}  # 39 edges, not 780
+    assert all(r["hamming"] == 0 for r in capped if r["media_id_b"] < 100)
+    assert ((100, 101) in {(r["media_id_a"], r["media_id_b"])
+                           for r in capped})  # natural pair unaffected
+    uncapped = media_neardup_pairs(df, max_bucket_size=None).collect()
+    assert len([r for r in uncapped if r["media_id_b"] < 100]) == 780
+    dropped = media_neardup_pairs(
+        df, max_bucket_size=10, oversized="drop"
+    ).collect()
+    assert [r for r in dropped if r["media_id_b"] < 100] == []

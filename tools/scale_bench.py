@@ -56,6 +56,16 @@ QUERIES = [
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
     "incremental_neardup_batch",
+    # round-8 additions under measurement: banded Hamming image
+    # pairing (planted-twin fixture must stay LINEAR in the corpus —
+    # the arithmetic-pixel variant measured 916k quadratic pairs and
+    # was rejected, this is the regression guard), bigram-LM scoring
+    # (two corpus hash-aggs + an equi-join), KMV sketches (bounded
+    # windows), and the bounded-window IVF path at its recall default
+    "media_neardup_pairs",
+    "doc_bigram_lm_scores",
+    "kmv_distinct_users",
+    "embedding_ivf_topk",
 ]
 
 SCALES = {
