@@ -1892,6 +1892,46 @@ FROM events GROUP BY 1
 """
 
 
+def event_type_unpivot(spark, sf_dir):
+    """pivot∘unpivot ROUND TRIP — the wide day × event_type count
+    matrix of ``event_type_pivot`` melts straight back to long
+    (day, event_type, n_events) rows via ``DataFrame.unpivot``
+    (the bare unpivot primitive is ``lineitem_measures_long``; this
+    query pins the COMPOSITION). Zero-filled cells survive the round
+    trip (they are real pivot cells), so the long form is the DENSE
+    day × type grid, which the oracle rebuilds with a cross join +
+    left-joined grouped counts."""
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, subset=list(_EVENT_TYPES))
+    )
+    return wide.unpivot(
+        ids=["day"],
+        values=list(_EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    )
+
+
+_EVENT_UNPIVOT_SQL = f"""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (
+  SELECT unnest({list(_EVENT_TYPES)!r}::VARCHAR[]) AS event_type
+),
+counts AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n_events
+FROM days d CROSS JOIN types t
+LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+"""
+
+
 def orders_rollup(spark, sf_dir):
     """ROLLUP (region → nation) order counts with subtotal rows."""
     orders = load_table(spark, sf_dir, "orders")
@@ -6703,6 +6743,7 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("sessionize_events", sessionize_events, _SESSIONS_SQL),
     QueryDef("event_type_pivot", event_type_pivot, _PIVOT_SQL),
+    QueryDef("event_type_unpivot", event_type_unpivot, _EVENT_UNPIVOT_SQL),
     QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),
     QueryDef("event_type_trend", event_type_trend, _TREND_SQL),
     QueryDef("zorder_cell_stats", zorder_cell_stats, _zorder_sql()),

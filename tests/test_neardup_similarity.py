@@ -638,3 +638,39 @@ def test_pq_topk_string_ids_flow_through(spark):
             for r in out
         ), fn.__name__
         assert all(isinstance(r["query_id"], str) for r in out), fn.__name__
+
+
+def test_ranked_topk_property_random_scores(spark):
+    """Property check (seeded grid, heavy ties): the partial-prune
+    top-k equals the naive single-window top-k for every (k,
+    partition-count) combination — ties broken by vec_id make the
+    order total, so the prune must be exactly rank-preserving."""
+    import random
+
+    from pyspark.sql import Window
+
+    from batch_processing_on_aws_spark.operators.similarity import (
+        _ranked_topk,
+    )
+
+    rng = random.Random(88)
+    rows = [
+        (q, v, round(rng.choice([0.1, 0.5, 0.5, 0.9]), 4))
+        for q in range(4)
+        for v in range(60)
+    ]
+    for k, parts in [(1, 2), (5, 7), (10, 3), (60, 4), (100, 2)]:
+        scored = spark.createDataFrame(
+            rows, "query_id long, vec_id long, cos_sim double"
+        ).repartition(parts)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id").asc()
+        )
+        naive = (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        got = _ranked_topk(scored, k).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in naive], (k, parts)
