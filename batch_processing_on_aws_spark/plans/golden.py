@@ -1892,6 +1892,64 @@ FROM events GROUP BY 1
 """
 
 
+def conversion_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): a user
+    advances to a step only with an event of that type STRICTLY AFTER
+    their earliest qualifying event of the previous step — the classic
+    product-analytics sequence query. Shape: one per-user min-ts
+    hash-agg per step, each conditioned on the previous step via an
+    equi-join on user_id (dims of each other — no window over raw
+    events, no sequence explode); counts are exact integers. Output:
+    (step, n_users), monotone non-increasing down the funnel."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type, prev=None):
+        e = events.where(F.col("event_type") == event_type).select(
+            "user_id", "ts"
+        )
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts") > F.col("__prev"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("__prev"))
+
+    v = first_after("view")
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    rows = [
+        ("1_view", v), ("2_click", c), ("3_purchase", p),
+    ]
+    out = None
+    for step, df in rows:
+        one = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users")
+        ).select(F.lit(step).alias("step"), "n_users")
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("step")
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+ORDER BY step
+"""
+
+
 def event_type_unpivot(spark, sf_dir):
     """pivot∘unpivot ROUND TRIP — the wide day × event_type count
     matrix of ``event_type_pivot`` melts straight back to long
@@ -6744,6 +6802,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("sessionize_events", sessionize_events, _SESSIONS_SQL),
     QueryDef("event_type_pivot", event_type_pivot, _PIVOT_SQL),
     QueryDef("event_type_unpivot", event_type_unpivot, _EVENT_UNPIVOT_SQL),
+    QueryDef("conversion_funnel", conversion_funnel, _FUNNEL_SQL),
     QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),
     QueryDef("event_type_trend", event_type_trend, _TREND_SQL),
     QueryDef("zorder_cell_stats", zorder_cell_stats, _zorder_sql()),

@@ -178,6 +178,25 @@ HEADLINERS = {
         "reads only bucket-pruned, semi-joined touched groups — every "
         "stage O(delta), nothing O(table) or O(state)."
     ),
+    "doc_bigram_lm_scores": (
+        "Bigram-LM scoring: tokenize + bigram explode feed two narrow-"
+        "key hash-aggs (counts) and one equi-join back to the stream; "
+        "the NLL quantizes to integer micro-nats inside codegen so the "
+        "per-doc reduce is an exact hash-agg — no window, no Python, "
+        "Zipf-hot join keys left to AQE skew-split."
+    ),
+    "kmv_distinct_users": (
+        "KMV sketch: (group, key) dedup hash-agg, then the k-smallest "
+        "per group via the partial-rank pre-prune — WindowGroupLimit "
+        "caps every partition's contribution at k before the exchange, "
+        "so the per-group window is sketch-sized, never data-sized."
+    ),
+    "conversion_funnel": (
+        "Ordered funnel: each step is a per-user min-ts hash-agg "
+        "conditioned on the previous step via an equi-join on user_id "
+        "— no window over raw events, no sequence explode; the three "
+        "step frames are user-dimension-sized."
+    ),
     "supplier_pagerank": (
         "Iterative graph op: per round one edge⋈rank equi-join plus a "
         "contribution hash-agg; node count and dangling mass ride as "
