@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -40,6 +40,7 @@ def asof_join(
     payload: Sequence[str] | None = None,
     tiebreak: str | None = None,
     suffix: str = "_matched",
+    tolerance: Column | None = None,
 ) -> DataFrame:
     """Left as-of join. ``payload`` = right columns to attach (default:
     everything except the keys); each comes back as ``<name><suffix>``.
@@ -47,6 +48,13 @@ def asof_join(
     With duplicate right timestamps inside a key, the winner is the
     row with the greatest ``tiebreak`` value (pass one for determinism
     — without it Spark's sort is free to order equal keys arbitrarily).
+
+    ``tolerance`` (an interval Column, e.g. ``F.expr("INTERVAL 1
+    DAY")``) voids matches whose timestamp lies further from the left
+    row than the bound — the pandas ``merge_asof(tolerance=)``
+    semantics; voided rows keep left-outer NULLs. Applied as a
+    post-filter on the carried match, so the plan shape (one shuffle +
+    one running window) is unchanged.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
@@ -62,7 +70,12 @@ def asof_join(
         right.select(
             *keys,
             F.col(right_ts).alias("__ts"),
-            F.struct(*[F.col(c) for c in payload_cols]).alias("__p"),
+            # __bts rides along for the tolerance check; it is never
+            # emitted (only payload_cols are selected at the end).
+            F.struct(
+                *[F.col(c) for c in payload_cols],
+                F.col(right_ts).alias("__bts"),
+            ).alias("__p"),
         )
         .withColumn("__side", F.lit(0))
     )
@@ -84,7 +97,17 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unified.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
-    return matched.where(F.col("__side") == 1).select(
-        *left.columns,
-        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in payload_cols],
-    )
+    if tolerance is None:
+        out_cols = [
+            F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in payload_cols
+        ]
+    else:
+        if direction == "backward":
+            in_tol = F.col("__m.__bts") >= F.col("__ts") - tolerance
+        else:
+            in_tol = F.col("__m.__bts") <= F.col("__ts") + tolerance
+        out_cols = [
+            F.when(in_tol, F.col(f"__m.{c}")).alias(f"{c}{suffix}")
+            for c in payload_cols
+        ]
+    return matched.where(F.col("__side") == 1).select(*left.columns, *out_cols)

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -79,3 +79,133 @@ def range_join(
         )
     )
     return joined.drop("__bucket", "__l_us", "__r_us")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str] | str,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_width_seconds: int,
+    open_end_ts: Column | None = None,
+    max_bins_per_interval: int = 4096,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval containment join — the INTERVAL-TABLE sibling
+    of ``range_join`` (which windows around each left point): joins
+    each point row to every interval row of the same key containing it
+    under HALF-OPEN ``start <= ts < end`` semantics (the SCD2
+    convention, so chained validity intervals never double-match a
+    boundary point).
+
+    Same bucketed plan — intervals EXPLODE into every
+    ``bin_width_seconds`` bin they overlap, points land in exactly
+    one, a shuffled equi-join on ``(key, bin)`` generates candidates
+    and the exact containment predicate refines. Explosion factor is
+    ``ceil(interval_len / bin_width)``; ``max_bins_per_interval``
+    FAILS LOUDLY beyond it (an unbounded interval silently exploding
+    into millions of bin rows is the classic range-join incident at
+    scale) — bound open intervals via ``open_end_ts`` (a timestamp
+    Column substituted for NULL ``end_col``, used by both the binning
+    and the predicate). All bin arithmetic is exact ``unix_micros``
+    BIGINT floor-division, so sub-second interval tails cannot be
+    missed the way second-granularity binning would.
+
+    Output: all ``points`` columns + the non-key ``intervals``
+    columns; ``how="left"`` keeps uncontained points NULL-extended.
+    Overlapping intervals yield one row per containing interval —
+    dedup is the caller's policy decision.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left: {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    ivl_cols = [c for c in intervals.columns if c not in keys]
+    clash = set(ivl_cols) & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"interval columns collide with point columns: {sorted(clash)}"
+        )
+
+    width_us = F.lit(int(bin_width_seconds) * 1_000_000)
+    end_eff = (
+        F.coalesce(F.col(end_col), open_end_ts)
+        if open_end_ts is not None
+        else F.col(end_col)
+    )
+
+    def _bin(us: Column) -> Column:
+        # exact integer floor-div: (us - us % w) is a precise multiple
+        # of w, so the double division is exact — a plain floor(us/w)
+        # can round across the boundary at day-sized widths.
+        return ((us - us % width_us) / width_us).cast("long")
+
+    sbin = _bin(F.unix_micros(F.col(start_col).cast("timestamp")))
+    # end is EXCLUSIVE: step back one microsecond before flooring so
+    # an interval ending exactly on a bin edge does not occupy it.
+    ebin = _bin(F.unix_micros(end_eff.cast("timestamp")) - 1)
+    n_bins = ebin - sbin + 1
+
+    ivl = intervals.select(
+        *keys,
+        *ivl_cols,
+        end_eff.alias("__end_eff"),
+        sbin.alias("__sbin"),
+        F.when(
+            n_bins > max_bins_per_interval,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_join: interval fans out into more than "
+                        f"{max_bins_per_interval} bins of "
+                        f"{bin_width_seconds}s — widen bin_width_seconds, "
+                        "bound the interval, or raise "
+                        "max_bins_per_interval: start="
+                    ),
+                    F.col(start_col).cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(n_bins)
+        .alias("__nbins"),
+    )
+    exploded = ivl.select(
+        *keys,
+        *ivl_cols,
+        "__end_eff",
+        F.explode(
+            F.sequence(F.col("__sbin"), F.col("__sbin") + F.col("__nbins") - 1)
+        ).alias("__bin"),
+    )
+
+    # explicit side aliases: when points and intervals share lineage
+    # (e.g. SCD2 intervals built from the same table as the points),
+    # bare df[col] references can resolve to the same attribute and
+    # silently degrade the key predicate to trivially-true.
+    pts = points.withColumn(
+        "__bin", _bin(F.unix_micros(F.col(point_ts).cast("timestamp")))
+    ).alias("__pts")
+    exploded = exploded.alias("__ivl")
+    cond = [F.col("__pts.__bin") == F.col("__ivl.__bin")] + [
+        F.col(f"__pts.{k}") == F.col(f"__ivl.{k}") for k in keys
+    ]
+    joined = pts.join(exploded, cond, "inner").where(
+        (F.col(f"__pts.{point_ts}") >= F.col(f"__ivl.{start_col}"))
+        & (F.col(f"__pts.{point_ts}") < F.col("__ivl.__end_eff"))
+    )
+    matched = joined.select(
+        *[F.col(f"__pts.{c}") for c in points.columns],
+        *[F.col(f"__ivl.{c}") for c in ivl_cols],
+    )
+    if how == "inner":
+        return matched
+    # left: points with no containing interval come back NULL-extended.
+    missing = points.join(
+        matched.select(*points.columns), points.columns, "left_anti"
+    )
+    for c in ivl_cols:
+        missing = missing.withColumn(
+            c, F.lit(None).cast(intervals.schema[c].dataType)
+        )
+    return matched.unionByName(missing)

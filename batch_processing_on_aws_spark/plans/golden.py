@@ -6689,6 +6689,118 @@ WHERE doc_id NOT IN (
 """
 
 
+def user_tier_scd2(spark, sf_dir):
+    """SCD Type-2 history builder (operators/scd.py::scd2_collapse):
+    each user's NON-purchase event stream collapses into validity
+    intervals of their current engagement type — one row per maximal
+    run of consecutive equal values, half-open [valid_from, valid_to),
+    valid_to NULL on the open current run. Plan: one shuffle on
+    user_id + lag/lead windows over the same sort — no self-join, no
+    explode; the Kimball Type-2 dimension built declaratively.
+    Same-timestamp duplicate observations collapse to the greatest
+    event_id first (pinned in both engines)."""
+    from ..operators.scd import scd2_collapse
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("tier"), "ts", "event_id"
+    )
+    return scd2_collapse(
+        obs, ["user_id"], ["tier"], "ts", tiebreak="event_id"
+    )
+
+
+_SCD2_OBS_SQL = """
+  SELECT user_id, tier, ts FROM (
+    SELECT user_id, event_type AS tier, ts,
+           row_number() OVER (
+             PARTITION BY user_id, ts ORDER BY event_id DESC
+           ) AS rn
+    FROM events WHERE event_type <> 'purchase'
+  ) WHERE rn = 1
+"""
+
+_SCD2_SQL = f"""
+WITH obs AS ({_SCD2_OBS_SQL}),
+marked AS (
+  SELECT user_id, tier, ts,
+         CASE WHEN row_number() OVER w = 1
+                OR tier IS DISTINCT FROM lag(tier) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM obs
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+starts AS (SELECT user_id, tier, ts FROM marked WHERE chg = 1)
+SELECT user_id, tier, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+FROM starts
+"""
+
+
+def purchase_pit_tier(spark, sf_dir):
+    """Point-in-time enrichment = SCD2 ∘ interval containment join
+    (operators/rangejoin.py::interval_join): every purchase event
+    joined to the user's engagement-tier interval IN EFFECT at the
+    purchase timestamp (half-open containment, open current intervals
+    bounded to the corpus horizon). The Spark side is the bucketized
+    equi-join plan — intervals explode into day bins, points land in
+    one, no theta-join anywhere; the oracle affords the raw
+    BETWEEN-style containment join at oracle scale. Purchases before
+    the user's first observed tier survive NULL-extended (how='left').
+    SCD2 intervals are disjoint per user by construction, so each
+    purchase matches at most once."""
+    from ..operators.rangejoin import interval_join
+    from ..operators.scd import scd2_collapse
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("tier"), "ts", "event_id"
+    )
+    intervals = scd2_collapse(
+        obs, ["user_id"], ["tier"], "ts", tiebreak="event_id"
+    ).drop("is_current")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(
+        purchases,
+        intervals,
+        on=["user_id"],
+        point_ts="ts",
+        start_col="valid_from",
+        end_col="valid_to",
+        bin_width_seconds=86400,
+        open_end_ts=F.lit("2024-03-01").cast("timestamp"),
+        how="left",
+    )
+    return out.select("event_id", "user_id", "ts", "tier", "valid_from")
+
+
+_PIT_SQL = f"""
+WITH starts AS (
+  SELECT user_id, tier, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM (
+    SELECT user_id, tier, ts,
+           CASE WHEN row_number() OVER w = 1
+                  OR tier IS DISTINCT FROM lag(tier) OVER w
+                THEN 1 ELSE 0 END AS chg
+    FROM ({_SCD2_OBS_SQL})
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  ) WHERE chg = 1
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, s.tier, s.valid_from
+FROM p LEFT JOIN starts s
+  ON p.user_id = s.user_id
+ AND p.ts >= s.valid_from
+ AND p.ts < COALESCE(s.valid_to, TIMESTAMP '2024-03-01')
+"""
+
+
 # the queries the driver already passed in round 1.
 QUERIES: list[QueryDef] = [
     # (1) never driver-checked in round 1
@@ -6803,6 +6915,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("event_type_pivot", event_type_pivot, _PIVOT_SQL),
     QueryDef("event_type_unpivot", event_type_unpivot, _EVENT_UNPIVOT_SQL),
     QueryDef("conversion_funnel", conversion_funnel, _FUNNEL_SQL),
+    QueryDef("user_tier_scd2", user_tier_scd2, _SCD2_SQL),
+    QueryDef("purchase_pit_tier", purchase_pit_tier, _PIT_SQL),
     QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),
     QueryDef("event_type_trend", event_type_trend, _TREND_SQL),
     QueryDef("zorder_cell_stats", zorder_cell_stats, _zorder_sql()),

@@ -123,3 +123,28 @@ def test_range_join_matches_theta_join(spark):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_asof_tolerance_voids_stale_matches(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on="sym", payload=["px", "ts"],
+        tolerance=F.expr("INTERVAL 2 SECONDS"),
+    ).collect()
+    got = {r["trade_id"]: (r["px_matched"], r["ts_matched"]) for r in out}
+    # trade 1 @10:00:07: nearest quote @10:00:05 is 2s back -> in tolerance
+    assert got[1] == (101.0, _ts("2024-01-01T10:00:05"))
+    # trade 2 @10:00:05: exact match, trivially in tolerance
+    assert got[2] == (101.0, _ts("2024-01-01T10:00:05"))
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+
+
+def test_asof_tolerance_forward(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on="sym", payload=["px"], direction="forward",
+        tolerance=F.expr("INTERVAL 1 SECOND"),
+    ).collect()
+    got = {r["trade_id"]: r["px_matched"] for r in out}
+    assert got[1] is None      # next quote @10:00:10 is 3s ahead: voided
+    assert got[2] == 101.0     # exact
+    assert got[3] is None      # B quote @10:00:03 is 2s ahead: voided

@@ -62,6 +62,10 @@ CROSS_PRODUCT_ALLOWED = {
     # broadcast crossJoins — zero driver round-trips in the loop
     "supplier_pagerank",
     "pagerank_skipring_exact",  # same loop, closed-form oracle twin
+    # broadcasts the ONE-ROW vocab-size scalar (V in add-one
+    # smoothing) into the bigram score stream — scalar-subquery
+    # pattern; both count tables join as plain equi-joins
+    "doc_bigram_lm_scores",
     "q22_idle_rich_customers",
     "q11_part_value_concentration",
     "q15_top_supplier",
