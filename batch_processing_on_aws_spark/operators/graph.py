@@ -122,3 +122,88 @@ def page_rank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    per_node: bool = False,
+) -> DataFrame:
+    """Exact triangle counting on an undirected graph — the third
+    classic graph op next to PageRank and connected components, and
+    the standard clustering/cohesion signal (e.g. boilerplate-network
+    detection over near-dup graphs).
+
+    Algorithm: DEGREE-ORIENTED wedge join (Cohen's MapReduce
+    formulation; the MR/Spark standard). Edges are canonicalized
+    undirected-distinct, then oriented low→high by the total order
+    ``(degree, node)``; a self-join of the oriented edge table on the
+    wedge apex enumerates each triangle's two low-order edges exactly
+    once, and a semi-join against the oriented edges confirms the
+    closing edge. Orientation bounds every node's out-degree by
+    O(sqrt(m)), so wedge fan-out is O(m^1.5) TOTAL regardless of
+    degree skew — a hub of degree d contributes d·sqrt(m), not d²,
+    which is the difference between a web-scale graph finishing and
+    not. Shape: three hash-aggs/joins on node keys, no windows, no
+    driver loops; integer-exact, hence hash-exact cross-engine.
+
+    Returns a 1-row ``(n_triangles)`` frame, or with ``per_node``
+    one row per vertex that participates in ≥1 triangle:
+    ``(node, n_triangles)`` (each triangle credits all 3 corners).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient u -> v iff (deg(u), u) < (deg(v), v)
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ranked = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("w1"), F.col("dv").alias("dw1")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("w2"), F.col("dv").alias("dw2")
+    )
+    # each triangle's apex is its LOWEST corner; order the two wings
+    # by the same total order so the wedge is enumerated once
+    wedges = e1.join(e2, "u").where(
+        (F.col("dw1") < F.col("dw2"))
+        | ((F.col("dw1") == F.col("dw2")) & (F.col("w1") < F.col("w2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
+    )
+    tris = wedges.join(closing, ["w1", "w2"], "inner").select(
+        "u", "w1", "w2"
+    )
+    if not per_node:
+        return tris.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("w1").alias("node")))
+        .unionAll(tris.select(F.col("w2").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

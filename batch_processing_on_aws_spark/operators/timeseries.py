@@ -81,3 +81,68 @@ def fill_forward(
     for c in cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    partition_cols: tuple[str, ...] = (),
+    round_digits: int | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a keyed series — the
+    value-filling sibling of :func:`fill_forward`: a missing point
+    takes ``prev + (next - prev) · (x - xₚ)/(xₙ - xₚ)`` between its
+    nearest non-null neighbours in ``x_col`` order; leading/trailing
+    NULLs (no neighbour on one side) stay NULL, observed values pass
+    through untouched.
+
+    ``x_col`` must be numeric (for time series pass an exact integer
+    index — epoch-hours, day number — not a raw timestamp; integer x
+    keeps the single lerp float op running on identical operands in
+    any engine, which with ``round_digits`` makes the result
+    hash-exact cross-engine when y is integer-valued too).
+
+    Shape: one shuffle on the key + two frames over the SAME sort
+    (running last(struct) for the previous observation, reversed-frame
+    first(struct) for the next) — O(1) state per row, no self-join,
+    no explode; the struct rides atomically so NULL y can never
+    resolve prev/next to different rows.
+    """
+    out = out_col or y_col
+    w_base = (
+        Window.partitionBy(*partition_cols)
+        if partition_cols
+        else Window.partitionBy(F.lit(1))
+    ).orderBy(F.col(x_col).asc())
+    w_prev = w_base.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w_base.rowsBetween(0, Window.unboundedFollowing)
+
+    obs = F.when(
+        F.col(y_col).isNotNull(),
+        F.struct(F.col(x_col).alias("x"), F.col(y_col).alias("y")),
+    )
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.first(obs, ignorenulls=True).over(w_next)
+
+    frac = (F.col(x_col) - prev["x"]) / (nxt["x"] - prev["x"])
+    lerp = prev["y"] + (nxt["y"] - prev["y"]) * frac
+    filled = (
+        F.when(F.col(y_col).isNotNull(), F.col(y_col).cast("double"))
+        # an observation at the SAME x (duplicate-x rows can sort to
+        # either side of the NULL) is the value — also guards the
+        # 0/0 frac when both neighbours share x.
+        .when(
+            nxt.isNotNull() & (nxt["x"] == F.col(x_col)),
+            nxt["y"].cast("double"),
+        )
+        .when(
+            prev.isNotNull() & (prev["x"] == F.col(x_col)),
+            prev["y"].cast("double"),
+        )
+        .when(prev.isNotNull() & nxt.isNotNull(), lerp)
+    )
+    if round_digits is not None:
+        filled = F.round(filled, round_digits)
+    return df.withColumn(out, filled)

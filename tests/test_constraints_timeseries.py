@@ -80,3 +80,89 @@ def test_fill_forward_keyed_partitions(spark):
            fill_forward(df, ("v",), order_col="t", partition_cols=("k",)).collect()}
     assert got == {("a", 1): 1.0, ("a", 2): 1.0,
                    ("b", 1): None, ("b", 2): 5.0}  # no cross-key leakage
+
+
+# ------------------------------------------------------- interpolation
+
+def test_interpolate_linear_basic(spark):
+    from batch_processing_on_aws_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 10.0),
+            ("a", 1, None),
+            ("a", 2, None),
+            ("a", 3, 40.0),
+            ("a", 4, None),   # trailing: stays NULL
+            ("b", 0, None),   # leading: stays NULL
+            ("b", 1, 5.0),
+            ("b", 3, 9.0),
+        ],
+        "k string, x long, y double",
+    )
+    out = {
+        (r["k"], r["x"]): r["y"]
+        for r in interpolate_linear(
+            df, "y", "x", partition_cols=("k",)
+        ).collect()
+    }
+    assert out[("a", 0)] == 10.0
+    assert out[("a", 1)] == 20.0
+    assert out[("a", 2)] == 30.0
+    assert out[("a", 3)] == 40.0
+    assert out[("a", 4)] is None
+    assert out[("b", 0)] is None
+    assert out[("b", 1)] == 5.0
+    assert out[("b", 3)] == 9.0
+
+
+def test_interpolate_linear_uneven_spacing_and_round(spark):
+    from batch_processing_on_aws_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 3, None), ("a", 7, 2.0)],
+        "k string, x long, y double",
+    )
+    out = {
+        r["x"]: r["y"]
+        for r in interpolate_linear(
+            df, "y", "x", partition_cols=("k",), round_digits=6
+        ).collect()
+    }
+    assert out[3] == round(1.0 + (2.0 - 1.0) * 3 / 7, 6)
+
+
+def test_interpolate_linear_observed_values_untouched(spark):
+    """Observed points pass through even when neighbours would give a
+    different line; only NULLs are synthesized."""
+    from batch_processing_on_aws_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 1, 100.0), ("a", 2, 0.0)],
+        "k string, x long, y double",
+    )
+    out = {
+        r["x"]: r["y"]
+        for r in interpolate_linear(df, "y", "x", ("k",)).collect()
+    }
+    assert out == {0: 0.0, 1: 100.0, 2: 0.0}
+
+
+def test_interpolate_linear_duplicate_x_with_observation(spark):
+    """A NULL row sharing x with an observed row resolves to that
+    observation (0/0 guard), not a divide-by-zero NULL/NaN."""
+    from batch_processing_on_aws_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5, None), ("a", 5, 7.0)], "k string, x long, y double"
+    )
+    rows = interpolate_linear(df, "y", "x", ("k",)).collect()
+    assert sorted(r["y"] for r in rows) == [7.0, 7.0]
