@@ -42,6 +42,7 @@ def scd2_collapse(
     valid_from_col: str = "valid_from",
     valid_to_col: str = "valid_to",
     current_col: str = "is_current",
+    tiebreak_out: str | None = None,
 ) -> DataFrame:
     """Collapse a keyed observation stream into SCD2 intervals.
 
@@ -49,17 +50,23 @@ def scd2_collapse(
     is_current]``; one row per maximal run of consecutive equal
     ``attr_cols`` values in ``ts_col`` order, ``valid_to`` = the next
     run's ``valid_from`` (NULL for the open current run).
+
+    ``tiebreak_out`` additionally emits the winning tiebreak of each
+    run's STARTING observation — required when the dimension will be
+    incrementally maintained (:func:`scd2_apply_changes` replays run
+    starts as observations, and an equal-timestamp new observation
+    must tie-break against the original winner, not against nothing).
     """
     keys = list(key_cols)
     attrs = list(attr_cols)
 
     # one observation per (key, ts): greatest tiebreak wins
-    w_dedup = Window.partitionBy(*keys, ts_col).orderBy(F.col(tiebreak).desc())
+    w_dedup = Window.partitionBy(*keys, ts_col).orderBy(F.col("__tb").desc())
     obs = (
-        df.select(*keys, *attrs, ts_col, tiebreak)
+        df.select(*keys, *attrs, ts_col, F.col(tiebreak).alias("__tb"))
         .withColumn("__rn", F.row_number().over(w_dedup))
         .where(F.col("__rn") == 1)
-        .drop("__rn", *([tiebreak] if tiebreak not in attrs + keys else []))
+        .drop("__rn")
     )
 
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
@@ -74,12 +81,110 @@ def scd2_collapse(
     starts = obs.withColumn("__chg", first | changed).where(F.col("__chg"))
 
     w2 = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    extra = (
+        [F.col("__tb").alias(tiebreak_out)] if tiebreak_out is not None else []
+    )
     return (
         starts.select(
             *keys,
             *attrs,
             F.col(ts_col).alias(valid_from_col),
             F.lead(ts_col).over(w2).alias(valid_to_col),
+            *extra,
         )
         .withColumn(current_col, F.col(valid_to_col).isNull())
     )
+
+
+def scd2_apply_changes(
+    dim: DataFrame,
+    new_obs: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+    tiebreak_out: str = "run_tiebreak",
+    late: str = "error",
+) -> DataFrame:
+    """Incrementally maintain an SCD2 dimension: merge a batch of new
+    observations into an existing :func:`scd2_collapse` output (built
+    with ``tiebreak_out``), recomputing ONLY the touched keys —
+    untouched keys' rows pass through byte-identical, so refresh cost
+    is O(batch + touched-key history), never O(dimension). The same
+    contract as ``IncrementalAgg``: sequential applies over in-order
+    batches equal the full recompute exactly (pinned by test and by
+    the registry oracle).
+
+    Exactness requires per-key IN-ORDER batches: every new
+    observation at or after its key's last interval start. A run
+    start replayed as an observation stands in for the whole run,
+    which is lossful for observations INSIDE a closed run — so a
+    strictly-late arrival (``ts`` < the key's last ``valid_from``)
+    cannot be merged exactly from the dimension alone.
+    ``late='error'`` (default) fails the job loudly on one;
+    ``late='replay'`` accepts it with documented approximate
+    semantics (the late value splits the closed run at its timestamp,
+    as if no later intra-run observation existed — correct whenever
+    closed runs contain no unrecorded repeats). Same-timestamp
+    arrivals tie-break against the stored run-start winner exactly.
+    """
+    if late not in ("error", "replay"):
+        raise ValueError(f"late must be error|replay: {late!r}")
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    obs_cols = [*keys, *attrs, ts_col, tiebreak]
+
+    touched = new_obs.select(*keys).distinct()
+    dim_rest = dim.join(touched, keys, "left_anti")
+    dim_touched = dim.join(touched, keys, "left_semi")
+
+    starts_as_obs = dim_touched.select(
+        *keys,
+        *attrs,
+        F.col(valid_from_col).alias(ts_col),
+        F.col(tiebreak_out).alias(tiebreak),
+    )
+    fresh = new_obs.select(*obs_cols)
+    if late == "error":
+        last_start = dim_touched.groupBy(*keys).agg(
+            F.max(valid_from_col).alias("__last_vf")
+        )
+        fresh = (
+            fresh.join(last_start, keys, "left")
+            .withColumn(
+                ts_col,
+                F.when(
+                    F.col("__last_vf").isNotNull()
+                    & (F.col(ts_col) < F.col("__last_vf")),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "scd2_apply_changes: strictly-late "
+                                "observation older than its key's last "
+                                "interval start cannot be merged exactly "
+                                "(pass late='replay' to accept "
+                                "approximate splits): ts="
+                            ),
+                            F.col(ts_col).cast("string"),
+                        )
+                    ).cast(dim.schema[valid_from_col].dataType),
+                ).otherwise(F.col(ts_col)),
+            )
+            .drop("__last_vf")
+        )
+    merged = starts_as_obs.unionByName(fresh)
+    recomputed = scd2_collapse(
+        merged,
+        keys,
+        attrs,
+        ts_col,
+        tiebreak,
+        valid_from_col=valid_from_col,
+        valid_to_col=valid_to_col,
+        current_col=current_col,
+        tiebreak_out=tiebreak_out,
+    )
+    return dim_rest.unionByName(recomputed)

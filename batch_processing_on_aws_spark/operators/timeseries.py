@@ -146,3 +146,70 @@ def interpolate_linear(
     if round_digits is not None:
         filled = F.round(filled, round_digits)
     return df.withColumn(out, filled)
+
+
+#: mergeable aggregate kinds and how a coarser level re-aggregates a
+#: finer level's partial: count partials MERGE BY SUM, the rest are
+#: idempotent under their own function.
+_MERGEABLE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def multires_rollup(
+    df: DataFrame,
+    ts_col: str,
+    measures: dict[str, tuple[str | None, str]],
+    levels: tuple[str, ...] = ("hour", "day", "month"),
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Multi-resolution time rollup with PARTIAL-AGGREGATE REUSE —
+    the hypertable "continuous aggregate" shape: the finest level is
+    the only pass over the raw data; every coarser level re-aggregates
+    the PREVIOUS level's partials (a frame that is already orders of
+    magnitude smaller), so an hour→day→month hierarchy over 100 TB
+    costs one full scan plus two trivial aggregations instead of
+    three full scans. Only algebraic aggregates are accepted
+    (count/sum/min/max — ``avg`` is ``sum/count`` downstream), which
+    is exactly the class for which partial merge is lossless.
+
+    ``measures`` maps output name → ``(column, kind)`` with kind in
+    count|sum|min|max (column ignored for count). ``levels`` are
+    ``date_trunc`` units ordered finest→coarsest; each must truncate
+    coarser than the previous (trusted, not checked — a wrong order
+    simply yields per-bucket re-grouping noise the tests would catch).
+    Output: ``level`` (string), ``group_cols``, ``bucket``
+    (truncated timestamp), one column per measure; one row set per
+    level, unioned.
+
+    Hash-exactness note: ``sum`` over doubles is order-dependent —
+    for cross-engine-exact rollups sum integer-quantized columns
+    (the golden query sums micro-units BIGINT) and keep doubles to
+    min/max, which are order-free.
+    """
+    for name, (_, kind) in measures.items():
+        if kind not in _MERGEABLE:
+            raise ValueError(
+                f"measure {name!r}: kind must be one of "
+                f"{sorted(_MERGEABLE)} (algebraic/mergeable), got {kind!r}"
+            )
+    gcols = list(group_cols)
+
+    def first_agg(name, col, kind):
+        if kind == "count":
+            return F.count(F.lit(1)).cast("long").alias(name)
+        return getattr(F, kind)(F.col(col)).alias(name)
+
+    def merge_agg(name, kind):
+        return getattr(F, _MERGEABLE[kind])(F.col(name)).alias(name)
+
+    cur = df.groupBy(
+        *gcols, F.date_trunc(levels[0], F.col(ts_col)).alias("bucket")
+    ).agg(*[first_agg(n, c, k) for n, (c, k) in measures.items()])
+    out = cur.select(F.lit(levels[0]).alias("level"), *gcols, "bucket", *measures)
+    for lvl in levels[1:]:
+        cur = cur.groupBy(
+            *gcols, F.date_trunc(lvl, F.col("bucket")).alias("bucket")
+        ).agg(*[merge_agg(n, k) for n, (_, k) in measures.items()])
+        out = out.unionByName(
+            cur.select(F.lit(lvl).alias("level"), *gcols, "bucket", *measures)
+        )
+    return out

@@ -6951,6 +6951,241 @@ FROM corners GROUP BY node
 """
 
 
+def scd2_incremental_user_tier(spark, sf_dir):
+    """Incremental SCD2 maintenance == full recompute, hash-exact
+    (operators/scd.py::scd2_apply_changes — the dimension sibling of
+    cdc_incremental_daily_events): the tier dimension is built from
+    events BEFORE 2024-01-15, then two in-order observation batches
+    (15th–21st, 22nd onward) are merged in; each merge recomputes
+    ONLY touched keys (untouched rows pass through byte-identical),
+    and the final dimension — including each run's stored
+    start-observation tiebreak — must equal the one-shot
+    scd2_collapse over the whole stream, which is what the oracle
+    computes. O(batch + touched history) refresh, never
+    O(dimension)."""
+    from ..operators.scd import scd2_apply_changes, scd2_collapse
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("tier"), "ts", "event_id"
+    )
+    c1 = F.lit("2024-01-15").cast("timestamp")
+    c2 = F.lit("2024-01-22").cast("timestamp")
+    dim = scd2_collapse(
+        obs.where(F.col("ts") < c1),
+        ["user_id"],
+        ["tier"],
+        "ts",
+        "event_id",
+        tiebreak_out="run_tiebreak",
+    )
+    for batch in (
+        obs.where((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        obs.where(F.col("ts") >= c2),
+    ):
+        dim = scd2_apply_changes(
+            dim, batch, ["user_id"], ["tier"], "ts", "event_id"
+        )
+    return dim
+
+
+_SCD2_INCR_SQL = """
+WITH obs AS (
+  SELECT user_id, tier, ts, event_id FROM (
+    SELECT user_id, event_type AS tier, ts, event_id,
+           row_number() OVER (
+             PARTITION BY user_id, ts ORDER BY event_id DESC
+           ) AS rn
+    FROM events WHERE event_type <> 'purchase'
+  ) WHERE rn = 1
+),
+marked AS (
+  SELECT user_id, tier, ts, event_id,
+         CASE WHEN row_number() OVER w = 1
+                OR tier IS DISTINCT FROM lag(tier) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM obs
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+starts AS (SELECT user_id, tier, ts, event_id FROM marked WHERE chg = 1)
+SELECT user_id, tier, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current,
+       event_id AS run_tiebreak
+FROM starts
+"""
+
+
+def event_multires_rollup(spark, sf_dir):
+    """Multi-resolution continuous-aggregate rollup
+    (operators/timeseries.py::multires_rollup): hour → day → week
+    event statistics per type where ONLY the hourly level scans raw
+    data — day merges hour partials, week merges day partials
+    (count→sum, sum→sum, min/max idempotent). The oracle aggregates
+    each level DIRECTLY from raw events, so a hash match proves the
+    partial-merge hierarchy lossless. Doubles appear only under
+    min/max (order-free); the summed measure is micro-unit BIGINT
+    quantized before aggregation, so everything is integer-exact."""
+    from ..operators.timeseries import multires_rollup
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_micro",
+        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long"),
+    )
+    return multires_rollup(
+        ev,
+        "ts",
+        {
+            "n_events": (None, "count"),
+            "value_micro_sum": ("value_micro", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        levels=("hour", "day", "week"),
+        group_cols=("event_type",),
+    )
+
+
+def _multires_level_sql(level: str) -> str:
+    return f"""
+SELECT '{level}' AS level, event_type,
+       date_trunc('{level}', ts) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS value_micro_sum,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY 2, 3"""
+
+
+_MULTIRES_SQL = (
+    _multires_level_sql("hour")
+    + "\nUNION ALL"
+    + _multires_level_sql("day")
+    + "\nUNION ALL"
+    + _multires_level_sql("week")
+)
+
+
+def weekly_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the classic product-analytics grid:
+    users are cohorted by the week of their FIRST event; each
+    (cohort_week, week_offset) cell counts how many of that cohort
+    were active that many weeks later. Two hash-aggs + one equi-join
+    on user_id (first-event agg is a dim of the activity set);
+    exact integers. Week indexes are day-diffs from a fixed origin
+    floored to 7 — pure integer arithmetic, no session/locale week
+    semantics to disagree over."""
+    ev = load_table(spark, sf_dir, "events")
+    origin = F.lit("2024-01-01").cast("date")
+    act = ev.select(
+        "user_id",
+        F.floor(F.datediff(F.to_date("ts"), origin) / 7).alias("w"),
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("w").alias("w0"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.col("w0").alias("cohort_week"),
+            (F.col("w") - F.col("w0")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+_COHORT_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST((CAST(ts AS DATE) - DATE '2024-01-01') AS BIGINT) // 7 AS w
+  FROM events
+),
+first AS (SELECT user_id, MIN(w) AS w0 FROM act GROUP BY 1)
+SELECT f.w0 AS cohort_week, a.w - f.w0 AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def streamed_scd2_tier(spark, sf_dir):
+    """END-TO-END streaming SCD2 maintenance
+    (streaming/incremental.py::ingest_scd2_stream): two real
+    availableNow deliveries of the tier observation stream (before /
+    after 2024-01-15) merge into a VERSIONED Type-2 dimension —
+    touched-keys-only refresh, one audited txn-stamped commit per
+    epoch — and the final table must equal the one-shot batch
+    collapse, which is exactly what the oracle computes in SQL
+    (the same twin as ``scd2_incremental_user_tier``). Scratch is
+    keyed on the source identity and reused across invocations, like
+    the other streaming registry queries."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.versioned import VersionedTable
+    from ..streaming.incremental import ingest_scd2_stream
+
+    src = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_scd2s_{key}")
+    inp, table, ckpt = (
+        os.path.join(root, d) for d in ("in", "table", "ckpt")
+    )
+    done = os.path.join(root, "_COMPLETE")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("tier", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        obs = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("event_type") != "purchase")
+            .select(
+                "user_id",
+                F.col("event_type").alias("tier"),
+                "ts",
+                "event_id",
+            )
+        )
+        cut = F.lit("2024-01-15").cast("timestamp")
+        for delivery in (
+            obs.where(F.col("ts") < cut),
+            obs.where(F.col("ts") >= cut),
+        ):
+            delivery.coalesce(1).write.mode("append").parquet(inp)
+            ingest_scd2_stream(
+                spark, inp, schema, table,
+                ["user_id"], ["tier"], "ts", "event_id",
+                ckpt, app_id="scd2s", n_buckets=8,
+            )
+        for scratch in (inp, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(key)
+    vt = VersionedTable(table, keys=["user_id", "valid_from"])
+    return vt.read(spark).select(
+        "user_id", "tier", "valid_from", "valid_to", "is_current",
+        "run_tiebreak",
+    )
+
+
 # the queries the driver already passed in round 1.
 QUERIES: list[QueryDef] = [
     # (1) never driver-checked in round 1
@@ -7072,6 +7307,14 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "part_copurchase_triangles", part_copurchase_triangles, _TRIANGLES_SQL
     ),
+    QueryDef(
+        "scd2_incremental_user_tier", scd2_incremental_user_tier, _SCD2_INCR_SQL
+    ),
+    QueryDef("event_multires_rollup", event_multires_rollup, _MULTIRES_SQL),
+    QueryDef(
+        "weekly_cohort_retention", weekly_cohort_retention, _COHORT_SQL
+    ),
+    QueryDef("streamed_scd2_tier", streamed_scd2_tier, _SCD2_INCR_SQL),
     QueryDef("purchase_pit_tier", purchase_pit_tier, _PIT_SQL),
     QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),
     QueryDef("event_type_trend", event_type_trend, _TREND_SQL),

@@ -166,3 +166,76 @@ def test_interpolate_linear_duplicate_x_with_observation(spark):
     )
     rows = interpolate_linear(df, "y", "x", ("k",)).collect()
     assert sorted(r["y"] for r in rows) == [7.0, 7.0]
+
+
+# ---------------------------------------------------- multires rollup
+
+def test_multires_rollup_merge_equals_direct(spark):
+    """Every coarser level, computed by merging the finer level's
+    partials, must equal aggregating the raw data directly at that
+    grain — the losslessness that makes partial reuse legitimate."""
+    import hashlib
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.operators.timeseries import (
+        multires_rollup,
+    )
+
+    def u(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rows = [
+        (
+            "g" + str(u(f"g{i}") % 3),
+            datetime(2024, 1 + u(f"m{i}") % 3, 1 + u(f"d{i}") % 28, u(f"h{i}") % 24, u(f"mi{i}") % 60),
+            u(f"v{i}") % 1000,
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v long")
+    out = multires_rollup(
+        df,
+        "ts",
+        {
+            "n": (None, "count"),
+            "v_sum": ("v", "sum"),
+            "v_min": ("v", "min"),
+            "v_max": ("v", "max"),
+        },
+        levels=("hour", "day", "month"),
+        group_cols=("g",),
+    )
+    got = {
+        (r["level"], r["g"], r["bucket"]): (
+            r["n"], r["v_sum"], r["v_min"], r["v_max"]
+        )
+        for r in out.collect()
+    }
+    for lvl in ("hour", "day", "month"):
+        direct = df.groupBy(
+            "g", F.date_trunc(lvl, "ts").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").alias("v_sum"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+        want = {
+            (lvl, r["g"], r["bucket"]): (
+                r["n"], r["v_sum"], r["v_min"], r["v_max"]
+            )
+            for r in direct.collect()
+        }
+        assert {k: v for k, v in got.items() if k[0] == lvl} == want, lvl
+
+
+def test_multires_rollup_rejects_non_mergeable(spark):
+    from batch_processing_on_aws_spark.operators.timeseries import (
+        multires_rollup,
+    )
+
+    df = spark.createDataFrame([("a", None, 1)], "g string, ts timestamp, v long")
+    with pytest.raises(ValueError, match="mergeable"):
+        multires_rollup(df, "ts", {"m": ("v", "median")})

@@ -233,3 +233,133 @@ def test_interval_join_matches_bruteforce(spark):
         if p[1] == i[1] and i[2] <= p[2] < i[3]
     }
     assert got == want
+
+
+# ------------------------------------------------- incremental SCD2
+
+def _collapse(spark, rows):
+    from batch_processing_on_aws_spark.operators.scd import scd2_collapse
+
+    df = spark.createDataFrame(
+        rows, "user_id long, tier string, ts timestamp, obs_id long"
+    )
+    return scd2_collapse(
+        df, ["user_id"], ["tier"], "ts", "obs_id", tiebreak_out="run_tiebreak"
+    )
+
+
+def _rowset(df):
+    return {
+        (
+            r["user_id"], r["tier"], r["valid_from"], r["valid_to"],
+            r["is_current"], r["run_tiebreak"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_scd2_apply_changes_equals_full_recompute(spark):
+    import hashlib
+
+    from batch_processing_on_aws_spark.operators.scd import (
+        scd2_apply_changes,
+    )
+
+    def u(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rows = [
+        (
+            u(f"k{i}") % 6,
+            "t" + str(u(f"v{i}") % 3),
+            _ts(1 + (i * 29) % 28, u(f"h{i}") % 24),
+            i,
+        )
+        for i in range(120)
+    ]
+    rows.sort(key=lambda r: r[2])
+    full = _rowset(_collapse(spark, rows))
+
+    # three in-order batches split at global time cutoffs
+    b1 = [r for r in rows if r[2] < _ts(10)]
+    b2 = [r for r in rows if _ts(10) <= r[2] < _ts(20)]
+    b3 = [r for r in rows if r[2] >= _ts(20)]
+    dim = _collapse(spark, b1)
+    for batch in (b2, b3):
+        obs = spark.createDataFrame(
+            batch, "user_id long, tier string, ts timestamp, obs_id long"
+        )
+        dim = scd2_apply_changes(
+            dim, obs, ["user_id"], ["tier"], "ts", "obs_id"
+        )
+    assert _rowset(dim) == full
+
+
+def test_scd2_apply_changes_untouched_keys_pass_through(spark):
+    from batch_processing_on_aws_spark.operators.scd import (
+        scd2_apply_changes,
+    )
+
+    dim = _collapse(
+        spark,
+        [(1, "a", _ts(1), 1), (1, "b", _ts(3), 2), (2, "x", _ts(2), 3)],
+    )
+    obs = spark.createDataFrame(
+        [(2, "y", _ts(5), 9)],
+        "user_id long, tier string, ts timestamp, obs_id long",
+    )
+    out = scd2_apply_changes(dim, obs, ["user_id"], ["tier"], "ts", "obs_id")
+    got = _rowset(out)
+    # key 1 rows byte-identical to the original dimension
+    assert {r for r in got if r[0] == 1} == {
+        r for r in _rowset(dim) if r[0] == 1
+    }
+    # key 2 gained a run
+    k2 = sorted((r for r in got if r[0] == 2), key=lambda r: r[2])
+    assert [(r[1], r[4]) for r in k2] == [("x", False), ("y", True)]
+
+
+def test_scd2_apply_changes_same_ts_tiebreak_exact(spark):
+    from batch_processing_on_aws_spark.operators.scd import (
+        scd2_apply_changes,
+    )
+
+    dim = _collapse(spark, [(1, "a", _ts(5), 10)])
+    # smaller tiebreak at the same ts: stored winner stands
+    lose = spark.createDataFrame(
+        [(1, "z", _ts(5), 4)],
+        "user_id long, tier string, ts timestamp, obs_id long",
+    )
+    out = scd2_apply_changes(dim, lose, ["user_id"], ["tier"], "ts", "obs_id")
+    assert [r["tier"] for r in out.collect()] == ["a"]
+    # greater tiebreak: new observation wins the timestamp
+    win = spark.createDataFrame(
+        [(1, "z", _ts(5), 40)],
+        "user_id long, tier string, ts timestamp, obs_id long",
+    )
+    out = scd2_apply_changes(dim, win, ["user_id"], ["tier"], "ts", "obs_id")
+    assert [r["tier"] for r in out.collect()] == ["z"]
+
+
+def test_scd2_apply_changes_late_errors_and_replays(spark):
+    from batch_processing_on_aws_spark.operators.scd import (
+        scd2_apply_changes,
+    )
+
+    dim = _collapse(spark, [(1, "a", _ts(1), 1), (1, "b", _ts(9), 2)])
+    late = spark.createDataFrame(
+        [(1, "c", _ts(4), 5)],
+        "user_id long, tier string, ts timestamp, obs_id long",
+    )
+    with pytest.raises(Exception, match="strictly-late"):
+        scd2_apply_changes(
+            dim, late, ["user_id"], ["tier"], "ts", "obs_id"
+        ).collect()
+    out = scd2_apply_changes(
+        dim, late, ["user_id"], ["tier"], "ts", "obs_id", late="replay"
+    )
+    runs = sorted(
+        ((r["tier"], r["valid_from"]) for r in out.collect()),
+        key=lambda t: t[1],
+    )
+    assert runs == [("a", _ts(1)), ("c", _ts(4)), ("b", _ts(9))]

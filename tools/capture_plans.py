@@ -204,6 +204,41 @@ HEADLINERS = {
         "loop); localCheckpoint truncates lineage so no round "
         "recomputes the relational edge derivation."
     ),
+    "purchase_pit_tier": (
+        "Point-in-time containment join WITHOUT a theta join: SCD2 "
+        "intervals explode into day bins, purchases land in one, and "
+        "the match is a shuffled SortMergeJoin/HashJoin on "
+        "(user_id, bin) + an exact containment filter — no "
+        "BroadcastNestedLoopJoin anywhere in the plan, which is what "
+        "a raw ts BETWEEN start AND end join would have produced."
+    ),
+    "scd2_incremental_user_tier": (
+        "Incremental SCD2 merge: the dimension side is split by ONE "
+        "semi/anti join pair on the batch's touched keys; only the "
+        "touched slice re-enters the collapse windows, untouched rows "
+        "stream through unmodified — refresh cost tracks the batch, "
+        "not the dimension."
+    ),
+    "part_copurchase_triangles": (
+        "Degree-oriented triangle counting: canonical edges + two "
+        "degree joins orient every edge low→high, the wedge self-join "
+        "on the apex is an equi-join whose fan-out is bounded "
+        "O(sqrt m) per node, and the closing-edge check is another "
+        "equi-join — no nested loop, no unbounded hub blowup."
+    ),
+    "hourly_event_interpolated": (
+        "Keyed gap interpolation: the per-type spine is "
+        "sequence+explode from a bounds hash-agg (distributed, no "
+        "driver date loop), and prev/next neighbours come from two "
+        "window frames over the SAME (event_type, x) sort — one "
+        "shuffle, one sort, no self-join."
+    ),
+    "event_multires_rollup": (
+        "Continuous-aggregate hierarchy: exactly ONE scan of raw "
+        "events (the hourly agg); the day and week levels re-aggregate "
+        "the previous level's partials — visible in the plan as aggs "
+        "over aggs with no second table scan."
+    ),
 }
 
 

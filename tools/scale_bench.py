@@ -66,6 +66,15 @@ QUERIES = [
     "doc_bigram_lm_scores",
     "kmv_distinct_users",
     "embedding_ivf_topk",
+    # round-8 session-2 additions: temporal-join / dimension family —
+    # the containment join must stay linear (bin explosion bounded by
+    # interval/bin ratio), the SCD2 merge must track the batch not the
+    # dimension, the triangle wedge join must hold its O(m^1.5) bound
+    # on the support-floored graph, the rollup must scan raw ONCE
+    "purchase_pit_tier",
+    "scd2_incremental_user_tier",
+    "part_copurchase_triangles",
+    "event_multires_rollup",
 ]
 
 SCALES = {
