@@ -184,3 +184,84 @@ def source_drift(
             F.round(new_share - old_share, 6).alias("share_delta"),
         )
     )
+
+
+def psi_numeric_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    bin_edges: Sequence[float],
+) -> DataFrame:
+    """Population Stability Index over a NUMERIC column's binned
+    distribution — the numeric-feature sibling of :func:`source_drift`
+    (categorical shares) and the standard "did this feature's
+    distribution move between snapshots" monitor for training-data
+    pipelines (doc length, quality score, token count drift between
+    crawls).
+
+    Bins are caller-fixed edges (deterministic, schema-stable between
+    runs — never data-derived quantiles, which would make two
+    snapshots' bins incomparable): bin i covers [edge_i, edge_{i+1});
+    values below the first edge land in bin 0's underflow twin (-1),
+    values at/above the last edge in bin len(edges)-1. Shares are
+    add-one smoothed ((n+1)/(N+B), so empty bins contribute finite
+    terms) and each bin's PSI term (p−q)·ln(p/q) is quantized ONCE to
+    micro-units BIGINT — the bigram-LM trick: the single float
+    expression runs on identical integer triples in any engine, so
+    the per-bin terms and their integer sum are hash-exact
+    cross-engine.
+
+    Output: one row per occupied-or-empty bin —
+    (bin, old_n, new_n, psi_micro) — plus exact counts; total PSI =
+    SUM(psi_micro)/1e6 downstream. Shape: one hash-agg per snapshot
+    over a #bins-cardinality key, a broadcast full-outer align on the
+    bin spine, two 1-row scalar broadcasts for the totals. Nothing
+    corpus-sized shuffles; NULL values are excluded (they are
+    missing-ness, audited by missing_value_counts, not distribution
+    mass).
+    """
+    edges = list(bin_edges)
+    if len(edges) < 2 or sorted(edges) != edges:
+        raise ValueError("bin_edges must be >= 2 ascending values")
+    n_bins = len(edges)  # bins: -1 (underflow), 0..len-2, len-1 (overflow)
+
+    def binned(df, n_name):
+        b = F.lit(-1)
+        for i, e in enumerate(edges):
+            b = F.when(F.col(value_col) >= F.lit(float(e)), F.lit(i)).otherwise(b)
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    spark = old.sparkSession
+    spine = spark.range(-1, n_bins).select(F.col("id").cast("int").alias("bin"))
+    o = binned(old, "old_n")
+    n = binned(new, "new_n")
+    joined = (
+        spine.join(F.broadcast(o), "bin", "left")
+        .join(F.broadcast(n), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("old_n"), F.lit(0)).cast("long").alias("old_n"),
+            F.coalesce(F.col("new_n"), F.lit(0)).cast("long").alias("new_n"),
+        )
+    )
+    tot_o = old.where(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("__to")
+    )
+    tot_n = new.where(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("__tn")
+    )
+    n_cells = F.lit(n_bins + 1)  # underflow + len-1 inner + overflow
+    p = (F.col("old_n") + 1) / (F.col("__to") + n_cells)
+    q = (F.col("new_n") + 1) / (F.col("__tn") + n_cells)
+    psi_micro = F.round((p - q) * F.log(p / q) * F.lit(1_000_000.0)).cast(
+        "long"
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot_o))
+        .crossJoin(F.broadcast(tot_n))
+        .select("bin", "old_n", "new_n", psi_micro.alias("psi_micro"))
+    )

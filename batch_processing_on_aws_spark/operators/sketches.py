@@ -190,3 +190,109 @@ def kmv_union_estimate(
         )
         .alias("est_distinct")
     )
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) — frequency
+    estimation in fixed space, completing the mergeable-sketch family
+    next to HLL (distinct, engine-internal) and KMV (distinct,
+    replayable): CM answers "how often does x occur" over a stream too
+    wide for an exact histogram, with one-sided (over-)estimates
+    bounded by ε·N at confidence 1−δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
+
+    Deterministic md5 row hashes (``md5(d || ':' || key)`` first 8 hex
+    → mod width — the family's portability trick), so the whole
+    matrix is integer-exact and SQL-replayable. The STATE is the
+    (depth × width) counter matrix as rows ``(row_idx, col_idx, n)``
+    — merging sketches is elementwise addition (a groupBy-sum over
+    the union), zero re-scan.
+
+    Plan shape: one explode of each input row into ``depth`` counter
+    updates (constant fan-out), one hash-agg on the
+    (depth·width)-cardinality counter key. Nothing data-sized leaves
+    the executors.
+    """
+    d_idx = F.explode(
+        F.sequence(F.lit(0), F.lit(int(depth) - 1))
+    ).alias("row_idx")
+    rows = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("__k"), d_idx
+    )
+    col_idx = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("row_idx").cast("string"),
+                        F.lit(":"),
+                        F.col("__k"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(int(width)),
+    )
+    return (
+        rows.select("row_idx", col_idx.alias("col_idx"))
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-query a :func:`cm_sketch`: for each item, the estimate is
+    the MIN over the depth rows of the addressed counters (absent
+    counter = 0). Returns ``items`` keys + ``est_n``. The estimate
+    never undercounts; ``est_n - true_n ≥ 0`` always (pinned by test).
+
+    Shape: items explode ×depth, equi-join the (row, col) counter key
+    against the broadcast-sized sketch, min-agg per item.
+    """
+    probes = items.select(F.col(key_col)).where(
+        F.col(key_col).isNotNull()
+    ).distinct().select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias(
+            "row_idx"
+        ),
+    )
+    col_idx = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("row_idx").cast("string"),
+                        F.lit(":"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(int(width)),
+    )
+    addressed = probes.select(F.col(key_col), "row_idx", col_idx.alias("col_idx"))
+    joined = addressed.join(
+        F.broadcast(sketch), ["row_idx", "col_idx"], "left"
+    ).select(
+        F.col(key_col), F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    return joined.groupBy(key_col).agg(F.min("n").cast("long").alias("est_n"))

@@ -9,6 +9,8 @@ linearly with no shuffle (they are pure projections).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -470,3 +472,81 @@ def bigram_lm_scores(
             F.col("nll_micro") / F.col("__n") / F.lit(1_000_000.0), 6
         ).alias("avg_nll"),
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    partitions: int | None = None,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus — the query-mining
+    primitive (find the documents most relevant to a probe query:
+    seed-document expansion, topic auditing, eval-set curation).
+    Robertson/Sparck Jones weights in the Lucene formulation:
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf-saturated by
+    k1 and length-normalized by b against the corpus mean length.
+
+    Cross-engine exactness: tf/df/doc_len/N are exact integers,
+    avg_len is ONE division of two BIGINTs, each (doc, term) partial
+    score is a single float expression over those identical operands
+    quantized to micro-units BIGINT, and the doc score is the integer
+    SUM of its term partials (the bigram-LM pattern) — so ranking and
+    scores replay hash-exact in SQL.
+
+    Shape: the token stream is filtered to the probe terms BEFORE any
+    aggregation (an isin over a literal list — Catalyst folds it into
+    the scan-side filter), so tf/df aggregate only matching
+    postings; N and avg_len ride as broadcast 1-row scalars; the
+    final top-k is a global ``orderBy(...).limit(k)`` which compiles
+    to TakeOrderedAndProject (never a single-reducer window).
+    """
+    from .partitioning import fan_out
+
+    terms = [t.lower() for t in query_terms]
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    docs = fan_out(df, partitions).select(
+        F.col(id_col), toks.alias("__t")
+    )
+    lens = docs.select(
+        F.col(id_col), F.size("__t").cast("long").alias("__len")
+    )
+    postings = (
+        docs.select(F.col(id_col), F.explode("__t").alias("__tok"))
+        .where(F.col("__tok").isin(terms))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    dfreq = postings.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    totals = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__len").alias("__sumlen"),
+    )
+    avg_len = F.col("__sumlen") / F.col("__n")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("__tf") * F.lit(k1 + 1.0)) / (
+        F.col("__tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__len") / avg_len)
+    )
+    part_micro = F.round(idf * tf_norm * F.lit(1_000_000.0)).cast("long")
+    scored = (
+        postings.join(lens, id_col)
+        .join(F.broadcast(dfreq), "__tok")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), part_micro.alias("__pm"))
+        .groupBy(id_col)
+        .agg(F.sum("__pm").cast("long").alias("score_micro"))
+    )
+    return scored.orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    ).limit(top_k)

@@ -52,6 +52,17 @@ from ..sources import load_table
 from . import dashboard, tpch, tpch_suite
 
 
+def _oracle_guards_enabled() -> bool:
+    """The cap-not-binding guards exist to keep the capped DEFAULT
+    code paths honest against their uncapped SQL oracles — a contract
+    that only applies when the query's output will be oracle-compared
+    (parity gate, driver, bench suite on the canonical fixtures).
+    Scale/skew measurement runs deliberately feed fixtures where the
+    caps DO bind (that is what they measure), so those harnesses set
+    SPARK_GRAFT_SKIP_ORACLE_GUARDS=1; nothing else should."""
+    return os.environ.get("SPARK_GRAFT_SKIP_ORACLE_GUARDS", "") != "1"
+
+
 @dataclass(frozen=True)
 class QueryDef:
     name: str
@@ -1091,23 +1102,24 @@ def doc_minhash_lsh_pairs(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    row = (
-        band_signatures(docs)
-        .groupBy("band_id", "band_hash")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .agg(F.max("m").alias("max_bucket"))
-        .collect()[0]
-    )
-    if row["max_bucket"] is not None and (
-        row["max_bucket"] > CURATION_MAX_BUCKET_SIZE
-    ):
-        raise AssertionError(
-            f"minhash LSH bucket cap binds on this fixture "
-            f"(max bucket {row['max_bucket']} > cap "
-            f"{CURATION_MAX_BUCKET_SIZE}): the capped default no longer "
-            "matches the uncapped oracle — re-derive the oracle or raise "
-            "the cap explicitly"
+    if _oracle_guards_enabled():
+        row = (
+            band_signatures(docs)
+            .groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(F.max("m").alias("max_bucket"))
+            .collect()[0]
         )
+        if row["max_bucket"] is not None and (
+            row["max_bucket"] > CURATION_MAX_BUCKET_SIZE
+        ):
+            raise AssertionError(
+                f"minhash LSH bucket cap binds on this fixture "
+                f"(max bucket {row['max_bucket']} > cap "
+                f"{CURATION_MAX_BUCKET_SIZE}): the capped default no longer "
+                "matches the uncapped oracle — re-derive the oracle or raise "
+                "the cap explicitly"
+            )
     return minhash_lsh_pairs(docs)
 
 
@@ -4939,30 +4951,31 @@ def media_neardup_pairs(spark, sf_dir):
     # oracle is only valid while the star-cap default is not binding —
     # assert no 16-bit chunk bucket exceeds it so fixture drift fails
     # loudly instead of silently diverging
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("i"),
-                F.substring("phash", c * 4 + 1, 4).alias("v"),
-            )
-            for c in range(4)
-        ]
-    )
-    row = (
-        ph.where(F.col("phash").isNotNull())
-        .select(F.explode(chunk_structs).alias("c"))
-        .groupBy("c.i", "c.v")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .agg(F.max("m").alias("max_bucket"))
-        .collect()[0]
-    )
-    if row["max_bucket"] is not None and row["max_bucket"] > 64:
-        raise AssertionError(
-            f"dHash chunk bucket cap binds on this fixture (max bucket "
-            f"{row['max_bucket']} > 64): the star-capped default no "
-            "longer matches the uncapped oracle — re-derive the oracle "
-            "or pass max_bucket_size explicitly"
+    if _oracle_guards_enabled():
+        chunk_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("i"),
+                    F.substring("phash", c * 4 + 1, 4).alias("v"),
+                )
+                for c in range(4)
+            ]
         )
+        row = (
+            ph.where(F.col("phash").isNotNull())
+            .select(F.explode(chunk_structs).alias("c"))
+            .groupBy("c.i", "c.v")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(F.max("m").alias("max_bucket"))
+            .collect()[0]
+        )
+        if row["max_bucket"] is not None and row["max_bucket"] > 64:
+            raise AssertionError(
+                f"dHash chunk bucket cap binds on this fixture (max bucket "
+                f"{row['max_bucket']} > 64): the star-capped default no "
+                "longer matches the uncapped oracle — re-derive the oracle "
+                "or pass max_bucket_size explicitly"
+            )
     return pairs_op(ph).orderBy("media_id_a", "media_id_b")
 
 
@@ -7186,6 +7199,277 @@ def streamed_scd2_tier(spark, sf_dir):
     )
 
 
+_PSI_EDGES = [0.0, 200.0, 400.0, 800.0, 1600.0, 3200.0]
+
+
+def doc_length_psi_drift(spark, sf_dir):
+    """Numeric-distribution drift via PSI
+    (operators/audit.py::psi_numeric_drift): the doc-length (n_chars)
+    distribution of the documents snapshot vs the same deterministic
+    mutation the other snapshot audits use (drop doc_id%10==0, clone
+    doc_id%10==2) — the "did this feature move between crawls"
+    monitor. Fixed bin edges (never data-derived quantiles — two
+    snapshots must share bins), add-one-smoothed shares, each bin's
+    (p−q)·ln(p/q) term quantized ONCE to micro-units BIGINT (the
+    bigram-LM float trick), so the PSI terms are hash-exact
+    cross-engine. Two #bins-cardinality hash-aggs + broadcast spine +
+    two scalar broadcasts."""
+    from ..operators.audit import psi_numeric_drift
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("x")
+    )
+    new = docs.where(F.col("doc_id") % 10 != 0).unionByName(
+        docs.where(F.col("doc_id") % 10 == 2).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "x"
+        )
+    )
+    return psi_numeric_drift(docs, new, "x", _PSI_EDGES)
+
+
+def _psi_sql() -> str:
+    edges = _PSI_EDGES
+    n_cells = len(edges) + 1
+    bin_expr = " + ".join(
+        f"(CASE WHEN x >= {e} THEN 1 ELSE 0 END)" for e in edges
+    )
+    return f"""
+WITH o AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL
+),
+nw AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+  WHERE doc_id % 10 <> 0 AND n_chars IS NOT NULL
+  UNION ALL
+  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+  WHERE doc_id % 10 = 2 AND n_chars IS NOT NULL
+),
+ob AS (SELECT ({bin_expr}) - 1 AS bin, CAST(COUNT(*) AS BIGINT) AS old_n
+       FROM o GROUP BY 1),
+nb AS (SELECT ({bin_expr}) - 1 AS bin, CAST(COUNT(*) AS BIGINT) AS new_n
+       FROM nw GROUP BY 1),
+spine AS (SELECT unnest(range(-1, {len(edges)})) AS bin),
+tot AS (SELECT (SELECT COUNT(*) FROM o) AS t_o, (SELECT COUNT(*) FROM nw) AS t_n)
+SELECT CAST(s.bin AS INT) AS bin,
+       COALESCE(ob.old_n, 0) AS old_n,
+       COALESCE(nb.new_n, 0) AS new_n,
+       CAST(ROUND(
+         ((COALESCE(ob.old_n, 0) + 1) / (t_o + {n_cells})
+          - (COALESCE(nb.new_n, 0) + 1) / (t_n + {n_cells}))
+         * ln(((COALESCE(ob.old_n, 0) + 1) / (t_o + {n_cells}))
+              / ((COALESCE(nb.new_n, 0) + 1) / (t_n + {n_cells})))
+         * 1000000) AS BIGINT) AS psi_micro
+FROM spine s
+LEFT JOIN ob ON ob.bin = s.bin
+LEFT JOIN nb ON nb.bin = s.bin
+CROSS JOIN tot
+"""
+
+
+def event_user_cm_counts(spark, sf_dir):
+    """Count-Min frequency sketch
+    (operators/sketches.py::cm_sketch/cm_estimate): per-user event
+    counts estimated from a 4×64 deterministic-md5 counter matrix,
+    joined against the exact counts — ``overcount = est - true`` is
+    ≥ 0 by the CM one-sided guarantee (the oracle replays hashing,
+    the counter matrix, and the min-of-rows estimator verbatim, so
+    sketch state AND estimates are hash-exact). Completes the
+    mergeable-sketch family: HLL (distinct, engine-internal), KMV
+    (distinct, replayable), CM (frequency, replayable). Constant
+    ×depth fan-out + a (depth·width)-key hash-agg — nothing
+    data-sized shuffles."""
+    from ..operators.sketches import cm_estimate, cm_sketch
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sk = cm_sketch(ev, "user_id", width=64, depth=4)
+    est = cm_estimate(sk, ev, "user_id", depth=4, width=64)
+    true = ev.where(F.col("user_id").isNotNull()).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    return true.join(est, "user_id").select(
+        "user_id",
+        "est_n",
+        "true_n",
+        (F.col("est_n") - F.col("true_n")).alias("overcount"),
+    )
+
+
+_CM_SQL = """
+WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+upd AS (
+  SELECT d AS row_idx,
+         (('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+                              CAST(user_id AS VARCHAR)), 1, 8))::BIGINT)
+           % 64 AS col_idx
+  FROM events CROSS JOIN ds
+  WHERE user_id IS NOT NULL
+),
+sk AS (
+  SELECT row_idx, col_idx, CAST(COUNT(*) AS BIGINT) AS n
+  FROM upd GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+probe AS (
+  SELECT k.user_id, d.d AS row_idx,
+         (('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                              CAST(k.user_id AS VARCHAR)), 1, 8))::BIGINT)
+           % 64 AS col_idx
+  FROM keys k CROSS JOIN ds d
+),
+est AS (
+  SELECT user_id, CAST(MIN(COALESCE(sk.n, 0)) AS BIGINT) AS est_n
+  FROM probe LEFT JOIN sk USING (row_idx, col_idx)
+  GROUP BY 1
+),
+tru AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT t.user_id, e.est_n, t.true_n, e.est_n - t.true_n AS overcount
+FROM tru t JOIN est e USING (user_id)
+"""
+
+
+def bm25_doc_search(spark, sf_dir):
+    """BM25 ranked retrieval (operators/textstats.py::bm25_search):
+    top-25 documents for the probe query (hash, vector, stream) —
+    the seed-expansion / topic-audit / eval-curation primitive.
+    Postings are filtered to the probe terms BEFORE any aggregation,
+    per-(doc, term) partial scores are micro-quantized BIGINTs summed
+    per doc (the bigram-LM float pattern — the oracle replays idf,
+    saturation, and length normalization with operand-identical
+    arithmetic), and the top-k compiles to TakeOrderedAndProject.
+    Constants are written as the same float EXPRESSIONS in both
+    engines ((1.2 + 1.0), (1.0 − 0.75)) rather than decimal literals,
+    so both sides round identically."""
+    from ..operators.textstats import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(
+        docs, ["hash", "vector", "stream"], top_k=25
+    )
+
+
+_BM25_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+tok AS (
+  SELECT doc_id, lower(unnest(toks)) AS tk FROM t
+),
+post AS (
+  SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE tk IN ('hash', 'vector', 'stream')
+  GROUP BY 1, 2
+),
+dfq AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS BIGINT) AS sumlen
+  FROM lens
+),
+parts AS (
+  SELECT p.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * ((tf * (1.2 + 1.0))
+              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumlen / n))))
+           * 1000000) AS BIGINT) AS pm
+  FROM post p
+  JOIN lens l USING (doc_id)
+  JOIN dfq USING (tk)
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(pm) AS BIGINT) AS score_micro
+FROM parts GROUP BY 1
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT 25
+"""
+
+
+def versioned_scd2_history(spark, sf_dir):
+    """Delta-CDF → SCD2: reconstruct the FULL Type-2 history of a
+    Type-1 versioned table from its commit log
+    (operators/scd.py::scd2_from_table_history) — the lakehouse
+    "history table from the change feed" composition. Same real DML
+    lifecycle as ``versioned_changes_feed`` (overwrite → update+insert
+    upsert → delete); every version pair contributes its
+    manifest-pruned CDC rows (delete → tombstone observation), and the
+    collapse runs on the VERSION axis, so the result is integer-exact.
+    The oracle replays the three states, classifies per-version
+    changes with null-safe row comparison, and chains the validity
+    intervals with lead()."""
+    import shutil
+    import tempfile
+
+    from ..operators.scd import scd2_from_table_history
+    from ..operators.versioned import VersionedTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_vscd2_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events")
+    base = events.where(F.col("event_id") % 5 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    inc = base.where(F.col("event_type") == "click").withColumn(
+        "value", F.round(F.col("value") * 2, 2)
+    ).unionByName(
+        events.where(
+            (F.col("event_id") % 5 == 1) & (F.col("event_type") == "view")
+        ).select("event_id", "event_type", "value")
+    )
+    vt = VersionedTable(path, keys=["event_id"], n_buckets=8)
+    vt.overwrite(base)
+    vt.upsert(spark, inc)
+    vt.delete(spark, F.col("event_id") % 10 == 5)
+    return scd2_from_table_history(vt, spark, ["event_type", "value"])
+
+
+_VSCD2_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 5 = 0
+),
+inc AS (
+  SELECT event_id, event_type, ROUND(value * 2, 2) AS value
+  FROM base WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, event_type, value FROM events
+  WHERE event_id % 5 = 1 AND event_type = 'view'
+),
+s2 AS (
+  SELECT * FROM inc
+  UNION ALL
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.event_id = b.event_id)
+),
+obs AS (
+  SELECT event_id, event_type, value, FALSE AS is_deleted, 1 AS v
+  FROM base
+  UNION ALL
+  SELECT s.event_id, s.event_type, s.value, FALSE, 2
+  FROM s2 s LEFT JOIN base b USING (event_id)
+  WHERE b.event_id IS NULL
+     OR (s.event_type, s.value) IS DISTINCT FROM (b.event_type, b.value)
+  UNION ALL
+  SELECT event_id, NULL, NULL, TRUE, 3
+  FROM s2 WHERE event_id % 10 = 5
+)
+SELECT event_id, event_type, value, is_deleted,
+       CAST(v AS BIGINT) AS valid_from_version,
+       CAST(lead(v) OVER w AS BIGINT) AS valid_to_version,
+       lead(v) OVER w IS NULL AS is_current
+FROM obs
+WINDOW w AS (PARTITION BY event_id ORDER BY v)
+"""
+
+
 # the queries the driver already passed in round 1.
 QUERIES: list[QueryDef] = [
     # (1) never driver-checked in round 1
@@ -7315,6 +7599,10 @@ QUERIES: list[QueryDef] = [
         "weekly_cohort_retention", weekly_cohort_retention, _COHORT_SQL
     ),
     QueryDef("streamed_scd2_tier", streamed_scd2_tier, _SCD2_INCR_SQL),
+    QueryDef("doc_length_psi_drift", doc_length_psi_drift, _psi_sql()),
+    QueryDef("event_user_cm_counts", event_user_cm_counts, _CM_SQL),
+    QueryDef("bm25_doc_search", bm25_doc_search, _BM25_SQL),
+    QueryDef("versioned_scd2_history", versioned_scd2_history, _VSCD2_SQL),
     QueryDef("purchase_pit_tier", purchase_pit_tier, _PIT_SQL),
     QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),
     QueryDef("event_type_trend", event_type_trend, _TREND_SQL),

@@ -66,6 +66,13 @@ CROSS_PRODUCT_ALLOWED = {
     # smoothing) into the bigram score stream — scalar-subquery
     # pattern; both count tables join as plain equi-joins
     "doc_bigram_lm_scores",
+    # broadcasts the ONE-ROW (N, Σlen) scalar into the term-filtered
+    # posting stream — scalar-subquery pattern; postings/df/len join
+    # as plain equi-joins
+    "bm25_doc_search",
+    # broadcasts two ONE-ROW snapshot totals into the #bins-row PSI
+    # table — same scalar-subquery pattern as corpus_source_drift
+    "doc_length_psi_drift",
     "q22_idle_rich_customers",
     "q11_part_value_concentration",
     "q15_top_supplier",

@@ -122,3 +122,70 @@ def test_streamed_scd2_intermediate_state_is_the_prefix_collapse(
         scratch["ckpt"], n_buckets=4,
     )
     assert _rowset(vt.read(spark, version=1)) == want
+
+
+# ------------------------------------------- CDC -> SCD2 reconstruction
+
+def test_scd2_from_table_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.operators.scd import (
+        scd2_from_table_history,
+    )
+
+    path = str(tmp_path / "t1table")
+    vt = VersionedTable(path, keys=["k"], n_buckets=4)
+    df = lambda rows: spark.createDataFrame(rows, "k long, tier string")  # noqa: E731
+    vt.overwrite(df([(1, "a"), (2, "x"), (3, "m")]))          # v1
+    vt.upsert(spark, df([(1, "b"), (4, "n")]))                 # v2: update+insert
+    vt.delete(spark, F.col("k") == 2)                          # v3: delete
+    vt.upsert(spark, df([(2, "y")]))                           # v4: re-insert
+    hist = scd2_from_table_history(vt, spark, ["tier"])
+    got = {
+        (
+            r["k"], r["tier"], r["is_deleted"],
+            r["valid_from_version"], r["valid_to_version"], r["is_current"],
+        )
+        for r in hist.collect()
+    }
+    want = {
+        (1, "a", False, 1, 2, False),
+        (1, "b", False, 2, None, True),
+        (2, "x", False, 1, 3, False),
+        (2, None, True, 3, 4, False),
+        (2, "y", False, 4, None, True),
+        (3, "m", False, 1, None, True),
+        (4, "n", False, 2, None, True),
+    }
+    assert got == want
+
+
+def test_scd2_from_table_history_matches_snapshot_replay(spark, tmp_path):
+    """Property: for every version v, the reconstruction's rows whose
+    interval contains v (non-deleted) must equal read(version=v)."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.operators.scd import (
+        scd2_from_table_history,
+    )
+
+    path = str(tmp_path / "t1b")
+    vt = VersionedTable(path, keys=["k"], n_buckets=4)
+    df = lambda rows: spark.createDataFrame(rows, "k long, tier string")  # noqa: E731
+    vt.overwrite(df([(i, f"t{i % 3}") for i in range(10)]))
+    vt.upsert(spark, df([(i, f"u{i % 2}") for i in range(0, 10, 2)]))
+    vt.delete(spark, F.col("k") % 3 == 0)
+    vt.upsert(spark, df([(0, "z"), (11, "w")]))
+    hist = scd2_from_table_history(vt, spark, ["tier"]).collect()
+    for v in vt.versions():
+        snap = {
+            (r["k"], r["tier"]) for r in vt.read(spark, version=v).collect()
+        }
+        pit = {
+            (r["k"], r["tier"])
+            for r in hist
+            if not r["is_deleted"]
+            and r["valid_from_version"] <= v
+            and (r["valid_to_version"] is None or v < r["valid_to_version"])
+        }
+        assert pit == snap, v

@@ -239,6 +239,13 @@ HEADLINERS = {
         "the previous level's partials — visible in the plan as aggs "
         "over aggs with no second table scan."
     ),
+    "bm25_doc_search": (
+        "Ranked retrieval: the probe-term isin filter sits under the "
+        "posting aggregation (Catalyst pushes it into the token "
+        "stream), N/Σlen ride as a ONE-ROW broadcast scalar, and the "
+        "final top-k is TakeOrderedAndProject — never a global "
+        "single-reducer sort or window."
+    ),
 }
 
 
