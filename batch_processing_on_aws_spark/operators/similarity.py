@@ -1053,3 +1053,60 @@ def ivfpq_topk(
         _as_double(F.col(vec_col)).alias("q_vec"),
     )
     return _exact_rerank(ranked.select("query_id", "vec_id"), c, qv, k)
+
+
+def embedding_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Exact per-group centroid of an embedding column — the vector
+    AGGREGATE primitive (class prototypes, per-source embedding means
+    for drift monitoring, seed centroids for IVF/semantic-dedup
+    training without the bounded-sample shortcut).
+
+    Order-free exactness: a naive per-dimension ``sum(double)`` is
+    partition-order-dependent; here each component is quantized ONCE
+    to ``quant`` micro-units BIGINT (deterministic on the raw float —
+    the same value in any engine), the per-(group, dim) sums are
+    integer-exact, and the mean divides two exact integers once — so
+    centroids are hash-exact cross-engine under any partitioning.
+    Quantization bias is < 1/(2·quant) per component, far below
+    embedding noise.
+
+    Shape: posexplode (×dim constant fan-out, inside the Generate —
+    no pre-projected array), hash-agg on (group, dim) with map-side
+    partials, then a bounded per-group assembly
+    (sort_array(collect_list) over ``dim`` ≤ a few thousand structs).
+    Nothing data-sized crosses the driver.
+    """
+    exploded = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("__i", "__v"),
+    ).select(
+        group_col,
+        "__i",
+        F.round(F.col("__v").cast("double") * F.lit(float(quant)))
+        .cast("long")
+        .alias("__vm"),
+    )
+    per_dim = exploded.groupBy(group_col, "__i").agg(
+        F.sum("__vm").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    comp = F.round(
+        F.col("__s") / F.col("__n") / F.lit(float(quant)), 6
+    ).alias("__c")
+    return (
+        per_dim.select(group_col, "__i", comp, "__n")
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__i"), F.col("__c")))
+                ),
+                lambda s: s["__c"],
+            ).alias("centroid"),
+            F.max("__n").cast("long").alias("n_vectors"),
+        )
+    )

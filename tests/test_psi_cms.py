@@ -119,3 +119,52 @@ def test_cm_sketch_exact_when_no_collisions(spark):
         ).collect()
     }
     assert est == {"a": 2, "b": 1}
+
+
+# --------------------------------------------------- vector centroids
+
+def test_embedding_centroids_exact(spark):
+    from batch_processing_on_aws_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (0, [3.0, 2.0, 1.0]),
+        (1, [0.5, -0.5, 0.25]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {
+        r["label"]: (r["centroid"], r["n_vectors"])
+        for r in embedding_centroids(df).collect()
+    }
+    assert got[0] == ([2.0, 2.0, 2.0], 2)
+    assert got[1] == ([0.5, -0.5, 0.25], 1)
+
+
+def test_embedding_centroids_partitioning_invariant(spark):
+    """The integer-sum path makes the centroid identical under any
+    partitioning — the property a double sum would break."""
+    import hashlib
+
+    from batch_processing_on_aws_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    def u(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rows = [
+        (u(f"l{i}") % 3, [((u(f"v{i}_{d}") % 2001) - 1000) / 997.0 for d in range(8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    a = {
+        r["label"]: tuple(r["centroid"])
+        for r in embedding_centroids(df.repartition(1)).collect()
+    }
+    b = {
+        r["label"]: tuple(r["centroid"])
+        for r in embedding_centroids(df.repartition(13, "label")).collect()
+    }
+    assert a == b

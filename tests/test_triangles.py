@@ -72,3 +72,76 @@ def test_triangle_matches_bruteforce_on_seeded_graph(spark):
                 for x in (a, b, c):
                     want_node[x] = want_node.get(x, 0) + 1
     assert per_node == want_node
+
+
+# ------------------------------------------------- transitive closure
+
+def test_transitive_closure_chain_and_tree(spark):
+    from batch_processing_on_aws_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    # chain 1->2->3->4 (child->parent)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "child long, parent long"
+    )
+    got = {
+        (r["node"], r["ancestor"], r["depth"])
+        for r in transitive_closure(edges).collect()
+    }
+    assert got == {
+        (1, 2, 1), (2, 3, 1), (3, 4, 1),
+        (1, 3, 2), (2, 4, 2), (1, 4, 3),
+    }
+
+
+def test_transitive_closure_binary_tree_matches_python(spark):
+    from batch_processing_on_aws_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    n = 63  # perfect binary tree, depth 5
+    rows = [(i, (i - 1) // 2) for i in range(1, n)]
+    edges = spark.createDataFrame(rows, "child long, parent long")
+    got = {
+        (r["node"], r["ancestor"], r["depth"])
+        for r in transitive_closure(edges).collect()
+    }
+    want = set()
+    for i in range(1, n):
+        a, d = i, 0
+        while a != 0:
+            a = (a - 1) // 2
+            d += 1
+            want.add((i, a, d))
+    assert got == want
+
+
+def test_transitive_closure_dag_keeps_both_depths(spark):
+    """A diamond DAG reaches the apex by two routes of different
+    length — both (node, ancestor, depth) rows are real paths."""
+    from batch_processing_on_aws_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 5), (5, 4)],
+        "child long, parent long",
+    )
+    got = {
+        (r["node"], r["ancestor"], r["depth"])
+        for r in transitive_closure(edges).collect()
+    }
+    assert (1, 4, 2) in got and (1, 4, 3) in got
+
+
+def test_transitive_closure_cycle_saturates_at_max_depth(spark):
+    from batch_processing_on_aws_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "child long, parent long"
+    )
+    rows = transitive_closure(edges, max_depth=8).collect()
+    assert max(r["depth"] for r in rows) == 8  # audit signal, no hang

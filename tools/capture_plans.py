@@ -239,6 +239,12 @@ HEADLINERS = {
         "the previous level's partials — visible in the plan as aggs "
         "over aggs with no second table scan."
     ),
+    "customer_hierarchy_closure": (
+        "Recursive-CTE shape as iterative doubling: 5 self-join "
+        "rounds (paths of length 2^k) instead of one shuffle per "
+        "hierarchy level; each round is an equi-join on the midpoint "
+        "node + distinct, lineage truncated by localCheckpoint."
+    ),
     "bm25_doc_search": (
         "Ranked retrieval: the probe-term isin filter sits under the "
         "posting aggregation (Catalyst pushes it into the token "
