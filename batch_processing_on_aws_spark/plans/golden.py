@@ -7662,6 +7662,171 @@ FROM (
 """
 
 
+def streamed_pit_purchases(spark, sf_dir):
+    """Stream-static POINT-IN-TIME enrichment end-to-end
+    (streaming/incremental.py::stream_pit_enrich): purchases arrive
+    as a file stream in two deliveries and each micro-batch joins to
+    the STATIC SCD2 tier dimension under half-open containment — the
+    temporal sibling of plain stream-static dim enrichment. The
+    bucketized containment join is stateless stream-static (no
+    watermark, no state store), so output is delivery-independent and
+    the batch SQL oracle replays it hash-exact (inner form of
+    ``purchase_pit_tier``). Scratch keyed on source identity and
+    reused, like the other streaming registry queries."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.scd import scd2_collapse
+    from ..streaming.incremental import stream_pit_enrich
+
+    src = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_spit_{key}")
+    inp, out, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    done = os.path.join(root, "_COMPLETE")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        obs = ev.where(F.col("event_type") != "purchase").select(
+            "user_id", F.col("event_type").alias("tier"), "ts", "event_id"
+        )
+        intervals = scd2_collapse(
+            obs, ["user_id"], ["tier"], "ts", tiebreak="event_id"
+        ).drop("is_current")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        cut = F.lit("2024-01-15").cast("timestamp")
+        for delivery in (
+            purchases.where(F.col("ts") < cut),
+            purchases.where(F.col("ts") >= cut),
+        ):
+            delivery.coalesce(1).write.mode("append").parquet(inp)
+            stream_pit_enrich(
+                spark, inp, schema, intervals,
+                on=["user_id"], point_ts="ts",
+                start_col="valid_from", end_col="valid_to",
+                out_dir=out, checkpoint_dir=ckpt,
+                open_end_ts=F.lit("2024-03-01").cast("timestamp"),
+            )
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(inp, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(key)
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", "ts", "tier", "valid_from"
+    )
+
+
+_STREAM_PIT_SQL = f"""
+WITH starts AS (
+  SELECT user_id, tier, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM (
+    SELECT user_id, tier, ts,
+           CASE WHEN row_number() OVER w = 1
+                  OR tier IS DISTINCT FROM lag(tier) OVER w
+                THEN 1 ELSE 0 END AS chg
+    FROM ({_SCD2_OBS_SQL})
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  ) WHERE chg = 1
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, s.tier, s.valid_from
+FROM p JOIN starts s
+  ON p.user_id = s.user_id
+ AND p.ts >= s.valid_from
+ AND p.ts < COALESCE(s.valid_to, TIMESTAMP '2024-03-01')
+"""
+
+
+def tier_time_share(spark, sf_dir):
+    """Time-weighted interval aggregate over the SCD2 dimension: per
+    tier, the TOTAL TIME users spent in it (interval algebra on the
+    dimension the engine itself built — the consumption side of
+    Type-2 history). Durations are exact ``unix_micros`` BIGINT
+    differences (open current intervals capped to the corpus
+    horizon), so the sums are integer-exact; the share is one
+    division normalized over the ≤5-row tier frame (bounded global
+    window, benign)."""
+    from pyspark.sql import Window
+
+    from ..operators.scd import scd2_collapse
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("tier"), "ts", "event_id"
+    )
+    intervals = scd2_collapse(
+        obs, ["user_id"], ["tier"], "ts", tiebreak="event_id"
+    )
+    horizon = F.lit("2024-03-01").cast("timestamp")
+    dur_us = F.unix_micros(
+        F.coalesce(F.col("valid_to"), horizon)
+    ) - F.unix_micros(F.col("valid_from"))
+    grp = intervals.groupBy("tier").agg(
+        F.sum(dur_us).cast("long").alias("total_us"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )
+    w = Window.partitionBy()
+    return grp.select(
+        "tier",
+        "total_us",
+        "n_intervals",
+        F.round(F.col("total_us") / F.sum("total_us").over(w), 6).alias(
+            "time_share"
+        ),
+    )
+
+
+_TIER_SHARE_SQL = f"""
+WITH starts AS (
+  SELECT user_id, tier, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM (
+    SELECT user_id, tier, ts,
+           CASE WHEN row_number() OVER w = 1
+                  OR tier IS DISTINCT FROM lag(tier) OVER w
+                THEN 1 ELSE 0 END AS chg
+    FROM ({_SCD2_OBS_SQL})
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  ) WHERE chg = 1
+),
+g AS (
+  SELECT tier,
+         CAST(SUM(epoch_us(COALESCE(valid_to, TIMESTAMP '2024-03-01'))
+                  - epoch_us(valid_from)) AS BIGINT) AS total_us,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals
+  FROM starts GROUP BY 1
+)
+SELECT tier, total_us, n_intervals,
+       ROUND(total_us / SUM(total_us) OVER (), 6) AS time_share
+FROM g
+"""
+
+
 # the queries the driver already passed in round 1.
 QUERIES: list[QueryDef] = [
     # (1) never driver-checked in round 1
@@ -7807,6 +7972,10 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "leakage_safe_splits", leakage_safe_splits, _leakage_split_sql()
     ),
+    QueryDef(
+        "streamed_pit_purchases", streamed_pit_purchases, _STREAM_PIT_SQL
+    ),
+    QueryDef("tier_time_share", tier_time_share, _TIER_SHARE_SQL),
     QueryDef("purchase_pit_tier", purchase_pit_tier, _PIT_SQL),
     QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),
     QueryDef("event_type_trend", event_type_trend, _TREND_SQL),

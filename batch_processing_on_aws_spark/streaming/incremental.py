@@ -728,3 +728,58 @@ def ingest_scd2_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_pit_enrich(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    bin_width_seconds: int = 86400,
+    open_end_ts=None,
+    fmt: str = "parquet",
+) -> None:
+    """Stream-static POINT-IN-TIME enrichment: a stream of point rows
+    joins each micro-batch to the static interval table (an SCD2
+    dimension) under half-open containment — the temporal sibling of
+    the plain stream-static dim enrichment already in the matrix.
+
+    The bucketized :func:`~..operators.rangejoin.interval_join` is
+    streaming-compatible BY CONSTRUCTION in inner mode: the interval
+    side explodes and broadcasts/shuffles as a static relation, the
+    stream side maps to one bin per row, and the join is a stateless
+    stream-static equi-join + filter — no watermark, no state store,
+    so enrichment output is delivery-schedule-independent and a batch
+    SQL oracle can replay it hash-exact. (Left mode needs a
+    stream-stream anti-join and is deliberately not offered here —
+    route unmatched points via a separate filter if needed.)
+    """
+    from ..operators.rangejoin import interval_join
+
+    stream = spark.readStream.format(fmt).schema(schema).load(input_dir)
+    enriched = interval_join(
+        stream,
+        intervals,
+        on=on,
+        point_ts=point_ts,
+        start_col=start_col,
+        end_col=end_col,
+        bin_width_seconds=bin_width_seconds,
+        open_end_ts=open_end_ts,
+        how="inner",
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

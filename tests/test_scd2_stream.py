@@ -189,3 +189,60 @@ def test_scd2_from_table_history_matches_snapshot_replay(spark, tmp_path):
             and (r["valid_to_version"] is None or v < r["valid_to_version"])
         }
         assert pit == snap, v
+
+
+# ----------------------------------------- stream-static PIT enrichment
+
+def test_stream_pit_enrich_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.operators.rangejoin import (
+        interval_join,
+    )
+    from batch_processing_on_aws_spark.streaming.incremental import (
+        stream_pit_enrich,
+    )
+
+    intervals = spark.createDataFrame(
+        [
+            (1, "bronze", _ts(1), _ts(5)),
+            (1, "gold", _ts(5), None),
+            (2, "silver", _ts(2), None),
+        ],
+        "user_id long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    pts_schema = "event_id long, user_id long, ts timestamp"
+    points = [
+        (1, 1, _ts(2)),
+        (2, 1, _ts(6)),
+        (3, 2, _ts(3)),
+        (4, 3, _ts(4)),   # no interval: dropped in inner mode
+        (5, 1, _ts(9)),
+    ]
+    d1, d2 = points[:3], points[3:]
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    pts_t = T.StructType.fromDDL(pts_schema)
+    for delivery in (d1, d2):
+        spark.createDataFrame(delivery, pts_t).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        stream_pit_enrich(
+            spark, inp, pts_t, intervals,
+            on=["user_id"], point_ts="ts",
+            start_col="valid_from", end_col="valid_to",
+            out_dir=out, checkpoint_dir=ckpt,
+            open_end_ts=F.lit(_ts(31)),
+        )
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = interval_join(
+        spark.createDataFrame(points, pts_t), intervals,
+        on=["user_id"], point_ts="ts",
+        start_col="valid_from", end_col="valid_to",
+        bin_width_seconds=86400, open_end_ts=F.lit(_ts(31)),
+    )
+    want = {(r["event_id"], r["tier"]) for r in batch.collect()}
+    assert got == want
+    assert got == {(1, "bronze"), (2, "gold"), (3, "silver"), (5, "gold")}
