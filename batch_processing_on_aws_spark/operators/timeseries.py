@@ -213,3 +213,54 @@ def multires_rollup(
             cur.select(F.lit(lvl).alias("level"), *gcols, "bucket", *measures)
         )
     return out
+
+
+def rolling_zscore(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    partition_cols: tuple[str, ...] = (),
+    window: int = 24,
+    min_points: int = 12,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Trailing-window z-score per point — the metric-anomaly
+    primitive (traffic spikes, ingestion stalls, quality-score drift
+    alarms): each point is scored against the PRECEDING ``window``
+    observations (current point excluded, so an anomaly cannot mask
+    itself), NULL until ``min_points`` of history exist.
+
+    Exactness: ``y`` must be integer-valued (counts, micro-quantized
+    metrics); the window aggregates are exact BIGINT Σy and Σy², and
+    the z-score collapses algebraically to
+    ``(y·n − Σy) / sqrt(n·Σy² − (Σy)²)`` — inner terms all exact
+    integers, ONE float expression quantized to ``quant`` units, so
+    scores are hash-exact cross-engine (the module's standard trick).
+    Zero-variance history yields NULL (no finite score exists).
+
+    Call on a DENSE series (``densify``/spine-join first) — on a
+    sparse one a ROWS frame would silently span irregular gaps.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        if partition_cols
+        else Window.partitionBy(F.lit(1))
+    ).orderBy(F.col(x_col).asc()).rowsBetween(-window, -1)
+    y = F.col(y_col).cast("long")
+    n = F.count(y).over(w)
+    s1 = F.sum(y).over(w)
+    s2 = F.sum(y * y).over(w)
+    num = y * n - s1
+    var_n2 = n * s2 - s1 * s1  # n² · variance, exact BIGINT
+    z = F.when(
+        (n >= min_points) & (var_n2 > 0),
+        F.round(
+            num / F.sqrt(var_n2.cast("double")) * F.lit(float(quant))
+        ).cast("long"),
+    )
+    return df.withColumn("z_micro", z).withColumn(
+        "is_anomaly",
+        F.when(z.isNotNull(), F.abs(F.col("z_micro")) > 3 * quant).otherwise(
+            F.lit(False)
+        ),
+    )

@@ -7827,6 +7827,92 @@ FROM g
 """
 
 
+def hourly_anomaly_flags(spark, sf_dir):
+    """Trailing-window anomaly scores
+    (operators/timeseries.py::rolling_zscore): each hour's event
+    count per type scored against the PRECEDING 24 dense-spine hours
+    (current point excluded so a spike can't mask itself; NULL until
+    12 h of history). Missing hours are true zero counts, so the
+    spine zero-fills rather than interpolating. Window Σy/Σy² are
+    exact BIGINTs and the z-score is ONE quantized float expression
+    ((y·n − Σy)/√(n·Σy² − Σy²·)), hash-exact cross-engine."""
+    from ..operators.timeseries import rolling_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour_ts"),
+    )
+    dense = (
+        spine.join(hourly, ["event_type", "hour_ts"], "left")
+        .withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)))
+        .withColumn(
+            "x",
+            (F.unix_micros(F.col("hour_ts")) / F.lit(3_600_000_000)).cast(
+                "long"
+            ),
+        )
+    )
+    out = rolling_zscore(
+        dense, "n_events", "x", ("event_type",), window=24, min_points=12
+    )
+    return out.select(
+        "event_type", "hour_ts", "n_events", "z_micro", "is_anomaly"
+    )
+
+
+_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(hour_ts) AS h0, MAX(hour_ts) AS h1
+  FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds
+),
+dense AS (
+  SELECT s.event_type, s.hour_ts,
+         CAST(COALESCE(h.n_events, 0) AS BIGINT) AS y,
+         epoch_us(s.hour_ts) // 3600000000 AS x
+  FROM spine s LEFT JOIN hourly h USING (event_type, hour_ts)
+),
+st AS (
+  SELECT event_type, hour_ts, y,
+         COUNT(y) OVER w AS n,
+         CAST(SUM(y) OVER w AS BIGINT) AS s1,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS s2
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, hour_ts, y AS n_events,
+         CASE WHEN n >= 12 AND n * s2 - s1 * s1 > 0 THEN
+           CAST(ROUND((y * n - s1)
+                      / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                      * 1000000) AS BIGINT)
+         END AS z_micro
+  FROM st
+)
+SELECT event_type, hour_ts, n_events, z_micro,
+       COALESCE(ABS(z_micro) > 3000000, FALSE) AS is_anomaly
+FROM scored
+"""
+
+
 # the queries the driver already passed in round 1.
 QUERIES: list[QueryDef] = [
     # (1) never driver-checked in round 1
@@ -7976,6 +8062,7 @@ QUERIES: list[QueryDef] = [
         "streamed_pit_purchases", streamed_pit_purchases, _STREAM_PIT_SQL
     ),
     QueryDef("tier_time_share", tier_time_share, _TIER_SHARE_SQL),
+    QueryDef("hourly_anomaly_flags", hourly_anomaly_flags, _ANOMALY_SQL),
     QueryDef("purchase_pit_tier", purchase_pit_tier, _PIT_SQL),
     QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),
     QueryDef("event_type_trend", event_type_trend, _TREND_SQL),

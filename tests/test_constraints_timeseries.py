@@ -239,3 +239,47 @@ def test_multires_rollup_rejects_non_mergeable(spark):
     df = spark.createDataFrame([("a", None, 1)], "g string, ts timestamp, v long")
     with pytest.raises(ValueError, match="mergeable"):
         multires_rollup(df, "ts", {"m": ("v", "median")})
+
+
+# ----------------------------------------------------- rolling z-score
+
+def test_rolling_zscore_matches_python(spark):
+    import math
+
+    from batch_processing_on_aws_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    ys = [10, 12, 11, 9, 10, 11, 10, 12, 50, 10]  # index 8 spikes
+    df = spark.createDataFrame(
+        [("a", i, y) for i, y in enumerate(ys)], "k string, x long, y long"
+    )
+    out = {
+        r["x"]: (r["z_micro"], r["is_anomaly"])
+        for r in rolling_zscore(
+            df, "y", "x", ("k",), window=24, min_points=4
+        ).collect()
+    }
+    for i, y in enumerate(ys):
+        hist = ys[max(0, i - 24):i]
+        n, s1, s2 = len(hist), sum(hist), sum(v * v for v in hist)
+        if n < 4 or n * s2 - s1 * s1 <= 0:
+            assert out[i][0] is None, i
+            assert out[i][1] is False, i
+        else:
+            want = round((y * n - s1) / math.sqrt(n * s2 - s1 * s1) * 1e6)
+            assert out[i] == (want, abs(want) > 3_000_000), i
+    assert out[8][1] is True  # the planted spike flags
+
+
+def test_rolling_zscore_zero_variance_history_is_null(spark):
+    from batch_processing_on_aws_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, 5) for i in range(6)], "k string, x long, y long"
+    )
+    rows = rolling_zscore(df, "y", "x", ("k",), min_points=3).collect()
+    assert all(r["z_micro"] is None for r in rows)
+    assert all(r["is_anomaly"] is False for r in rows)
