@@ -7913,6 +7913,48 @@ FROM scored
 """
 
 
+def price_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (equal-count) 16-bucket histogram of order totals —
+    the quantile-binning profile (where equal-WIDTH bins hide the
+    tail, equal-DEPTH bins show it). Composition of the exact-rank
+    machinery: ``global_row_numbers`` (range-partitioned two-pass
+    rank — no single-reducer window) + ``ntile_from_rn`` over the
+    strict (price, orderkey) total order, then a per-bucket hash-agg.
+    min/max are order-free doubles, counts exact; the oracle is the
+    native ntile() window, so the hash pins the two-pass rank ≡ the
+    SQL window semantics at histogram granularity."""
+    from ..operators.ranking import global_row_numbers, ntile_from_rn
+
+    orders = load_table(spark, sf_dir, "orders")
+    ranked, total = global_row_numbers(
+        orders,
+        "o_totalprice",
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        rn_col="rn",
+    )
+    return (
+        ranked.withColumn("bucket", ntile_from_rn(F.col("rn"), total, 16))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+_EQUIDEPTH_SQL = """
+WITH r AS (
+  SELECT o_totalprice,
+         ntile(16) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+FROM r GROUP BY 1
+"""
+
+
 # the queries the driver already passed in round 1.
 QUERIES: list[QueryDef] = [
     # (1) never driver-checked in round 1
@@ -8063,6 +8105,9 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("tier_time_share", tier_time_share, _TIER_SHARE_SQL),
     QueryDef("hourly_anomaly_flags", hourly_anomaly_flags, _ANOMALY_SQL),
+    QueryDef(
+        "price_equidepth_histogram", price_equidepth_histogram, _EQUIDEPTH_SQL
+    ),
     QueryDef("purchase_pit_tier", purchase_pit_tier, _PIT_SQL),
     QueryDef("events_daily_stats", events_daily_stats, _DAILY_SQL),
     QueryDef("event_type_trend", event_type_trend, _TREND_SQL),
