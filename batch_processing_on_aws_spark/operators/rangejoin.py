@@ -20,6 +20,7 @@ for time-windowed attribution / feature generation.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -201,8 +202,23 @@ def interval_join(
     if how == "inner":
         return matched
     # left: points with no containing interval come back NULL-extended.
-    missing = points.join(
-        matched.select(*points.columns), points.columns, "left_anti"
+    # The anti-join must be NULL-SAFE per column: a by-name anti-join
+    # (null-unsafe equality) would never match a point row carrying a
+    # NULL payload column against its own copy in ``matched``, so such
+    # a row would be emitted TWICE — once enriched and once
+    # NULL-extended. eqNullSafe keys keep it an equi-join (hash/SMJ
+    # planable), never a nested loop.
+    m = matched.select(*points.columns).alias("__m")
+    p2 = points.alias("__p2")
+    anti_cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"__p2.{c}").eqNullSafe(F.col(f"__m.{c}"))
+            for c in points.columns
+        ],
+    )
+    missing = p2.join(m, anti_cond, "left_anti").select(
+        *[F.col(f"__p2.{c}") for c in points.columns]
     )
     for c in ivl_cols:
         missing = missing.withColumn(

@@ -62,21 +62,44 @@ def densify_daily(
     return out
 
 
+def _series_window(
+    partition_cols: tuple[str, ...], bounded_input: bool, op: str
+):
+    """Window spec for a keyed series — or, ONLY under an explicit
+    ``bounded_input=True`` declaration, a global single-partition
+    window. An unkeyed window with no declaration raises: it plans a
+    single-reducer global sort, the exact shape the engine eliminated
+    everywhere else (``customer_spend_quartiles`` moved to the
+    two-pass range-partitioned rank for this reason), and silently
+    handing it to the next caller is a 100×-scale landmine. Use the
+    :mod:`..operators.ranking` two-pass machinery for genuinely
+    global, data-sized series."""
+    if partition_cols:
+        return Window.partitionBy(*partition_cols)
+    if not bounded_input:
+        raise ValueError(
+            f"{op}: empty partition_cols plans a GLOBAL single-reducer "
+            "window. Pass partition_cols for a keyed series, or declare "
+            "bounded_input=True when the frame is provably bounded "
+            "(e.g. a calendar spine of <=366 rows)."
+        )
+    return Window.partitionBy(F.lit(1))
+
+
 def fill_forward(
     df: DataFrame,
     cols: tuple[str, ...],
     order_col: str = "day",
     partition_cols: tuple[str, ...] = (),
+    bounded_input: bool = False,
 ) -> DataFrame:
     """Carry the last non-null observation forward (nulls before the
     first observation remain null). Partition by key columns when the
-    series is keyed; the unkeyed form is for calendar-bounded frames
-    only (see module docstring)."""
-    w = (
-        Window.partitionBy(*partition_cols)
-        if partition_cols
-        else Window.partitionBy(F.lit(1))
-    ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    series is keyed; the unkeyed form requires an explicit
+    ``bounded_input=True`` declaration and is for calendar-bounded
+    frames only (see module docstring)."""
+    w = _series_window(partition_cols, bounded_input, "fill_forward") \
+        .orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
     out = df
     for c in cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
@@ -90,6 +113,7 @@ def interpolate_linear(
     partition_cols: tuple[str, ...] = (),
     round_digits: int | None = None,
     out_col: str | None = None,
+    bounded_input: bool = False,
 ) -> DataFrame:
     """Linear interpolation of NULL gaps in a keyed series — the
     value-filling sibling of :func:`fill_forward`: a missing point
@@ -111,10 +135,8 @@ def interpolate_linear(
     resolve prev/next to different rows.
     """
     out = out_col or y_col
-    w_base = (
-        Window.partitionBy(*partition_cols)
-        if partition_cols
-        else Window.partitionBy(F.lit(1))
+    w_base = _series_window(
+        partition_cols, bounded_input, "interpolate_linear"
     ).orderBy(F.col(x_col).asc())
     w_prev = w_base.rowsBetween(Window.unboundedPreceding, 0)
     w_next = w_base.rowsBetween(0, Window.unboundedFollowing)
@@ -223,6 +245,7 @@ def rolling_zscore(
     window: int = 24,
     min_points: int = 12,
     quant: int = 1_000_000,
+    bounded_input: bool = False,
 ) -> DataFrame:
     """Trailing-window z-score per point — the metric-anomaly
     primitive (traffic spikes, ingestion stalls, quality-score drift
@@ -230,7 +253,7 @@ def rolling_zscore(
     observations (current point excluded, so an anomaly cannot mask
     itself), NULL until ``min_points`` of history exist.
 
-    Exactness: ``y`` must be integer-valued (counts, micro-quantized
+    Exactness: ``y`` must be integer-valued (counts, quantized
     metrics); the window aggregates are exact BIGINT Σy and Σy², and
     the z-score collapses algebraically to
     ``(y·n − Σy) / sqrt(n·Σy² − (Σy)²)`` — inner terms all exact
@@ -238,15 +261,39 @@ def rolling_zscore(
     scores are hash-exact cross-engine (the module's standard trick).
     Zero-variance history yields NULL (no finite score exists).
 
+    MAGNITUDE GUARD: the variance term ``n·Σy² − (Σy)²`` wraps BIGINT
+    silently under non-ANSI Spark once ``window²·y²`` crosses 2⁶³, so
+    rows where ``|y| > ⌊√2⁶³⌋/window`` (≈ 1.27e8 at the default
+    window of 24) FAIL LOUDLY instead of producing garbage z-scores.
+    Quantize continuous metrics COARSELY enough to fit (milli-units
+    reach |metric| ≈ 1.2e5 at window 24; micro-quantizing to 1e12 is
+    exactly the overflow case the guard exists for).
+
     Call on a DENSE series (``densify``/spine-join first) — on a
     sparse one a ROWS frame would silently span irregular gaps.
     """
-    w = (
-        Window.partitionBy(*partition_cols)
-        if partition_cols
-        else Window.partitionBy(F.lit(1))
+    w = _series_window(
+        partition_cols, bounded_input, "rolling_zscore"
     ).orderBy(F.col(x_col).asc()).rowsBetween(-window, -1)
-    y = F.col(y_col).cast("long")
+    # |Σy| ≤ window·max|y| and n·Σy² ≤ window²·max|y|², so both inner
+    # terms stay exact iff window²·max|y|² < 2⁶³ — i.e.
+    # |y| ≤ ⌊√(2⁶³)⌋ / window. Beyond that the BIGINT multiply wraps
+    # silently (non-ANSI mode); fail loudly instead.
+    y_bound = 3_037_000_499 // max(int(window), 1)
+    y_raw = F.col(y_col).cast("long")
+    y = F.when(
+        F.abs(y_raw) > y_bound,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"rolling_zscore: |{y_col}| exceeds the exact-BIGINT "
+                    f"bound {y_bound} for window={window} (n·Σy² − (Σy)² "
+                    "would wrap 2⁶³) — quantize the metric more coarsely: "
+                ),
+                y_raw.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(y_raw)
     n = F.count(y).over(w)
     s1 = F.sum(y).over(w)
     s2 = F.sum(y * y).over(w)

@@ -310,9 +310,29 @@ class VersionedTable:
         txns: dict[str, int] = {}
         if parent > 0:
             try:
-                txns.update(self._manifest(parent).get("txns") or {})
+                pm = self._manifest(parent)
             except FileNotFoundError:
-                pass  # legacy table vacuumed before fold-forward existed
+                pm = None  # legacy table vacuumed before fold-forward existed
+            if pm is not None and "txns" in pm:
+                txns.update(pm["txns"])
+            elif pm is not None:
+                # UPGRADE path: the parent predates fold-forward, so its
+                # per-commit "txn" stamps were never folded into a map.
+                # Seed the fold by scanning the live legacy manifests ONCE
+                # (newest epoch per app) — otherwise the first new commit
+                # would create a "txns" map missing older apps' stamps and
+                # a crash-replayed epoch would re-apply (duplicate data).
+                for v in self.versions():
+                    try:
+                        t = self._manifest(v).get("txn")
+                    except FileNotFoundError:
+                        continue
+                    if t:
+                        prev = txns.get(t["app"])
+                        txns[t["app"]] = (
+                            max(t["epoch"], prev) if prev is not None
+                            else t["epoch"]
+                        )
         if txn is not None:
             # writer-transaction stamp (the Delta txn-appId/version
             # idempotence protocol): a streaming foreachBatch records
@@ -380,7 +400,12 @@ class VersionedTable:
         latest = self._manifest(versions[-1])
         if "txns" in latest:
             e = latest["txns"].get(app_id)
-            return e is not None and epoch <= e
+            if e is not None:
+                return epoch <= e
+            # app absent from the fold: a map created by a pre-upgrade
+            # writer may be missing legacy per-commit stamps — fall
+            # through to the legacy scan (live manifests only; bounded
+            # metadata reads) rather than wrongly answering False.
         for v in reversed(versions):
             t = self._manifest(v).get("txn")
             if t and t.get("app") == app_id:
@@ -475,6 +500,79 @@ class VersionedTable:
         combined.update(files)
         return self._commit(
             combined, parent, txn=txn, operation="upsert",
+            committed_at=committed_at,
+        )
+
+    def replace_keys(
+        self,
+        spark: SparkSession,
+        new: DataFrame,
+        match_cols: Sequence[str],
+        txn: dict | None = None,
+        committed_at: str | None = None,
+    ) -> int:
+        """DELETE-then-INSERT by a key PREFIX in ONE commit: every
+        stored row whose ``match_cols`` tuple appears in ``new`` is
+        dropped, then all of ``new`` inserts — the write SCD2
+        maintenance needs (a re-collapse may REMOVE ``(key,
+        valid_from)`` runs that upsert-by-row-key can never delete,
+        e.g. a same-timestamp re-observation that merges two runs).
+
+        ``match_cols`` may be a strict PREFIX of ``self.keys``, so a
+        matched key's rows can live in MANY buckets (buckets hash the
+        full key): touched buckets come from one predicate scan of the
+        current snapshot (the same cost shape as :meth:`delete`); the
+        survivor rewrite then reads ONLY those buckets. Untouched
+        buckets stay file-shared with the parent. Anti-join keys are
+        null-safe, mirroring :meth:`upsert`."""
+        parent = self.latest_version()
+        if parent == 0:
+            return self.overwrite(new, txn=txn, committed_at=committed_at)
+        mcols = list(match_cols)
+        unknown = [c for c in mcols if c not in self.keys]
+        if unknown:
+            raise ValueError(
+                f"match_cols must be a subset of table keys: {unknown}"
+            )
+        new_b = self._bucketed(new).localCheckpoint(eager=True)
+        keyset = new_b.select(*mcols).distinct()
+        old_manifest = self._manifest(parent)["buckets"]
+        cur = self._bucketed(self.read(spark, parent))
+        touched = {
+            r[BUCKET_COL]
+            for r in cur.join(keyset, mcols, "left_semi")
+            .select(BUCKET_COL).distinct().collect()
+        } | {
+            r[BUCKET_COL]
+            for r in new_b.select(BUCKET_COL).distinct().collect()
+        }
+        old_touched_files = [
+            os.path.join(self.path, f)
+            for b in sorted(touched)
+            for f in old_manifest.get(str(b), [])
+        ]
+        if old_touched_files:
+            old = spark.read.option("mergeSchema", "true").parquet(
+                *old_touched_files
+            )
+            if BUCKET_COL in old.columns:
+                old = old.drop(BUCKET_COL)
+            old = self._bucketed(old)
+            on = [keyset[c].eqNullSafe(old[c]) for c in mcols]
+            survivors = old.join(keyset, on=on, how="left_anti")
+            merged = new_b.unionByName(survivors, allowMissingColumns=True)
+        else:
+            merged = new_b
+        merged = merged.localCheckpoint(eager=True)
+        files = self._write_commit(merged)
+        combined = {
+            int(b): list(fs)
+            for b, fs in old_manifest.items()
+            if int(b) not in touched
+        }
+        combined.update(files)
+        return self._commit(
+            combined, parent, txn=txn, operation="replace_keys",
             committed_at=committed_at,
         )
 

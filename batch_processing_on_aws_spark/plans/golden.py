@@ -4437,7 +4437,8 @@ def daily_shipments_densified(spark, sf_dir):
         )
     )
     dense = densify_daily(daily, "1996-01-01", "1996-12-31", zero_fill=("n_items",))
-    return fill_forward(dense, ("revenue",)).orderBy("day")
+    # bounded_input: the frame is the 366-row 1996 calendar spine
+    return fill_forward(dense, ("revenue",), bounded_input=True).orderBy("day")
 
 
 _DENSIFY_SQL = """

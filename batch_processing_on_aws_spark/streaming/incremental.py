@@ -675,12 +675,15 @@ def ingest_scd2_stream(
     at epoch N"), CDC between epochs, and rollback on top of the
     incremental-refresh cost model.
 
-    The dimension rows are keyed ``(key_cols…, valid_from)``: an
-    in-order merge only UPDATES a touched key's open tail
-    (valid_to/is_current flip) or APPENDS new runs — run starts are
-    never deleted — so upsert-by-row-key is exactly the write the
-    merge needs, and each commit is O(touched keys' runs), never a
-    table rewrite. Exactly-once mirrors
+    The dimension rows are keyed ``(key_cols…, valid_from)`` and each
+    batch lands via ``replace_keys`` on the key prefix: the touched
+    keys' stored runs are REPLACED wholesale by the recomputed ones in
+    one commit. (Plain upsert-by-row-key is NOT enough: a
+    same-timestamp re-observation with a higher tiebreak can MERGE two
+    runs, removing a ``(key, valid_from)`` row — an upsert would leave
+    the stale run behind, potentially two ``is_current`` rows for the
+    key.) Each commit is O(touched keys' runs) written, never a table
+    rewrite. Exactly-once mirrors
     :func:`ingest_versioned_stream`: checkpointed source + writer-txn
     stamp per epoch, crash-replayed epochs detected via
     ``txn_applied`` and skipped. Single writer per table.
@@ -719,7 +722,9 @@ def ingest_scd2_stream(
             recomputed = scd2_apply_changes(
                 dim_touched, batch, keys, attr_cols, ts_col, tiebreak
             )
-        vt.upsert(s, recomputed, txn={"app": app_id, "epoch": epoch_id})
+        vt.replace_keys(
+            s, recomputed, keys, txn={"app": app_id, "epoch": epoch_id}
+        )
 
     q = (
         stream.writeStream.foreachBatch(_merge)

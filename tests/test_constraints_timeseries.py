@@ -60,7 +60,7 @@ def test_spine_densify_fill(spark):
     dense = densify_daily(daily, "2024-01-01", "2024-01-05", zero_fill=("n",))
     filled = {
         str(r["day"]): (r["n"], r["rev"])
-        for r in fill_forward(dense, ("rev",)).collect()
+        for r in fill_forward(dense, ("rev",), bounded_input=True).collect()
     }
     assert filled == {
         "2024-01-01": (2, 10.0),
@@ -283,3 +283,53 @@ def test_rolling_zscore_zero_variance_history_is_null(spark):
     rows = rolling_zscore(df, "y", "x", ("k",), min_points=3).collect()
     assert all(r["z_micro"] is None for r in rows)
     assert all(r["is_anomaly"] is False for r in rows)
+
+
+def test_rolling_zscore_magnitude_guard_fails_loudly(spark):
+    """|y| beyond ⌊√2⁶³⌋/window would silently wrap the BIGINT
+    variance term n·Σy² − (Σy)² under non-ANSI Spark — the op must
+    raise, not emit garbage z-scores (ADVICE round-8)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from batch_processing_on_aws_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    big = 10**12  # the docstring's old micro-quantized scale: overflows
+    df = spark.createDataFrame(
+        [("a", i, big + i) for i in range(30)], "k string, x long, y long"
+    )
+    with pytest.raises(SparkRuntimeException, match="exact-BIGINT bound"):
+        rolling_zscore(df, "y", "x", ("k",), window=24).collect()
+    # in-bounds magnitudes keep working
+    ok = 3_037_000_499 // 24
+    df2 = spark.createDataFrame(
+        [("a", i, ok - i) for i in range(30)], "k string, x long, y long"
+    )
+    assert rolling_zscore(df2, "y", "x", ("k",), window=24).count() == 30
+
+
+def test_unkeyed_series_ops_require_bounded_input_declaration(spark):
+    """partition_cols=() without bounded_input=True must raise for all
+    three window-backed series ops — the silent global single-reducer
+    window is no longer reachable from the public API."""
+    from batch_processing_on_aws_spark.operators.timeseries import (
+        interpolate_linear,
+        rolling_zscore,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 2) for i in range(5)], "x long, y long"
+    )
+    with pytest.raises(ValueError, match="single-reducer"):
+        fill_forward(df, ("y",), order_col="x")
+    with pytest.raises(ValueError, match="single-reducer"):
+        interpolate_linear(df, "y", "x")
+    with pytest.raises(ValueError, match="single-reducer"):
+        rolling_zscore(df, "y", "x")
+    # the declaration unlocks the bounded unkeyed form
+    assert fill_forward(
+        df, ("y",), order_col="x", bounded_input=True
+    ).count() == 5
+    assert interpolate_linear(df, "y", "x", bounded_input=True).count() == 5
+    assert rolling_zscore(df, "y", "x", bounded_input=True).count() == 5

@@ -124,6 +124,42 @@ def test_streamed_scd2_intermediate_state_is_the_prefix_collapse(
     assert _rowset(vt.read(spark, version=1)) == want
 
 
+def test_streamed_scd2_run_merging_reobservation_leaves_no_stale_row(
+    spark, scratch
+):
+    """The ADVICE round-8 hazard: a same-timestamp re-observation with
+    a higher tiebreak whose value EQUALS the prior run's attrs merges
+    two runs — the recompute has FEWER (key, valid_from) rows than
+    stored. The commit must REPLACE the key's rows (replace_keys), not
+    upsert-by-row-key, or the stale run start survives and the key
+    ends up with two is_current rows."""
+    d1 = [(1, "a", _ts(1), 1), (1, "b", _ts(2), 2)]
+    # same ts as the 'b' run start, higher tiebreak, value back to 'a'
+    # -> the collapse merges everything into ONE run [a: t1, ∞)
+    d2 = [(1, "a", _ts(2), 3)]
+    for delivery in (d1, d2):
+        spark.createDataFrame(delivery, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(scratch["in"])
+        ingest_scd2_stream(
+            spark, scratch["in"], SCHEMA, scratch["table"],
+            ["user_id"], ["tier"], "ts", "obs_id",
+            scratch["ckpt"], n_buckets=4,
+        )
+    vt = VersionedTable(scratch["table"], keys=["user_id", "valid_from"])
+    got = _rowset(vt.read(spark))
+    want = _rowset(
+        scd2_collapse(
+            spark.createDataFrame(d1 + d2, SCHEMA),
+            ["user_id"], ["tier"], "ts", "obs_id",
+            tiebreak_out="run_tiebreak",
+        )
+    )
+    assert got == want
+    current = [r for r in vt.read(spark).collect() if r["is_current"]]
+    assert len(current) == 1 and current[0]["tier"] == "a"
+
+
 # ------------------------------------------- CDC -> SCD2 reconstruction
 
 def test_scd2_from_table_history(spark, tmp_path):

@@ -159,6 +159,34 @@ def test_interval_join_left_null_extends(ivl_frames):
     assert out[4] is None and len(out) == 5
 
 
+def test_interval_join_left_null_payload_not_duplicated(spark):
+    """A MATCHED point row carrying a NULL payload column must come
+    back exactly once (enriched) — the anti-join that finds unmatched
+    points is null-safe per column, so a NULL never makes a row fail
+    to match its own copy and show up a second time NULL-extended."""
+    points = spark.createDataFrame(
+        [
+            (1, 10, _ts(2), None),       # matched, NULL payload
+            (2, 10, _ts(2), "ok"),       # matched, non-NULL payload
+            (3, 20, _ts(2), None),       # unmatched, NULL payload
+        ],
+        "event_id long, user_id long, ts timestamp, note string",
+    )
+    intervals = spark.createDataFrame(
+        [(10, "bronze", _ts(1), _ts(5))],
+        "user_id long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    rows = interval_join(
+        points, intervals, ["user_id"], "ts", "valid_from", "valid_to",
+        bin_width_seconds=86400, how="left",
+    ).collect()
+    assert len(rows) == 3
+    by_id = {r["event_id"]: r for r in rows}
+    assert by_id[1]["tier"] == "bronze" and by_id[1]["note"] is None
+    assert by_id[2]["tier"] == "bronze"
+    assert by_id[3]["tier"] is None
+
+
 def test_interval_join_subsecond_end(spark):
     """An interval ending mid-second must still match points in that
     second's fractional tail (exact-micros binning, not whole-second

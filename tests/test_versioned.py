@@ -414,6 +414,76 @@ def test_txn_stamp_survives_vacuum_past_interleaved_commits(spark, tmp_path):
     assert not vt.txn_applied("other_app", 1)
 
 
+def test_replace_keys_deletes_vanished_rows_in_one_commit(spark, tmp_path):
+    """replace_keys drops EVERY stored row of a matched key prefix and
+    inserts the new rows — the delete-then-insert upsert can't express
+    (a recompute that REMOVES a (key, sub) row leaves it stale under
+    plain upsert). Untouched keys are untouched; one audited commit."""
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id", "sub"], n_buckets=4)
+
+    def df2(rows):
+        return spark.createDataFrame(rows, "id long, sub long, val string")
+
+    vt.overwrite(df2([(1, 1, "a"), (1, 2, "b"), (2, 1, "x"), (3, 1, "z")]))
+    # key 1 recomputes to a SINGLE row (sub=1 updated, sub=2 vanishes);
+    # key 2 recomputes to two rows; key 3 untouched
+    v = vt.replace_keys(
+        spark,
+        df2([(1, 1, "A"), (2, 1, "x"), (2, 2, "y")]),
+        match_cols=["id"],
+        txn={"app": "s", "epoch": 5},
+    )
+    assert v == 2
+    got = {
+        (r["id"], r["sub"], r["val"]) for r in vt.read(spark).collect()
+    }
+    assert got == {(1, 1, "A"), (2, 1, "x"), (2, 2, "y"), (3, 1, "z")}
+    assert vt.txn_applied("s", 5)
+    # time travel still sees the stale row at v1
+    assert (1, 2, "b") in {
+        (r["id"], r["sub"], r["val"]) for r in vt.read(spark, 1).collect()
+    }
+
+
+def test_legacy_txn_stamps_fold_in_on_upgrade(spark, tmp_path):
+    """The ADVICE round-8 hazard: a table whose manifests predate
+    fold-forward carries only per-commit "txn" stamps. The FIRST new
+    commit must seed its "txns" map from those legacy stamps —
+    otherwise txn_applied consults the (incomplete) map, answers
+    False for the legacy app, and a crash-replayed epoch re-applies
+    (exactly-once broken on upgrade)."""
+    import json
+
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
+    vt.overwrite(_df(spark, [(1, "a")]))
+    vt.upsert(spark, _df(spark, [(2, "b")]), txn={"app": "s1", "epoch": 3})
+    vt.upsert(spark, _df(spark, [(3, "c")]), txn={"app": "s2", "epoch": 9})
+    # simulate pre-fold-forward manifests: strip the txns maps, keep
+    # the per-commit txn stamps
+    for v in vt.versions():
+        p = vt._manifest_path(v)
+        m = json.loads(open(p).read())
+        m.pop("txns", None)
+        with open(p, "w") as f:
+            f.write(json.dumps(m))
+    # READ path heals immediately: map absent -> legacy scan
+    assert vt.txn_applied("s1", 3) and vt.txn_applied("s2", 9)
+    # first post-upgrade commit folds BOTH legacy apps into its map
+    vt.upsert(spark, _df(spark, [(4, "d")]), txn={"app": "s2", "epoch": 10})
+    m = vt._manifest(vt.latest_version())
+    assert m["txns"] == {"s1": 3, "s2": 10}
+    assert vt.txn_applied("s1", 3)
+    assert not vt.txn_applied("s1", 4)
+    # and a map written by a PRE-FIX writer (has txns but missing an
+    # app) falls back to the legacy scan instead of answering False
+    p = vt._manifest_path(vt.latest_version())
+    m2 = json.loads(open(p).read())
+    m2["txns"] = {"s2": 10}
+    with open(p, "w") as f:
+        f.write(json.dumps(m2))
+    assert vt.txn_applied("s1", 3)
+
+
 def test_history_and_timestamp_travel(spark, tmp_path):
     """DESCRIBE HISTORY carries operation + caller-supplied commit
     timestamps; read(as_of=) resolves to the newest version at or
