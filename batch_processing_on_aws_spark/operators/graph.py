@@ -272,3 +272,76 @@ def transitive_closure(
         if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
             paths = paths.localCheckpoint(eager=True)
     return paths
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_diameter: int = 64,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """SCC labels — the CYCLE-detection sibling of the weakly-connected
+    components in ``operators/clustering.py`` (which ignore direction):
+    returns one ``(node, component)`` row per node appearing in
+    ``edges``, where ``component`` is the MINIMUM node id of the
+    node's strongly connected component (u and v share a label iff
+    u→v AND v→u). The audit primitive the ``transitive_closure``
+    docstring's "cycles saturate" caveat points at: any component of
+    size > 1 (or a self-loop) IS a cycle.
+
+    Algorithm: reachability by the same ITERATIVE-DOUBLING kernel as
+    ``transitive_closure``, but PAIRS-ONLY (no depth column, so a
+    cycle converges to a fixed pair set instead of echoing new depth
+    rows): R₀ = E, R_{k+1} = R_k ∪ (R_k ∘ R_k), covering all path
+    lengths ≤ 2^k — ``ceil(log2(max_diameter))`` self-join shuffles,
+    not one per level. SCC labels then need no second closure:
+    mutual = R ∩ Rᵀ (one equi-join of R to itself on the swapped
+    pair) ∪ identity, label = min partner per node.
+
+    Scale: |R| is the full reachability relation — LINEAR on
+    bounded-reach graphs (hierarchies, per-entity session graphs,
+    block-local link structure: the registry fixture), quadratic on a
+    long chain; the doubling is the right shape exactly when reach
+    sets are bounded, same contract as ``transitive_closure``.
+    ``max_diameter`` bounds the longest shortest path the closure
+    covers — pairs farther apart than it are not closed (saturation,
+    not an error). localCheckpoint every ``checkpoint_every`` rounds
+    truncates the doubling lineage (the iterative-loop lesson from
+    page_rank / large-star).
+    """
+    e = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("reach"))
+        .where(F.col("node").isNotNull() & F.col("reach").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select("node")
+        .unionByName(e.select(F.col("reach").alias("node")))
+        .distinct()
+    )
+    r = e
+    rounds = max(1, math.ceil(math.log2(max(2, max_diameter))))
+    for i in range(rounds):
+        left = r.select(F.col("node"), F.col("reach").alias("__mid"))
+        right = r.select(F.col("node").alias("__mid"), F.col("reach"))
+        longer = left.join(right, "__mid").select("node", "reach")
+        r = r.unionByName(longer).distinct()
+        if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+            r = r.localCheckpoint(eager=True)
+    mutual = (
+        r.alias("f")
+        .join(
+            r.alias("b"),
+            (F.col("f.node") == F.col("b.reach"))
+            & (F.col("f.reach") == F.col("b.node")),
+        )
+        .select(F.col("f.node").alias("node"), F.col("f.reach").alias("partner"))
+    )
+    ident = nodes.select("node", F.col("node").alias("partner"))
+    return (
+        mutual.unionByName(ident)
+        .groupBy("node")
+        .agg(F.min("partner").alias("component"))
+    )

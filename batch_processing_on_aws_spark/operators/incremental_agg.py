@@ -14,10 +14,14 @@ history is unreadable weekly.
 
 Contract: APPEND-ONLY facts through :meth:`IncrementalAgg.apply_batch`.
 min/max are not invertible — a retracted row cannot un-narrow them —
-so specs containing them stay append-only and deletes/updates require
-a recompute of the touched groups. For the aggregates that ARE
-invertible (sum/count), :meth:`IncrementalAgg.apply_changes` closes
-the limitation: it consumes a row-level change feed
+so for specs containing them, change feeds route through
+:meth:`IncrementalAgg.recompute_touched`: the feed names the touched
+group keys and ONLY those groups re-aggregate from the post-change
+snapshot (still O(delta)-shaped — never O(state), and the semi-joined
+fact scan prunes when the fact is laid out by a group-key prefix).
+For the aggregates that ARE invertible (sum/count),
+:meth:`IncrementalAgg.apply_changes` replays the retractions
+algebraically: it consumes a row-level change feed
 (:meth:`~.versioned.VersionedTable.changes` — insert/update/delete
 with old_/new_ values) and folds SIGNED contributions (+new, −old)
 into the state, so update- and delete-bearing increments still match
@@ -196,7 +200,78 @@ class IncrementalAgg:
             f"(neither {col!r} nor {pref!r})"
         )
 
-    def apply_changes(self, spark: SparkSession, changes: DataFrame) -> None:
+    def _touched_group_keys(self, changes: DataFrame) -> DataFrame:
+        """Distinct group keys a change feed touches — BOTH sides of
+        every change (an update may move a row between groups)."""
+        new_side = changes.where(
+            F.col("change_type").isin("insert", "update")
+        ).select(*[
+            self._side_col(changes, k, "new").alias(k) for k in self.keys
+        ])
+        old_side = changes.where(
+            F.col("change_type").isin("delete", "update")
+        ).select(*[
+            self._side_col(changes, k, "old").alias(k) for k in self.keys
+        ])
+        return new_side.unionByName(old_side).distinct()
+
+    def recompute_touched(
+        self, spark: SparkSession, changes: DataFrame, fact: DataFrame
+    ) -> None:
+        """Refresh the groups a change feed touches by FULL RECOMPUTE
+        from the current fact snapshot — the retraction path for
+        NON-INVERTIBLE specs (min/max cannot replay deletes as signed
+        deltas: a retracted row cannot un-narrow them).
+
+        ``fact`` is the post-change snapshot (e.g.
+        ``VersionedTable.read()`` at the feed's ``v_to``). The feed
+        still does what makes this O(delta)-shaped: it names the
+        touched group keys, so only those groups' fact rows are
+        re-aggregated (a semi-join the scan can push down when the
+        fact is partitioned/bucketed by a group-key prefix) and only
+        those groups' state rows rewrite — cost is O(touched groups'
+        fact rows), never O(state) and never O(fact) when pruning
+        applies. Groups with no surviving fact rows become zero-count
+        tombstones, which :meth:`read` hides exactly as a recompute
+        would. State rows REPLACE by key (win-by-key upsert), so the
+        result is bit-identical to a from-scratch aggregate of the
+        snapshot on every touched group."""
+        if self.rowcount is None:
+            raise ValueError(
+                "recompute_touched needs rowcount= set at construction "
+                "(tombstones fully-retracted groups)"
+            )
+        touched = self._touched_group_keys(changes)
+        rows = fact.alias("f").join(
+            touched.alias("t"),
+            on=self._key_cond("f", "t"),
+            how="left_semi",
+        )
+        recomputed = self._partial(rows)
+        # LEFT join from the touched keys so fully-retracted groups
+        # (no fact rows left) land as zero-count tombstones
+        t = touched.alias("t")
+        r = recomputed.alias("r")
+        cols = [F.col(f"t.{k}").alias(k) for k in self.keys]
+        for out, (kind, _) in self.aggs.items():
+            v = F.col(f"r.{out}")
+            if kind == "count":
+                v = F.coalesce(v, F.lit(0)).cast("long")
+            cols.append(v.alias(out))
+        replaced = t.join(r, on=self._key_cond("t", "r"), how="left").select(
+            *cols
+        )
+        if not self.writer._exists(spark):
+            self.writer.overwrite(replaced)
+        else:
+            self.writer.upsert(spark, replaced.localCheckpoint())
+
+    def apply_changes(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        fact: DataFrame | None = None,
+    ) -> None:
         """Fold a row-level CHANGE FEED (``VersionedTable.changes``
         shape: ``change_type`` ∈ insert/update/delete, table keys
         unprefixed, values as ``old_<col>`` / ``new_<col>``) into the
@@ -216,27 +291,33 @@ class IncrementalAgg:
         manifest-pruned ``changes()`` into an end-to-end O(delta)
         refresh.
 
-        Requirements (validated): every agg is sum/count (min/max are
-        not invertible — use a recompute), every sum has a companion
-        count over the SAME column (decides when the sum returns to
-        NULL), and ``rowcount`` is set (detects fully-retracted
-        groups, which :meth:`read` then hides exactly as a recompute
-        would)."""
+        Requirements (validated): every agg is sum/count — a spec with
+        min/max (not invertible) routes to :meth:`recompute_touched`
+        instead, which needs the post-change ``fact`` snapshot passed
+        here; every sum has a companion count over the SAME column
+        (decides when the sum returns to NULL); and ``rowcount`` is
+        set (detects fully-retracted groups, which :meth:`read` then
+        hides exactly as a recompute would)."""
         if self.rowcount is None:
             raise ValueError(
                 "apply_changes needs rowcount= set at construction "
                 "(a ('count', <never-null col>) agg output)"
             )
+        if any(kind in ("min", "max") for kind, _ in self.aggs.values()):
+            # non-invertible spec: retraction by touched-group full
+            # recompute from the snapshot (exact for EVERY agg kind)
+            if fact is None:
+                raise ValueError(
+                    "spec contains min/max (not invertible): pass the "
+                    "post-change fact snapshot (fact=) so the touched "
+                    "groups can be recomputed exactly"
+                )
+            self.recompute_touched(spark, changes, fact)
+            return
         count_cols = {
             col for _, (kind, col) in self.aggs.items() if kind == "count"
         }
         for out, (kind, col) in self.aggs.items():
-            if kind not in ("sum", "count"):
-                raise ValueError(
-                    f"agg {out!r} is {kind!r}: not invertible — a change "
-                    "feed cannot retract min/max; recompute the touched "
-                    "groups instead"
-                )
             if kind == "sum" and col not in count_cols:
                 raise ValueError(
                     f"sum {out!r} over {col!r} needs a companion "

@@ -3697,6 +3697,109 @@ FROM v3 GROUP BY 1
 """
 
 
+def cdc_incremental_minmax(spark, sf_dir):
+    """CDC retraction for a NON-INVERTIBLE spec (r8 verdict task 3):
+    min/max cannot replay deletes as signed deltas — a retracted row
+    cannot un-narrow them — so change feeds route through
+    ``IncrementalAgg.recompute_touched``: the feed names the touched
+    group keys, ONLY those groups re-aggregate from the post-change
+    snapshot, only their state rows rewrite. Scenario: seed per-day
+    (n_events, min/max/sum of exact cents) from v1; an upsert TRIPLES
+    click values and inserts a disjoint view slice (v1→v2); a delete
+    drops the ``event_id % 10 = 5`` keys (v2→v3) — each fold passes
+    the feed + post-change snapshot. The DELETE is the proof load:
+    dropped rows that WERE their day's min or max can't be restored by
+    any algebraic path. Oracle recomputes over the final v3 state in
+    one shot: incremental-with-recompute == recompute, hash-exact."""
+    import shutil
+    import tempfile
+
+    from ..operators.incremental_agg import IncrementalAgg
+    from ..operators.versioned import VersionedTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cdcmm_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events")
+    facts = events.where(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        F.to_date("ts").alias("event_date"),
+        (F.col("event_type") == "click").cast("long").alias("is_click"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    inc = facts.where(F.col("is_click") == 1).withColumn(
+        "value_cents", F.col("value_cents") * 3
+    ).unionByName(
+        events.where(
+            (F.col("event_id") % 5 == 1) & (F.col("event_type") == "view")
+        ).select(
+            "event_id",
+            F.to_date("ts").alias("event_date"),
+            F.lit(0).cast("long").alias("is_click"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+    vt = VersionedTable(
+        os.path.join(scratch, "facts"), keys=["event_id"], n_buckets=8
+    )
+    v1 = vt.overwrite(facts)
+    agg = IncrementalAgg(
+        os.path.join(scratch, "state"),
+        keys=["event_date"],
+        n_buckets=8,
+        aggs={
+            "n_events": ("count", "event_id"),
+            "min_cents": ("min", "value_cents"),
+            "max_cents": ("max", "value_cents"),
+            "sum_cents": ("sum", "value_cents"),
+        },
+        rowcount="n_events",
+    )
+    agg.apply_batch(spark, vt.read(spark, v1))
+    v2 = vt.upsert(spark, inc)
+    agg.apply_changes(
+        spark, vt.changes(spark, v1, v2), fact=vt.read(spark, v2)
+    )
+    v3 = vt.delete(spark, F.col("event_id") % 10 == 5)
+    agg.apply_changes(
+        spark, vt.changes(spark, v2, v3), fact=vt.read(spark, v3)
+    )
+    return agg.read(spark)
+
+
+_CDC_MINMAX_SQL = """
+WITH base AS (
+  SELECT event_id, CAST(ts AS DATE) AS event_date,
+         CAST(event_type = 'click' AS BIGINT) AS is_click,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents
+  FROM events WHERE event_id % 5 = 0
+),
+inc AS (
+  SELECT event_id, event_date, is_click, value_cents * 3 AS value_cents
+  FROM base WHERE is_click = 1
+  UNION ALL
+  SELECT event_id, CAST(ts AS DATE), CAST(0 AS BIGINT),
+         CAST(ROUND(value * 100, 0) AS BIGINT)
+  FROM events WHERE event_id % 5 = 1 AND event_type = 'view'
+),
+v2 AS (
+  SELECT * FROM inc
+  UNION ALL
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.event_id = b.event_id)
+),
+v3 AS (SELECT * FROM v2 WHERE NOT COALESCE(event_id % 10 = 5, FALSE))
+SELECT event_date,
+       CAST(COUNT(event_id) AS BIGINT) AS n_events,
+       MIN(value_cents) AS min_cents,
+       MAX(value_cents) AS max_cents,
+       CAST(SUM(value_cents) AS BIGINT) AS sum_cents
+FROM v3 GROUP BY 1
+"""
+
+
 _INCR_AGG_SQL = """
 SELECT CAST(ts AS DATE) AS event_date,
        CAST(COUNT(event_id) AS BIGINT) AS n_events,
@@ -7509,6 +7612,88 @@ SELECT node, ancestor, CAST(depth AS INT) AS depth FROM anc
 """
 
 
+def _scc_edges(cust):
+    """Deterministic planted multi-SCC graph over the customer keys:
+    keys partition into groups of 10 ((k−1)//10); every group chains
+    k→k+1; EVEN groups close the chain back to their first member (a
+    10-node cycle — one SCC), ODD groups stay chains (singletons);
+    consecutive groups link INSIDE a block of 100 keys only, so
+    reachability is block-bounded (≤ ~110 nodes) and the pair relation
+    stays linear in the table at any scale factor."""
+    k = F.col("c_custkey")
+    in_group_pos = (k - 1) % 10
+    grp = F.floor((k - 1) / 10)
+    chain = cust.where(in_group_pos < 9).select(
+        k.alias("src"), (k + 1).cast("long").alias("dst")
+    )
+    cycle_close = cust.where((in_group_pos == 9) & (grp % 2 == 0)).select(
+        k.alias("src"), (k - 9).cast("long").alias("dst")
+    )
+    cross = cust.where((in_group_pos == 9) & (grp % 10 != 9)).select(
+        k.alias("src"), (k + 1).cast("long").alias("dst")
+    )
+    return chain.unionByName(cycle_close).unionByName(cross)
+
+
+def customer_ring_scc(spark, sf_dir):
+    """Strongly connected components
+    (operators/graph.py::strongly_connected_components) — the
+    cycle-detection sibling of the weakly-CC dedup machinery, via the
+    same iterative-doubling kernel as ``customer_hierarchy_closure``
+    (pairs-only, so cycles converge instead of echoing). The planted
+    graph has one 10-node directed cycle per EVEN key-group and
+    chains elsewhere (see ``_scc_edges``); expected labels: even
+    groups collapse to their first member, everything else is a
+    singleton. The oracle replays reachability with DuckDB's native
+    WITH RECURSIVE (UNION-distinct terminates the cycles), intersects
+    it with its transpose, and takes the min partner — pinning the
+    doubling ≡ recursion equivalence on a CYCLIC graph, which the
+    acyclic closure query cannot exercise."""
+    from ..operators.graph import strongly_connected_components
+
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") >= 1)
+    # cap the fixture so the cross-engine closure stays cheap at any
+    # sf: the semantics are block-local, so 2000 keys = 20 full blocks
+    edges = _scc_edges(cust.where(F.col("c_custkey") <= 2000))
+    return strongly_connected_components(
+        edges, max_diameter=128
+    ).orderBy("node")
+
+
+_SCC_SQL = """
+WITH RECURSIVE keys_ AS (
+  SELECT c_custkey AS k FROM customer
+  WHERE c_custkey >= 1 AND c_custkey <= 2000
+),
+edges AS (
+  SELECT k AS src, CAST(k + 1 AS BIGINT) AS dst FROM keys_
+  WHERE (k - 1) % 10 < 9
+  UNION ALL
+  SELECT k, CAST(k - 9 AS BIGINT) FROM keys_
+  WHERE (k - 1) % 10 = 9 AND ((k - 1) // 10) % 2 = 0
+  UNION ALL
+  SELECT k, CAST(k + 1 AS BIGINT) FROM keys_
+  WHERE (k - 1) % 10 = 9 AND ((k - 1) // 10) % 10 != 9
+),
+reach AS (
+  SELECT src AS node, dst AS reach FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.reach = e.src
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+mutual AS (
+  SELECT f.node, f.reach AS partner
+  FROM reach f JOIN reach b ON f.node = b.reach AND f.reach = b.node
+  UNION ALL
+  SELECT node, node FROM nodes
+)
+SELECT node, MIN(partner) AS component
+FROM mutual GROUP BY node ORDER BY node
+"""
+
+
 def event_transition_matrix(spark, sf_dir):
     """First-order user-journey Markov transitions: per user, each
     event's type paired with the NEXT event's type (event-time order,
@@ -7998,6 +8183,11 @@ QUERIES: list[QueryDef] = [
         cdc_incremental_daily_events,
         _CDC_INCR_AGG_SQL,
     ),
+    QueryDef(
+        "cdc_incremental_minmax",
+        cdc_incremental_minmax,
+        _CDC_MINMAX_SQL,
+    ),
     QueryDef("corpus_dataset_card", corpus_dataset_card, _dataset_card_sql()),
     QueryDef(
         "supplier_pagerank",
@@ -8092,6 +8282,7 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "customer_hierarchy_closure", customer_hierarchy_closure, _CLOSURE_SQL
     ),
+    QueryDef("customer_ring_scc", customer_ring_scc, _SCC_SQL),
     QueryDef(
         "event_transition_matrix", event_transition_matrix, _TRANSITION_SQL
     ),

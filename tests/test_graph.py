@@ -70,3 +70,107 @@ def test_parallel_edges_double_share_and_bad_damping(spark):
     assert got[2] > got[3]
     with pytest.raises(ValueError, match="damping"):
         _ranks(spark, [(1, 2)], damping=1.0)
+
+
+# ------------------------------------------------------------------ SCC
+
+def _scc_map(spark, edges):
+    from batch_processing_on_aws_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in strongly_connected_components(df).collect()
+    }
+
+
+def test_scc_cycle_chain_and_singletons(spark):
+    # 1→2→3→1 is a cycle; 3→4→5 is a chain; 6→6 self-loop; 7 isolated
+    # appears only as a dst
+    got = _scc_map(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 6), (5, 7)],
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 7}
+
+
+def test_scc_two_cycles_joined_by_one_way_bridge(spark):
+    # two 3-cycles with a one-directional bridge: NOT merged (that
+    # would need mutual reachability), unlike weakly-CC which merges
+    got = _scc_map(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)],
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_scc_matches_python_reference_on_random_graph(spark):
+    """Pin against a driver-side Tarjan on a seeded random digraph —
+    every node labeled, labels = min member, component partition
+    identical."""
+    import random
+
+    rng = random.Random(20240815)
+    n = 60
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(150)}
+
+    # iterative Tarjan reference
+    import sys
+
+    adj = {u: [] for u in range(n)}
+    for u, v in edges:
+        adj[u].append(v)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            if work:
+                pv, _ = work[-1]
+                low[pv] = min(low[pv], low[v])
+
+    nodes_in_edges = {u for e in edges for u in e}
+    for v in sorted(nodes_in_edges):
+        if v not in index:
+            strongconnect(v)
+    want = {v: comp[v] for v in nodes_in_edges}
+
+    got = _scc_map(spark, sorted(edges))
+    assert got == want

@@ -286,3 +286,118 @@ def test_apply_changes_contract_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="companion"):
         no_companion.apply_changes(spark, feed)
+
+
+def test_minmax_recompute_touched_matches_full_recompute(spark, tmp_path):
+    """r8 verdict task 3: a min/max-bearing spec under update/delete
+    increments — each change feed routes to recompute_touched with the
+    post-change snapshot; state must equal a one-shot recompute,
+    INCLUDING days whose deleted row WAS the min/max (the case no
+    signed-delta path can restore), and a fully-retracted group must
+    disappear."""
+    from batch_processing_on_aws_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(str(tmp_path / "facts"), keys=["id"], n_buckets=4)
+    base = [
+        ("a", 1, 10), ("a", 2, 20), ("b", 3, 3), ("b", 4, 40),
+        ("c", 5, 50), ("c", 6, None),
+    ]
+    df = _rows(spark, base).select("id", "grp", "amount")
+    v1 = vt.overwrite(df)
+    agg = IncrementalAgg(
+        str(tmp_path / "state"), keys=["grp"], aggs=AGGS,
+        rowcount="n", n_buckets=8,
+    )
+    agg.apply_batch(spark, vt.read(spark, v1))
+    # update moves id=2 a->b and changes its amount; insert id=7 in a
+    inc = spark.createDataFrame(
+        [(2, "b", 2), (7, "a", 70)], "id long, grp string, amount long"
+    )
+    v2 = vt.upsert(spark, inc)
+    agg.apply_changes(
+        spark, vt.changes(spark, v1, v2), fact=vt.read(spark, v2)
+    )
+    # delete: b's MIN row (un-narrows min), a's MAX row, ALL of c
+    v3 = vt.delete(
+        spark, F.col("id").isin(2, 7) | (F.col("grp") == "c")
+    )
+    agg.apply_changes(
+        spark, vt.changes(spark, v2, v3), fact=vt.read(spark, v3)
+    )
+    want = _full(vt.read(spark, v3).select("grp", "id", "amount"))
+    got = {
+        r["grp"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in agg.read(spark).collect()
+    }
+    assert got == want
+    assert "c" not in got
+    # b's min must have RE-WIDENED after its min row (amount=2) left
+    assert got["b"] == (2, 43, 3, 40)
+
+
+def test_minmax_recompute_requires_fact_snapshot(spark, tmp_path):
+    feed = spark.createDataFrame(
+        [(1, "insert", None, "a", None, 1)],
+        "id long, change_type string, old_grp string, new_grp string, "
+        "old_amount long, new_amount long",
+    )
+    agg = IncrementalAgg(
+        str(tmp_path / "s"), ["grp"], AGGS, rowcount="n"
+    )
+    with pytest.raises(ValueError, match="fact"):
+        agg.apply_changes(spark, feed)
+
+
+def test_recompute_touched_leaves_untouched_buckets_byte_identical(
+    spark, tmp_path
+):
+    """The recompute path keeps the O(touched groups) write contract:
+    a feed touching one group rewrites exactly one state bucket;
+    every other bucket's parquet files stay byte-identical."""
+    import hashlib
+    import os
+
+    def bucket_files(path):
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out[p] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    path = str(tmp_path / "s")
+    agg = IncrementalAgg(
+        path, keys=["grp"], aggs=AGGS, rowcount="n", n_buckets=8
+    )
+    seed = [(f"g{i}", i, i * 3) for i in range(40)]
+    fact_rows = seed + [("g7", 1000, 1)]
+    agg.apply_batch(spark, _rows(spark, seed))
+    before = bucket_files(path)
+    feed = spark.createDataFrame(
+        [(1000, "insert", None, "g7", None, 1)],
+        "id long, change_type string, old_grp string, new_grp string, "
+        "old_amount long, new_amount long",
+    )
+    agg.apply_changes(
+        spark, feed,
+        fact=_rows(spark, fact_rows).select(
+            "id", "grp", "amount"
+        ),
+    )
+    after = bucket_files(path)
+    changed_dirs = {
+        os.path.dirname(p)
+        for p in set(before) ^ set(after)
+        | {p for p in before.keys() & after.keys() if before[p] != after[p]}
+    }
+    assert len(changed_dirs) == 1, sorted(changed_dirs)
+    got = {
+        r["grp"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in agg.read(spark).collect()
+    }
+    assert got["g7"] == (2, 22, 1, 21)
+    assert got["g3"] == (1, 9, 9, 9)
