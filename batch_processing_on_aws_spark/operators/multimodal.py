@@ -5,9 +5,11 @@ columns plus typed metadata structs — the pattern public large-scale
 training pipelines use (parquet/webdataset shards of bytes + metadata).
 All Spark-side plumbing here is real and tested: schemas, Arrow-batched
 ``mapInPandas`` operators, partition sizing. The codec layer is REAL
-for formats decodable without media libs — binary PPM/PGM and
-uncompressed BMP via :func:`decode_image`, and PCM RIFF/WAVE audio
-via :func:`decode_wav` (pure stdlib struct + numpy) — and STUBBED for
+for formats decodable without media libs — binary PPM/PGM,
+uncompressed BMP, and 8-bit non-interlaced PNG (stdlib zlib DEFLATE +
+all five row filters) via :func:`decode_image`/:func:`decode_png`,
+and PCM RIFF/WAVE audio via :func:`decode_wav` (pure stdlib struct +
+numpy) — and STUBBED for
 the rest (JPEG decode, compressed audio, video frame-sample) because
 those libraries are not in this container; swap the stub branch of
 ``_analyze`` for PIL/torchaudio/pyav calls in production; the batch
@@ -120,7 +122,104 @@ def decode_image(data: bytes):
         if h > 0:  # bottom-up storage
             arr = arr[::-1]
         return arr[:, :, [2, 1, 0] + ([3] if c == 4 else [])]  # BGR(A)→RGB(A)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
     raise ValueError(f"no pure-python codec for magic {magic!r}")
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def decode_png(data: bytes):
+    """REAL PNG codec via stdlib ``zlib`` only (r8 verdict task 5 —
+    the format needs no media libs: DEFLATE + five per-row byte
+    filters): 8-bit-depth, non-interlaced gray / RGB / gray+alpha /
+    RGBA. Returns an HxWxC uint8 array. All five PNG filter types
+    (None/Sub/Up/Average/Paeth) are implemented; None/Up rows
+    vectorize with numpy, the left-referencing filters (Sub/Average/
+    Paeth) are inherently sequential per scanline and run as byte
+    loops — acceptable because the engine decodes thumbnails/fixtures
+    here, and the production swap-in point for libpng-backed decode is
+    the same ``_analyze`` branch as for JPEG. Raises ``ValueError`` on
+    palette/16-bit/interlaced or corrupt payloads (callers fall back
+    to the stub path without masking real decode bugs)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, color={color_type})"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dims {w}x{h}")
+    c = _PNG_CHANNELS[color_type]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG raster length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — vectorizable
+            row = bytearray(
+                (np.frombuffer(bytes(row), dtype=np.uint8) + prev).astype(
+                    np.uint8
+                ).tobytes()
+            )
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
+            pv = prev
+            for j in range(stride):
+                left = row[j - c] if j >= c else 0
+                up = int(pv[j])
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = int(pv[j - c]) if j >= c else 0
+                    p = left + up - ul
+                    pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                    if pa <= pb and pa <= pc_:
+                        pred = left
+                    elif pb <= pc_:
+                        pred = up
+                    else:
+                        pred = ul
+                row[j] = (row[j] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, c)
 
 
 def decode_wav(data: bytes):

@@ -4989,6 +4989,124 @@ FROM h
 """
 
 
+def media_phash_png(spark, sf_dir):
+    """dHash through the REAL stdlib-zlib PNG decode path (r8 verdict
+    task 5 — operators/multimodal.py::decode_png): each document id
+    becomes a 9×8 grayscale 8-bit PNG whose pixel at (x, y) is
+    ``(id·53 + x·7 + y·13) mod 256``, encoded with DEFLATE and the
+    row filters CYCLING through all five PNG types (None/Sub/Up/
+    Average/Paeth — so the decoder's unfiltering, not just inflate,
+    sits on the oracle path), then decoded and dHash-packed exactly
+    like ``media_phash``. The DuckDB oracle recomputes the same 64
+    bits analytically from the pixel formula without parsing a byte
+    of PNG — decode, filters, sampling, bit order, and hex packing
+    all value-checked cross-engine."""
+    from ..operators.multimodal import perceptual_hash
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def png_gray(pixels, w, h):
+            # forward-filter rows cycling all five PNG filter types
+            raw = bytearray()
+            prev = [0] * w
+            for y in range(h):
+                row = pixels[y * w : (y + 1) * w]
+                ft = y % 5
+                raw.append(ft)
+                for j in range(w):
+                    left = row[j - 1] if j >= 1 else 0
+                    up = prev[j]
+                    ul = prev[j - 1] if j >= 1 else 0
+                    if ft == 0:
+                        pred = 0
+                    elif ft == 1:
+                        pred = left
+                    elif ft == 2:
+                        pred = up
+                    elif ft == 3:
+                        pred = (left + up) >> 1
+                    else:
+                        p = left + up - ul
+                        pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                        pred = (
+                            left if (pa <= pb and pa <= pc)
+                            else (up if pb <= pc else ul)
+                        )
+                    raw.append((row[j] - pred) & 0xFF)
+                prev = row
+
+            def chunk(ctype, body):
+                return (
+                    struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(
+                        ">I", zlib.crc32(ctype + body) & 0xFFFFFFFF
+                    )
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                pixels = [
+                    (int(mid) * 53 + x * 7 + y * 13) % 256
+                    for y in range(8)
+                    for x in range(9)
+                ]
+                payloads.append(png_gray(pixels, 9, 8))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "data": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, data binary")
+    return perceptual_hash(media).select("media_id", "phash", "decode_ok")
+
+
+_MEDIA_PHASH_PNG_SQL = """
+WITH g AS (
+  SELECT d.doc_id, y.range AS y, x.range AS x,
+         (d.doc_id * 53 + x.range * 7 + y.range * 13) % 256 AS gray
+  FROM documents d, range(8) y, range(9) x
+),
+b AS (
+  SELECT g1.doc_id,
+         CAST(g1.y * 8 + g1.x AS BIGINT) AS idx,
+         CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+  FROM g g1
+  JOIN g g2 ON g1.doc_id = g2.doc_id AND g1.y = g2.y AND g2.x = g1.x + 1
+  WHERE g1.x < 8
+),
+h AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN idx < 32
+                  THEN CAST(bit AS BIGINT) << CAST(31 - idx AS INT)
+                  ELSE 0 END) AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN idx >= 32
+                  THEN CAST(bit AS BIGINT) << CAST(63 - idx AS INT)
+                  ELSE 0 END) AS BIGINT) AS lo
+  FROM b GROUP BY 1
+)
+SELECT doc_id AS media_id, printf('%08x%08x', hi, lo) AS phash,
+       TRUE AS decode_ok
+FROM h
+"""
+
+
 def media_neardup_pairs(spark, sf_dir):
     """Image near-duplicate PAIR MINING end-to-end
     (operators/multimodal.py::media_neardup_pairs over
@@ -8148,6 +8266,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("clean_corpus", clean_corpus, _clean_corpus_sql()),
     QueryDef("media_features", media_features, _MEDIA_SQL),
     QueryDef("media_phash", media_phash, _MEDIA_PHASH_SQL),
+    QueryDef("media_phash_png", media_phash_png, _MEDIA_PHASH_PNG_SQL),
     QueryDef("media_neardup_pairs", media_neardup_pairs, _MEDIA_NEARDUP_SQL),
     QueryDef("links_manifest", links_manifest, _LINKS_MANIFEST_SQL),
     QueryDef("dup_span_occurrences", dup_span_occurrences, _DUP_SPANS_SQL),

@@ -421,3 +421,132 @@ def test_media_neardup_star_cap_on_viral_clique(spark):
         df, max_bucket_size=10, oversized="drop"
     ).collect()
     assert [r for r in dropped if r["media_id_b"] < 100] == []
+
+
+# ------------------------------------------------------------------ PNG
+
+def _encode_png(arr, filters):
+    """Reference encoder: forward-filter each row with the given
+    per-row filter types (cycled), deflate, wrap in chunks — so the
+    decoder must invert every filter to round-trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int32)
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        for j in range(w * c):
+            left = int(row[j - c]) if j >= c else 0
+            up = int(prev[j])
+            ul = int(prev[j - c]) if j >= c else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (
+                    up if pb <= pc else ul
+                )
+            raw.append((int(row[j]) - pred) & 0xFF)
+        prev = row
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_roundtrip_all_filters_all_colortypes():
+    import numpy as np
+
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+    )
+
+    rng = np.random.RandomState(42)
+    for c in (1, 2, 3, 4):
+        arr = rng.randint(0, 256, size=(7, 5, c), dtype=np.uint8)
+        # every filter type exercised, including rows where left/up
+        # neighbors matter
+        png = _encode_png(arr, filters=[0, 1, 2, 3, 4])
+        got = decode_png(png)
+        assert got.shape == arr.shape
+        assert (got == arr).all(), c
+        # and through the dispatching front door
+        assert (decode_image(png) == arr).all()
+
+
+def test_decode_png_multi_idat_and_rejections():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    arr = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    png = _encode_png(arr, filters=[0])
+    # split the single IDAT into two chunks: decoders must concat
+    sig, rest = png[:8], png[8:]
+    ln = struct.unpack(">I", rest[:4])[0]
+    ihdr_chunk = rest[: 12 + ln]
+    rest2 = rest[12 + ln:]
+    ln2 = struct.unpack(">I", rest2[:4])[0]
+    idat_body = rest2[8 : 8 + ln2]
+    iend = rest2[12 + ln2:]
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    two = (
+        sig + ihdr_chunk + chunk(b"IDAT", idat_body[:5])
+        + chunk(b"IDAT", idat_body[5:]) + iend
+    )
+    assert (decode_png(two) == arr).all()
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNG\r\n\x1a!" + png[8:])
+    # 16-bit depth rejected
+    bad_ihdr = struct.pack(">IIBBBBB", 4, 2, 16, 2, 0, 0, 0)
+    bad = sig + chunk(b"IHDR", bad_ihdr) + chunk(b"IDAT", idat_body) + iend
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(bad)
+    # interlaced rejected
+    bad_ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 1)
+    bad = sig + chunk(b"IHDR", bad_ihdr) + chunk(b"IDAT", idat_body) + iend
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bad)
+    # truncated raster rejected
+    short = zlib.compress(b"\x00" * 5)
+    bad = sig + ihdr_chunk + chunk(b"IDAT", short) + iend
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(bad)
