@@ -233,11 +233,18 @@ def sort_merge_join_small_sides(df: DataFrame, small_rows: int) -> int:
     """WARN-level probe: SortMergeJoin instances (in the materialized
     plan) where one side produced fewer than ``small_rows`` rows — a
     broadcast candidate AQE left on the table. Heuristic only (row
-    count stands in for byte size)."""
+    count stands in for byte size). FULL OUTER joins are skipped:
+    Spark cannot plan a broadcast full-outer, so SMJ is the only
+    strategy and the warning would be unactionable."""
     n_small = 0
     for n in iter_plan_nodes(executed_plan(df)):
         if n.nodeName() != "SortMergeJoin":
             continue
+        try:
+            if "FullOuter" in n.joinType().toString():
+                continue
+        except Exception:  # noqa: BLE001 — joinType is informational
+            pass
         cs = n.children()
         for i in range(cs.length()):
             rows = None
