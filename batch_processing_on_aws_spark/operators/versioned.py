@@ -461,7 +461,7 @@ class VersionedTable:
         MergeWriter.upsert."""
         parent = self.latest_version()
         if parent == 0:
-            return self.overwrite(new, txn=txn)
+            return self.overwrite(new, txn=txn, committed_at=committed_at)
         new_b = self._bucketed(new)
         touched = [
             r[BUCKET_COL] for r in new_b.select(BUCKET_COL).distinct().collect()

@@ -77,6 +77,7 @@ def ingest_versioned_stream(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     fmt: str = "parquet",
     n_buckets: int = 32,
+    commit_clock: Callable[[int], str] | None = None,
 ) -> None:
     """The versioned sibling of :func:`incremental_merge_stream`: each
     drained micro-batch lands as a NEW audited version of a
@@ -92,6 +93,14 @@ def ingest_versioned_stream(
     detected via ``txn_applied`` and skipped instead of minting a
     duplicate (even-if-content-equal) version. Single writer per
     table, as everywhere in this family.
+
+    ``commit_clock`` (optional, ``epoch_id -> ISO-8601 UTC string``)
+    makes engine-driven commits DETERMINISTIC: by default a commit's
+    ``committed_at`` is wall-clock (fine operationally, but replaying
+    the same inputs mints different timestamps, and
+    ``version_as_of`` tie behavior then depends on the run). Pass a
+    clock derived from the data/epoch when time travel over this
+    table must be reproducible.
     """
     from ..operators.versioned import VersionedTable
 
@@ -106,7 +115,11 @@ def ingest_versioned_stream(
         if vt.txn_applied(app_id, epoch_id):
             return  # crash-replayed epoch: already committed
         vt.upsert(
-            batch.sparkSession, batch, txn={"app": app_id, "epoch": epoch_id}
+            batch.sparkSession, batch,
+            txn={"app": app_id, "epoch": epoch_id},
+            committed_at=(
+                commit_clock(epoch_id) if commit_clock is not None else None
+            ),
         )
 
     q = (
@@ -666,6 +679,7 @@ def ingest_scd2_stream(
     app_id: str = "scd2",
     fmt: str = "parquet",
     n_buckets: int = 32,
+    commit_clock: Callable[[int], str] | None = None,
 ) -> None:
     """Streaming SCD2 dimension maintenance: every drained micro-batch
     of observations merges into a VERSIONED Type-2 dimension via
@@ -723,7 +737,11 @@ def ingest_scd2_stream(
                 dim_touched, batch, keys, attr_cols, ts_col, tiebreak
             )
         vt.replace_keys(
-            s, recomputed, keys, txn={"app": app_id, "epoch": epoch_id}
+            s, recomputed, keys,
+            txn={"app": app_id, "epoch": epoch_id},
+            committed_at=(
+                commit_clock(epoch_id) if commit_clock is not None else None
+            ),
         )
 
     q = (

@@ -484,6 +484,58 @@ def test_legacy_txn_stamps_fold_in_on_upgrade(spark, tmp_path):
     assert vt.txn_applied("s1", 3)
 
 
+def test_same_timestamp_commits_resolve_to_latest_version(spark, tmp_path):
+    """Two commits stamped with the SAME committed_at (a deterministic
+    engine clock can produce ties): version_as_of must resolve to the
+    LARGEST such version (latest-wins, the Delta convention), history
+    keeps both rows, and streaming commit_clock stamps are what land
+    in the manifests."""
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
+    ts = "2026-03-01T00:00:00Z"
+    vt.overwrite(_df(spark, [(1, "a")]), committed_at=ts)
+    vt.upsert(spark, _df(spark, [(1, "b")]), committed_at=ts)
+    assert vt.version_as_of(ts) == 2
+    assert _snap(spark, vt) == {(1, "b")}
+    assert [
+        (h["version"], h["committed_at"]) for h in vt.history()
+    ] == [(2, ts), (1, ts)]
+    # a later timestamp still resolves past the tie
+    assert vt.version_as_of("2026-03-02T00:00:00Z") == 2
+
+
+def test_ingest_stream_commit_clock_is_deterministic(spark, tmp_path):
+    """ingest_versioned_stream(commit_clock=) threads an epoch-derived
+    timestamp into every engine-path commit — replaying the same
+    inputs into a fresh table yields IDENTICAL committed_at stamps
+    (no wall-clock nondeterminism in time travel)."""
+    from pyspark.sql import types as T
+
+    from batch_processing_on_aws_spark.streaming.incremental import (
+        ingest_versioned_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    clock = lambda epoch: f"2026-04-0{epoch + 1}T00:00:00Z"  # noqa: E731
+    stamps = []
+    for run in ("r1", "r2"):
+        root = tmp_path / run
+        _df(spark, [(1, "a"), (2, "b")]).coalesce(1).write.parquet(
+            str(root / "in")
+        )
+        ingest_versioned_stream(
+            spark, str(root / "in"), schema, str(root / "t"), ["id"],
+            str(root / "ckpt"), n_buckets=4, commit_clock=clock,
+        )
+        vt = VersionedTable(str(root / "t"), keys=["id"])
+        stamps.append([h["committed_at"] for h in vt.history()])
+    assert stamps[0] == stamps[1] == ["2026-04-01T00:00:00Z"]
+
+
 def test_history_and_timestamp_travel(spark, tmp_path):
     """DESCRIBE HISTORY carries operation + caller-supplied commit
     timestamps; read(as_of=) resolves to the newest version at or

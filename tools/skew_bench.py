@@ -69,6 +69,14 @@ QUERIES = [
     # exactly this corpus — 20% of the batch in one template bucket
     # must cost O(m) and emit LINEAR kept-rows, never a clique
     "incremental_neardup_batch",
+    # round-9: the TEMPORAL-join family under a hot entity — 20% of
+    # all events reassigned to ONE user, so (a) that user's SCD2
+    # collapse window holds 20% of the observations (real per-key
+    # work, one sort partition) and (b) the PIT containment join's
+    # (user_id, day-bin) keys are hot on both sides — the case AQE
+    # skew-split and the bucketized interval_join plan must absorb
+    "user_tier_scd2",
+    "purchase_pit_tier",
 ]
 
 
@@ -117,6 +125,27 @@ def build(root: str = ROOT, src: str = SRC, hot_pct: int = 20) -> None:
                  label
           FROM read_parquet('{src}/embeddings.parquet')
         ) TO '{root}/skewed/embeddings.parquet' (FORMAT parquet)"""
+    )
+    # temporal skew: 20% of ALL events reassigned to one hot user
+    # (event ids, timestamps, types untouched — the entity dimension
+    # is what concentrates). Uniform = passthrough copy.
+    con.sql(
+        f"COPY (SELECT * FROM read_parquet('{src}/events.parquet')) TO "
+        f"'{root}/uniform/events.parquet' (FORMAT parquet)"
+    )
+    hot_user = con.sql(
+        f"SELECT MIN(user_id) FROM read_parquet('{src}/events.parquet')"
+    ).fetchone()[0]
+    con.sql(
+        f"""
+        COPY (
+          SELECT event_id, ts,
+                 CASE WHEN event_id % {100 // hot_pct} = 0
+                      THEN CAST({hot_user} AS BIGINT)
+                      ELSE user_id END AS user_id,
+                 event_type, value, props
+          FROM read_parquet('{src}/events.parquet')
+        ) TO '{root}/skewed/events.parquet' (FORMAT parquet)"""
     )
 
 
