@@ -296,3 +296,130 @@ def cm_estimate(
         F.col(key_col), F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
     return joined.groupBy(key_col).agg(F.min("n").cast("long").alias("est_n"))
+
+
+def qhist_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    precision_bits: int = 7,
+) -> DataFrame:
+    """Log-linear QUANTILE histogram sketch (the HdrHistogram index) —
+    the fourth mergeable sketch next to HLL/KMV (distinct) and CM
+    (frequency): per group, fixed-space bucket counts from which ANY
+    quantile is answered with relative error ≤ 2^-precision_bits,
+    without re-scanning data. State rows are ``(group…, bucket_id,
+    n)``; MERGING sketches is a groupBy-sum over their union (zero
+    re-scan), so per-batch/per-partition sketches compose into
+    any-subset quantiles the way the distinct sketches do.
+
+    Bucketing is INTEGER-EXACT and engine-portable (no float log):
+    for a non-negative BIGINT v with bit length e+1,
+
+    - ``v < 2^p``: bucket_id = v (small values exact);
+    - else: bucket_id = (e − p)·2^p + (v >> (e − p)) — the top p+1
+      bits, so each bucket spans a 2^-p relative range.
+
+    Ids are contiguous and disjoint across exponents; bucket count is
+    bounded by ~(64 − p)·2^p regardless of data size, so the
+    per-group quantile window in :func:`qhist_quantiles` is
+    sketch-sized, never data-sized. Negative values FAIL LOUDLY
+    (offset or split by sign upstream); NULLs are dropped like every
+    SQL aggregate.
+    """
+    p = int(precision_bits)
+    if not 1 <= p <= 20:
+        raise ValueError(f"precision_bits must be in [1, 20]: {p}")
+    v = F.col(value_col).cast("long")
+    guarded = F.when(
+        v < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"qhist_sketch: negative {value_col} unsupported "
+                    "(offset or split by sign upstream): "
+                ),
+                v.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(v)
+    x = (
+        df.where(v.isNotNull())
+        .select(*group_cols, guarded.alias("__v"))
+        .withColumn("__e", (F.length(F.bin(F.col("__v"))) - 1).cast("int"))
+        .withColumn(
+            "__shift", F.greatest(F.lit(0), F.col("__e") - F.lit(p))
+        )
+    )
+    bucket = F.when(F.col("__v") < F.lit(2**p), F.col("__v")).otherwise(
+        F.col("__shift").cast("long") * F.lit(2**p)
+        + F.expr("shiftright(__v, __shift)")
+    )
+    return (
+        x.select(*group_cols, bucket.alias("bucket_id"))
+        .groupBy(*group_cols, "bucket_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def qhist_bucket_low(bucket_id, precision_bits: int = 7):
+    """Inclusive lower bound of a :func:`qhist_sketch` bucket —
+    integer-exact decode: small ids are themselves; otherwise
+    ``sub << shift`` for ``shift = id div 2^p − 1`` and
+    ``sub = id − shift·2^p``."""
+    p = int(precision_bits)
+    b = bucket_id if not isinstance(bucket_id, str) else F.col(bucket_id)
+    shift = (b / F.lit(2**p)).cast("long") - 1
+    sub = b - shift * F.lit(2**p)
+    return F.when(b < F.lit(2**p), b).otherwise(
+        sub * F.pow(F.lit(2.0), shift.cast("double")).cast("long")
+    )
+
+
+def qhist_quantiles(
+    sketch: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    precision_bits: int = 7,
+) -> DataFrame:
+    """Per-group nearest-rank quantile estimates from a
+    :func:`qhist_sketch` (or a merged union of them): for each q, the
+    LOWER BOUND of the first bucket whose cumulative count reaches
+    ``ceil(q·N)`` — a deterministic, integer-exact answer with
+    ``(true − est)/true ≤ 2^-precision_bits`` for values ≥ 2^p.
+    Output columns ``q50``-style (q·100 rounded). The cumulative
+    window partitions per group over bucket ids — sketch-sized by
+    construction, never data-sized."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*gcols)
+    c = sketch.select(
+        *gcols,
+        "bucket_id",
+        F.sum("n").over(w).alias("__cum"),
+        F.sum("n").over(wt).alias("__total"),
+    )
+    aggs = []
+    for q in qs:
+        rank = F.ceil(F.lit(float(q)) * F.col("__total")).cast("long")
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= rank, F.col("bucket_id"))
+            ).alias(f"__b{round(q * 100)}")
+        )
+    out = c.groupBy(*gcols).agg(*aggs)
+    for q in qs:
+        tag = round(q * 100)
+        out = out.withColumn(
+            f"q{tag}",
+            qhist_bucket_low(F.col(f"__b{tag}"), precision_bits).cast(
+                "long"
+            ),
+        ).drop(f"__b{tag}")
+    return out

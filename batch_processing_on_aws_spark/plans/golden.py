@@ -7730,6 +7730,74 @@ SELECT node, ancestor, CAST(depth AS INT) AS depth FROM anc
 """
 
 
+def event_value_quantile_sketch(spark, sf_dir):
+    """Mergeable QUANTILE sketch (operators/sketches.py::qhist_sketch
+    — the HdrHistogram log-linear index), completing the sketch
+    family: HLL/KMV answer distinct, CM answers frequency, this
+    answers any quantile from fixed-space per-group bucket counts
+    (merge = groupBy-sum; relative error ≤ 2⁻⁷). Bucketing is
+    INTEGER-EXACT (bit-length + shifts, no float log), so the DuckDB
+    oracle replays the sketch, the cumulative nearest-rank selection,
+    and the bucket-lower-bound decode verbatim — a quantile estimator
+    whose every output bit is cross-engine pinned. Per event_type:
+    p50/p90/p99 lower bounds of value_cents."""
+    from ..operators.sketches import qhist_quantiles, qhist_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.where(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    sk = qhist_sketch(vals, "value_cents", ("event_type",))
+    return qhist_quantiles(sk, ("event_type",)).orderBy("event_type")
+
+
+_QHIST_SQL = """
+WITH vals AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND value >= 0
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN v < 128 THEN v
+              ELSE CAST(length(printf('%b', v)) - 8 AS BIGINT) * 128
+                   + (v >> (length(printf('%b', v)) - 8))
+         END AS bucket_id,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM vals GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bucket_id, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket_id) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM b
+),
+sel AS (
+  SELECT event_type,
+    MIN(CASE WHEN cum >= CAST(CEIL(0.5 * total) AS BIGINT)
+             THEN bucket_id END) AS b50,
+    MIN(CASE WHEN cum >= CAST(CEIL(0.9 * total) AS BIGINT)
+             THEN bucket_id END) AS b90,
+    MIN(CASE WHEN cum >= CAST(CEIL(0.99 * total) AS BIGINT)
+             THEN bucket_id END) AS b99
+  FROM c GROUP BY 1
+)
+SELECT event_type,
+  CAST(CASE WHEN b50 < 128 THEN b50
+       ELSE (b50 - ((b50 // 128) - 1) * 128) << ((b50 // 128) - 1)
+       END AS BIGINT) AS q50,
+  CAST(CASE WHEN b90 < 128 THEN b90
+       ELSE (b90 - ((b90 // 128) - 1) * 128) << ((b90 // 128) - 1)
+       END AS BIGINT) AS q90,
+  CAST(CASE WHEN b99 < 128 THEN b99
+       ELSE (b99 - ((b99 // 128) - 1) * 128) << ((b99 // 128) - 1)
+       END AS BIGINT) AS q99
+FROM sel ORDER BY event_type
+"""
+
+
 def _scc_edges(cust):
     """Deterministic planted multi-SCC graph over the customer keys:
     keys partition into groups of 10 ((k−1)//10); every group chains
@@ -8396,6 +8464,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("streamed_scd2_tier", streamed_scd2_tier, _SCD2_INCR_SQL),
     QueryDef("doc_length_psi_drift", doc_length_psi_drift, _psi_sql()),
     QueryDef("event_user_cm_counts", event_user_cm_counts, _CM_SQL),
+    QueryDef(
+        "event_value_quantile_sketch", event_value_quantile_sketch, _QHIST_SQL
+    ),
     QueryDef("bm25_doc_search", bm25_doc_search, _BM25_SQL),
     QueryDef("versioned_scd2_history", versioned_scd2_history, _VSCD2_SQL),
     QueryDef(

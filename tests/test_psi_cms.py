@@ -168,3 +168,79 @@ def test_embedding_centroids_partitioning_invariant(spark):
         for r in embedding_centroids(df.repartition(13, "label")).collect()
     }
     assert a == b
+
+
+# ------------------------------------------------------- quantile sketch
+
+def test_qhist_error_bound_and_exact_small_values(spark):
+    """Nearest-rank estimates from the log-linear sketch are lower
+    bounds within 2^-p relative error; values < 2^p are EXACT."""
+    import math
+    import random
+
+    from batch_processing_on_aws_spark.operators.sketches import (
+        qhist_quantiles,
+        qhist_sketch,
+    )
+
+    rng = random.Random(7)
+    big = [rng.randint(0, 10**9) for _ in range(5000)]
+    small = [rng.randint(0, 127) for _ in range(5000)]
+    for tag, vals in (("big", big), ("small", small)):
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+        sk = qhist_sketch(df, "v", ("g",))
+        est = qhist_quantiles(sk, ("g",), qs=(0.5, 0.9, 0.99)).collect()[0]
+        svals = sorted(vals)
+        for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+            true = svals[max(1, math.ceil(q * len(svals))) - 1]
+            got = est[col]
+            assert got <= true, (tag, q)
+            if tag == "small":
+                assert got == true, (tag, q)  # exact below 2^p
+            elif true >= 128:
+                assert (true - got) / true <= 2**-7 + 1e-12, (tag, q)
+
+
+def test_qhist_mergeable_and_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from batch_processing_on_aws_spark.operators.sketches import (
+        qhist_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a" if v % 3 else "b", v * 977 % (10**8)) for v in range(4000)],
+        "g string, v long",
+    )
+    full = {
+        (r["g"], r["bucket_id"]): r["n"]
+        for r in qhist_sketch(df, "v", ("g",)).collect()
+    }
+    h1 = qhist_sketch(df.where(F.col("v") % 2 == 0), "v", ("g",))
+    h2 = qhist_sketch(df.where(F.col("v") % 2 == 1), "v", ("g",))
+    merged = {
+        (r["g"], r["bucket_id"]): r["n"]
+        for r in h1.unionByName(h2)
+        .groupBy("g", "bucket_id")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert full == merged
+    repart = {
+        (r["g"], r["bucket_id"]): r["n"]
+        for r in qhist_sketch(df.repartition(13), "v", ("g",)).collect()
+    }
+    assert full == repart
+
+
+def test_qhist_rejects_negative_values(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from batch_processing_on_aws_spark.operators.sketches import (
+        qhist_sketch,
+    )
+
+    df = spark.createDataFrame([("g", -5)], "g string, v long")
+    with pytest.raises(SparkRuntimeException, match="negative"):
+        qhist_sketch(df, "v", ("g",)).collect()
