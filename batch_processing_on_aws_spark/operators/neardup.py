@@ -1091,3 +1091,139 @@ def winnowed_fingerprints(
         F.count("span_hash").over(w).alias("__n"),
     ).where(F.col("__n") == winnow)
     return picked.select("doc_id", "fingerprint").distinct()
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    shingle_n: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join with the PREFIX-FILTER guarantee
+    (the PPJoin/AllPairs family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): every pair of documents whose distinct-token Jaccard is
+    ≥ ``threshold_num/threshold_den``, with ZERO false negatives —
+    the completeness the df-capped inverted index
+    (:func:`jaccard_similar_pairs`) deliberately trades away.
+
+    Prefix filter: order each document's tokens by global rarity
+    (document frequency asc, token asc — one shared total order) and
+    index only its first ``|x| − ⌈t·|x|⌉ + 1`` tokens. If two sets
+    share NO indexed token, their overlap is at most ``⌈t·|x|⌉ − 1 <
+    t·|x| ≤ t·|x∪y|`` — so every qualifying pair collides on some
+    prefix token (completeness), while the indexed tokens are each
+    document's RAREST, keeping candidate fan-out small by
+    construction. A size filter (``t·max ≤ min``, exact integers)
+    prunes before verification; the verify step counts the true
+    intersection through a token equi-join restricted to candidates
+    and applies the threshold as the EXACT integer inequality
+    ``n·(t_den + t_num) ≥ t_num·(|x| + |y|)`` — no float enters until
+    the reported jaccard value. The threshold is a RATIONAL
+    (num/den), which is what makes every filter integer-exact and
+    cross-engine replayable.
+
+    ``shingle_n`` switches the set elements from lowercased
+    whitespace tokens to n-gram SHINGLES (the :func:`shingle_index`
+    space, case-sensitive): on small-vocabulary or template-heavy
+    corpora unigram sets degenerate (every document shares most of a
+    tiny vocabulary, so qualifying pairs are quadratic TRUE output),
+    while the shingle space is vocab^n-sized and keeps qualifying
+    pairs the planted near-dups.
+
+    Scale: shuffles are (a) token hash-aggs, (b) the prefix-token
+    equi-join, (c) the candidate-restricted verify equi-join — never
+    a cross product. Hot tokens self-limit: a token is indexed only
+    when it is among a document's rarest, so boilerplate lands in
+    prefixes only for documents made OF boilerplate, where the pairs
+    are true output (an output-heavy corpus is inherently pair-heavy
+    under completeness — cap with the LSH family if you want recall
+    trades). Empty documents have no tokens and never pair.
+
+    Output: ``(doc_id_a, doc_id_b, n_inter, jaccard)``, a < b.
+    """
+    from pyspark.sql import Window
+
+    tn, td = int(threshold_num), int(threshold_den)
+    if not 0 < tn <= td:
+        raise ValueError(
+            f"threshold must be a rational in (0, 1]: {tn}/{td}"
+        )
+    if shingle_n is None:
+        base = fan_out(df, partitions).select(
+            F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__t")
+        )
+        tok = base.select(
+            "__id", F.explode(tokens(F.col("__t"))).alias("__tok")
+        ).where(F.col("__tok") != "").distinct()
+    else:
+        tok = shingle_index(
+            df, text_col, id_col, shingle_n, partitions
+        ).select("__id", F.col("__s").alias("__tok"))
+    # the element frame feeds FOUR consumers (sizes, df, rank, both
+    # verify legs) — a lazy localCheckpoint materializes the
+    # tokenize/shingle pass once instead of re-deriving it per
+    # consumer (measured 5.9 s → 3.5 s at sf0.1)
+    tok = tok.localCheckpoint(eager=False)
+    sizes = tok.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    dfreq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    # per-doc rarity order; prefix length |x| - ceil(t|x|) + 1
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__df").asc(), F.col("__tok").asc()
+    )
+    ranked = (
+        tok.join(dfreq, "__tok")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, "__id")
+    )
+    # ceil(t·|x|) via exact integer division — a double quotient can
+    # mis-floor on exactly-divisible sizes
+    ceil_tn = F.expr(f"({tn} * __n + {td - 1}) div {td}")
+    prefix = ranked.where(
+        F.col("__rn") <= F.col("__n") - ceil_tn + F.lit(1)
+    ).select("__id", "__tok", "__n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__tok") == F.col("b.__tok"),
+                F.col("a.__id") < F.col("b.__id"),
+                # size filter: t * max <= min, exact integers
+                F.lit(tn) * F.greatest(F.col("a.__n"), F.col("b.__n"))
+                <= F.lit(td) * F.least(F.col("a.__n"), F.col("b.__n")),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("doc_id_a"),
+            F.col("b.__id").alias("doc_id_b"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(tok.select(F.col("__id").alias("doc_id_a"), "__tok"), "doc_id_a")
+        .join(
+            tok.select(F.col("__id").alias("doc_id_b"), "__tok"),
+            ["doc_id_b", "__tok"],
+        )
+        .groupBy("doc_id_a", "doc_id_b", "__na", "__nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    out = inter.where(
+        F.col("n_inter") * F.lit(td + tn)
+        >= F.lit(tn) * (F.col("__na") + F.col("__nb"))
+    )
+    return out.select(
+        "doc_id_a",
+        "doc_id_b",
+        "n_inter",
+        F.round(
+            F.col("n_inter")
+            / (F.col("__na") + F.col("__nb") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
+    )

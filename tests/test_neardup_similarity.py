@@ -674,3 +674,126 @@ def test_ranked_topk_property_random_scores(spark):
         )
         got = _ranked_topk(scored, k).collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in naive], (k, parts)
+
+
+# --------------------------------------------------- prefix-filter join
+
+def test_prefix_jaccard_complete_vs_brute_force(spark):
+    """The prefix filter's whole point: ZERO false negatives — output
+    must equal the brute-force all-pairs exact Jaccard at the same
+    threshold, including boundary-exact pairs (J == t)."""
+    from itertools import combinations
+
+    from batch_processing_on_aws_spark.operators.neardup import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),          # J=4/6 with 1
+        (3, "alpha beta gamma delta epsilon"),        # exact dup of 1
+        (4, "unrelated words entirely here now"),
+        (5, "alpha beta"),                            # small vs large
+        (6, "gamma delta epsilon zeta eta theta iota kappa"),
+        (7, ""),                                      # empty: never pairs
+        (8, "ALPHA beta GAMMA delta EPSILON"),        # case-folds to 1
+        (9, "x y z"),
+        (10, "x y w"),                                # J=2/4 exactly 0.5
+    ]
+    tn, td = 1, 2  # t = 0.5, hits the J==t boundary for (9, 10)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["n_inter"]
+        for r in prefix_jaccard_pairs(
+            df, threshold_num=tn, threshold_den=td
+        ).collect()
+    }
+
+    def toks(t):
+        return set(t.lower().split())
+
+    want = {}
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        sa, sb = toks(ta), toks(tb)
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter * (td + tn) >= tn * (len(sa) + len(sb)):
+            want[(min(ia, ib), max(ia, ib))] = inter
+    assert got == want
+    assert (3 in {a for a, _ in got} or 3 in {b for _, b in got})
+    assert (9, 10) in got  # boundary-exact pair kept
+
+
+def test_prefix_jaccard_complete_on_random_corpus(spark):
+    """Property: on a seeded random corpus, prefix-filter output ==
+    brute force at several rational thresholds."""
+    import random
+    from itertools import combinations
+
+    from batch_processing_on_aws_spark.operators.neardup import (
+        prefix_jaccard_pairs,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.sample(vocab, rng.randint(3, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for tn, td in ((3, 5), (4, 5), (1, 2)):
+        got = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in prefix_jaccard_pairs(
+                df, threshold_num=tn, threshold_den=td
+            ).collect()
+        }
+        want = set()
+        for (ia, ta), (ib, tb) in combinations(docs, 2):
+            sa, sb = set(ta.split()), set(tb.split())
+            inter = len(sa & sb)
+            if inter * (td + tn) >= tn * (len(sa) + len(sb)):
+                want.add((min(ia, ib), max(ia, ib)))
+        assert got == want, (tn, td, got ^ want)
+
+
+def test_prefix_jaccard_shingle_mode_complete(spark):
+    """shingle_n switches elements to n-gram shingles; completeness
+    still holds against brute force over the shingle sets."""
+    from itertools import combinations
+
+    from batch_processing_on_aws_spark.operators.neardup import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = [
+        (1, "a b c d e f g"),
+        (2, "a b c d e f h"),      # shares most 3-gram shingles with 1
+        (3, "a b c d e f g"),      # exact dup of 1
+        (4, "z y x w v u t"),
+        (5, "a b"),                # <=3 tokens: whole text one shingle
+        (6, "a b"),                # identical tiny doc: must pair with 5
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in prefix_jaccard_pairs(
+            df, threshold_num=1, threshold_den=2, shingle_n=3
+        ).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        if len(toks) <= 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = set()
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        n = len(sa & sb)
+        if n * 3 >= 1 * (len(sa) + len(sb)):
+            want.add((min(ia, ib), max(ia, ib)))
+    assert got == want
+    assert (1, 3) in got and (5, 6) in got

@@ -252,6 +252,28 @@ HEADLINERS = {
         "final top-k is TakeOrderedAndProject — never a global "
         "single-reducer sort or window."
     ),
+    "customer_ring_scc": (
+        "Strongly connected components by pairs-only iterative "
+        "doubling: each round is one equi-join on the midpoint + "
+        "distinct (cycles converge to a fixed pair set instead of "
+        "echoing), the mutual-reachability step is a single equi-join "
+        "of R to itself on the swapped pair — never a nested loop — "
+        "and lineage truncates via localCheckpoint."
+    ),
+    "cdc_incremental_minmax": (
+        "Non-invertible CDC retraction: the change feed names the "
+        "touched group keys; the fact snapshot semi-joins to exactly "
+        "those groups before re-aggregating, and the state upsert "
+        "rewrites only the touched buckets — every stage O(touched), "
+        "never O(state), even though min/max cannot replay deltas."
+    ),
+    "event_value_quantile_sketch": (
+        "Mergeable quantile sketch: bucketing is a pure integer "
+        "bit-length/shift projection fused into the scan, the sketch "
+        "is one partial+final hash-agg, and the per-group cumulative "
+        "window runs over SKETCH-SIZED input (bucket count bounded by "
+        "~(64-p)·2^p regardless of data size)."
+    ),
 }
 
 

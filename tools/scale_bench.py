@@ -81,6 +81,17 @@ QUERIES = [
     "scd2_incremental_user_tier",
     "part_copurchase_triangles",
     "event_multires_rollup",
+    # round-9 additions: the min/max CDC retraction (touched-group
+    # recompute must track the delta, never the state), the quantile
+    # sketch (hash-agg + sketch-sized window — the bounded-window
+    # claim under measurement), and the real PNG decode path (Arrow
+    # batch scaling of the zlib+unfilter kernel).
+    # customer_ring_scc is EXCLUDED on purpose: its fixture caps at
+    # 2000 keys so the cross-engine closure stays cheap — constant
+    # size by design, a scaling curve would measure nothing.
+    "cdc_incremental_minmax",
+    "event_value_quantile_sketch",
+    "media_phash_png",
 ]
 
 SCALES = {
