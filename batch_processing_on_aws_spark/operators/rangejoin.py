@@ -82,6 +82,47 @@ def range_join(
     return joined.drop("__bucket", "__l_us", "__r_us")
 
 
+_AUTO_BIN_MIN_S = 60
+_AUTO_BIN_MAX_S = 30 * 86_400
+
+
+def _auto_bin_width(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    open_end_ts: Column | None,
+) -> int:
+    """Median interval duration rounded UP to the next power-of-two
+    seconds, clamped to [60 s, 30 d]. One bounded driver aggregate
+    (approxQuantile over the duration column) — never a data-sized
+    collect. Falls back to one day when the table has no bounded
+    interval to sample (all-NULL ends with no ``open_end_ts``)."""
+    end_eff = (
+        F.coalesce(F.col(end_col), open_end_ts)
+        if open_end_ts is not None
+        else F.col(end_col)
+    )
+    dur_s = (
+        (
+            F.unix_micros(end_eff.cast("timestamp"))
+            - F.unix_micros(F.col(start_col).cast("timestamp"))
+        )
+        / F.lit(1_000_000.0)
+    ).alias("__dur_s")
+    sampled = intervals.select(dur_s).where(
+        F.col("__dur_s").isNotNull() & (F.col("__dur_s") > 0)
+    )
+    med = sampled.approxQuantile("__dur_s", [0.5], 0.01)
+    if not med:
+        return 86_400
+    # next power of two >= median (stabilizes the choice against
+    # sampler jitter), floored at 64 s, capped at 30 d
+    width = 1 << max(
+        _AUTO_BIN_MIN_S.bit_length(), (max(1, int(med[0])) - 1).bit_length()
+    )
+    return min(width, _AUTO_BIN_MAX_S)
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -89,7 +130,7 @@ def interval_join(
     point_ts: str,
     start_col: str,
     end_col: str,
-    bin_width_seconds: int,
+    bin_width_seconds: int | None = None,
     open_end_ts: Column | None = None,
     max_bins_per_interval: int = 4096,
     how: str = "inner",
@@ -114,6 +155,20 @@ def interval_join(
     BIGINT floor-division, so sub-second interval tails cannot be
     missed the way second-granularity binning would.
 
+    ``bin_width_seconds=None`` (the default) AUTO-SIZES the bin from
+    the interval table itself: one bounded aggregate takes the median
+    interval duration (open ends bounded via ``open_end_ts``; NULL
+    ends with no bound are ignored by the sampler) and the width
+    rounds UP to the next power-of-two seconds, clamped to
+    [60 s, 30 d]. Median-sized bins mean a TYPICAL interval explodes
+    into ~2–3 bin rows while points stay 1 row — the balance point of
+    the explosion/selectivity trade — and the long tail still trips
+    ``max_bins_per_interval`` loudly instead of silently fanning out.
+    The probe is a driver-side ``approxQuantile`` (same bounded-
+    aggregate pattern as ``ranking.global_row_numbers``); pass an
+    explicit width when the plan must be reproducible without a probe
+    (every oracled registry query does).
+
     Output: all ``points`` columns + the non-key ``intervals``
     columns; ``how="left"`` keeps uncontained points NULL-extended.
     Overlapping intervals yield one row per containing interval —
@@ -129,6 +184,10 @@ def interval_join(
             f"interval columns collide with point columns: {sorted(clash)}"
         )
 
+    if bin_width_seconds is None:
+        bin_width_seconds = _auto_bin_width(
+            intervals, start_col, end_col, open_end_ts
+        )
     width_us = F.lit(int(bin_width_seconds) * 1_000_000)
     end_eff = (
         F.coalesce(F.col(end_col), open_end_ts)

@@ -391,3 +391,44 @@ def test_scd2_apply_changes_late_errors_and_replays(spark):
         key=lambda t: t[1],
     )
     assert runs == [("a", _ts(1)), ("c", _ts(4)), ("b", _ts(9))]
+
+
+def test_interval_join_auto_bin_width(ivl_frames):
+    """bin_width_seconds=None sizes bins from the median interval
+    duration (pow2-rounded, clamped) — results identical to an
+    explicit width."""
+    from batch_processing_on_aws_spark.operators.rangejoin import (
+        _auto_bin_width,
+    )
+
+    points, intervals = ivl_frames
+    w = _auto_bin_width(intervals, "valid_from", "valid_to", F.lit(_ts(31)))
+    assert 60 <= w <= 30 * 86_400
+    assert w & (w - 1) == 0  # power of two
+    auto = {
+        r["event_id"]: r["tier"]
+        for r in interval_join(
+            points, intervals, ["user_id"], "ts", "valid_from", "valid_to",
+            open_end_ts=F.lit(_ts(31)),
+        ).collect()
+    }
+    explicit = {
+        r["event_id"]: r["tier"]
+        for r in interval_join(
+            points, intervals, ["user_id"], "ts", "valid_from", "valid_to",
+            bin_width_seconds=86400, open_end_ts=F.lit(_ts(31)),
+        ).collect()
+    }
+    assert auto == explicit
+
+
+def test_auto_bin_width_all_null_ends_falls_back(spark):
+    from batch_processing_on_aws_spark.operators.rangejoin import (
+        _auto_bin_width,
+    )
+
+    intervals = spark.createDataFrame(
+        [(10, "a", _ts(1), None)],
+        "user_id long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    assert _auto_bin_width(intervals, "valid_from", "valid_to", None) == 86_400
