@@ -192,6 +192,109 @@ def kmv_union_estimate(
     )
 
 
+def kmv_intersect_estimate(
+    sketches: DataFrame,
+    group_col: str,
+    hashes_col: str = "kmv_hashes",
+    k: int = 128,
+) -> DataFrame:
+    """Pairwise SET-OPERATION estimates from persisted KMV sketches
+    (Beyer et al., SIGMOD'07 §4 — "distinct-value synopses"): for
+    every unordered pair of groups, merge the two sketches into the
+    union's k smallest hashes, read |A∪B| off the kth value exactly as
+    :func:`kmv_union_estimate` does, then scale by ρ = (fraction of
+    those k hashes present in BOTH inputs). Because the k smallest
+    union hashes are a uniform sample of A∪B, E[ρ] = |A∩B| / |A∪B|,
+    so ρ·est_union estimates the intersection — overlap audits
+    between sources / snapshots / event families without ever
+    rescanning data (the reference keeps no sketch state at all;
+    Redshift would re-scan, reference proc_1_spark_emr_dag.py:38-66).
+
+    Exactness contract: every hash is an integer, ρ's numerator and K
+    are integer counts, and each estimate is ONE float expression over
+    those exact integers (the :func:`kmv_distinct` pattern), so a SQL
+    oracle replays the estimator bit-for-bit. When the merged pair
+    kept < k hashes the sketch holds the ENTIRE hash union and both
+    estimates are exact counts.
+
+    Plan shape: group pairs are a broadcast self-join of the (tiny)
+    group list; per-pair membership flags come from one hash-agg over
+    ≤ 2k exploded rows per pair; the ranking window partitions by
+    (group_a, group_b) with ≤ 2k input rows — never a data-sized or
+    global window. O(#groups² · k) total, independent of data size.
+
+    Output: (group_a < group_b, n_union_kept ≤ k,
+    est_union double, est_intersection double) — both exact when
+    n_union_kept < k.
+    """
+    from pyspark.sql import Window
+
+    ex = sketches.select(
+        F.col(group_col).alias("grp"), F.explode(hashes_col).alias("h")
+    )
+    grps = sketches.select(F.col(group_col).alias("grp")).distinct()
+    pairs = (
+        grps.select(F.col("grp").alias("__ga"))
+        .join(
+            grps.select(F.col("grp").alias("__gb")),
+            F.col("__ga") < F.col("__gb"),
+        )
+    )
+    ea = F.broadcast(pairs).join(ex, F.col("grp") == F.col("__ga")).select(
+        "__ga", "__gb", "h",
+        F.lit(1).alias("__in_a"), F.lit(0).alias("__in_b"),
+    )
+    eb = F.broadcast(pairs).join(ex, F.col("grp") == F.col("__gb")).select(
+        "__ga", "__gb", "h",
+        F.lit(0).alias("__in_a"), F.lit(1).alias("__in_b"),
+    )
+    flagged = (
+        ea.unionByName(eb)
+        .groupBy("__ga", "__gb", "h")
+        .agg(
+            F.max("__in_a").alias("__in_a"),
+            F.max("__in_b").alias("__in_b"),
+        )
+    )
+    # bounded window: ≤ 2k rows per (pair) partition by construction
+    w = Window.partitionBy("__ga", "__gb").orderBy("h")
+    kept = flagged.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") <= k
+    )
+    agg = kept.groupBy("__ga", "__gb").agg(
+        F.max("__r").cast("long").alias("n_union_kept"),
+        F.max(F.when(F.col("__r") == k, F.col("h"))).alias("__kth"),
+        F.sum(
+            F.when((F.col("__in_a") == 1) & (F.col("__in_b") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("__both"),
+    )
+    est_union = F.when(
+        F.col("n_union_kept") < k, F.col("n_union_kept").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(4294967296.0) / F.col("__kth"), 6)
+    )
+    est_inter = F.when(
+        F.col("n_union_kept") < k, F.col("__both").cast("double")
+    ).otherwise(
+        F.round(
+            F.col("__both").cast("double")
+            / F.col("n_union_kept")
+            * F.round(
+                F.lit(float(k - 1)) * F.lit(4294967296.0) / F.col("__kth"), 6
+            ),
+            6,
+        )
+    )
+    return agg.select(
+        F.col("__ga").alias("group_a"),
+        F.col("__gb").alias("group_b"),
+        "n_union_kept",
+        est_union.alias("est_union"),
+        est_inter.alias("est_intersection"),
+    )
+
+
 def cm_sketch(
     df: DataFrame,
     key_col: str,

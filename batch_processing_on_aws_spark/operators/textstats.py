@@ -550,3 +550,145 @@ def bm25_search(
     return scored.orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()
     ).limit(top_k)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int = 50,
+    partitions: int | None = None,
+) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity join — the WEIGHTED sibling
+    of the set-similarity pair miners (``neardup.rare_jaccard_pairs``
+    counts shared members; this weighs them): SMART "ltc" weights
+    w = (1 + ln tf) · ln((N+1)/(df+1)), pairs scored by the cosine of
+    their weight vectors. Catches templated rewrites that shuffle
+    common words (Jaccard-blind) while staying robust to padding
+    (containment-blind) — the near-dup lens production text curation
+    runs alongside MinHash.
+
+    Candidate contract (same as the rare-shingle family): a pair is
+    considered iff it shares ≥ 1 DISTINCTIVE term (document frequency
+    ≤ ``max_df``). Pairs glued together only by stopword-frequency
+    terms are excluded BY DEFINITION — at corpus scale those carry no
+    similarity signal, and the cap bounds the self-join fan-out at
+    max_df² per term. The cosine itself is then EXACT over the FULL
+    weight vectors of each candidate pair (every shared term, common
+    or rare, contributes to the dot product).
+
+    Cross-engine exactness: tf/df/N are exact integers; each (doc,
+    term) weight is ONE float expression over them quantized to
+    milli-units BIGINT (the ``bm25_search`` pattern) — the integer
+    vector IS the operator's definition, so dot products and norms
+    are overflow-safe BIGINT sums (w ≤ ~2.4e5 even at N=1e10 docs,
+    tf=1e4 ⇒ Σw² ≤ ~5.5e15 ≪ 2⁶³) and the final cosine is one float
+    expression (dot / (√norm_a·√norm_b)) over identical integers,
+    micro-quantized. A SQL oracle replays everything hash-exact.
+
+    Plan shape: one explode + hash-agg builds postings; df and N ride
+    as one shuffle join + one broadcast scalar; the weights table is
+    localCheckpoint'd once (it feeds the norm agg, both self-join
+    sides, and both dot-product sides); candidates come from the
+    df-capped self-join; the dot product is two hash joins + one
+    hash-agg. No windows, no cartesians, nothing data-sized on the
+    driver.
+
+    Output: (doc_id_a < doc_id_b, cosine_micro BIGINT ≥
+    threshold·1e6).
+    """
+    from .partitioning import fan_out
+
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    docs = fan_out(df, partitions).select(
+        F.col(id_col).alias("__id"), toks.alias("__t")
+    )
+    post = (
+        docs.select("__id", F.explode("__t").alias("__tok"))
+        .groupBy("__id", "__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    dfreq = post.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    totals = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    w_milli = F.round(
+        (F.lit(1.0) + F.log(F.col("__tf")))
+        * F.log((F.col("__n") + F.lit(1.0)) / (F.col("__df") + F.lit(1.0)))
+        * F.lit(1000.0)
+    ).cast("long")
+    # materialize the narrow weight table once: it feeds four
+    # consumers (norm agg, both candidate self-join sides via `rare`,
+    # both dot-product sides) and would otherwise re-run the
+    # explode+agg subtree for each
+    weights = (
+        post.join(dfreq, "__tok")
+        .crossJoin(F.broadcast(totals))
+        .select("__id", "__tok", w_milli.alias("__w"), "__df")
+        .where(F.col("__w") > 0)
+        .localCheckpoint()
+    )
+    norms = weights.groupBy("__id").agg(
+        F.sum(F.col("__w") * F.col("__w")).alias("__nsq")
+    )
+    rare = weights.where(F.col("__df") <= max_df).select("__id", "__tok")
+    pairs = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            on=[
+                F.col("a.__tok") == F.col("b.__tok"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb")
+        )
+        .distinct()
+    )
+    dot = (
+        pairs.join(
+            weights.select(
+                F.col("__id").alias("__ida"), "__tok",
+                F.col("__w").alias("__wa"),
+            ),
+            "__ida",
+        )
+        .join(
+            weights.select(
+                F.col("__id").alias("__idb"), "__tok",
+                F.col("__w").alias("__wb"),
+            ),
+            ["__idb", "__tok"],
+        )
+        .groupBy("__ida", "__idb")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    cos_micro = F.round(
+        F.col("__dot")
+        / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        dot.join(
+            norms.select(
+                F.col("__id").alias("__ida"), F.col("__nsq").alias("__na")
+            ),
+            "__ida",
+        )
+        .join(
+            norms.select(
+                F.col("__id").alias("__idb"), F.col("__nsq").alias("__nb")
+            ),
+            "__idb",
+        )
+        .select(
+            F.col("__ida").alias("doc_id_a"),
+            F.col("__idb").alias("doc_id_b"),
+            cos_micro.alias("cosine_micro"),
+        )
+        .where(
+            F.col("cosine_micro") >= F.lit(int(round(threshold * 1_000_000)))
+        )
+    )

@@ -6778,6 +6778,158 @@ ORDER BY event_type
 """
 
 
+def source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary overlap between corpus sources, estimated
+    ENTIRELY from persisted KMV sketches
+    (operators/sketches.py::kmv_intersect_estimate — Beyer et al.
+    SIGMOD'07 §4): per-source sketch of distinct lowercased tokens,
+    then for every source pair the union estimate off the merged kth
+    hash and the intersection via the ρ-scaled estimator. The
+    source-contamination / redundancy audit a 100 TB curation run
+    wants WITHOUT an all-pairs token join — O(sources² · k) after one
+    tokenize pass. Every hash/rank/count is integer-exact and each
+    estimate is one float expression over them, so the oracle replays
+    the estimator bit-for-bit (the ``kmv_distinct_users`` pattern)."""
+    from ..operators.sketches import kmv_distinct, kmv_intersect_estimate
+    from ..operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.transform(tokens(F.col("text")), lambda x: F.lower(x))
+        ).alias("tok"),
+    )
+    sk = kmv_distinct(toks, key_col="tok", group_col="source", k=128)
+    return kmv_intersect_estimate(sk, group_col="source", k=128).orderBy(
+        "group_a", "group_b"
+    )
+
+
+_KMV_OVERLAP_SQL = r"""
+WITH tok AS (
+  SELECT DISTINCT source AS grp, lower(unnest(
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END)) AS tk
+  FROM documents
+),
+h AS (
+  SELECT DISTINCT grp,
+         ('0x' || substr(md5(tk), 1, 8))::BIGINT AS h
+  FROM tok WHERE tk IS NOT NULL
+),
+sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r
+    FROM h
+  ) WHERE r <= 128
+),
+grps AS (SELECT DISTINCT grp FROM sk),
+pairs AS (
+  SELECT a.grp AS ga, b.grp AS gb FROM grps a JOIN grps b ON a.grp < b.grp
+),
+flagged AS (
+  SELECT ga, gb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.grp = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.grp = p.gb
+  ) GROUP BY 1, 2, 3
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+    FROM flagged
+  ) WHERE r <= 128
+),
+agg AS (
+  SELECT ga, gb,
+         CAST(MAX(r) AS BIGINT) AS nk,
+         MAX(CASE WHEN r = 128 THEN h END) AS kth,
+         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nboth
+  FROM kept GROUP BY 1, 2
+)
+SELECT ga AS group_a, gb AS group_b, nk AS n_union_kept,
+       CASE WHEN nk < 128 THEN CAST(nk AS DOUBLE)
+            ELSE ROUND(127.0 * 4294967296.0 / kth, 6) END AS est_union,
+       CASE WHEN nk < 128 THEN CAST(nboth AS DOUBLE)
+            ELSE ROUND(CAST(nboth AS DOUBLE) / nk
+                       * ROUND(127.0 * 4294967296.0 / kth, 6), 6)
+       END AS est_intersection
+FROM agg
+ORDER BY group_a, group_b
+"""
+
+
+def tfidf_cosine_doc_pairs(spark, sf_dir):
+    """All-pairs TF-IDF cosine near-dup mining
+    (operators/textstats.py::tfidf_cosine_pairs): SMART ltc weights
+    quantized to milli-unit BIGINT vectors, candidates blocked on
+    shared DISTINCTIVE terms (df ≤ 50), exact cosine over the full
+    weight vectors of each candidate pair — the weighted complement
+    of the Jaccard/containment/SimHash set-similarity family (catches
+    templated rewrites that reshuffle common words). Dot products and
+    norms are overflow-safe integer sums; the one float expression
+    (dot / (√na·√nb)) runs on identical integers in both engines, so
+    the pairs replay hash-exact in SQL."""
+    from ..operators.textstats import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, threshold=0.5, max_df=50
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+_TFIDF_COSINE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+post AS (
+  SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, lower(unnest(toks)) AS tk FROM t)
+  GROUP BY 1, 2
+),
+dfq AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+w AS (
+  SELECT doc_id, tk, df,
+         CAST(ROUND((1.0 + ln(tf))
+                    * ln((n + 1.0) / (df + 1.0))
+                    * 1000.0) AS BIGINT) AS w
+  FROM post JOIN dfq USING (tk) CROSS JOIN tot
+),
+wpos AS (SELECT * FROM w WHERE w > 0),
+norms AS (SELECT doc_id, SUM(w * w) AS nsq FROM wpos GROUP BY 1),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM wpos a JOIN wpos b
+    ON a.tk = b.tk AND a.doc_id < b.doc_id
+  WHERE a.df <= 50
+),
+dot AS (
+  SELECT p.ida, p.idb, SUM(wa.w * wb.w) AS dot
+  FROM pairs p
+  JOIN wpos wa ON wa.doc_id = p.ida
+  JOIN wpos wb ON wb.doc_id = p.idb AND wb.tk = wa.tk
+  GROUP BY 1, 2
+)
+SELECT ida AS doc_id_a, idb AS doc_id_b,
+       CAST(ROUND(dot / (sqrt(na.nsq) * sqrt(nb.nsq)) * 1000000.0)
+            AS BIGINT) AS cosine_micro
+FROM dot
+JOIN norms na ON na.doc_id = ida
+JOIN norms nb ON nb.doc_id = idb
+WHERE CAST(ROUND(dot / (sqrt(na.nsq) * sqrt(nb.nsq)) * 1000000.0)
+           AS BIGINT) >= 500000
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
 def source_distinct_sketches(spark, sf_dir):
     """Mergeable HLL distinct tracking
     (operators/sketches.py): per-source sketch of document
@@ -8701,6 +8853,10 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("streamed_ingest_corpus", streamed_ingest_corpus, _STREAM_INGEST_SQL),
     QueryDef("kmv_distinct_users", kmv_distinct_users, _KMV_SQL),
+    QueryDef("source_vocab_overlap", source_vocab_overlap, _KMV_OVERLAP_SQL),
+    QueryDef(
+        "tfidf_cosine_doc_pairs", tfidf_cosine_doc_pairs, _TFIDF_COSINE_SQL
+    ),
     QueryDef(
         "source_distinct_sketches",
         source_distinct_sketches,

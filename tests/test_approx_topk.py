@@ -95,3 +95,56 @@ def test_kmv_union_matches_direct_sketch(spark):
     ).distinct().count()
     se = 1.0 / (k - 2) ** 0.5
     assert abs(merged - exact) / exact < 4 * se
+
+
+def test_kmv_intersect_exact_below_k(spark):
+    from batch_processing_on_aws_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_intersect_estimate,
+    )
+
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(20, 50)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    sk = kmv_distinct(df, "key", "grp", k=128)
+    (r,) = kmv_intersect_estimate(sk, "grp", k=128).collect()
+    # union (50) below k: sketch holds every hash, both estimates exact
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert r["n_union_kept"] == 50
+    assert r["est_union"] == 50.0
+    assert r["est_intersection"] == 10.0
+
+
+def test_kmv_intersect_estimator_accuracy_above_k(spark):
+    from batch_processing_on_aws_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_intersect_estimate,
+    )
+
+    # |A| = |B| = 2000, overlap 1000, union 3000; k = 128 forces the
+    # rho-scaled estimator path. RSE ~ 1/sqrt(k-2) ~ 9%; allow 4 sigma.
+    rows = [("a", i) for i in range(2000)]
+    rows += [("b", i) for i in range(1000, 3000)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    sk = kmv_distinct(df, "key", "grp", k=128)
+    (r,) = kmv_intersect_estimate(sk, "grp", k=128).collect()
+    assert r["n_union_kept"] == 128
+    assert abs(r["est_union"] - 3000) / 3000 < 0.36, r
+    assert abs(r["est_intersection"] - 1000) / 1000 < 0.55, r
+
+
+def test_kmv_intersect_deterministic_under_repartition(spark):
+    from batch_processing_on_aws_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_intersect_estimate,
+    )
+
+    offs = {"x": 0, "y": 3, "z": 6}
+    rows = [(g, i) for g, o in offs.items() for i in range(o, 400)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    a = kmv_intersect_estimate(
+        kmv_distinct(df, "key", "grp", k=64), "grp", k=64
+    ).orderBy("group_a", "group_b").collect()
+    b = kmv_intersect_estimate(
+        kmv_distinct(df.repartition(13), "key", "grp", k=64), "grp", k=64
+    ).orderBy("group_a", "group_b").collect()
+    assert a == b and len(a) == 3

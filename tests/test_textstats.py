@@ -139,3 +139,80 @@ def test_bigram_lm_scores_match_python_reference(spark):
         assert got[did] == want, did
     # fluency separates: the repeated fluent doc beats the shuffle
     assert got[1][2] < got[3][2]
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from batch_processing_on_aws_spark.operators.textstats import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [(i, "filler words about nothing %d" % i) for i in range(20)]
+    rows += [(100, "rare quantum flux capacitor theory"),
+             (101, "rare quantum flux capacitor theory")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = tfidf_cosine_pairs(df, threshold=0.9, max_df=5).collect()
+    assert len(got) == 1
+    (p,) = got
+    assert (p["doc_id_a"], p["doc_id_b"]) == (100, 101)
+    # identical weight vectors: cosine is 1.0 up to one sqrt rounding
+    assert p["cosine_micro"] >= 999_998
+
+
+def test_tfidf_cosine_common_term_only_pairs_are_blocked(spark):
+    from batch_processing_on_aws_spark.operators.textstats import (
+        tfidf_cosine_pairs,
+    )
+
+    # every doc shares "the" (df = 8 > max_df = 3); no distinctive
+    # term is shared, so no candidate pair may be emitted even at
+    # threshold 0
+    rows = [(i, "the word%d only" % i) for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert tfidf_cosine_pairs(df, threshold=0.0, max_df=3).count() == 0
+
+
+def test_tfidf_cosine_matches_python_replay(spark):
+    import math
+    from collections import Counter
+
+    from batch_processing_on_aws_spark.operators.textstats import (
+        tfidf_cosine_pairs,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta alpha",
+        2: "alpha beta gamma epsilon zeta",
+        3: "unrelated words entirely different tokens",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["cosine_micro"]
+        for r in tfidf_cosine_pairs(df, threshold=0.0, max_df=50).collect()
+    }
+
+    # replay the operator's integer-weight definition in plain python
+    tf = {k: Counter(v.lower().split()) for k, v in texts.items()}
+    n = len(texts)
+    dfreq = Counter(t for c in tf.values() for t in c)
+    w = {
+        k: {
+            t: round(
+                (1.0 + math.log(c[t]))
+                * math.log((n + 1.0) / (dfreq[t] + 1.0))
+                * 1000.0
+            )
+            for t in c
+        }
+        for k, c in tf.items()
+    }
+    w = {k: {t: x for t, x in v.items() if x > 0} for k, v in w.items()}
+
+    def cos_micro(a, b):
+        dot = sum(w[a][t] * w[b][t] for t in w[a] if t in w[b])
+        na = sum(x * x for x in w[a].values())
+        nb = sum(x * x for x in w[b].values())
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1_000_000.0)
+
+    assert got == {(1, 2): cos_micro(1, 2)}, got
