@@ -311,3 +311,108 @@ def rolling_zscore(
             F.lit(False)
         ),
     )
+
+
+def mad_anomaly(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    partition_cols: tuple[str, ...] = (),
+    k: int = 5,
+    min_points: int = 12,
+    bounded_input: bool = False,
+) -> DataFrame:
+    """Median/MAD robust anomaly flags per series — the BREAKDOWN-
+    RESISTANT complement of :func:`rolling_zscore`: mean/σ move with
+    the outliers they are supposed to catch (one 100× spike inflates
+    σ enough to hide the next one), while the median and the median
+    absolute deviation ignore up to 50% contamination (Hampel's
+    rule: flag |y − median| > k·MAD, classically k ≈ 3·1.4826 ≈ 4.5;
+    the default 5 is that constant rounded against integer k·MAD).
+
+    Exactness: STRICTLY INTEGER END TO END — ``y`` must be
+    integer-valued (counts, quantized metrics), and both medians are
+    LOWER medians (the ⌊(n+1)/2⌋-th order statistic), so median, MAD,
+    deviations, and the k·MAD comparison are all exact BIGINTs with
+    not one float expression anywhere. A SQL oracle replays
+    rank-selection arithmetic bit-for-bit, and unlike the z-score
+    there is no overflow regime: |y − med| never squares.
+
+    Degenerate series behave per the textbook: MAD = 0 (over half
+    the points share the median value) flags EVERY point off the
+    median — Hampel's rule with zero spread; series shorter than
+    ``min_points`` return NULL flags (no robust baseline exists).
+
+    Plan shape: two keyed rank windows (one per median) + two
+    hash-agg joins, each window partitioned by the series key and
+    bounded by the series length — call on an AGGREGATED series
+    (daily/hourly rollup), the same contract as the rest of the
+    module (the unkeyed form requires ``bounded_input=True``).
+
+    Output: input columns + (median, mad, deviation, is_anomaly
+    boolean, NULL when the series has < min_points points).
+    """
+    w_rank = _series_window(
+        partition_cols, bounded_input, "mad_anomaly"
+    )
+
+    def pick(n):  # lower median: the floor((n+1)/2)-th order statistic
+        return F.floor((n + F.lit(1)) / F.lit(2))
+
+    if partition_cols:
+        counts = df.groupBy(*partition_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        )
+    else:
+        counts = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+
+    r1 = df.withColumn(
+        "__r",
+        F.row_number().over(
+            w_rank.orderBy(F.col(y_col).asc(), F.col(x_col).asc())
+        ),
+    )
+    if partition_cols:
+        r1 = r1.join(counts, list(partition_cols))
+    else:
+        r1 = r1.crossJoin(F.broadcast(counts))
+    med = r1.where(F.col("__r") == pick(F.col("__n"))).select(
+        *(partition_cols or []),
+        F.col(y_col).cast("long").alias("__med"),
+    )
+    if partition_cols:
+        dev = df.join(med, list(partition_cols))
+    else:
+        dev = df.crossJoin(F.broadcast(med))
+    dev = dev.withColumn(
+        "__dev", F.abs(F.col(y_col).cast("long") - F.col("__med"))
+    )
+    r2 = dev.withColumn(
+        "__r",
+        F.row_number().over(
+            w_rank.orderBy(F.col("__dev").asc(), F.col(x_col).asc())
+        ),
+    )
+    if partition_cols:
+        r2 = r2.join(counts, list(partition_cols))
+    else:
+        r2 = r2.crossJoin(F.broadcast(counts))
+    mad = r2.where(F.col("__r") == pick(F.col("__n"))).select(
+        *(partition_cols or []),
+        F.col("__dev").alias("__mad"),
+    )
+    if partition_cols:
+        out = dev.join(mad, list(partition_cols)).join(
+            counts, list(partition_cols)
+        )
+    else:
+        out = dev.crossJoin(F.broadcast(mad)).crossJoin(F.broadcast(counts))
+    return out.select(
+        *df.columns,
+        F.col("__med").alias("median"),
+        F.col("__mad").alias("mad"),
+        F.col("__dev").alias("deviation"),
+        F.when(F.col("__n") < min_points, F.lit(None).cast("boolean"))
+        .otherwise(F.col("__dev") > F.lit(int(k)) * F.col("__mad"))
+        .alias("is_anomaly"),
+    )

@@ -8557,6 +8557,76 @@ FROM r GROUP BY 1
 """
 
 
+def daily_mad_anomalies(spark, sf_dir):
+    """Median/MAD robust anomaly flags
+    (operators/timeseries.py::mad_anomaly): each event type's DAILY
+    value total scored by Hampel's rule (|y − median| > 5·MAD) — the
+    breakdown-resistant sibling of ``hourly_anomaly_flags`` (a 100×
+    spike inflates a z-score's σ enough to hide the next spike; the
+    median and MAD ignore up to 50% contamination). Values are
+    micro-quantized BIGINTs before the daily sum and both medians are
+    LOWER medians (order statistics), so the whole query is integer
+    arithmetic — no float expression at all — and the oracle replays
+    the rank selection bit-for-bit."""
+    from ..operators.timeseries import mad_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(
+        F.sum(
+            F.round(F.col("value") * F.lit(1_000_000.0)).cast("long")
+        ).alias("value_micro")
+    )
+    return mad_anomaly(
+        daily, "value_micro", "day_ts", ("event_type",), k=5, min_points=12
+    ).orderBy("event_type", "day_ts")
+
+
+_MAD_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+         CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS value_micro
+  FROM events GROUP BY 1, 2
+),
+n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1
+),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY value_micro, day_ts) AS r
+  FROM daily
+),
+med AS (
+  SELECT r1.event_type, r1.value_micro AS med
+  FROM r1 JOIN n USING (event_type)
+  WHERE r1.r = (n.n + 1) // 2
+),
+dev AS (
+  SELECT d.event_type, d.day_ts, d.value_micro, m.med,
+         abs(d.value_micro - m.med) AS dev
+  FROM daily d JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY dev, day_ts) AS r
+  FROM dev
+),
+mad AS (
+  SELECT r2.event_type, r2.dev AS mad
+  FROM r2 JOIN n USING (event_type)
+  WHERE r2.r = (n.n + 1) // 2
+)
+SELECT d.event_type, d.day_ts, d.value_micro,
+       d.med AS median, m.mad AS mad, d.dev AS deviation,
+       CASE WHEN n.n < 12 THEN NULL ELSE d.dev > 5 * m.mad END AS is_anomaly
+FROM dev d JOIN mad m USING (event_type) JOIN n USING (event_type)
+ORDER BY event_type, day_ts
+"""
+
+
 # the queries the driver already passed in round 1.
 QUERIES: list[QueryDef] = [
     # (1) never driver-checked in round 1
@@ -8722,6 +8792,7 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("tier_time_share", tier_time_share, _TIER_SHARE_SQL),
     QueryDef("hourly_anomaly_flags", hourly_anomaly_flags, _ANOMALY_SQL),
+    QueryDef("daily_mad_anomalies", daily_mad_anomalies, _MAD_SQL),
     QueryDef(
         "price_equidepth_histogram", price_equidepth_histogram, _EQUIDEPTH_SQL
     ),

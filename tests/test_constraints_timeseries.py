@@ -333,3 +333,49 @@ def test_unkeyed_series_ops_require_bounded_input_declaration(spark):
     ).count() == 5
     assert interpolate_linear(df, "y", "x", bounded_input=True).count() == 5
     assert rolling_zscore(df, "y", "x", bounded_input=True).count() == 5
+
+
+def test_mad_anomaly_hand_computed(spark):
+    from batch_processing_on_aws_spark.operators.timeseries import mad_anomaly
+
+    # series: 12 quiet points around 10 plus one 100x spike
+    ys = [10, 11, 9, 10, 12, 10, 8, 10, 11, 10, 9, 1000]
+    rows = [("a", i, y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    out = {r["x"]: r for r in mad_anomaly(
+        df, "y", "x", ("grp",), k=5, min_points=12).collect()}
+    # sorted ys: 8,9,9,10,10,10,10,10,11,11,12,1000 -> lower median
+    # is the 6th element = 10; deviations sorted:
+    # 0,0,0,0,0,1,1,1,1,2,2,990 -> lower median (6th) = 1
+    assert out[0]["median"] == 10 and out[0]["mad"] == 1
+    flagged = {x for x, r in out.items() if r["is_anomaly"]}
+    # |y-10| > 5*1 flags only the spike
+    assert flagged == {11}
+    # robustness: the spike did not drag the baseline (z-score would
+    # have sigma ~ 285 here and flag nothing)
+
+
+def test_mad_anomaly_min_points_and_zero_mad(spark):
+    from batch_processing_on_aws_spark.operators.timeseries import mad_anomaly
+
+    rows = [("s", i, 5) for i in range(6)] + [("s", 6, 7)]
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    # 7 points < min_points=12: flags are NULL, stats still reported
+    out = mad_anomaly(df, "y", "x", ("grp",), min_points=12).collect()
+    assert all(r["is_anomaly"] is None for r in out)
+    assert all(r["median"] == 5 and r["mad"] == 0 for r in out)
+    # with min_points met, MAD=0 flags every off-median point (Hampel
+    # with zero spread)
+    out2 = {r["x"]: r for r in mad_anomaly(
+        df, "y", "x", ("grp",), min_points=5).collect()}
+    assert {x for x, r in out2.items() if r["is_anomaly"]} == {6}
+
+
+def test_mad_anomaly_requires_partitioning_declaration(spark):
+    import pytest
+
+    from batch_processing_on_aws_spark.operators.timeseries import mad_anomaly
+
+    df = spark.createDataFrame([(1, 1)], ["x", "y"])
+    with pytest.raises(ValueError, match="GLOBAL single-reducer"):
+        mad_anomaly(df, "y", "x", ())
