@@ -95,6 +95,12 @@ CROSS_PRODUCT_ALLOWED: dict[str, str] = {
         "broadcasts two ONE-ROW snapshot totals into the #sources-row "
         "drift table"
     ),
+    "source_vocab_overlap": (
+        "group-pair scaffold: the #sources-row group list crosses "
+        "ITSELF under a < predicate (nested-loop by necessity — no "
+        "equi key), bounded #groups² rows; the token data only ever "
+        "equi-joins against that broadcast pair list"
+    ),
 }
 
 #: Queries allowed ONE OR MORE global (empty/foldable partition spec)
@@ -148,6 +154,18 @@ DATA_SCALED_WINDOW_ALLOWED: dict[str, str] = {
         "the per-part mean window partitions by l_partkey — part "
         "count scales with the data, lines-per-part is bounded by the "
         "data model; the 1-row answer is the downstream sum"
+    ),
+    "source_vocab_overlap": (
+        "the growing window is kmv_distinct's partial-rank PRE-PRUNE, "
+        "partitioned by (group, spark_partition_id): input is the "
+        "data-scaled distinct token-hash stream, output ≤ "
+        "groups·partitions·k by the rank≤k filter (measured 620 rows "
+        "at 1× AND 3×) — the sanctioned bounded-output prune that "
+        "PROTECTS the global per-group window behind it"
+    ),
+    "incremental_kmv_users": (
+        "same kmv_distinct pre-prune shape as source_vocab_overlap, "
+        "fed per batch; per-window output ≤ groups·partitions·k"
     ),
 }
 

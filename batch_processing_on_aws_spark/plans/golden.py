@@ -6778,6 +6778,44 @@ ORDER BY event_type
 """
 
 
+def incremental_kmv_users(spark, sf_dir):
+    """Incrementally-maintained KMV distinct sketches
+    (operators/sketches.py::KmvLedger): per-event-type distinct-user
+    sketches folded from two DISJOINT halves of the events table
+    (event_id parity) into a bucketed state table — k-smallest-of-
+    union merges, touched groups only, never re-scanning history.
+    KMV merge is LOSSLESS (the k smallest of the merged sketches ARE
+    the k smallest of the full union), so the state is bit-identical
+    to the one-shot full-table sketch and the ``kmv_distinct_users``
+    oracle applies VERBATIM — incremental == recompute, hash-exact,
+    the same gate shape as ``incremental_daily_events``. Scratch
+    state is rebuilt per invocation under $TMPDIR."""
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import KmvLedger
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_kmvledger_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events")
+    ledger = KmvLedger(path, group_col="event_type", key_col="user_id", k=128)
+    ledger.update(spark, events.where(F.col("event_id") % 2 == 0))
+    ledger.update(spark, events.where(F.col("event_id") % 2 == 1))
+    k = 128
+    return ledger.read(spark).select(
+        "event_type",
+        "n_distinct_kept",
+        F.aggregate(
+            "kmv_hashes", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("kmv_checksum"),
+        F.try_element_at("kmv_hashes", F.lit(k)).alias("kth_hash"),
+        "est_distinct",
+    ).orderBy("event_type")
+
+
 def source_vocab_overlap(spark, sf_dir):
     """Pairwise vocabulary overlap between corpus sources, estimated
     ENTIRELY from persisted KMV sketches
@@ -8925,6 +8963,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("streamed_ingest_corpus", streamed_ingest_corpus, _STREAM_INGEST_SQL),
     QueryDef("kmv_distinct_users", kmv_distinct_users, _KMV_SQL),
     QueryDef("source_vocab_overlap", source_vocab_overlap, _KMV_OVERLAP_SQL),
+    QueryDef("incremental_kmv_users", incremental_kmv_users, _KMV_SQL),
     QueryDef(
         "tfidf_cosine_doc_pairs", tfidf_cosine_doc_pairs, _TFIDF_COSINE_SQL
     ),

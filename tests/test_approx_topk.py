@@ -148,3 +148,31 @@ def test_kmv_intersect_deterministic_under_repartition(spark):
         kmv_distinct(df.repartition(13), "key", "grp", k=64), "grp", k=64
     ).orderBy("group_a", "group_b").collect()
     assert a == b and len(a) == 3
+
+
+def test_kmv_ledger_lossless_and_idempotent(spark, tmp_path):
+    from batch_processing_on_aws_spark.operators.sketches import (
+        KmvLedger,
+        kmv_distinct,
+    )
+
+    rows = [("g%d" % (i % 3), i % 500) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    ledger = KmvLedger(str(tmp_path / "kmv"), "grp", "key", k=64)
+    # three arbitrary batch splits, one re-delivered (at-least-once)
+    b1 = df.where("key % 3 = 0")
+    b2 = df.where("key % 3 = 1")
+    b3 = df.where("key % 3 = 2")
+    for b in (b1, b2, b2, b3):  # b2 applied twice
+        ledger.update(spark, b)
+    got = {
+        r["grp"]: (r["n_distinct_kept"], r["kmv_hashes"], r["est_distinct"])
+        for r in ledger.read(spark).collect()
+    }
+    want = {
+        r["grp"]: (r["n_distinct_kept"], r["kmv_hashes"], r["est_distinct"])
+        for r in kmv_distinct(df, "key", "grp", k=64).collect()
+    }
+    # lossless merge: state arrays BIT-IDENTICAL to the one-shot
+    # full-table sketch, re-delivery a no-op
+    assert got == want and len(got) == 3
