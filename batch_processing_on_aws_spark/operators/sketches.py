@@ -626,3 +626,70 @@ class KmvLedger:
             "kmv_hashes",
             est.alias("est_distinct"),
         )
+
+
+def kmv_trailing_distinct(
+    sketches: DataFrame,
+    x_col: str,
+    hashes_col: str = "kmv_hashes",
+    window: int = 7,
+    k: int = 128,
+) -> DataFrame:
+    """Trailing-window distinct counts from per-period KMV sketches —
+    the sketch-algebra answer to "distinct users over the trailing 7
+    days, for every day": the exact version re-scans ``window`` days
+    of raw data PER DAY (w× read amplification, a self-join the size
+    of the fact table); this merges each day's ALREADY-BUILT sketch
+    into every frame it belongs to — O(days · window · k) rows total,
+    independent of the fact size, and LOSSLESS w.r.t. the sketch
+    definition (the k smallest of the frame's merged sketches ARE the
+    k smallest of the frame's true hash union, so estimates are EXACT
+    below k and SQL-replayable above it).
+
+    ``x_col`` is an INTEGER period index (epoch-day, epoch-hour —
+    integer arithmetic keeps the frame expansion cross-engine exact);
+    a period with no sketch row contributes the empty set, and only
+    periods PRESENT in the input appear in the output. The per-frame
+    rank window partitions by the frame's period — input ≤ window·k
+    rows per partition by construction.
+
+    Output: (x_col, n_distinct_kept ≤ k, est_distinct — exact when
+    the frame kept < k hashes).
+    """
+    from pyspark.sql import Window
+
+    contrib = sketches.select(
+        F.explode(
+            F.sequence(
+                F.col(x_col).cast("long"),
+                F.col(x_col).cast("long") + F.lit(window - 1),
+            )
+        ).alias("__x"),
+        F.col(hashes_col).alias("__hs"),
+    )
+    present = sketches.select(
+        F.col(x_col).cast("long").alias("__x")
+    ).distinct()
+    pool = (
+        contrib.join(present, "__x")
+        .select("__x", F.explode("__hs").alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("__x").orderBy("h")
+    kept = pool.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") <= k
+    )
+    agg = kept.groupBy("__x").agg(
+        F.max("__r").cast("long").alias("n_distinct_kept"),
+        F.max(F.when(F.col("__r") == k, F.col("h"))).alias("__kth"),
+    )
+    est = F.when(
+        F.col("n_distinct_kept") < k, F.col("n_distinct_kept").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(4294967296.0) / F.col("__kth"), 6)
+    )
+    return agg.select(
+        F.col("__x").alias(x_col),
+        "n_distinct_kept",
+        est.alias("est_distinct"),
+    )

@@ -6816,6 +6816,145 @@ def incremental_kmv_users(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def trailing_distinct_users(spark, sf_dir):
+    """Trailing-7-day distinct users for EVERY day, from per-day KMV
+    sketches (operators/sketches.py::kmv_trailing_distinct) — the
+    sketch-algebra form of the classic rolling-distinct dashboard
+    query: the exact version re-reads 7 days of raw events per day
+    (7× read amplification); this merges each day's already-built
+    sketch into the 7 frames it belongs to, O(days·window·k) total,
+    fact-size-independent. The merge is lossless, so per-frame
+    estimates are EXACT below k and the oracle replays the whole
+    pipeline (md5 hashes, per-day k-smallest, frame union, rank) in
+    SQL hash-exact. Epoch-day integers keep the frame arithmetic
+    cross-engine identical."""
+    from ..operators.sketches import kmv_distinct, kmv_trailing_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.select(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("epoch_day"),
+        "user_id",
+    )
+    sk = kmv_distinct(daily, key_col="user_id", group_col="epoch_day", k=128)
+    return kmv_trailing_distinct(
+        sk.select("epoch_day", "kmv_hashes"), "epoch_day", window=7, k=128
+    ).orderBy("epoch_day")
+
+
+_KMV_TRAILING_SQL = """
+WITH d AS (
+  SELECT DISTINCT
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+h AS (
+  SELECT DISTINCT x,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM d
+),
+sk AS (
+  SELECT x, h FROM (
+    SELECT x, h, ROW_NUMBER() OVER (PARTITION BY x ORDER BY h) AS r FROM h
+  ) WHERE r <= 128
+),
+present AS (SELECT DISTINCT x FROM sk),
+pool AS (
+  SELECT DISTINCT p.x AS tx, s.h
+  FROM sk s JOIN present p ON p.x BETWEEN s.x AND s.x + 6
+),
+kept AS (
+  SELECT tx, h, r FROM (
+    SELECT tx, h, ROW_NUMBER() OVER (PARTITION BY tx ORDER BY h) AS r
+    FROM pool
+  ) WHERE r <= 128
+)
+SELECT tx AS epoch_day,
+       CAST(MAX(r) AS BIGINT) AS n_distinct_kept,
+       CASE WHEN MAX(r) < 128 THEN CAST(MAX(r) AS DOUBLE)
+            ELSE ROUND(127.0 * 4294967296.0
+                       / MAX(CASE WHEN r = 128 THEN h END), 6)
+       END AS est_distinct
+FROM kept GROUP BY 1
+ORDER BY epoch_day
+"""
+
+
+def streamed_kmv_users(spark, sf_dir):
+    """STREAMING twin of ``incremental_kmv_users``
+    (streaming/incremental.py::ingest_kmv_stream): two REAL
+    availableNow Structured-Streaming deliveries (event_id parity
+    halves landing as files) fold per-event-type distinct-user
+    sketches into the KmvLedger state via foreachBatch. KMV merge is
+    a set union — idempotent under re-delivery — so this is the one
+    streaming ledger in the family that needs NO txn stamps for
+    exactly-once. Losslessness makes the full-table
+    ``kmv_distinct_users`` oracle apply verbatim: stream == one-shot
+    recompute, hash-exact. Scratch is content-keyed and reused across
+    invocations like the other streaming registry queries."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.sketches import KmvLedger
+    from ..streaming.incremental import ingest_kmv_stream
+
+    src = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_kstream_{key}")
+    inp, state, ckpt = (
+        os.path.join(root, d) for d in ("in", "state", "ckpt")
+    )
+    done = os.path.join(root, "_COMPLETE")
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events")
+        for parity in (0, 1):
+            events.where(F.col("event_id") % 2 == parity).select(
+                "event_type", "user_id"
+            ).coalesce(1).write.mode("append").parquet(inp)
+            ingest_kmv_stream(
+                spark, inp, schema, state,
+                group_col="event_type", key_col="user_id",
+                checkpoint_dir=ckpt, k=128,
+            )
+        for scratch in (inp, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(key)
+    ledger = KmvLedger(state, group_col="event_type", key_col="user_id")
+    k = 128
+    return ledger.read(spark).select(
+        "event_type",
+        "n_distinct_kept",
+        F.aggregate(
+            "kmv_hashes", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("kmv_checksum"),
+        F.try_element_at("kmv_hashes", F.lit(k)).alias("kth_hash"),
+        "est_distinct",
+    ).orderBy("event_type")
+
+
 def source_vocab_overlap(spark, sf_dir):
     """Pairwise vocabulary overlap between corpus sources, estimated
     ENTIRELY from persisted KMV sketches
@@ -8964,6 +9103,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("kmv_distinct_users", kmv_distinct_users, _KMV_SQL),
     QueryDef("source_vocab_overlap", source_vocab_overlap, _KMV_OVERLAP_SQL),
     QueryDef("incremental_kmv_users", incremental_kmv_users, _KMV_SQL),
+    QueryDef("streamed_kmv_users", streamed_kmv_users, _KMV_SQL),
+    QueryDef(
+        "trailing_distinct_users", trailing_distinct_users, _KMV_TRAILING_SQL
+    ),
     QueryDef(
         "tfidf_cosine_doc_pairs", tfidf_cosine_doc_pairs, _TFIDF_COSINE_SQL
     ),

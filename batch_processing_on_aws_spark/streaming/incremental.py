@@ -806,3 +806,54 @@ def stream_pit_enrich(
         .start()
     )
     q.awaitTermination()
+
+
+def ingest_kmv_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    state_path: str,
+    group_col: str,
+    key_col: str,
+    checkpoint_dir: str,
+    k: int = 128,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming distinct-count maintenance: drain new files into a
+    :class:`~..operators.sketches.KmvLedger` (availableNow, then
+    stop) — per-group distinct-key sketches stay current in O(batch)
+    per trigger, never re-reading history, and any pair/union/
+    intersection question is answered off the state table
+    (``kmv_union_estimate`` / ``kmv_intersect_estimate``).
+
+    Exactly-once WITHOUT transaction stamps: unlike the additive
+    ledgers in this family, the KMV merge is a set union —
+    idempotent under re-delivery — so a foreachBatch epoch replayed
+    after a crash between the state write and the checkpoint advance
+    folds to the SAME state. At-least-once delivery is sufficient;
+    no epoch bookkeeping exists to corrupt.
+    """
+    from ..operators.sketches import KmvLedger
+
+    ledger = KmvLedger(state_path, group_col, key_col, k=k)
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_dir)
+    if transform is not None:
+        stream = transform(stream)
+
+    def _fold(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ledger.update(batch.sparkSession, batch)
+
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

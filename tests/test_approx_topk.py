@@ -176,3 +176,26 @@ def test_kmv_ledger_lossless_and_idempotent(spark, tmp_path):
     # lossless merge: state arrays BIT-IDENTICAL to the one-shot
     # full-table sketch, re-delivery a no-op
     assert got == want and len(got) == 3
+
+
+def test_kmv_trailing_distinct_exact_below_k(spark):
+    from batch_processing_on_aws_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_trailing_distinct,
+    )
+
+    # day 0: users 0-9; day 1: 5-14; day 3: 100-104 (day 2 absent)
+    rows = [(0, u) for u in range(10)]
+    rows += [(1, u) for u in range(5, 15)]
+    rows += [(3, u) for u in range(100, 105)]
+    df = spark.createDataFrame(rows, ["day", "user"])
+    sk = kmv_distinct(df, "user", "day", k=128)
+    got = {
+        r["day"]: (r["n_distinct_kept"], r["est_distinct"])
+        for r in kmv_trailing_distinct(
+            sk.select("day", "kmv_hashes"), "day", window=3, k=128
+        ).collect()
+    }
+    # frames (trailing 3 periods, only PRESENT days in output):
+    # day 0: {0..9} = 10; day 1: {0..14} = 15; day 3: day1 ∪ day3 = 15
+    assert got == {0: (10, 10.0), 1: (15, 15.0), 3: (15, 15.0)}
