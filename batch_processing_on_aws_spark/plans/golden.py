@@ -8205,6 +8205,125 @@ FROM sel ORDER BY event_type
 """
 
 
+def event_type_target_encoding(spark, sf_dir):
+    """Smoothed target encoding (operators/features.py::target_encode
+    — the Micci-Barreca empirical-Bayes scheme): each event type maps
+    to its high-value rate (P[value > 100]) shrunk toward the global
+    rate by pseudo-count m=20, the high-cardinality-categorical
+    encoder that doesn't explode feature width. Per-category Σy/n and
+    the global rate are exact BIGINTs; the encoding is ONE float
+    expression over them micro-quantized — hash-exact in SQL."""
+    from ..operators.features import target_encode
+
+    events = load_table(spark, sf_dir, "events")
+    flagged = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.col("value") > 100).cast("long").alias("is_high"),
+    )
+    return target_encode(flagged, "event_type", "is_high", m=20).orderBy(
+        "event_type"
+    )
+
+
+_TARGET_ENC_SQL = """
+WITH f AS (
+  SELECT event_type,
+         CASE WHEN value > 100 THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM f GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS gy, CAST(COUNT(*) AS BIGINT) AS gn
+  FROM f
+)
+SELECT event_type, n,
+       CAST(ROUND((sy + 20.0 * gy / gn) / (n + 20.0) * 1000000.0)
+            AS BIGINT) AS enc_micro
+FROM s CROSS JOIN g
+ORDER BY event_type
+"""
+
+
+def winsorized_order_prices(spark, sf_dir):
+    """Per-group tail clipping at quantile-SKETCH bounds
+    (operators/features.py::winsorize): order prices (exact cents)
+    clipped to each priority class's [q5, q95] — and the bounds come
+    from the qhist log-linear sketch (one hash-agg + bounded-bucket
+    cumulative pass), NOT a per-group rank over raw rows, which would
+    be data-sized work per key. Bucket bounds decode integer-exact in
+    both engines, so the row-level clipped output replays hash-exact
+    (the ``event_value_quantile_sketch`` machinery, composed)."""
+    from ..operators.features import winsorize
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    return winsorize(
+        cents, "price_cents", ("o_orderpriority",),
+        lower_q=0.05, upper_q=0.95,
+    ).orderBy("o_orderkey")
+
+
+_WINSORIZE_SQL = """
+WITH vals AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+b AS (
+  SELECT o_orderpriority,
+         CASE WHEN price_cents < 128 THEN price_cents
+              ELSE CAST(length(printf('%b', price_cents)) - 8 AS BIGINT)
+                   * 128
+                   + (price_cents
+                      >> (length(printf('%b', price_cents)) - 8))
+         END AS bucket_id,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM vals GROUP BY 1, 2
+),
+c AS (
+  SELECT o_orderpriority, bucket_id,
+         SUM(n) OVER (PARTITION BY o_orderpriority
+                      ORDER BY bucket_id) AS cum,
+         SUM(n) OVER (PARTITION BY o_orderpriority) AS total
+  FROM b
+),
+sel AS (
+  SELECT o_orderpriority,
+    MIN(CASE WHEN cum >= CAST(CEIL(0.05 * total) AS BIGINT)
+             THEN bucket_id END) AS bl,
+    MIN(CASE WHEN cum >= CAST(CEIL(0.95 * total) AS BIGINT)
+             THEN bucket_id END) AS bh
+  FROM c GROUP BY 1
+),
+bounds AS (
+  SELECT o_orderpriority,
+    CAST(CASE WHEN bl < 128 THEN bl
+         ELSE (bl - ((bl // 128) - 1) * 128) << ((bl // 128) - 1)
+         END AS BIGINT) AS clip_lo,
+    CAST(CASE WHEN bh < 128 THEN bh
+         ELSE (bh - ((bh // 128) - 1) * 128) << ((bh // 128) - 1)
+         END AS BIGINT) AS clip_hi
+  FROM sel
+)
+SELECT v.o_orderkey, v.o_orderpriority, v.price_cents,
+       b.clip_lo, b.clip_hi,
+       LEAST(GREATEST(v.price_cents, b.clip_lo), b.clip_hi)
+         AS price_cents_winsorized
+FROM vals v JOIN bounds b USING (o_orderpriority)
+ORDER BY o_orderkey
+"""
+
+
 def _scc_edges(cust):
     """Deterministic planted multi-SCC graph over the customer keys:
     keys partition into groups of 10 ((k−1)//10); every group chains
@@ -8970,6 +9089,14 @@ QUERIES: list[QueryDef] = [
     QueryDef("tier_time_share", tier_time_share, _TIER_SHARE_SQL),
     QueryDef("hourly_anomaly_flags", hourly_anomaly_flags, _ANOMALY_SQL),
     QueryDef("daily_mad_anomalies", daily_mad_anomalies, _MAD_SQL),
+    QueryDef(
+        "event_type_target_encoding",
+        event_type_target_encoding,
+        _TARGET_ENC_SQL,
+    ),
+    QueryDef(
+        "winsorized_order_prices", winsorized_order_prices, _WINSORIZE_SQL
+    ),
     QueryDef(
         "price_equidepth_histogram", price_equidepth_histogram, _EQUIDEPTH_SQL
     ),

@@ -520,3 +520,42 @@ def test_train_quality_classifier_separates_and_is_deterministic(spark):
     inv = {r["doc_id"]: r["keep"]
            for r in quality_logit(docs, weights=w_inv).collect()}
     assert inv[100] and not inv[0]
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    from batch_processing_on_aws_spark.operators.features import target_encode
+
+    # common category: 100 rows at 50% positive; rare: 2 rows at 100%
+    rows = [("common", i % 2) for i in range(100)] + [("rare", 1), ("rare", 1)]
+    df = spark.createDataFrame(rows, ["cat", "y"])
+    got = {r["cat"]: (r["n"], r["enc_micro"])
+           for r in target_encode(df, "cat", "y", m=20).collect()}
+    gm = 52 / 102  # global mean
+    want_common = round((50 + 20 * gm) / 120 * 1e6)
+    want_rare = round((2 + 20 * gm) / 22 * 1e6)
+    assert got == {"common": (100, want_common), "rare": (2, want_rare)}
+    # shrinkage: rare's raw rate is 1.0 but its encoding sits much
+    # closer to the global mean than to 1.0
+    assert got["rare"][1] < 700_000
+
+
+def test_winsorize_clips_tails_per_group(spark):
+    from batch_processing_on_aws_spark.operators.features import winsorize
+
+    # group a: 1..100 plus an outlier 1_000_000; group b: constant 50
+    rows = [("a", i) for i in range(1, 101)] + [("a", 1_000_000)]
+    rows += [("b", 50)] * 10
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = winsorize(df, "v", ("g",), lower_q=0.05, upper_q=0.95)
+    rows_a = [r for r in out.collect() if r["g"] == "a"]
+    outlier = [r for r in rows_a if r["v"] == 1_000_000][0]
+    # the outlier clips to the q95 bucket bound, tiny values to q5
+    assert outlier["v_winsorized"] == outlier["clip_hi"] < 1_000_000
+    low = [r for r in rows_a if r["v"] < r["clip_lo"]]
+    assert all(r["v_winsorized"] == r["clip_lo"] for r in low)
+    # constant group: both bounds equal the constant, nothing moves
+    rows_b = [r for r in out.collect() if r["g"] == "b"]
+    assert all(
+        r["clip_lo"] == r["clip_hi"] == 50 and r["v_winsorized"] == 50
+        for r in rows_b
+    )
