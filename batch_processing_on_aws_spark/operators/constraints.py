@@ -95,3 +95,40 @@ def assert_constraints(
             failures[name] = [r.asDict() for r in rows]
     if failures:
         raise AssertionError(f"constraint violations: {failures}")
+
+
+def quarantine_split(
+    df: DataFrame, rules: dict
+) -> tuple[DataFrame, DataFrame]:
+    """Route rows through named validity rules in ONE pass: returns
+    ``(clean, quarantined)`` where quarantined rows carry a
+    ``violations`` column naming every failed rule (comma-joined, in
+    rule order) — the badRecordsPath / dead-letter pattern as an
+    engine operator, composing with the checks above (which REPORT
+    violations; this REMOVES them from the flow without losing them).
+
+    NULL semantics: a rule whose predicate evaluates to NULL counts
+    as a VIOLATION — a row that cannot prove validity is quarantined
+    (the conservative mirror of ANSI DELETE, which KEEPS
+    NULL-predicate rows precisely because it cannot prove the delete
+    condition).
+
+    Cross-engine: the violation tag is ``concat_ws`` over per-rule
+    CASE names — both engines skip NULLs in concat_ws, so the tag
+    (and the split) replays in SQL exactly. Plan shape: pure
+    projections + filters over one scan, fused by codegen; the two
+    sides are two filters of the same subtree, no shuffle anywhere.
+
+    ``rules``: ``{name: Column}`` where the Column is the predicate a
+    VALID row satisfies (insertion order = tag order).
+    """
+    checks = [
+        F.when(
+            ~F.coalesce(cond.cast("boolean"), F.lit(False)), F.lit(name)
+        )
+        for name, cond in rules.items()
+    ]
+    tagged = df.withColumn("violations", F.concat_ws(",", *checks))
+    clean = tagged.where(F.col("violations") == "").drop("violations")
+    quarantined = tagged.where(F.col("violations") != "")
+    return clean, quarantined

@@ -95,6 +95,10 @@ CROSS_PRODUCT_ALLOWED: dict[str, str] = {
         "broadcasts two ONE-ROW snapshot totals into the #sources-row "
         "drift table"
     ),
+    "event_type_target_encoding": (
+        "broadcasts the ONE-ROW global target rate into the "
+        "#categories-row stats — TPC-H scalar-subquery pattern"
+    ),
     "source_vocab_overlap": (
         "group-pair scaffold: the #sources-row group list crosses "
         "ITSELF under a < predicate (nested-loop by necessity — no "

@@ -8205,6 +8205,51 @@ FROM sel ORDER BY event_type
 """
 
 
+def lineitem_quarantine(spark, sf_dir):
+    """Dead-letter routing (operators/constraints.py::quarantine_split):
+    lineitem rows failing any of three named validity rules (quantity
+    cap, discount range, non-negative tax) are diverted with a
+    comma-joined violation tag — the engine form of badRecordsPath,
+    one scan, two filter sides, no shuffle. NULL-predicate rows
+    quarantine (a row that can't prove validity doesn't pass); both
+    engines skip NULLs in concat_ws, so the tag replays hash-exact."""
+    from ..operators.constraints import quarantine_split
+
+    li = load_table(spark, sf_dir, "lineitem")
+    _, bad = quarantine_split(
+        li,
+        {
+            "qty_le_45": F.col("l_quantity") <= 45,
+            "disc_range": F.col("l_discount").between(0, 0.1),
+            "tax_nonneg": F.col("l_tax") >= 0,
+        },
+    )
+    return bad.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "violations"
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+_QUARANTINE_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CONCAT_WS(',',
+         CASE WHEN NOT COALESCE(l_quantity <= 45, FALSE)
+              THEN 'qty_le_45' END,
+         CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 0.1, FALSE)
+              THEN 'disc_range' END,
+         CASE WHEN NOT COALESCE(l_tax >= 0, FALSE)
+              THEN 'tax_nonneg' END) AS violations
+FROM lineitem
+WHERE CONCAT_WS(',',
+         CASE WHEN NOT COALESCE(l_quantity <= 45, FALSE)
+              THEN 'qty_le_45' END,
+         CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 0.1, FALSE)
+              THEN 'disc_range' END,
+         CASE WHEN NOT COALESCE(l_tax >= 0, FALSE)
+              THEN 'tax_nonneg' END) <> ''
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 def event_type_target_encoding(spark, sf_dir):
     """Smoothed target encoding (operators/features.py::target_encode
     — the Micci-Barreca empirical-Bayes scheme): each event type maps
@@ -9097,6 +9142,7 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "winsorized_order_prices", winsorized_order_prices, _WINSORIZE_SQL
     ),
+    QueryDef("lineitem_quarantine", lineitem_quarantine, _QUARANTINE_SQL),
     QueryDef(
         "price_equidepth_histogram", price_equidepth_histogram, _EQUIDEPTH_SQL
     ),

@@ -379,3 +379,31 @@ def test_mad_anomaly_requires_partitioning_declaration(spark):
     df = spark.createDataFrame([(1, 1)], ["x", "y"])
     with pytest.raises(ValueError, match="GLOBAL single-reducer"):
         mad_anomaly(df, "y", "x", ())
+
+
+def test_quarantine_split_routes_and_tags(spark):
+    from batch_processing_on_aws_spark.operators.constraints import (
+        quarantine_split,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 10, "ok"),          # clean
+        (2, -5, "ok"),          # fails v_nonneg
+        (3, None, "ok"),        # NULL predicate -> quarantined
+        (4, -1, None),          # fails both
+    ]
+    df = spark.createDataFrame(rows, ["id", "v", "s"])
+    clean, bad = quarantine_split(
+        df,
+        {"v_nonneg": F.col("v") >= 0, "s_known": F.col("s") == "ok"},
+    )
+    assert [r["id"] for r in clean.orderBy("id").collect()] == [1]
+    got = {r["id"]: r["violations"] for r in bad.collect()}
+    assert got == {
+        2: "v_nonneg",
+        3: "v_nonneg",
+        4: "v_nonneg,s_known",
+    }
+    # conservation: every input row lands on exactly one side
+    assert clean.count() + bad.count() == df.count()
