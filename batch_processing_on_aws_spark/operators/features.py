@@ -115,3 +115,126 @@ def winsorize(
         f"{value_col}_winsorized",
         F.least(F.greatest(v, F.col("clip_lo")), F.col("clip_hi")),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    precision_bits: int = 7,
+    resolution: int = 1000,
+) -> DataFrame:
+    """Per-group quantile normalization onto the GLOBAL distribution:
+    each row maps to its within-group quantile index (1..resolution),
+    then to the global inverse-CDF value at that index — the
+    distribution-alignment step that makes a feature comparable
+    across sources whose scales drift (the microarray-normalization
+    scheme, batch-effect removal for tabular features).
+
+    Everything runs on :func:`~.sketches.qhist_sketch` state, never
+    on per-group ranks of raw rows (data-sized work per key): the
+    within-group quantile is the group's sketch-cumulative share at
+    the row's bucket, quantized to ``ceil(cum·resolution/total)``,
+    and the global inverse CDF is a ≤resolution-row lookup table
+    derived from the global sketch by pure integer interval algebra
+    (bucket b covers exactly the indexes q with
+    ``floor(prev_cum·res/N) < q ≤ floor(cum·res/N)``). EVERY
+    intermediate is an exact BIGINT — no float appears anywhere — so
+    the row-level output replays hash-exact in SQL.
+
+    ``value_col`` must be non-negative integer-valued (the qhist
+    domain). Plan shape: two sketch hash-aggs + sketch-sized
+    cumulative windows, one row-side equi-join on (group, bucket),
+    one broadcast equi-join on the quantile index.
+
+    Output: input columns + ``q_idx`` + ``<value_col>_qnorm`` (the
+    global bucket lower bound at the row's quantile).
+    """
+    from pyspark.sql import Window
+
+    from .sketches import qhist_bucket_low, qhist_sketch
+
+    gcols = list(group_cols)
+    res = int(resolution)
+
+    gsk = qhist_sketch(df, value_col, tuple(gcols), precision_bits)
+    wg = (
+        Window.partitionBy(*gcols)
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gcum = gsk.select(
+        *gcols,
+        "bucket_id",
+        F.sum("n").over(wg).alias("__cum"),
+        F.sum("n").over(Window.partitionBy(*gcols)).alias("__total"),
+    ).select(
+        *gcols,
+        "bucket_id",
+        # ceil(cum*res/total) in pure INTEGER arithmetic (div, not /,
+        # which would detour through doubles and lose exactness past
+        # 2^53)
+        F.expr(
+            f"(__cum * {res} + __total - 1) div __total"
+        ).cast("long").alias("q_idx"),
+    )
+
+    allsk = qhist_sketch(df, value_col, (), precision_bits)
+    # global sketch is bounded (~(64-p)*2^p buckets): the unkeyed
+    # cumulative window is sketch-sized by construction, never
+    # data-sized
+    wa = Window.orderBy("bucket_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    acum = allsk.select(
+        "bucket_id",
+        F.col("n").alias("__n_this"),
+        F.sum("n").over(wa).alias("__cum"),
+        F.sum("n").over(
+            Window.partitionBy().orderBy("bucket_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    lookup = (
+        acum.select(
+            "bucket_id",
+            F.expr(
+                f"((__cum - __n_this) * {res}) div __total"
+            ).cast("long").alias("__qlo"),
+            F.expr(f"(__cum * {res}) div __total")
+            .cast("long").alias("__qhi"),
+        )
+        .where(F.col("__qlo") < F.col("__qhi"))
+        .select(
+            F.explode(
+                F.sequence(F.col("__qlo") + F.lit(1), F.col("__qhi"))
+            ).alias("q_idx"),
+            qhist_bucket_low(F.col("bucket_id"), precision_bits)
+            .cast("long")
+            .alias(f"{value_col}_qnorm"),
+        )
+    )
+
+    p = int(precision_bits)
+    rows = (
+        df.withColumn("__v", F.col(value_col).cast("long"))
+        .withColumn("__e", (F.length(F.bin(F.col("__v"))) - 1).cast("int"))
+        .withColumn("__shift", F.greatest(F.lit(0), F.col("__e") - F.lit(p)))
+        .withColumn(
+            "__b",
+            F.when(F.col("__v") < F.lit(2**p), F.col("__v")).otherwise(
+                F.col("__shift").cast("long") * F.lit(2**p)
+                + F.expr("shiftright(__v, __shift)")
+            ),
+        )
+        .drop("__e", "__shift")
+    )
+    joined = rows.join(
+        gcum.withColumnRenamed("bucket_id", "__b"), gcols + ["__b"]
+    )
+    return (
+        joined.join(F.broadcast(lookup), "q_idx")
+        .drop("__b", "__v")
+        .select(*df.columns, "q_idx", f"{value_col}_qnorm")
+    )

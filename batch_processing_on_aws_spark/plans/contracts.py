@@ -111,6 +111,11 @@ CROSS_PRODUCT_ALLOWED: dict[str, str] = {
 #: windows — each window's input is bounded by construction, never
 #: data-sized, and the reason says why.
 BOUNDED_GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
+    "normalized_doc_lengths": (
+        "the global cumulative runs over the GLOBAL qhist sketch — "
+        "≤(64−p)·2^p ≈ 7.3k bucket rows at p=7 whatever the fact "
+        "size; the data-sized work is hash-aggs and equi-joins"
+    ),
     "daily_shipments_densified": (
         "fill_forward(bounded_input=True) over the 366-row 1996 "
         "calendar spine — input bounded by the calendar, not the fact"

@@ -8205,6 +8205,73 @@ FROM sel ORDER BY event_type
 """
 
 
+def normalized_doc_lengths(spark, sf_dir):
+    """Per-source quantile normalization
+    (operators/features.py::quantile_normalize): document lengths
+    mapped onto the GLOBAL length profile — each doc takes its
+    within-source quantile index (sketch-cumulative share, integer
+    ceil-div) and reads the global inverse CDF at that index
+    (≤1000-row lookup built from the global sketch by integer
+    interval algebra). The batch-effect-removal step for features
+    whose scales drift across sources. EVERY intermediate is a
+    BIGINT — no float anywhere — so the row-level output replays
+    hash-exact in SQL."""
+    from ..operators.features import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_normalize(
+        docs, "n_chars", ("source",), precision_bits=7, resolution=1000
+    ).orderBy("doc_id")
+
+
+_QNORM_SQL = """
+WITH rowsb AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v,
+         CASE WHEN n_chars < 128 THEN CAST(n_chars AS BIGINT)
+              ELSE CAST(length(printf('%b', n_chars)) - 8 AS BIGINT) * 128
+                   + (CAST(n_chars AS BIGINT)
+                      >> (length(printf('%b', n_chars)) - 8))
+         END AS b
+  FROM documents WHERE n_chars IS NOT NULL
+),
+gsk AS (
+  SELECT source, b, CAST(COUNT(*) AS BIGINT) AS n FROM rowsb GROUP BY 1, 2
+),
+gcum AS (
+  SELECT source, b,
+         ((SUM(n) OVER (PARTITION BY source ORDER BY b)) * 1000
+          + SUM(n) OVER (PARTITION BY source) - 1)
+           // (SUM(n) OVER (PARTITION BY source)) AS q_idx
+  FROM gsk
+),
+ask AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM rowsb GROUP BY 1),
+acum AS (
+  SELECT b, n, SUM(n) OVER (ORDER BY b) AS cum, SUM(n) OVER () AS total
+  FROM ask
+),
+lookup AS (
+  SELECT unnest(range(qlo + 1, qhi + 1)) AS q_idx, low AS qnorm
+  FROM (
+    SELECT CAST(((cum - n) * 1000) // total AS BIGINT) AS qlo,
+           CAST((cum * 1000) // total AS BIGINT) AS qhi,
+           CAST(CASE WHEN b < 128 THEN b
+                ELSE (b - ((b // 128) - 1) * 128) << ((b // 128) - 1)
+                END AS BIGINT) AS low
+    FROM acum
+  ) WHERE qlo < qhi
+)
+SELECT r.doc_id, r.source, r.v AS n_chars,
+       CAST(g.q_idx AS BIGINT) AS q_idx,
+       l.qnorm AS n_chars_qnorm
+FROM rowsb r
+JOIN gcum g ON g.source = r.source AND g.b = r.b
+JOIN lookup l USING (q_idx)
+ORDER BY doc_id
+"""
+
+
 def lineitem_quarantine(spark, sf_dir):
     """Dead-letter routing (operators/constraints.py::quarantine_split):
     lineitem rows failing any of three named validity rules (quantity
@@ -9143,6 +9210,7 @@ QUERIES: list[QueryDef] = [
         "winsorized_order_prices", winsorized_order_prices, _WINSORIZE_SQL
     ),
     QueryDef("lineitem_quarantine", lineitem_quarantine, _QUARANTINE_SQL),
+    QueryDef("normalized_doc_lengths", normalized_doc_lengths, _QNORM_SQL),
     QueryDef(
         "price_equidepth_histogram", price_equidepth_histogram, _EQUIDEPTH_SQL
     ),

@@ -559,3 +559,25 @@ def test_winsorize_clips_tails_per_group(spark):
         r["clip_lo"] == r["clip_hi"] == 50 and r["v_winsorized"] == 50
         for r in rows_b
     )
+
+
+def test_quantile_normalize_aligns_group_distributions(spark):
+    from batch_processing_on_aws_spark.operators.features import (
+        quantile_normalize,
+    )
+
+    # group b is group a scaled 10x: after normalization onto the
+    # global profile both groups land on IDENTICAL sorted values
+    rows = [("a", i) for i in range(100)] + [("b", 10 * i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = quantile_normalize(df, "v", ("g",)).collect()
+    assert len(out) == len(rows)  # row-preserving
+    a = sorted(r["v_qnorm"] for r in out if r["g"] == "a")
+    b = sorted(r["v_qnorm"] for r in out if r["g"] == "b")
+    assert a == b
+    # the normalized values live on the pooled scale (which spans the
+    # 10x group), not each group's own scale
+    assert max(a) > 500
+    # q_idx covers the full quantile range in each group
+    qa = {r["q_idx"] for r in out if r["g"] == "a"}
+    assert min(qa) <= 20 and max(qa) == 1000
