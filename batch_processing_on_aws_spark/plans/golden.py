@@ -6955,6 +6955,90 @@ def streamed_kmv_users(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def streamed_event_quarantine(spark, sf_dir):
+    """Streaming dead-letter routing
+    (streaming/incremental.py::ingest_quarantine_stream): two REAL
+    availableNow deliveries (event_id parity halves) split through
+    named validity rules in foreachBatch — clean rows merge into the
+    keyed clean table, violators (outlier values, error events) merge
+    into the DLQ with their comma-joined rule tags. Both sinks are
+    keyed MergeWriter upserts, so crash-replayed epochs re-merge onto
+    themselves. Returns the DLQ; the oracle re-derives it from the
+    full table in one shot (stream == recompute). Scratch is
+    content-keyed and reused, like the other streaming queries."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..streaming.incremental import ingest_quarantine_stream
+
+    src = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_qstream_{key}")
+    inp, clean_t, dlq_t, ckpt = (
+        os.path.join(root, d) for d in ("in", "clean", "dlq", "ckpt")
+    )
+    done = os.path.join(root, "_COMPLETE")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rules = {
+        "value_le_300": F.col("value") <= 300,
+        "not_error": F.col("event_type") != "error",
+    }
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events")
+        for parity in (0, 1):
+            events.where(F.col("event_id") % 2 == parity).select(
+                "event_id", "event_type", "value"
+            ).coalesce(1).write.mode("append").parquet(inp)
+            ingest_quarantine_stream(
+                spark, inp, schema, clean_t, dlq_t,
+                keys=["event_id"], rules=rules, checkpoint_dir=ckpt,
+            )
+        for scratch in (inp, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(key)
+    from ..operators.merge import MergeWriter
+
+    dlq = MergeWriter(dlq_t, keys=["event_id"]).read(spark)
+    return dlq.select(
+        "event_id", "event_type", "value", "violations"
+    ).orderBy("event_id")
+
+
+_STREAM_QUARANTINE_SQL = """
+SELECT event_id, event_type, value,
+       CONCAT_WS(',',
+         CASE WHEN NOT COALESCE(value <= 300, FALSE)
+              THEN 'value_le_300' END,
+         CASE WHEN NOT COALESCE(event_type <> 'error', FALSE)
+              THEN 'not_error' END) AS violations
+FROM events
+WHERE NOT COALESCE(value <= 300, FALSE)
+   OR NOT COALESCE(event_type <> 'error', FALSE)
+ORDER BY event_id
+"""
+
+
 def source_vocab_overlap(spark, sf_dir):
     """Pairwise vocabulary overlap between corpus sources, estimated
     ENTIRELY from persisted KMV sketches
@@ -9210,6 +9294,11 @@ QUERIES: list[QueryDef] = [
         "winsorized_order_prices", winsorized_order_prices, _WINSORIZE_SQL
     ),
     QueryDef("lineitem_quarantine", lineitem_quarantine, _QUARANTINE_SQL),
+    QueryDef(
+        "streamed_event_quarantine",
+        streamed_event_quarantine,
+        _STREAM_QUARANTINE_SQL,
+    ),
     QueryDef("normalized_doc_lengths", normalized_doc_lengths, _QNORM_SQL),
     QueryDef(
         "price_equidepth_histogram", price_equidepth_histogram, _EQUIDEPTH_SQL

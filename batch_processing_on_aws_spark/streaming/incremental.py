@@ -857,3 +857,59 @@ def ingest_kmv_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def ingest_quarantine_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    clean_table: str,
+    dlq_table: str,
+    keys: Sequence[str],
+    rules: dict,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming dead-letter routing: drain new files, split each
+    micro-batch through
+    :func:`~..operators.constraints.quarantine_split`, and MERGE the
+    clean rows into the keyed clean table while the violating rows
+    (tagged with every failed rule) MERGE into the dead-letter table
+    — the streaming form of the constraints family's report→route
+    progression, so bad records are neither silently dropped nor
+    allowed to poison the clean table, and an operator can replay the
+    DLQ after fixing the producer.
+
+    Exactly-once per key: both sinks are keyed
+    :class:`~..operators.merge.MergeWriter` upserts, so a
+    crash-replayed epoch re-merges the same rows onto themselves.
+    The split is deterministic per row (pure predicates), so replays
+    route identically.
+    """
+    from ..operators.constraints import quarantine_split
+    from ..operators.merge import MergeWriter
+
+    cw = MergeWriter(clean_table, keys=keys)
+    qw = MergeWriter(dlq_table, keys=keys)
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_dir)
+
+    def _route(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        clean, bad = quarantine_split(batch, rules)
+        if not clean.isEmpty():
+            cw.upsert(batch.sparkSession, clean)
+        if not bad.isEmpty():
+            qw.upsert(batch.sparkSession, bad)
+
+    q = (
+        stream.writeStream.foreachBatch(_route)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

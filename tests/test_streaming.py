@@ -736,3 +736,42 @@ def test_stream_interval_join_cross_batch_and_eviction(spark, tmp_path):
     state = [s.numRowsTotal for p in q.recentProgress
              for s in p.stateOperators]
     assert any(b < a for a, b in zip(state, state[1:])), state
+
+
+def test_quarantine_stream_routes_both_sides(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from batch_processing_on_aws_spark.operators.merge import MergeWriter
+    from batch_processing_on_aws_spark.streaming.incremental import (
+        ingest_quarantine_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    clean_t, dlq_t = str(tmp_path / "clean"), str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    rules = {"v_small": F.col("v") < 100}
+    rows1 = [(1, 5), (2, 500)]
+    rows2 = [(3, 7), (4, 1000), (2, 500)]  # row 2 re-delivered
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        ingest_quarantine_stream(
+            spark, inp, schema, clean_t, dlq_t,
+            keys=["id"], rules=rules, checkpoint_dir=ckpt,
+        )
+    clean = {r["id"] for r in MergeWriter(clean_t, ["id"]).read(spark).collect()}
+    dlq = {
+        r["id"]: r["violations"]
+        for r in MergeWriter(dlq_t, ["id"]).read(spark).collect()
+    }
+    # deterministic routing, re-delivery merges onto itself
+    assert clean == {1, 3}
+    assert dlq == {2: "v_small", 4: "v_small"}

@@ -92,6 +92,17 @@ QUERIES = [
     "cdc_incremental_minmax",
     "event_value_quantile_sketch",
     "media_phash_png",
+    # round-9 session-2 additions: the weighted-cosine join must hold
+    # the df-cap linearity bound (vocab scales with the corpus — the
+    # candidate self-join is the risk), the sketch-algebra family must
+    # track sketch sizes not data (ledger O(batch); trailing frames
+    # O(days·window·k); pair overlap O(groups²·k); quantile
+    # normalization's global cumulative stays ≤7.3k bucket rows)
+    "tfidf_cosine_doc_pairs",
+    "trailing_distinct_users",
+    "source_vocab_overlap",
+    "incremental_kmv_users",
+    "normalized_doc_lengths",
 ]
 
 SCALES = {

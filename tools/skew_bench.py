@@ -77,6 +77,12 @@ QUERIES = [
     # skew-split and the bucketized interval_join plan must absorb
     "user_tier_scd2",
     "purchase_pit_tier",
+    # round-9 session-2: the weighted-cosine join under the SAME hot
+    # template — 20% of docs share one vocabulary, so every template
+    # token's df explodes past max_df and must fall out of the
+    # candidate BLOCKING (the documented contract) while the weight/
+    # norm hash-aggs absorb the hot tokens map-side
+    "tfidf_cosine_doc_pairs",
 ]
 
 
