@@ -6955,6 +6955,84 @@ def streamed_kmv_users(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def audio_clip_features(spark, sf_dir):
+    """Audio features through the REAL RIFF/WAVE decode path
+    (operators/multimodal.py::audio_features): each document id
+    becomes an actual mono 16-bit PCM WAV (8 kHz, 64 frames) whose
+    sample i is the arithmetic ``((id·31 + i·17) mod 65536) − 32768``
+    — built as real RIFF bytes, parsed by the stdlib-struct codec,
+    then reduced to integer-exact curation signals (peak, energy,
+    zero crossings, duration). Because the samples are an arithmetic
+    function, the oracle recomputes every feature analytically from
+    generate_series without seeing a byte of WAV — the
+    ``media_phash`` move, extended to the audio modality."""
+    from ..operators.multimodal import audio_features
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                vals = np.array(
+                    [
+                        ((int(mid) * 31 + i * 17) % 65536) - 32768
+                        for i in range(64)
+                    ],
+                    dtype="<i2",
+                )
+                raw = vals.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(raw))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(raw))
+                )
+                payloads.append(hdr + raw)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "data": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, data binary")
+    return audio_features(media).orderBy("media_id")
+
+
+_AUDIO_SQL = """
+WITH s AS (
+  SELECT doc_id AS media_id, i,
+         CAST(((doc_id * 31 + i * 17) % 65536) - 32768 AS BIGINT) AS v
+  FROM documents, LATERAL unnest(range(0, 64)) AS t(i)
+),
+lagged AS (
+  SELECT media_id, v,
+         LAG(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT media_id,
+       CAST(64 AS BIGINT) AS n_frames,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(8 AS BIGINT) AS duration_ms,
+       CAST(MAX(abs(v)) AS BIGINT) AS peak_abs,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       TRUE AS decode_ok
+FROM lagged GROUP BY 1
+ORDER BY media_id
+"""
+
+
 def streamed_event_quarantine(spark, sf_dir):
     """Streaming dead-letter routing
     (streaming/incremental.py::ingest_quarantine_stream): two REAL
@@ -9300,6 +9378,7 @@ QUERIES: list[QueryDef] = [
         _STREAM_QUARANTINE_SQL,
     ),
     QueryDef("normalized_doc_lengths", normalized_doc_lengths, _QNORM_SQL),
+    QueryDef("audio_clip_features", audio_clip_features, _AUDIO_SQL),
     QueryDef(
         "price_equidepth_histogram", price_equidepth_histogram, _EQUIDEPTH_SQL
     ),

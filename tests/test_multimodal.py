@@ -550,3 +550,38 @@ def test_decode_png_multi_idat_and_rejections():
     bad = sig + ihdr_chunk + chunk(b"IDAT", short) + iend
     with pytest.raises(ValueError, match="length mismatch"):
         decode_png(bad)
+
+
+def test_audio_features_known_wave_and_stub(spark):
+    import struct
+
+    import numpy as np
+
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    # a 100 Hz square wave at 8 kHz: 40 samples/half-period, 160
+    # samples = 2 periods -> 3 sign flips; amplitude 1000
+    vals = []
+    for i in range(160):
+        vals.append(1000 if (i // 40) % 2 == 0 else -1000)
+    raw = np.array(vals, dtype="<i2").tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio"))],
+        "media_id long, data binary",
+    )
+    out = {r["media_id"]: r for r in audio_features(df).collect()}
+    ok = out[1]
+    assert ok["decode_ok"] and ok["n_frames"] == 160
+    assert ok["sample_rate"] == 8000 and ok["duration_ms"] == 20
+    assert ok["peak_abs"] == 1000
+    assert ok["energy"] == 160 * 1000 * 1000
+    assert ok["zero_crossings"] == 3
+    bad = out[2]
+    assert bad["decode_ok"] is False and bad["energy"] is None
