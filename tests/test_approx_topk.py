@@ -199,3 +199,52 @@ def test_kmv_trailing_distinct_exact_below_k(spark):
     # frames (trailing 3 periods, only PRESENT days in output):
     # day 0: {0..9} = 10; day 1: {0..14} = 15; day 3: day1 ∪ day3 = 15
     assert got == {0: (10, 10.0), 1: (15, 15.0), 3: (15, 15.0)}
+
+
+def test_kmv_trailing_equals_union_of_frame_sketches(spark):
+    from batch_processing_on_aws_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_trailing_distinct,
+        kmv_union_estimate,
+    )
+
+    # composition property: each frame's estimate equals
+    # kmv_union_estimate over exactly that frame's per-day sketches
+    rows = [(d, (d * 131 + j) % 900) for d in range(6) for j in range(300)]
+    df = spark.createDataFrame(rows, ["day", "user"])
+    k = 64
+    sk = kmv_distinct(df, "user", "day", k=k)
+    got = {
+        r["day"]: r["est_distinct"]
+        for r in kmv_trailing_distinct(
+            sk.select("day", "kmv_hashes"), "day", window=3, k=k
+        ).collect()
+    }
+    for day in range(6):
+        frame = sk.where(
+            (sk["day"] >= day - 2) & (sk["day"] <= day)
+        )
+        want = kmv_union_estimate(frame, k=k).collect()[0]["est_distinct"]
+        assert got[day] == want, (day, got[day], want)
+
+
+def test_tfidf_pairs_invariant_under_repartition(spark):
+    from batch_processing_on_aws_spark.operators.textstats import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [
+        (i, "shared rare%d tokens alpha beta common words %d" % (i % 7, i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(
+        tuple(r) for r in tfidf_cosine_pairs(df, threshold=0.2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in tfidf_cosine_pairs(
+            df.repartition(17), threshold=0.2
+        ).collect()
+    )
+    assert a == b and len(a) > 0

@@ -407,3 +407,21 @@ def test_quarantine_split_routes_and_tags(spark):
     }
     # conservation: every input row lands on exactly one side
     assert clean.count() + bad.count() == df.count()
+
+
+def test_mad_anomaly_invariant_under_repartition(spark):
+    from batch_processing_on_aws_spark.operators.timeseries import mad_anomaly
+
+    rows = [("g%d" % (i % 3), i, (i * 7919) % 100) for i in range(90)]
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    a = sorted(
+        tuple(r)
+        for r in mad_anomaly(df, "y", "x", ("grp",), min_points=5).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in mad_anomaly(
+            df.repartition(13), "y", "x", ("grp",), min_points=5
+        ).collect()
+    )
+    assert a == b and len(a) == 90

@@ -274,6 +274,50 @@ HEADLINERS = {
         "window runs over SKETCH-SIZED input (bucket count bounded by "
         "~(64-p)·2^p regardless of data size)."
     ),
+    "tfidf_cosine_doc_pairs": (
+        "Weighted all-pairs similarity: postings/df/N are hash-aggs; "
+        "the localCheckpoint'd integer weight table feeds four "
+        "consumers; candidates come from the df-capped self-join "
+        "(fan-out ≤ max_df² per distinctive term); the dot product "
+        "is two hash joins + one hash-agg — no window, no cartesian, "
+        "overflow-safe BIGINT sums to N=1e10 docs."
+    ),
+    "trailing_distinct_users": (
+        "Sketch algebra instead of re-scan: per-day KMV sketches "
+        "explode into their ≤window trailing frames (equi-join on "
+        "the frame day), the per-frame rank window sees ≤ window·k "
+        "rows by construction — rolling distinct counts whose cost "
+        "tracks days·window·k, not the fact table."
+    ),
+    "source_vocab_overlap": (
+        "Pairwise sketch set-ops: the #groups-row list crosses "
+        "itself (broadcast, no equi key exists), membership flags "
+        "are one hash-agg over ≤2k exploded rows per pair, and the "
+        "rank window partitions per pair — O(groups²·k) total, "
+        "independent of corpus size."
+    ),
+    "normalized_doc_lengths": (
+        "Quantile normalization without per-group ranking: both "
+        "cumulative windows run over qhist SKETCH state (per-group "
+        "and global — the global one is ≤7.3k bucket rows whatever "
+        "the fact size); rows reach their quantile index by an "
+        "equi-join on (group, bucket) and the global inverse CDF by "
+        "a broadcast ≤resolution-row lookup. Integer arithmetic "
+        "end to end."
+    ),
+    "daily_mad_anomalies": (
+        "Robust anomaly flags: two keyed rank windows over the "
+        "DAILY rollup (≤366 rows per series key), two hash-agg "
+        "joins, all-BIGINT order statistics — the 50%-breakdown "
+        "alternative to the z-score with no overflow regime."
+    ),
+    "streamed_event_quarantine": (
+        "Streaming dead-letter routing: the micro-batch splits "
+        "through pure predicate filters (one scan, codegen-fused), "
+        "and both sides land as keyed MergeWriter upserts touching "
+        "only their buckets — deterministic routing makes replayed "
+        "epochs idempotent."
+    ),
 }
 
 
