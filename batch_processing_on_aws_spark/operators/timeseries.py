@@ -416,3 +416,82 @@ def mad_anomaly(
         .otherwise(F.col("__dev") > F.lit(int(k)) * F.col("__mad"))
         .alias("is_anomaly"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    partition_cols: tuple[str, ...] = (),
+    period: int = 7,
+    trend_window: int = 7,
+    bounded_input: bool = False,
+) -> DataFrame:
+    """Robust seasonal decomposition (STL-lite on order statistics):
+    y = trend + seasonal + residual, where
+
+    - ``trend`` is the CENTERED rolling LOWER MEDIAN of y over
+      ``trend_window`` points (truncated frames at series edges take
+      the median of what exists),
+    - ``seasonal`` is the per-phase (``x mod period``) lower median of
+      the detrended series — the day-of-week / hour-of-day profile,
+    - ``residual`` is what anomaly scoring should look at (feed it to
+      :func:`mad_anomaly`: Hampel on residuals catches a Tuesday
+      spike that a raw-series flag would excuse as "Tuesdays are
+      high").
+
+    Medians, not means, end to end: one outlier inside a trend frame
+    or a phase group leaves both components unmoved (the same
+    50%-breakdown argument as :func:`mad_anomaly`) — and LOWER
+    medians keep the whole operator in exact BIGINT arithmetic with
+    no float anywhere, so a SQL oracle replays it bit-for-bit.
+
+    ``x_col`` must be an integer period index (epoch-day/epoch-hour);
+    ``y`` integer-valued (quantize upstream). Plan shape: one keyed
+    frame window whose per-row state is ≤ trend_window collected
+    values, one keyed rank window per (series, phase) over the series
+    rollup, two hash-agg joins — call on AGGREGATED series, the
+    module contract (unkeyed form requires ``bounded_input=True``).
+
+    Output: input columns + (trend, phase, seasonal, residual).
+    """
+    w = _series_window(partition_cols, bounded_input, "seasonal_decompose")
+    half = int(trend_window) // 2
+    frame = w.orderBy(F.col(x_col).asc()).rowsBetween(-half, half)
+    arr = F.array_sort(
+        F.collect_list(F.col(y_col).cast("long")).over(frame)
+    )
+    trend = F.element_at(
+        arr,
+        F.floor((F.size(arr) + F.lit(1)) / F.lit(2)).cast("int"),
+    )
+    base = (
+        df.withColumn("trend", trend)
+        .withColumn(
+            "__detr", F.col(y_col).cast("long") - F.col("trend")
+        )
+        .withColumn(
+            "phase",
+            F.pmod(F.col(x_col).cast("long"), F.lit(int(period))),
+        )
+    )
+    pcols = list(partition_cols) + ["phase"]
+    counts = base.groupBy(*pcols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    wr = Window.partitionBy(*pcols).orderBy(
+        F.col("__detr").asc(), F.col(x_col).asc()
+    )
+    seas = (
+        base.withColumn("__r", F.row_number().over(wr))
+        .join(counts, pcols)
+        .where(
+            F.col("__r") == F.floor((F.col("__n") + F.lit(1)) / F.lit(2))
+        )
+        .select(*pcols, F.col("__detr").alias("seasonal"))
+    )
+    return (
+        base.join(seas, pcols)
+        .withColumn("residual", F.col("__detr") - F.col("seasonal"))
+        .select(*df.columns, "trend", "phase", "seasonal", "residual")
+    )

@@ -8479,6 +8479,190 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def daily_value_decomposition(spark, sf_dir):
+    """Robust seasonal decomposition
+    (operators/timeseries.py::seasonal_decompose): each event type's
+    daily value total splits into trend (centered rolling LOWER
+    median, window 7) + day-of-week seasonal (per-phase lower median
+    of the detrended series) + residual — the STL-lite that makes
+    anomaly scoring calendar-aware (a Tuesday spike judged against
+    Tuesdays). Medians are order statistics, values micro-quantized
+    BIGINTs: zero float expressions, so trend/seasonal/residual all
+    replay hash-exact in SQL (DuckDB list-over-frame + the same rank
+    selection)."""
+    from ..operators.timeseries import seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("epoch_day"),
+    ).agg(
+        F.sum(
+            F.round(F.col("value") * F.lit(1_000_000.0)).cast("long")
+        ).alias("value_micro")
+    )
+    return seasonal_decompose(
+        daily, "value_micro", "epoch_day", ("event_type",),
+        period=7, trend_window=7,
+    ).orderBy("event_type", "epoch_day")
+
+
+_DECOMPOSE_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+         CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS value_micro
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, epoch_day, value_micro,
+         CAST(list_extract(
+           list_sort(list(value_micro) OVER w),
+           (len(list(value_micro) OVER w) + 1) // 2
+         ) AS BIGINT) AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT *, value_micro - trend AS detr,
+         CAST(epoch_day % 7 AS BIGINT) AS phase
+  FROM tr
+),
+n AS (
+  SELECT event_type, phase, CAST(COUNT(*) AS BIGINT) AS n
+  FROM det GROUP BY 1, 2
+),
+r AS (
+  SELECT det.*, ROW_NUMBER() OVER (
+    PARTITION BY event_type, phase ORDER BY detr, epoch_day) AS r
+  FROM det
+),
+seas AS (
+  SELECT r.event_type, r.phase, r.detr AS seasonal
+  FROM r JOIN n USING (event_type, phase)
+  WHERE r.r = (n.n + 1) // 2
+)
+SELECT d.event_type, d.epoch_day, d.value_micro, d.trend, d.phase,
+       s.seasonal, d.detr - s.seasonal AS residual
+FROM det d JOIN seas s USING (event_type, phase)
+ORDER BY event_type, epoch_day
+"""
+
+
+def calendar_adjusted_anomalies(spark, sf_dir):
+    """Composition: seasonal_decompose → mad_anomaly on the RESIDUAL
+    — calendar-aware robust anomaly detection (a Tuesday spike judged
+    against Tuesdays, then against the series' own robust spread).
+    Both stages are lower-median order statistics over micro-quantized
+    BIGINTs: the entire two-stage pipeline has zero float expressions
+    and replays hash-exact in SQL."""
+    from ..operators.timeseries import mad_anomaly, seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("epoch_day"),
+    ).agg(
+        F.sum(
+            F.round(F.col("value") * F.lit(1_000_000.0)).cast("long")
+        ).alias("value_micro")
+    )
+    dec = seasonal_decompose(
+        daily, "value_micro", "epoch_day", ("event_type",),
+        period=7, trend_window=7,
+    )
+    return mad_anomaly(
+        dec, "residual", "epoch_day", ("event_type",), k=5, min_points=12
+    ).select(
+        "event_type", "epoch_day", "value_micro", "residual",
+        "median", "mad", "deviation", "is_anomaly",
+    ).orderBy("event_type", "epoch_day")
+
+
+_CAL_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+         CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS value_micro
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, epoch_day, value_micro,
+         CAST(list_extract(
+           list_sort(list(value_micro) OVER w),
+           (len(list(value_micro) OVER w) + 1) // 2
+         ) AS BIGINT) AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT *, value_micro - trend AS detr,
+         CAST(epoch_day % 7 AS BIGINT) AS phase
+  FROM tr
+),
+pn AS (
+  SELECT event_type, phase, CAST(COUNT(*) AS BIGINT) AS n
+  FROM det GROUP BY 1, 2
+),
+pr AS (
+  SELECT det.*, ROW_NUMBER() OVER (
+    PARTITION BY event_type, phase ORDER BY detr, epoch_day) AS r
+  FROM det
+),
+seas AS (
+  SELECT pr.event_type, pr.phase, pr.detr AS seasonal
+  FROM pr JOIN pn USING (event_type, phase)
+  WHERE pr.r = (pn.n + 1) // 2
+),
+res AS (
+  SELECT d.event_type, d.epoch_day, d.value_micro,
+         d.detr - s.seasonal AS residual
+  FROM det d JOIN seas s USING (event_type, phase)
+),
+sn AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM res GROUP BY 1
+),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY residual, epoch_day) AS r
+  FROM res
+),
+med AS (
+  SELECT r1.event_type, r1.residual AS med
+  FROM r1 JOIN sn USING (event_type)
+  WHERE r1.r = (sn.n + 1) // 2
+),
+dev AS (
+  SELECT res.*, m.med, abs(res.residual - m.med) AS dev
+  FROM res JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY dev, epoch_day) AS r
+  FROM dev
+),
+mad AS (
+  SELECT r2.event_type, r2.dev AS mad
+  FROM r2 JOIN sn USING (event_type)
+  WHERE r2.r = (sn.n + 1) // 2
+)
+SELECT d.event_type, d.epoch_day, d.value_micro, d.residual,
+       d.med AS median, m.mad AS mad, d.dev AS deviation,
+       CASE WHEN sn.n < 12 THEN NULL ELSE d.dev > 5 * m.mad END
+         AS is_anomaly
+FROM dev d JOIN mad m USING (event_type) JOIN sn USING (event_type)
+ORDER BY event_type, epoch_day
+"""
+
+
 def event_type_target_encoding(spark, sf_dir):
     """Smoothed target encoding (operators/features.py::target_encode
     — the Micci-Barreca empirical-Bayes scheme): each event type maps
@@ -9363,6 +9547,14 @@ QUERIES: list[QueryDef] = [
     QueryDef("tier_time_share", tier_time_share, _TIER_SHARE_SQL),
     QueryDef("hourly_anomaly_flags", hourly_anomaly_flags, _ANOMALY_SQL),
     QueryDef("daily_mad_anomalies", daily_mad_anomalies, _MAD_SQL),
+    QueryDef(
+        "daily_value_decomposition", daily_value_decomposition, _DECOMPOSE_SQL
+    ),
+    QueryDef(
+        "calendar_adjusted_anomalies",
+        calendar_adjusted_anomalies,
+        _CAL_ANOMALY_SQL,
+    ),
     QueryDef(
         "event_type_target_encoding",
         event_type_target_encoding,

@@ -425,3 +425,30 @@ def test_mad_anomaly_invariant_under_repartition(spark):
         ).collect()
     )
     assert a == b and len(a) == 90
+
+
+def test_seasonal_decompose_recovers_planted_weekly_pattern(spark):
+    from batch_processing_on_aws_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    # planted series: base 100, +50 on phase 0 days, one spike at x=17
+    rows = []
+    for x in range(28):
+        y = 100 + (50 if x % 7 == 0 else 0) + (900 if x == 17 else 0)
+        rows.append(("s", x, y))
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    out = {r["x"]: r for r in seasonal_decompose(
+        df, "y", "x", ("grp",), period=7, trend_window=7).collect()}
+    assert len(out) == 28
+    # additivity invariant holds on every row
+    for r in out.values():
+        assert r["y"] == r["trend"] + r["seasonal"] + r["residual"]
+    # the weekly +50 is absorbed by the seasonal component, not the
+    # residual: phase-0 rows (except edge effects) have residual 0
+    assert out[7]["seasonal"] - out[8]["seasonal"] == 50
+    assert out[7]["residual"] == 0
+    # the one-off spike survives into the residual (the anomaly signal)
+    assert out[17]["residual"] >= 800
+    # a quiet mid-series day decomposes exactly: trend 100, flat phase
+    assert out[10]["trend"] == 100 and out[10]["residual"] == 0
