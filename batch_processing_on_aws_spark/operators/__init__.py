@@ -7,8 +7,10 @@ from .constraints import (
     assert_constraints,
     foreign_key_violations,
     not_null_violations,
+    quarantine_split,
     unique_violations,
 )
+from .features import quantile_normalize, target_encode, winsorize
 from .decontam import contamination_report
 from .dedup import (
     bow_fingerprint,
@@ -34,10 +36,36 @@ from .sampling import (
     train_val_test_split,
 )
 from .setops import union_all_by_name, union_distinct
-from .timeseries import date_spine, densify_daily, fill_forward
+from .sketches import (
+    KmvLedger,
+    kmv_distinct,
+    kmv_intersect_estimate,
+    kmv_trailing_distinct,
+    kmv_union_estimate,
+)
+from .textstats import tfidf_cosine_pairs
+from .timeseries import (
+    date_spine,
+    densify_daily,
+    fill_forward,
+    mad_anomaly,
+    seasonal_decompose,
+)
 
 __all__ = [
+    "KmvLedger",
     "MergeWriter",
+    "kmv_distinct",
+    "kmv_intersect_estimate",
+    "kmv_trailing_distinct",
+    "kmv_union_estimate",
+    "mad_anomaly",
+    "quantile_normalize",
+    "quarantine_split",
+    "seasonal_decompose",
+    "target_encode",
+    "tfidf_cosine_pairs",
+    "winsorize",
     "accepted_values_violations",
     "assert_constraints",
     "assign_clusters",
