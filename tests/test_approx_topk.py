@@ -248,3 +248,28 @@ def test_tfidf_pairs_invariant_under_repartition(spark):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_kmv_ledger_accepts_brand_new_groups_later(spark, tmp_path):
+    from batch_processing_on_aws_spark.operators.sketches import (
+        KmvLedger,
+        kmv_distinct,
+    )
+
+    ledger = KmvLedger(str(tmp_path / "kmv2"), "grp", "key", k=32)
+    b1 = spark.createDataFrame([("a", i) for i in range(100)], ["grp", "key"])
+    # batch 2 introduces a group the state has never seen
+    b2 = spark.createDataFrame(
+        [("a", i) for i in range(50, 150)] + [("b", i) for i in range(40)],
+        ["grp", "key"],
+    )
+    ledger.update(spark, b1)
+    ledger.update(spark, b2)
+    got = {
+        r["grp"]: r["kmv_hashes"] for r in ledger.read(spark).collect()
+    }
+    want = {
+        r["grp"]: r["kmv_hashes"]
+        for r in kmv_distinct(b1.unionByName(b2), "key", "grp", k=32).collect()
+    }
+    assert got == want and set(got) == {"a", "b"}

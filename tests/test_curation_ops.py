@@ -581,3 +581,35 @@ def test_quantile_normalize_aligns_group_distributions(spark):
     # q_idx covers the full quantile range in each group
     qa = {r["q_idx"] for r in out if r["g"] == "a"}
     assert min(qa) <= 20 and max(qa) == 1000
+
+
+def test_quantile_normalize_invariant_under_repartition(spark):
+    from batch_processing_on_aws_spark.operators.features import (
+        quantile_normalize,
+    )
+
+    rows = [("g%d" % (i % 4), (i * 37) % 500) for i in range(200)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    a = sorted(tuple(r) for r in quantile_normalize(df, "v", ("g",)).collect())
+    b = sorted(
+        tuple(r)
+        for r in quantile_normalize(df.repartition(11), "v", ("g",)).collect()
+    )
+    assert a == b and len(a) == 200
+
+
+def test_winsorize_global_ungrouped(spark):
+    from batch_processing_on_aws_spark.operators.features import winsorize
+
+    rows = [(i, v) for i, v in enumerate([1] * 5 + [100] * 90 + [10_000] * 5)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = winsorize(df, "v", (), lower_q=0.1, upper_q=0.9).collect()
+    assert len(out) == 100
+    # both tails clip toward the bulk of the distribution
+    assert all(r["v_winsorized"] == r["clip_lo"] for r in out if r["v"] == 1)
+    assert all(
+        r["v_winsorized"] == r["clip_hi"] < 10_000
+        for r in out
+        if r["v"] == 10_000
+    )
+    assert all(r["v_winsorized"] == 100 for r in out if r["v"] == 100)
