@@ -126,6 +126,125 @@ def page_rank(
     return ranks
 
 
+def page_rank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Damped PageRank in exact BIGINT micro-unit arithmetic — the
+    bit-portable twin of :func:`page_rank` (round-9 verdict task 1).
+
+    Every rank is an integer number of ``1/scale`` units and every
+    iteration uses only integer floor-division and integer sums:
+
+    * contribution of ``u`` along each out-edge: ``rank_q[u] DIV
+      out_deg[u]`` (the floor-div loses < out_deg micro-units per
+      node per round — a deterministic, engine-independent rounding
+      rule, not float noise);
+    * fan-in: an integer SUM, which is associative and commutative
+      under ANY partitioning — unlike the float sum in
+      :func:`page_rank`, whose partial order is engine-internal;
+    * dangling mass: the integer sum of sink ranks, floor-divided
+      by the node count;
+    * update: ``(scale*(den-num)) DIV (den*n)
+      + (num * (in_sum + dang DIV n)) DIV den``.
+
+    The result is a quantized fixed-point trajectory any engine —
+    Spark under any partitioning, a DuckDB recursive CTE, a pencil —
+    replays bit-for-bit, so the registry query it backs is
+    hash-exact-oracled rather than rows-only. Mass conservation is
+    approximate (each round leaks < (2·n + edges) micro-units to the
+    floors, i.e. ≤ ~1e-6 relative at scale=1e12); ordering agrees
+    with the float operator to well below that.
+
+    Same per-iteration plan shape and 100-TB posture as
+    :func:`page_rank`: one edge⋈rank shuffle join, one hash-agg by
+    dst, one left join back to nodes; global scalars (n, dangling
+    mass) ride as broadcast 1-row crossJoins, zero in-loop driver
+    round-trips, localCheckpoint lineage truncation.
+
+    Overflow headroom: ranks ≤ ~scale, so the widest intermediate is
+    ``damping_num * 2 * scale`` ≈ 1.7e14 at the defaults — 4 orders
+    of magnitude under the BIGINT ceiling.
+
+    Returns ``(node, rank_micro)`` with ``rank_micro: long``.
+    """
+    if not 0 < damping_num < damping_den:
+        raise ValueError(
+            f"damping must satisfy 0 < num < den, got "
+            f"{damping_num}/{damping_den}"
+        )
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionAll(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_df = F.broadcast(
+        nodes.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    out_deg = e.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    ).localCheckpoint()
+    # sink set: same no-broadcast-hint reasoning as page_rank — real
+    # crawl graphs have node-scale dangling sets; AQE broadcasts small
+    sinks = nodes.join(
+        out_deg.withColumnRenamed("__s", "node"), "node", "left_anti"
+    ).localCheckpoint()
+    scale = int(scale)
+    num, den = int(damping_num), int(damping_den)
+    ranks = nodes.crossJoin(n_df).select(
+        "node",
+        F.expr(f"CAST({scale} AS BIGINT) DIV __n").alias("rank_q"),
+    )
+    for i in range(n_iter):
+        r_src = ranks.withColumnRenamed("node", "__s")
+        contribs = (
+            e.join(out_deg, "__s")
+            .join(r_src, "__s")
+            .select(
+                F.col("__d").alias("node"),
+                F.expr("rank_q DIV __deg").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").cast("long").alias("__in"))
+        )
+        dangling = F.broadcast(
+            ranks.join(sinks, "node", "left_semi").agg(
+                F.coalesce(F.sum("rank_q"), F.lit(0))
+                .cast("long")
+                .alias("__dang")
+            )
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(n_df)
+            .crossJoin(dangling)
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({scale * (den - num)} AS BIGINT)"
+                    f" DIV ({den} * __n)"
+                    f" + ({num} * (coalesce(__in, CAST(0 AS BIGINT))"
+                    f" + __dang DIV __n)) DIV {den}"
+                ).alias("rank_q"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(
+        "node", F.col("rank_q").cast("long").alias("rank_micro")
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",

@@ -3880,7 +3880,7 @@ FROM r WHERE sample_rank <= 10
 
 
 def supplier_pagerank(spark, sf_dir):
-    """PageRank (operators/graph.py::page_rank) over the
+    """PageRank (operators/graph.py::page_rank_exact) over the
     customer→supplier purchase graph (distinct pairs via
     orders⋈lineitem): the relational stand-in for the link-graph
     quality prior crawl-curation pipelines weight documents by
@@ -3888,11 +3888,13 @@ def supplier_pagerank(spark, sf_dir):
     use). 4 damped iterations (a bipartite two-layer graph is
     ordering-stable well before that; like the connected-components
     loop this is iteration-latency-bound, not data-bound), suppliers
-    are dangling (no out-edges),
-    so the dangling-mass redistribution path is exercised on real
-    data. Ranks rounded to 8 for a stable row set; rows-only — the
-    iterative float fixed-point has no bit-portable SQL twin."""
-    from ..operators.graph import page_rank
+    are dangling (no out-edges), so the dangling-mass redistribution
+    path is exercised on real data. Ranks are exact BIGINT
+    micro-units (round-9 verdict task 1): every iteration floor-divs
+    contributions by out-degree and sums integers, so the 4-iteration
+    trajectory is partitioning-independent and a DuckDB recursive CTE
+    replays it bit-for-bit — hash-exact, not rows-only."""
+    from ..operators.graph import page_rank_exact
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
@@ -3910,8 +3912,64 @@ def supplier_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    ranks = page_rank(edges, n_iter=4)
-    return ranks.select("node", F.round("rank", 8).alias("rank"))
+    return page_rank_exact(edges, n_iter=4)
+
+
+def _supplier_pagerank_sql(n_iter: int = 4) -> str:
+    """Unrolled DuckDB twin of page_rank_exact on the purchase graph.
+
+    The n_iter damped integer iterations are unrolled as chained CTEs
+    (pr0 → pr1 → …) rather than a WITH RECURSIVE: DuckDB's recursive
+    CTE gives the working table non-standard semantics when the
+    recursive term references it from more than one subquery (the
+    fan-in sum AND the dangling-mass sum both need last round's
+    ranks), and was measured to inflate the trajectory ~4×. Each
+    unrolled step is plain SQL over the previous step — exactly the
+    integer recurrence the Spark operator runs, so the BIGINT
+    micro-unit ranks match bit-for-bit.
+    """
+    steps = []
+    for k in range(1, n_iter + 1):
+        prev = f"pr{k - 1}"
+        steps.append(f"""
+pr{k} AS (
+  SELECT nd.node,
+         15000000000000 // (100 * (SELECT n FROM cnt))
+         + (85 * (
+             COALESCE(i.s, 0)
+             + (SELECT COALESCE(SUM(p.r), 0)
+                FROM {prev} p LEFT JOIN deg d2 ON d2.src = p.node
+                WHERE d2.src IS NULL) // (SELECT n FROM cnt)
+           )) // 100 AS r
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // d.deg) AS s
+    FROM {prev} p
+    JOIN deg d ON d.src = p.node
+    JOIN edges e ON e.src = p.node
+    GROUP BY e.dst
+  ) i ON i.node = nd.node
+)""")
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+pr0 AS (
+  SELECT node, 1000000000000 // (SELECT n FROM cnt) AS r FROM nodes
+),{",".join(steps)}
+SELECT node, CAST(r AS BIGINT) AS rank_micro FROM pr{n_iter}
+"""
 
 
 def pagerank_skipring_exact(spark, sf_dir):
@@ -9433,16 +9491,7 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "supplier_pagerank",
         supplier_pagerank,
-        None,
-        rows_only_reason=(
-            "iterative damped power iteration with dangling-mass "
-            "redistribution is a float fixed-point whose partial-sum "
-            "order is engine-internal — no bit-portable SQL twin; "
-            "correctness is pinned against closed forms and a NumPy "
-            "power-iteration reference in tests/test_graph.py, and "
-            "the implementation itself is hash-exact-oracled by the "
-            "companion query pagerank_skipring_exact"
-        ),
+        _supplier_pagerank_sql(),
     ),
     QueryDef(
         "pagerank_skipring_exact",

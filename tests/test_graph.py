@@ -72,6 +72,94 @@ def test_parallel_edges_double_share_and_bad_damping(spark):
         _ranks(spark, [(1, 2)], damping=1.0)
 
 
+# --------------------------------------------------------- exact (BIGINT)
+
+def _exact_ranks(spark, edges, **kw):
+    from batch_processing_on_aws_spark.operators.graph import page_rank_exact
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["rank_micro"]
+        for r in page_rank_exact(df, **kw).collect()
+    }
+
+
+def _py_exact(edges, n_iter, scale=10**12, num=85, den=100):
+    """The integer recurrence page_rank_exact implements, in pure
+    Python big-int arithmetic (bit-exact ground truth)."""
+    from collections import defaultdict
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = defaultdict(int)
+    outs = defaultdict(list)
+    for s, d in edges:
+        deg[s] += 1
+        outs[s].append(d)
+    r = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        ins = defaultdict(int)
+        for s in outs:
+            c = r[s] // deg[s]
+            for d in outs[s]:
+                ins[d] += c
+        dang = sum(r[v] for v in nodes if v not in deg)
+        r = {
+            v: (scale * (den - num)) // (den * n)
+            + (num * (ins[v] + dang // n)) // den
+            for v in nodes
+        }
+    return r
+
+
+def test_exact_matches_python_bigint_recurrence(spark):
+    """page_rank_exact is BIT-EXACT against the pure-Python integer
+    recurrence on a graph with cycles, parallel-free fan-in, and a
+    dangling sink — the property that makes supplier_pagerank's
+    DuckDB oracle replayable."""
+    edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4), (4, 5),
+        (6, 2), (6, 0), (7, 6), (2, 7),
+    ]  # node 5 is dangling
+    want = _py_exact(edges, n_iter=10)
+    got = _exact_ranks(spark, edges, n_iter=10)
+    assert got == want
+
+
+def test_exact_tracks_float_operator(spark):
+    """The quantized trajectory stays within quantization error of the
+    float operator: |rank_micro/scale - rank| < n_iter * n / scale
+    slack (floor losses accumulate per round)."""
+    edges = [(i, 6) for i in range(1, 6)] + [(6, 1)]
+    flt = _ranks(spark, edges, n_iter=8)
+    q = _exact_ranks(spark, edges, n_iter=8)
+    for node, rank in flt.items():
+        assert abs(q[node] / 1e12 - rank) < 1e-6, node
+
+
+def test_exact_partitioning_invariance(spark):
+    """Same result under 1-partition and many-partition edge inputs —
+    the integer sums are order-independent by construction."""
+    edges = [
+        (0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0), (2, 4), (5, 2),
+    ]
+    df1 = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    df2 = spark.createDataFrame(edges, "src long, dst long").repartition(16)
+    from batch_processing_on_aws_spark.operators.graph import page_rank_exact
+
+    r1 = {
+        r["node"]: r["rank_micro"]
+        for r in page_rank_exact(df1, n_iter=6).collect()
+    }
+    r2 = {
+        r["node"]: r["rank_micro"]
+        for r in page_rank_exact(df2, n_iter=6).collect()
+    }
+    assert r1 == r2
+    with pytest.raises(ValueError, match="damping"):
+        page_rank_exact(df1, damping_num=100, damping_den=100)
+
+
 # ------------------------------------------------------------------ SCC
 
 def _scc_map(spark, edges):
