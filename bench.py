@@ -32,6 +32,76 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_CALIB_PARQUET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tools", "fixtures", "calibration.parquet",
+)
+
+
+def run_probe(spark, n_runs: int = 3) -> float:
+    """Engine-INDEPENDENT host gauge (round-9 verdict task 3): a fixed
+    CPU probe (codegen sum over spark.range) plus a scan-agg over the
+    frozen committed calibration.parquet. Neither plan touches any
+    engine code under test, so its time moves with the HOST (shared-VM
+    drift) and never with the build — unlike the suite median it
+    replaces, which was computed from the engine itself and would
+    normalize away an engine-wide uniform regression. min-of-n sheds
+    scheduler noise the same way the per-query timer does."""
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        run_query(
+            spark.range(
+                0, 200_000_000, 1, spark.sparkContext.defaultParallelism
+            ).selectExpr("sum(id * 2 + id % 7) AS s")
+        )
+        run_query(
+            spark.read.parquet(_CALIB_PARQUET)
+            # shiftright(,32) keeps the sum inside BIGINT under ANSI
+            # mode (full-range 64-bit hashes would overflow it)
+            .selectExpr("sum(shiftright(xxhash64(id, v, s), 32)) AS h")
+        )
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def compute_host_factor(
+    probe_ratios: list[float],
+    suite_ratios: list[float],
+    clamp: tuple[float, float] = (1.0, 1.4),
+    disagree_tol: float = 0.10,
+) -> tuple[float, float | None, bool]:
+    """(host_factor, suite_median_ratio, engine_drift_alarm).
+
+    host_factor scales the regression gate. With probe ratios
+    (probe_sec / committed probe floor) available, the factor derives
+    ONLY from the probe — the engine-independent gauge — clamped to
+    ``clamp``. The suite median is still computed as a cross-check:
+    if the suite runs >``disagree_tol`` slower than the host predicts
+    (suite_median − probe_mean > tol), that excess is IN the engine —
+    an engine-wide regression the old suite-median normalization would
+    have hidden — and the alarm trips. Suite faster than probe is not
+    an alarm (the build got faster).
+
+    Without probe ratios (no committed floor yet, or non-standard sf)
+    falls back to the legacy suite-median factor.
+    """
+    suite_median: float | None = None
+    if len(suite_ratios) >= 20:
+        suite_median = sorted(suite_ratios)[len(suite_ratios) // 2]
+    if probe_ratios:
+        raw = sum(probe_ratios) / len(probe_ratios)
+        factor = min(clamp[1], max(clamp[0], raw))
+        alarm = (
+            suite_median is not None
+            and suite_median - raw > disagree_tol
+        )
+        return factor, suite_median, alarm
+    if suite_median is None:
+        return 1.0, None, False
+    return min(clamp[1], max(clamp[0], suite_median)), suite_median, False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -81,6 +151,10 @@ def main() -> None:
         except Exception:
             pass
 
+    # probe BEFORE the suite (and again after): two observations of
+    # host speed bracketing the run, so intra-run drift averages in
+    probe_before = round(run_probe(spark), 3)
+
     times: dict[str, float] = {}
     for name, fn in qs.items():
         best = float("inf")
@@ -90,6 +164,8 @@ def main() -> None:
             run_query(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+
+    probe_after = round(run_probe(spark), 3)
 
     # Per-query regression gate (round-5 verdict task 4): single-query
     # sidecar numbers swing ±3.8x between rounds on this shared VM,
@@ -103,6 +179,8 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_BUDGETS.json"
     )
     host_factor = 1.0
+    suite_median: float | None = None
+    engine_drift_alarm = False
     if os.path.exists(budgets_path) and sf_num == 0.1:
         with open(budgets_path) as f:
             bud = json.load(f)
@@ -113,19 +191,25 @@ def main() -> None:
         # When the whole host runs slower (noisy hypervisor neighbor —
         # observed intra-day swings of 10-15% with zero local load),
         # every query's ratio-to-floor shifts together and random
-        # sub-second queries tip over tol. The MEDIAN ratio across the
-        # full suite is a robust host gauge: a handful of real
-        # regressions cannot move the median of ~200 ratios, but
-        # uniform drift does. Scale the gate by that median, clamped
-        # to [1.0, 1.4] so a genuinely slower BUILD (which also moves
-        # the median) can raise the bar by at most 40% and any real
-        # per-query blowup beyond that still flags.
-        ratios = sorted(
-            t / budgets[n] for n, t in times.items()
-            if budgets.get(n)
+        # sub-second queries tip over tol. The factor comes from the
+        # ENGINE-INDEPENDENT probe (run_probe vs its committed floor):
+        # the probe never executes engine code, so an engine-wide
+        # uniform regression cannot move it — such a regression shows
+        # up as the suite median exceeding the probe's prediction,
+        # which trips engine_drift_alarm instead of being normalized
+        # away (the failure mode of the old suite-median factor).
+        probe_floor = bud.get("probe_floor_sec")
+        probe_ratios = (
+            [probe_before / probe_floor, probe_after / probe_floor]
+            if probe_floor
+            else []
         )
-        if len(ratios) >= 20:
-            host_factor = min(1.4, max(1.0, ratios[len(ratios) // 2]))
+        suite_ratios = [
+            t / budgets[n] for n, t in times.items() if budgets.get(n)
+        ]
+        host_factor, suite_median, engine_drift_alarm = compute_host_factor(
+            probe_ratios, suite_ratios
+        )
         for name, t in sorted(times.items()):
             ref = budgets.get(name)
             if ref is None or t <= ref * tol * host_factor:
@@ -158,6 +242,16 @@ def main() -> None:
                 "queries": times,
                 "regressions": regressions,
                 "host_factor": round(host_factor, 3),
+                "probe_secs": {
+                    "before": probe_before,
+                    "after": probe_after,
+                },
+                "suite_median_ratio": (
+                    round(suite_median, 3)
+                    if suite_median is not None
+                    else None
+                ),
+                "engine_drift_alarm": engine_drift_alarm,
             },
             f,
             indent=1,
@@ -179,6 +273,8 @@ def main() -> None:
                 "per_query_mean_sec": round(total / max(len(times), 1), 4),
                 "regressions": regressions,
                 "host_factor": round(host_factor, 3),
+                "probe_secs": min(probe_before, probe_after),
+                "engine_drift_alarm": engine_drift_alarm,
             }
         )
     )

@@ -37,19 +37,25 @@ def main() -> int:
         text=True,
     ).split()
     best: dict[str, float] = {}
+    probe_floor = float("inf")
+
+    def _fold(d: dict) -> None:
+        nonlocal probe_floor
+        for q, t in d["queries"].items():
+            best[q] = min(best.get(q, float("inf")), t)
+        for t in (d.get("probe_secs") or {}).values():
+            probe_floor = min(probe_floor, float(t))
+
     for rev in revs:
-        d = json.loads(
+        _fold(json.loads(
             subprocess.check_output(
                 ["git", "-C", ROOT, "show", f"{rev}:BENCH_QUERIES.json"]
             )
-        )
-        for q, t in d["queries"].items():
-            best[q] = min(best.get(q, float("inf")), t)
+        ))
     cur_path = os.path.join(ROOT, "BENCH_QUERIES.json")
     if os.path.exists(cur_path):
         with open(cur_path) as f:
-            for q, t in json.load(f)["queries"].items():
-                best[q] = min(best.get(q, float("inf")), t)
+            _fold(json.load(f))
     # Deliberate floor overrides survive regeneration: when a plan
     # change moves a query ON PURPOSE (e.g. the round-6 star-cap added
     # a bucket-size agg to neardup_verified_pairs), min-of-history
@@ -72,6 +78,11 @@ def main() -> int:
         "overrides": overrides,
         "budgets_sec": dict(sorted(best.items())),
     }
+    # the engine-independent calibration probe's floor (bench.py
+    # run_probe vs this = the host_factor the gate scales by); min of
+    # the same history window as the per-query floors
+    if probe_floor != float("inf"):
+        out["probe_floor_sec"] = round(probe_floor, 3)
     with open(os.path.join(ROOT, "BENCH_BUDGETS.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote BENCH_BUDGETS.json: {len(best)} queries from {revs}")
