@@ -439,7 +439,13 @@ def ivf_topk(
 
 def hyperplane_signature(vec_col, planes: list[list[float]]):
     """b-bit random-hyperplane (SimHash for vectors) bucket id: bit i =
-    sign(v · plane_i). Returns an int column in [0, 2^b)."""
+    sign(v · plane_i). Returns an int column in [0, 2^b).
+
+    The per-plane dot stays the ``_dot`` higher-order fold: unrolling
+    it into 64 element_at multiply-adds per plane was MEASURED 3-4×
+    slower (the ~3000-node expression tree falls out of codegen into
+    per-node interpreted dispatch, worse than the HOF's tight
+    per-element loop) — don't "optimize" it back."""
     bits = [
         F.when(_dot(vec_col, F.array(*[F.lit(p) for p in plane])) >= 0, 1).otherwise(0)
         * (2**i)
@@ -567,19 +573,35 @@ def lsh_topk_multi(
     )
 
     def banded(df: DataFrame, vec: str, radius: int = 0) -> DataFrame:
+        # materialize each table's signature as a COLUMN first, then
+        # build the probe structs from the column: inlining the
+        # signature expression (n_planes × dim literal multiply-adds)
+        # into every probe struct blows the Catalyst tree up by the
+        # probe count — measured 19 s vs 3 s on the clustered
+        # crossover fixture before this split. CollapseProject leaves
+        # the projection alone because each __sig is non-cheap and
+        # referenced once per mask.
+        sigs = df.select(
+            "*",
+            *[
+                hyperplane_signature(F.col(vec), planes).alias(f"__sig{t}")
+                for t, planes in enumerate(tables)
+            ],
+        )
         structs = []
         for t, planes in enumerate(tables):
-            home = hyperplane_signature(F.col(vec), planes)
             for m in probe_masks(len(planes), radius):
                 structs.append(
                     F.struct(
                         F.lit(t).alias("table_id"),
-                        home.bitwiseXOR(F.lit(m)).alias("bucket"),
+                        F.col(f"__sig{t}")
+                        .bitwiseXOR(F.lit(m))
+                        .alias("bucket"),
                     )
                 )
-        return df.select("*", F.explode(F.array(*structs)).alias("__b")).select(
-            *df.columns, "__b.table_id", "__b.bucket"
-        )
+        return sigs.select(
+            *df.columns, F.explode(F.array(*structs)).alias("__b")
+        ).select(*df.columns, "__b.table_id", "__b.bucket")
 
     cb = banded(c, "c_vec")
     qb = F.broadcast(banded(q, "q_vec", probe_radius))

@@ -1275,7 +1275,7 @@ FROM scored QUALIFY rank <= 5
 """
 
 
-def _multi_tables(n_tables: int = 8, n_planes: int = 4, dim: int = 64):
+def _multi_tables(n_tables: int = 4, n_planes: int = 8, dim: int = 64):
     """Independent hyperplane tables carved from one deterministic LCG
     stream (table t = planes [t·n_planes, (t+1)·n_planes))."""
     flat = _deterministic_planes(n_tables * n_planes, dim)
@@ -1286,12 +1286,24 @@ def _multi_tables(n_tables: int = 8, n_planes: int = 4, dim: int = 64):
 
 def embedding_multilsh_topk(spark, sf_dir):
     """Multi-table LSH ANN (operators/similarity.py::lsh_topk_multi):
-    8 tables × 4 planes, per-table multi-probe radius 1 — candidates
+    4 tables × 8 planes, per-table multi-probe radius 1 — candidates
     from ANY shared (probed) bucket, deduped before the rescore rank.
-    The measured recall@10 ≥ 0.8 operating point (RECALL_r07.json;
-    the r6 default of 3×6 home-bucket-only scored 0.26). The
-    recall-vs-single-table win is pinned in
-    tests/test_neardup_similarity.py."""
+
+    Re-tuned in round 10: the r7–r9 default (8 tables × 4 planes,
+    radius 1) probed 8·(5/16) ≈ 2.5× the CORPUS in candidate rows —
+    slower than brute force with lower recall, strictly dominated at
+    every RECALL_r09 point. 4×8 r1 probes 4·(9/256) ≈ 14% of the
+    corpus instead; what remains of the cost is the 32-plane
+    signature projection, which is inherent to table multiplicity —
+    and is exactly why this operator is DEMOTED from the recommended
+    paths (README): single-table multi-probe fans out only the query
+    side and dominates multi-table at matched recall on every
+    measured point (RECALL_r10 clustered: lsh_12p_r3 6.2 s/0.895 vs
+    multilsh_4x12_r1 13.3 s/0.894). Multi-table's residual value:
+    the highest-recall LSH point measured (clustered multilsh_4x8_r1
+    0.952) and incremental index growth (a new table indexes new
+    data without re-hashing the corpus). The recall-⊇-single-table
+    invariant is pinned in tests/test_neardup_similarity.py."""
     from ..operators.similarity import lsh_topk_multi
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1302,7 +1314,7 @@ def embedding_multilsh_topk(spark, sf_dir):
 
 
 def _multilsh_topk_sql(
-    n_tables: int = 8, n_planes: int = 4, dim: int = 64, k: int = 10,
+    n_tables: int = 4, n_planes: int = 8, dim: int = 64, k: int = 10,
     probe_radius: int = 1,
 ) -> str:
     """DuckDB twin of ``embedding_multilsh_topk``: per-table bucket

@@ -221,7 +221,10 @@ def _crossover_section(spark) -> dict:
     from batch_processing_on_aws_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
+        lsh_topk,
+        lsh_topk_multi,
     )
+    from batch_processing_on_aws_spark.plans.golden import _multi_tables
     from batch_processing_on_aws_spark.sources.readers import load_table
 
     out: dict = {}
@@ -305,6 +308,39 @@ def _crossover_section(spark) -> dict:
                 ),
                 "ivf_128c_4p": lambda: ivf_topk(
                     emb_c, queries_c, n_cells=128, n_probe=4, k=K
+                ),
+                # multi-table LSH where table-multiplicity SHOULD pay:
+                # per-plane agreement p ≈ 0.9 on the planted clusters,
+                # so per-table miss probability compounds across
+                # independent tables (round-9 verdict task 2 — on the
+                # isotropic fixture multi-LSH is dominated and says so)
+                "multilsh_4x8_r1": lambda: lsh_topk_multi(
+                    emb_c, queries_c, _multi_tables(4, 8), k=K,
+                    probe_radius=1,
+                ),
+                "multilsh_4x12_r1": lambda: lsh_topk_multi(
+                    emb_c, queries_c, _multi_tables(4, 12), k=K,
+                    probe_radius=1,
+                ),
+                # matched single-table shape: same planes/radius as one
+                # of the 4×12 tables — isolates what the extra tables buy
+                "lsh_12p_r1": lambda: lsh_topk(
+                    emb_c, queries_c, _multi_tables(1, 12)[0], k=K,
+                    probe_radius=1,
+                ),
+                # single-table MULTI-PROBE at a matched recall target:
+                # the cheaper recall lever (query-side fan-out only —
+                # corpus stays 1 row/vector) multi-table competes with
+                "lsh_12p_r3": lambda: lsh_topk(
+                    emb_c, queries_c, _multi_tables(1, 12)[0], k=K,
+                    probe_radius=3,
+                ),
+                # same candidate volume as multilsh_4x8_r1 (≈14% of
+                # the corpus) from ONE table probed wider — the
+                # dominance comparison at matched cost
+                "lsh_8p_r2": lambda: lsh_topk(
+                    emb_c, queries_c, _multi_tables(1, 8)[0], k=K,
+                    probe_radius=2,
                 ),
             },
         ),
