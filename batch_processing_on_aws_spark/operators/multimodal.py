@@ -6,14 +6,16 @@ training pipelines use (parquet/webdataset shards of bytes + metadata).
 All Spark-side plumbing here is real and tested: schemas, Arrow-batched
 ``mapInPandas`` operators, partition sizing. The codec layer is REAL
 for formats decodable without media libs — binary PPM/PGM,
-uncompressed BMP, and 8-bit non-interlaced PNG (stdlib zlib DEFLATE +
-all five row filters) via :func:`decode_image`/:func:`decode_png`,
+uncompressed BMP, 8-bit non-interlaced PNG (stdlib zlib DEFLATE +
+all five row filters), and baseline JPEG (stdlib Huffman + numpy
+IDCT; SOF0/SOF1, 4:4:4/4:2:2/4:2:0, restart markers) via
+:func:`decode_image`/:func:`decode_png`/:func:`decode_jpeg`,
 and PCM RIFF/WAVE audio via :func:`decode_wav` (pure stdlib struct +
 numpy) — and STUBBED for
-the rest (JPEG decode, compressed audio, video frame-sample) because
-those libraries are not in this container; swap the stub branch of
-``_analyze`` for PIL/torchaudio/pyav calls in production; the batch
-shapes and signatures do not change.
+the rest (progressive JPEG, compressed audio, video frame-sample)
+because those libraries are not in this container; swap the stub
+branch of ``_analyze`` for PIL/torchaudio/pyav calls in production;
+the batch shapes and signatures do not change.
 
 Scale notes: media rows are big (MBs), so operators cap Arrow batch
 sizes via ``spark.sql.execution.arrow.maxRecordsPerBatch`` and avoid
@@ -124,6 +126,8 @@ def decode_image(data: bytes):
         return arr[:, :, [2, 1, 0] + ([3] if c == 4 else [])]  # BGR(A)→RGB(A)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
+    if magic == b"\xff\xd8":
+        return decode_jpeg(data)
     raise ValueError(f"no pure-python codec for magic {magic!r}")
 
 
@@ -220,6 +224,313 @@ def decode_png(data: bytes):
         out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
         prev = out[y]
     return out.reshape(h, w, c)
+
+
+def _jpeg_huffman_table(counts, symbols):
+    """Canonical JPEG Huffman table → {(bit_length, code): symbol}.
+    ``counts[i]`` = number of codes of length i+1 (the 16-byte BITS
+    list from a DHT segment), ``symbols`` the HUFFVAL list."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over JPEG entropy-coded data: un-stuffs
+    0xFF00, byte-aligns and reports RSTn markers, treats any other
+    marker as end-of-stream."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        while self.nbits < 25:
+            if self.pos >= len(d):
+                return self.nbits > 0
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed literal FF
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    return self.nbits > 0  # restart marker pending
+                else:
+                    return self.nbits > 0  # real marker: stream over
+            else:
+                self.pos += 1
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise ValueError("JPEG entropy stream exhausted")
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self) -> None:
+        """Consume a pending RSTn marker and byte-align."""
+        self.bits = 0
+        self.nbits = 0
+        d = self.data
+        if (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected JPEG restart marker")
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    """JPEG F.2.2.1 EXTEND: map an n-bit magnitude to its signed
+    coefficient value."""
+    return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
+
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def decode_jpeg(data: bytes):
+    """REAL baseline JPEG (JFIF) codec — stdlib + numpy only (round-9
+    verdict task 5; same precedent as :func:`decode_png`): SOF0/SOF1
+    Huffman-coded sequential DCT, 8-bit, grayscale or YCbCr with any
+    sampling factors (4:4:4 / 4:2:2 / 4:2:0 via the general
+    h×v-sampling MCU walk), DQT (8- and 16-bit), multiple DHT
+    segments, restart markers (DRI/RSTn), byte-stuffed entropy data.
+    Returns an HxWxC uint8 array (C=1 gray, 3 RGB).
+
+    Decode path per block: Huffman (canonical tables parsed from the
+    stream's own DHT — nothing hardcoded) → DPCM DC + RLE AC in
+    zigzag order → dequantize → float64 separable IDCT (the 8×8
+    basis matrix is exact to IEEE double and numpy's matmul is
+    deterministic) → +128 level shift, round-half-up, clip. Chroma
+    upsamples by pixel replication (nearest), then the integer-rounded
+    BT.601 YCbCr→RGB. For a DC-only block with quantizer q the output
+    is exactly ``clip(round(dc·q/8) + 128)`` — the analytic hook the
+    golden oracle replays (media_phash_jpeg).
+
+    Raises ``ValueError`` on progressive (SOF2), arithmetic coding,
+    12-bit precision, or corrupt payloads — callers fall back to the
+    stub path loudly, never silently (same contract as the other
+    decoders). Python-loop Huffman decoding is acceptable for the
+    thumbnail/fixture scale this engine decodes in-container; the
+    production swap-in point for libjpeg-turbo is the same
+    ``_analyze`` branch."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    vals = list(seg[i : i + 64])
+                    i += 64
+                elif pq == 1:
+                    vals = [
+                        int.from_bytes(seg[i + 2 * j : i + 2 * j + 2], "big")
+                        for j in range(64)
+                    ]
+                    i += 128
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
+                if len(vals) < 64:
+                    raise ValueError("truncated DQT")
+                qt[tq] = vals
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                symbols = list(seg[i + 17 : i + 17 + n])
+                if len(symbols) != n:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _jpeg_huffman_table(counts, symbols)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline Huffman
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {ncomp}")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG frame type 0xFF{marker:02X} "
+                "(progressive/arithmetic/hierarchical)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tables = seg[1 + 2 * si], seg[2 + 2 * si]
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError("JPEG scan references unknown component")
+                scan.append(
+                    {**comp, "dc": tables >> 4, "ac": tables & 0xF}
+                )
+            if len(scan) != len(frame["comps"]):
+                raise ValueError("partial JPEG scans unsupported")
+            return _jpeg_decode_scan(
+                data, pos + 2 + seglen, frame, scan, qt, huff,
+                restart_interval, np,
+            )
+        # APPn/COM/anything else: skip
+        pos += 2 + seglen
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_idct_matrix(np):
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    a[0] /= np.sqrt(2.0)
+    return a  # A[u, x]; spatial = A.T @ F @ A
+
+
+def _jpeg_decode_scan(
+    data, pos, frame, scan, qt, huff, restart_interval, np
+):
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad JPEG sampling factors")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    A = _jpeg_idct_matrix(np)
+    planes = []
+    for c in scan:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG references missing quant table")
+        if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
+            raise ValueError("JPEG references missing Huffman table")
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.uint8)
+        )
+    reader = _JpegBitReader(data, pos)
+    pred = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader.restart()
+                pred = [0] * len(scan)
+            for ci, c in enumerate(scan):
+                q = qt[c["tq"]]
+                dct, act = huff[(0, c["dc"])], huff[(1, c["ac"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64, dtype=np.float64)
+                        t = reader.decode_huff(dct)
+                        diff = _jpeg_extend(reader.receive(t), t)
+                        pred[ci] += diff
+                        coeffs[0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            coeffs[_ZIGZAG[k]] = (
+                                _jpeg_extend(reader.receive(s), s) * q[k]
+                            )
+                            k += 1
+                        block = A.T @ coeffs.reshape(8, 8) @ A
+                        px = np.clip(
+                            np.floor(block + 128.0 + 0.5), 0, 255
+                        ).astype(np.uint8)
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+    if len(scan) == 1:
+        return planes[0][:h, :w].reshape(h, w, 1)
+    # upsample chroma by replication to the luma grid, then BT.601
+    full = []
+    for ci, c in enumerate(scan):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w].astype(np.float64))
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
 
 
 def decode_wav(data: bytes):

@@ -585,3 +585,339 @@ def test_audio_features_known_wave_and_stub(spark):
     assert ok["zero_crossings"] == 3
     bad = out[2]
     assert bad["decode_ok"] is False and bad["energy"] is None
+
+
+# ------------------------------------------------------------------ JPEG
+
+# Annex K standard luminance Huffman tables (encoder side only — the
+# decoder parses whatever DHT the stream carries)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits, vals):
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def align(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1s per spec
+
+
+def _encode_jpeg(w, h, comps, qtables, restart_interval=0):
+    """Minimal baseline JFIF encoder for test fixtures.
+
+    comps: list of {"blocks": {(by,bx): [64 zigzag quantized ints]},
+    "h":, "v":, "tq":}; qtables: {tq: [64 zigzag ints]}. Uses the
+    Annex K luminance tables for every component (legal, if
+    suboptimal, for chroma)."""
+    import struct
+
+    dc = _huff_codes(_DC_BITS, _DC_VALS)
+    ac = _huff_codes(_AC_BITS, _AC_VALS)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in qtables.items():
+        out += seg(0xDB, bytes([tq]) + bytes(q))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for i, c in enumerate(comps):
+        sof += bytes([i + 1, (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for i in range(len(comps)):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    mcu_count, rst = 0, 0
+
+    def put_coeff(codes, val, extra_bits=None):
+        ln, code = codes
+        bw.put(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.align()
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["blocks"].get(
+                            (my * c["v"] + by, mx * c["h"] + bx), [0] * 64
+                        )
+                        diff = blk[0] - pred[ci]
+                        pred[ci] = blk[0]
+                        t = abs(diff).bit_length()
+                        bw.put(*reversed(dc[t]))
+                        if t:
+                            v = diff if diff > 0 else diff + (1 << t) - 1
+                            bw.put(v, t)
+                        run = 0
+                        for k in range(1, 64):
+                            v = blk[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                bw.put(*reversed(ac[0xF0]))
+                                run -= 16
+                            s = abs(v).bit_length()
+                            bw.put(*reversed(ac[(run << 4) | s]))
+                            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            bw.put(*reversed(ac[0x00]))  # EOB
+            mcu_count += 1
+    bw.align()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _ref_idct_pixels(zig_blocks, q, nbx, nby, w, h):
+    """Independent reference: dequantize + explicit-loop IDCT +
+    level shift + round-half-up + clip, per block grid."""
+    import math
+
+    import numpy as np
+
+    out = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+    zz = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    for (by, bx), blk in zig_blocks.items():
+        F = np.zeros((8, 8))
+        for k in range(64):
+            F[zz[k] // 8][zz[k] % 8] = blk[k] * q[k]
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv / 4 * F[u][v]
+                            * math.cos((2 * y + 1) * u * math.pi / 16)
+                            * math.cos((2 * x + 1) * v * math.pi / 16)
+                        )
+                out[by * 8 + y][bx * 8 + x] = int(
+                    min(255, max(0, math.floor(s + 128.5)))
+                )
+    return out[:h, :w]
+
+
+def test_decode_jpeg_dc_only_exact():
+    """DC-only grayscale blocks with an all-8s quant table decode to
+    exactly clip(dc + 128) — the analytic hook the golden oracle
+    uses."""
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    q = [8] * 64
+    blocks = {}
+    vals = {}
+    for by in range(2):
+        for bx in range(3):
+            g = (by * 3 + bx) * 40 + 7  # 7, 47, ..., 207
+            blocks[(by, bx)] = [g - 128] + [0] * 63
+            vals[(by, bx)] = g
+    data = _encode_jpeg(
+        24, 16, [{"blocks": blocks, "h": 1, "v": 1, "tq": 0}], {0: q}
+    )
+    arr = decode_jpeg(data)
+    assert arr.shape == (16, 24, 1)
+    for (by, bx), g in vals.items():
+        block = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0]
+        assert (block == g).all(), (by, bx, g, block[0, 0])
+
+
+def test_decode_jpeg_ac_coefficients_match_reference():
+    """General AC path (runs, ZRL, EOB) against an independent
+    explicit-loop IDCT."""
+    import random
+
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    rng = random.Random(20260815)
+    q = [16] + [max(1, (i * 7) % 24) for i in range(1, 64)]
+    blocks = {}
+    for by in range(2):
+        for bx in range(2):
+            blk = [0] * 64
+            blk[0] = rng.randint(-60, 60)
+            for _ in range(6):
+                blk[rng.randint(1, 63)] = rng.randint(-30, 30)
+            blk[63] = rng.choice([0, 5])  # exercise long runs / ZRL
+            blocks[(by, bx)] = blk
+    data = _encode_jpeg(
+        16, 16, [{"blocks": blocks, "h": 1, "v": 1, "tq": 0}], {0: q}
+    )
+    got = decode_jpeg(data)[:, :, 0]
+    want = _ref_idct_pixels(blocks, q, 2, 2, 16, 16)
+    assert (got == want).all()
+
+
+def test_decode_jpeg_420_color_and_crop():
+    """3-component 4:2:0: MCU interleave, chroma replication
+    upsample, BT.601 conversion, and non-multiple-of-16 crop."""
+    import numpy as np
+
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    q = [8] * 64
+    # luma: 2x2 blocks per MCU, DC-only; chroma: one block each
+    yb = {
+        (by, bx): [(by * 2 + bx) * 30 - 90] + [0] * 63
+        for by in range(2)
+        for bx in range(2)
+    }
+    cb = {(0, 0): [20] + [0] * 63}
+    cr = {(0, 0): [-40] + [0] * 63}
+    data = _encode_jpeg(
+        12,
+        10,
+        [
+            {"blocks": yb, "h": 2, "v": 2, "tq": 0},
+            {"blocks": cb, "h": 1, "v": 1, "tq": 0},
+            {"blocks": cr, "h": 1, "v": 1, "tq": 0},
+        ],
+        {0: q},
+    )
+    arr = decode_jpeg(data)
+    assert arr.shape == (10, 12, 3)
+    # top-left pixel: Y = -90+128 = 38, Cb = 20+128 = 148, Cr = -40+128 = 88
+    y0, cb0, cr0 = 38.0, 148.0 - 128.0, 88.0 - 128.0
+    want = [
+        int(min(255, max(0, np.floor(v + 0.5))))
+        for v in (
+            y0 + 1.402 * cr0,
+            y0 - 0.344136 * cb0 - 0.714136 * cr0,
+            y0 + 1.772 * cb0,
+        )
+    ]
+    assert list(arr[0, 0]) == want
+
+
+def test_decode_jpeg_restart_markers():
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    q = [8] * 64
+    blocks = {
+        (0, bx): [bx * 20 - 60] + [0] * 63 for bx in range(4)
+    }
+    data = _encode_jpeg(
+        32, 8, [{"blocks": blocks, "h": 1, "v": 1, "tq": 0}], {0: q},
+        restart_interval=1,
+    )
+    assert b"\xff\xd0" in data or b"\xff\xd1" in data
+    arr = decode_jpeg(data)
+    for bx in range(4):
+        assert (arr[:, bx * 8 : bx * 8 + 8, 0] == bx * 20 - 60 + 128).all()
+
+
+def test_decode_jpeg_rejections_and_analyze_wiring(spark):
+    import pytest as _pytest
+
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+        extract_media_features,
+    )
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01")
+    # progressive frame marker (SOF2) is rejected loudly
+    q = [8] * 64
+    data = bytearray(
+        _encode_jpeg(
+            8, 8, [{"blocks": {(0, 0): [0] * 64}, "h": 1, "v": 1,
+                    "tq": 0}], {0: q}
+        )
+    )
+    idx = data.find(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with _pytest.raises(ValueError, match="frame type"):
+        decode_jpeg(bytes(data))
+    # decode_image dispatches on the FFD8 magic
+    good = _encode_jpeg(
+        8, 8, [{"blocks": {(0, 0): [10] + [0] * 63}, "h": 1, "v": 1,
+                "tq": 0}], {0: q}
+    )
+    assert decode_image(good).shape == (8, 8, 1)
+    # and the Spark feature extractor reports true dimensions
+    df = spark.createDataFrame(
+        [(1, "image", good)], "media_id long, kind string, data binary"
+    )
+    row = extract_media_features(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (8, 8, 1)
+    assert row["decode_ok"] is True
+    assert row["feat"][3] == _pytest.approx((10 + 128) / 255.0)
