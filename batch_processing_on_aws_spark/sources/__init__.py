@@ -5,6 +5,7 @@ from .lake import (
     read_pruned,
     write_partitioned,
 )
+from .warc import parse_warc_records, read_warc, warc_records
 from .readers import (
     from_pandas,
     load_table,
@@ -25,6 +26,9 @@ __all__ = [
     "load_table",
     "load_tables",
     "manifest_from_links",
+    "parse_warc_records",
+    "read_warc",
+    "warc_records",
     "pending_entries",
     "read_binary_files",
     "read_csv",
