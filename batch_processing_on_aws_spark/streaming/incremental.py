@@ -621,6 +621,7 @@ def stream_interval_join(
     right_ts: str,
     max_gap: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM interval join — the last join shape in the
     Structured Streaming matrix this module covers (stream⋈static is
@@ -635,11 +636,22 @@ def stream_interval_join(
     ``l_ts + max_gap`` (no future right row could match it), a RIGHT
     row once the watermark passes its own timestamp, so state is
     bounded by (watermark + gap) × arrival rate, never by stream
-    length. INNER join only here: with it, emitted pairs are
-    independent of micro-batch boundaries in the no-late-drop regime,
-    which is what lets a batch SQL oracle replay the stream's output
-    hash-exact; outer stream-stream joins emit unmatched rows on
-    EVICTION (timing-dependent) and are deliberately not wrapped.
+    length.
+
+    ``how`` (round-9 verdict task 7): ``"inner"`` (default) emits
+    matched pairs only — micro-batch-boundary-independent in the
+    no-late-drop regime, the shape a batch SQL oracle replays
+    verbatim. ``"left_outer"`` additionally emits each unmatched left
+    row null-extended WHEN ITS STATE EVICTS — the "click with no
+    purchase within the window" attribution shape. Emission is
+    watermark-triggered, so the delivered set is: all matched pairs,
+    plus every unmatched left row whose deadline ``l_ts + max_gap``
+    fell behind the FINAL watermark (min across both streams of max
+    event time, minus the delay) by the time the run drained —
+    deterministic for a fixed delivery schedule, and batch-replayable
+    given that final watermark (golden ``streamed_attribution_left``);
+    unmatched rows still inside the watermark horizon at shutdown
+    remain buffered, emitted by the NEXT run off the checkpoint.
 
     Column names must be disjoint apart from ``on`` (pre-alias the
     sides); the join key equality plus the two-sided time-range
@@ -653,6 +665,10 @@ def stream_interval_join(
     as the eviction test does); single-batch catch-up runs stay
     CORRECT, they just hold state longer.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how must be 'inner' or 'left_outer', got {how!r}"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -663,7 +679,7 @@ def stream_interval_join(
             <= lw[left_ts] + F.expr(f"interval {max_gap}")
         )
     )
-    return lw.join(rw, cond, "inner").drop(rw[on])
+    return lw.join(rw, cond, how).drop(rw[on])
 
 
 def ingest_scd2_stream(

@@ -738,6 +738,110 @@ def test_stream_interval_join_cross_batch_and_eviction(spark, tmp_path):
     assert any(b < a for a, b in zip(state, state[1:])), state
 
 
+def test_stream_interval_join_left_outer_unmatched_emission(
+    spark, tmp_path
+):
+    """LEFT-OUTER stream-stream interval join (round-9 verdict task
+    7): the same delivery schedule as the inner test, joined
+    left_outer — every matched pair still emits exactly once, a click
+    with NO purchase inside its 30-min window emits null-extended
+    once the watermark passes its deadline (observed: the watermark
+    advanced and the row appeared), a matched click never emits a
+    null row, and a click whose deadline is still inside the final
+    watermark horizon stays buffered (absent from the delivered
+    set)."""
+    import datetime as dt
+    import time
+
+    import pytest as _pytest
+
+    from batch_processing_on_aws_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    cs = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("click_id", T.LongType()),
+            T.StructField("click_ts", T.TimestampType()),
+        ]
+    )
+    ps = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("purchase_id", T.LongType()),
+            T.StructField("purchase_ts", T.TimestampType()),
+        ]
+    )
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 12, 0) + dt.timedelta(minutes=minute)
+
+    def w(sub, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp_path / sub))
+        time.sleep(0.05)
+
+    w("c", [(1, 101, t(0)), (2, 201, t(0)), (3, 301, t(0))], cs)
+    w("p", [(3, 3001, t(5))], ps)
+    w("c", [(4, 401, t(150))], cs)
+    w("p", [(1, 1001, t(20)), (2, 2001, t(120))], ps)  # 2001 beyond gap
+    w("c", [(5, 501, t(152)), (6, 601, t(153))], cs)   # 601: no purchase,
+    #   deadline t183 stays inside the final watermark horizon
+    w("p", [(5, 5001, t(153)), (4, 4001, t(160))], ps)
+
+    clicks = (
+        spark.readStream.schema(cs).option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "c"))
+    )
+    purch = (
+        spark.readStream.schema(ps).option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "p"))
+    )
+    joined = stream_interval_join(
+        clicks, purch, on="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        max_gap="30 minutes", watermark="10 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {
+        (3001, 301),
+        (1001, 101),
+        (5001, 501),
+        (4001, 401),
+        (None, 201),  # watermark-triggered unmatched emission
+    }
+    # the null-extension carries NULL right timestamps too
+    null_row = [
+        r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        if r["click_id"] == 201
+    ][0]
+    assert null_row["purchase_ts"] is None
+    assert null_row["user_id"] == 2
+    # watermark genuinely advanced during the run
+    wm = [p.eventTime.get("watermark") for p in q.recentProgress]
+    assert len(set(wm)) > 1, wm
+    with _pytest.raises(ValueError, match="how"):
+        stream_interval_join(
+            clicks, purch, on="user_id",
+            left_ts="click_ts", right_ts="purchase_ts", how="full",
+        )
+
+
 def test_quarantine_stream_routes_both_sides(spark, tmp_path):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
