@@ -528,6 +528,155 @@ FROM p JOIN c
 """
 
 
+def streamed_attribution_left(spark, sf_dir):
+    """LEFT-OUTER stream-stream interval join end-to-end (round-9
+    verdict task 7 — streaming/incremental.py::stream_interval_join
+    ``how='left_outer'``): the same two file streams and two
+    event-time deliveries as ``streamed_attribution_pairs``, but with
+    a TIGHT 1-hour watermark so left state actually evicts during the
+    run — a click with no same-user purchase in the following day
+    emits null-extended when the watermark passes its deadline. The
+    delivered set is deterministic for this fixed schedule: all
+    matched pairs (nothing is late — deliveries are split by event
+    time and the global watermark is the min across both streams),
+    plus every unmatched click whose ``click_ts + 1 day`` fell behind
+    the FINAL watermark ``min(max click_ts, max purchase_ts) − 1h``
+    (the availableNow run ends with a no-data flush batch at that
+    watermark; clicks still inside the horizon stay buffered for the
+    next run and are excluded here). The batch oracle computes
+    exactly that set, final watermark included."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..streaming.incremental import stream_interval_join
+
+    src = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5(("left:" + "\n".join(sig)).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ssjl_{key}")
+    c_in, p_in, out, ckpt = (
+        os.path.join(root, d) for d in ("clicks", "purchases", "out", "ckpt")
+    )
+    done = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events")
+        clicks = events.where(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = events.where(F.col("event_type") == "purchase").select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        cut = F.lit("2024-07-01").cast("timestamp")
+        for half in (
+            lambda d, c: d.where(c < cut),
+            lambda d, c: d.where(~(c < cut)),
+        ):
+            half(clicks, F.col("click_ts")).coalesce(1).write.mode(
+                "append"
+            ).parquet(c_in)
+            half(purchases, F.col("purchase_ts")).coalesce(1).write.mode(
+                "append"
+            ).parquet(p_in)
+        cs = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("click_id", T.LongType()),
+                T.StructField("click_ts", T.TimestampType()),
+            ]
+        )
+        ps = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("purchase_id", T.LongType()),
+                T.StructField("purchase_ts", T.TimestampType()),
+            ]
+        )
+        cstream = (
+            spark.readStream.schema(cs)
+            .option("maxFilesPerTrigger", 1).parquet(c_in)
+        )
+        pstream = (
+            spark.readStream.schema(ps)
+            .option("maxFilesPerTrigger", 1).parquet(p_in)
+        )
+        joined = stream_interval_join(
+            cstream, pstream, on="user_id",
+            left_ts="click_ts", right_ts="purchase_ts",
+            max_gap="1 day", watermark="1 hour", how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        for scratch in (c_in, p_in, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(key)
+    return spark.read.parquet(out).select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        F.col("purchase_id").isNotNull().alias("attributed"),
+    )
+
+
+_STREAM_SSJL_SQL = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(click_ts) FROM c),
+               (SELECT MAX(purchase_ts) FROM p))
+         - INTERVAL 1 HOUR AS final_wm
+),
+matched AS (
+  SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id, p.purchase_ts
+  FROM c JOIN p
+    ON p.user_id = c.user_id
+   AND p.purchase_ts > c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 1 DAY
+)
+SELECT click_id, user_id, click_ts, purchase_id, purchase_ts,
+       TRUE AS attributed
+FROM matched
+UNION ALL
+SELECT c.click_id, c.user_id, c.click_ts,
+       CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+       FALSE AS attributed
+FROM c
+WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+  AND c.click_ts + INTERVAL 1 DAY < (SELECT final_wm FROM wm)
+"""
+
+
 def versioned_history_travel(spark, sf_dir):
     """DESCRIBE HISTORY + timestamp travel over the versioned table
     (operators/versioned.py::VersionedTable.history / read(as_of=)):
@@ -2636,6 +2785,123 @@ WITH pages AS (
   FROM documents
 )
 SELECT doc_id,
+       {expr} AS text,
+       CAST(length({expr}) AS BIGINT) AS text_len,
+       CAST(length(h) AS BIGINT) AS html_len,
+       ROUND(CAST(length({expr}) AS DOUBLE) / GREATEST(length(h), 1), 6)
+         AS text_density
+FROM pages
+"""
+
+
+def warc_main_text(spark, sf_dir):
+    """Crawl ingest end-to-end (round-9 verdict task 6 —
+    sources/warc.py): each document becomes a REAL WARC response
+    record (version line, WARC-Type/Target-URI/Date headers,
+    Content-Length framing, full HTTP/1.1 response inside), records
+    are packed 16-to-a-container in doc_id order, and every ODD
+    container is compressed as per-record-independent gzip members —
+    the .warc.gz layout — so one query exercises framing, the
+    multi-member gunzip loop, HTTP splitting, and the ISO-date parse.
+    The parsed (url, fetch_ts, http_status, html) rows then run the
+    SAME extract_main_text stage as html_main_text. The DuckDB oracle
+    rebuilds every output analytically from the documents table —
+    container packing and parsing must be exact inverses for the
+    hashes to meet."""
+    from ..operators.webtext import extract_main_text
+    from ..sources.warc import warc_records
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grouped = docs.withColumn(
+        "container_id", F.pmod(F.col("doc_id"), F.lit(16))
+    )
+
+    def build(pdf):
+        import gzip
+
+        import pandas as pd
+
+        cid = int(pdf["container_id"].iloc[0])
+        out = bytearray()
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            did = int(row["doc_id"])
+            body = (
+                _HTML_PREFIX + str(row["text"]) + _HTML_SUFFIX
+            ).encode("utf-8")
+            http = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body
+            )
+            ts = (
+                f"2024-01-01T{(did // 3600) % 24:02d}:"
+                f"{(did // 60) % 60:02d}:{did % 60:02d}Z"
+            )
+            rec = (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: http://corpus.test/doc/{did}\r\n"
+                f"WARC-Date: {ts}\r\n"
+                "Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode() + http + b"\r\n\r\n"
+            if cid % 2 == 1:  # per-record gzip member (.warc.gz)
+                rec = gzip.compress(rec, compresslevel=1, mtime=0)
+            out += rec
+        return pd.DataFrame(
+            {"path": [f"crawl-{cid:05d}.warc"], "content": [bytes(out)]}
+        )
+
+    containers = grouped.groupBy("container_id").applyInPandas(
+        build, "path string, content binary"
+    )
+    recs = warc_records(containers)
+    main = extract_main_text(
+        recs.where(F.col("http_status") == 200).select(
+            F.regexp_extract(F.col("url"), r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "fetch_ts",
+            "html",
+        )
+    )
+    # extract_main_text keeps (id, text, text_len, html_len,
+    # text_density); re-attach fetch_ts through the projection
+    recs2 = recs.select(
+        F.regexp_extract(F.col("url"), r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "fetch_ts",
+        "http_status",
+    )
+    return main.join(recs2, "doc_id").select(
+        "doc_id", "fetch_ts", "http_status",
+        "text", "text_len", "html_len", "text_density",
+    )
+
+
+def _warc_main_text_sql() -> str:
+    from ..operators.webtext import HTML_STRIP_CHAIN
+
+    expr = "h"
+    for pat, repl in HTML_STRIP_CHAIN:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    expr = f"trim({expr})"
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         TIMESTAMP '2024-01-01'
+           + ((doc_id // 3600) % 24) * INTERVAL 1 HOUR
+           + ((doc_id // 60) % 60) * INTERVAL 1 MINUTE
+           + (doc_id % 60) * INTERVAL 1 SECOND AS fetch_ts,
+         CAST(200 AS INT) AS http_status,
+         '{_HTML_PREFIX}' || text || '{_HTML_SUFFIX.replace("'", "''")}' AS h
+  FROM documents
+)
+SELECT doc_id, fetch_ts, http_status,
        {expr} AS text,
        CAST(length({expr}) AS BIGINT) AS text_len,
        CAST(length(h) AS BIGINT) AS html_len,
@@ -5151,6 +5417,141 @@ _MEDIA_PHASH_PNG_SQL = """
 WITH g AS (
   SELECT d.doc_id, y.range AS y, x.range AS x,
          (d.doc_id * 53 + x.range * 7 + y.range * 13) % 256 AS gray
+  FROM documents d, range(8) y, range(9) x
+),
+b AS (
+  SELECT g1.doc_id,
+         CAST(g1.y * 8 + g1.x AS BIGINT) AS idx,
+         CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+  FROM g g1
+  JOIN g g2 ON g1.doc_id = g2.doc_id AND g1.y = g2.y AND g2.x = g1.x + 1
+  WHERE g1.x < 8
+),
+h AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN idx < 32
+                  THEN CAST(bit AS BIGINT) << CAST(31 - idx AS INT)
+                  ELSE 0 END) AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN idx >= 32
+                  THEN CAST(bit AS BIGINT) << CAST(63 - idx AS INT)
+                  ELSE 0 END) AS BIGINT) AS lo
+  FROM b GROUP BY 1
+)
+SELECT doc_id AS media_id, printf('%08x%08x', hi, lo) AS phash,
+       TRUE AS decode_ok
+FROM h
+"""
+
+
+def media_phash_jpeg(spark, sf_dir):
+    """dHash through the REAL baseline JPEG decode path (round-9
+    verdict task 5 — operators/multimodal.py::decode_jpeg, stdlib
+    Huffman + numpy IDCT): each document id becomes a 72×64 grayscale
+    baseline JFIF whose 8×8 block at grid (x, y) is the CONSTANT
+    ``(id·37 + x·11 + y·13) mod 256`` — encoded for real (canonical
+    Huffman DC codes, DPCM diffs, EOB-coded AC, byte stuffing) with
+    an all-8s quant table, so the decoder's dequant+IDCT lands each
+    block at exactly ``dc + 128`` (a DC-only block IDCTs to the flat
+    value dc·q/8; q=8 cancels). The dHash 9×8 index-map downsample
+    then reads precisely one pixel per block (72/9 = 64/8 = 8), so
+    the DuckDB oracle recomputes all 64 bits analytically from the
+    block formula without parsing a byte of JPEG — Huffman decode,
+    DPCM, dequant, IDCT rounding, and hex packing all value-checked
+    cross-engine."""
+    from ..operators.multimodal import perceptual_hash
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        import struct
+
+        import pandas as pd
+
+        # canonical tables: standard Annex-K luminance DC; a minimal
+        # 1-symbol AC table whose only code is EOB ('0', 1 bit)
+        dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        dc_vals = list(range(12))
+        dc_codes, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(dc_bits[ln - 1]):
+                dc_codes[dc_vals[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+
+        def seg(marker, body):
+            return (
+                bytes([0xFF, marker])
+                + struct.pack(">H", len(body) + 2)
+                + body
+            )
+
+        head = bytearray(b"\xff\xd8")
+        head += seg(0xDB, bytes([0]) + bytes([8] * 64))
+        head += seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 64, 72, 1) + bytes([1, 0x11, 0]),
+        )
+        head += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        head += seg(
+            0xC4,
+            bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]),
+        )
+        head += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        head = bytes(head)
+
+        def jpeg_gray(mid):
+            bits = []  # (value, length)
+            pred = 0
+            for by in range(8):
+                for bx in range(9):
+                    g = (mid * 37 + bx * 11 + by * 13) % 256
+                    dc = g - 128
+                    diff = dc - pred
+                    pred = dc
+                    t = abs(diff).bit_length()
+                    ln, c = dc_codes[t]
+                    bits.append((c, ln))
+                    if t:
+                        v = diff if diff > 0 else diff + (1 << t) - 1
+                        bits.append((v, t))
+                    bits.append((0, 1))  # EOB
+            out, acc, n = bytearray(), 0, 0
+            for v, ln in bits:
+                for i in range(ln - 1, -1, -1):
+                    acc = (acc << 1) | ((v >> i) & 1)
+                    n += 1
+                    if n == 8:
+                        out.append(acc)
+                        if acc == 0xFF:
+                            out.append(0x00)
+                        acc, n = 0, 0
+            if n:
+                acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+                out.append(acc)
+                if acc == 0xFF:
+                    out.append(0x00)
+            return head + bytes(out) + b"\xff\xd9"
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "data": [jpeg_gray(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, data binary")
+    return perceptual_hash(media).select("media_id", "phash", "decode_ok")
+
+
+_MEDIA_PHASH_JPEG_SQL = """
+WITH g AS (
+  SELECT d.doc_id, y.range AS y, x.range AS x,
+         (d.doc_id * 37 + x.range * 11 + y.range * 13) % 256 AS gray
   FROM documents d, range(8) y, range(9) x
 ),
 b AS (
@@ -9459,6 +9860,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("media_features", media_features, _MEDIA_SQL),
     QueryDef("media_phash", media_phash, _MEDIA_PHASH_SQL),
     QueryDef("media_phash_png", media_phash_png, _MEDIA_PHASH_PNG_SQL),
+    QueryDef("media_phash_jpeg", media_phash_jpeg, _MEDIA_PHASH_JPEG_SQL),
     QueryDef("media_neardup_pairs", media_neardup_pairs, _MEDIA_NEARDUP_SQL),
     QueryDef("links_manifest", links_manifest, _LINKS_MANIFEST_SQL),
     QueryDef("dup_span_occurrences", dup_span_occurrences, _DUP_SPANS_SQL),
@@ -9557,6 +9959,11 @@ QUERIES: list[QueryDef] = [
         "streamed_attribution_pairs",
         streamed_attribution_pairs,
         _STREAM_SSJ_SQL,
+    ),
+    QueryDef(
+        "streamed_attribution_left",
+        streamed_attribution_left,
+        _STREAM_SSJL_SQL,
     ),
     QueryDef(
         "streamed_versioned_events",
@@ -9813,6 +10220,7 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("semantic_clean_docs", semantic_clean_docs, _semantic_clean_sql()),
     QueryDef("html_main_text", html_main_text, _html_main_text_sql()),
+    QueryDef("warc_main_text", warc_main_text, _warc_main_text_sql()),
     QueryDef("doc_encoding_stats", doc_encoding_stats, _ENCODING_SQL),
     QueryDef("fuzzy_name_pairs", fuzzy_name_pairs, _fuzzy_pairs_sql()),
     QueryDef(
