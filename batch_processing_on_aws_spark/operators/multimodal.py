@@ -910,17 +910,133 @@ def media_dedup_by_content(df: DataFrame) -> DataFrame:
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary, frame_sha string"
 
 
+def parse_avi(data: bytes) -> dict:
+    """REAL video container parse — AVI/RIFF (the MJPEG carrier), pure
+    stdlib struct (round-10; same precedent as :func:`decode_jpeg` and
+    ``sources/warc.py``: the container format is length-framed chunks,
+    no media libs needed). Walks the RIFF tree: ``LIST hdrl`` →
+    ``strl``/``strh`` (fccType ``vids``, dwScale/dwRate = the exact
+    rational frame clock) + ``strf`` (BITMAPINFOHEADER dims +
+    biCompression), then ``LIST movi`` → the video stream's
+    ``##dc``/``##db`` chunks in presentation order (even-byte chunk
+    padding honored, optional ``idx1`` ignored — frame order in
+    ``movi`` is authoritative for a single-stream file).
+
+    Returns ``{"width", "height", "fps_num" (dwRate), "fps_den"
+    (dwScale), "n_frames", "frames": [jpeg_bytes, ...]}``. Exactly one
+    ``vids`` stream is required; with MJPG compression every frame
+    payload must start with the JPEG SOI marker — anything else
+    (other codecs, multi-video files, truncated chunks) raises
+    ``ValueError`` so callers fall back loudly, never silently
+    (the same contract as every decoder in this module)."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    ctx: dict = {
+        "n_streams": 0, "vids_stream": None, "vids_handler": None,
+        "vids_compression": None, "width": None, "height": None,
+        "fps_num": None, "fps_den": None, "frames": [],
+        "pending_type": None,
+    }
+
+    def walk(start: int, end: int, in_movi: bool) -> None:
+        pos = start
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > end:
+                raise ValueError(f"truncated AVI chunk {fourcc!r}")
+            body = data[body_start:body_end]
+            if fourcc == b"LIST":
+                ltype = body[:4]
+                if ltype == b"strl":
+                    ctx["pending_type"] = None
+                walk(body_start + 4, body_end, in_movi or ltype == b"movi")
+                if ltype == b"strl":
+                    ctx["n_streams"] += 1
+            elif fourcc == b"strh":
+                if len(body) < 36:
+                    raise ValueError("truncated AVI strh")
+                ctx["pending_type"] = bytes(body[:4])
+                if body[:4] == b"vids":
+                    if ctx["vids_stream"] is not None:
+                        raise ValueError("multiple video streams in AVI")
+                    ctx["vids_stream"] = ctx["n_streams"]
+                    ctx["vids_handler"] = bytes(body[4:8])
+                    scale, rate = struct.unpack("<II", body[20:28])
+                    if scale <= 0 or rate <= 0:
+                        raise ValueError("bad AVI video frame clock")
+                    ctx["fps_den"], ctx["fps_num"] = scale, rate
+            elif fourcc == b"strf":
+                if ctx["pending_type"] == b"vids":
+                    if len(body) < 20:
+                        raise ValueError("truncated AVI strf")
+                    w, h = struct.unpack("<ii", body[4:12])
+                    ctx["width"], ctx["height"] = w, abs(h)
+                    ctx["vids_compression"] = bytes(body[16:20])
+            elif (
+                in_movi
+                and len(fourcc) == 4
+                and fourcc[:2].isdigit()
+                and fourcc[2:] in (b"dc", b"db")
+            ):
+                if int(fourcc[:2]) == (ctx["vids_stream"] or 0):
+                    ctx["frames"].append(bytes(body))
+            pos = body_end + (size & 1)  # chunks pad to even offsets
+
+    walk(12, len(data), False)
+    if ctx["vids_stream"] is None:
+        raise ValueError("AVI has no video (vids) stream")
+    if not ctx["frames"]:
+        raise ValueError("AVI movi list has no video frames")
+    if ctx["width"] is None or not ctx["width"] or not ctx["height"]:
+        raise ValueError("AVI video stream missing dimensions")
+    mjpg = b"MJPG" in (ctx["vids_handler"], ctx["vids_compression"])
+    if not mjpg:
+        raise ValueError(
+            f"unsupported AVI video codec handler="
+            f"{ctx['vids_handler']!r} compression="
+            f"{ctx['vids_compression']!r} (only MJPG decodes here)"
+        )
+    for i, fr in enumerate(ctx["frames"]):
+        if fr[:2] != b"\xff\xd8":
+            raise ValueError(f"MJPG frame {i} does not start with JPEG SOI")
+    return {
+        "width": ctx["width"],
+        "height": ctx["height"],
+        "fps_num": ctx["fps_num"],
+        "fps_den": ctx["fps_den"],
+        "n_frames": len(ctx["frames"]),
+        "frames": ctx["frames"],
+    }
+
+
+def _sampled_indices(total: int, n_frames: int) -> list[int]:
+    """Evenly-spaced distinct frame indices ``i·total // n_frames`` —
+    the same integer downsample rule as the byte-slice path, dedup'd
+    in order so short videos emit each real frame once."""
+    return list(dict.fromkeys(i * total // n_frames for i in range(n_frames)))
+
+
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame sampling: each media row fans out to ``n_frames``
     rows — the 1→N Arrow batch shape every frame-level pipeline needs
     (``mapInPandas`` may yield more rows than it consumes; Spark just
     streams the longer batches).
 
-    STUB codec (media libs not in this container): a "frame" is the
-    i-th of ``n_frames`` contiguous byte slices of the payload —
-    deterministic integer arithmetic, so a SQL oracle can reproduce
-    every frame hash. Swap the slicing for pyav keyframe extraction in
-    production; the schema, fan-out shape, and batch bounds stay.
+    REAL container path (round-10): payloads that parse as AVI/MJPEG
+    (:func:`parse_avi`) emit actual encoded frames — ``frame_idx`` is
+    the container frame index at the evenly-spaced positions
+    ``i·n_total//n_frames`` (distinct; a 2-frame video yields 2 rows,
+    not 4 duplicates) and ``frame_bytes`` is the frame's own JPEG
+    payload, ready for :func:`decode_jpeg`. Everything else falls back
+    to the STUB slicing codec — the i-th of ``n_frames`` contiguous
+    byte slices — deterministic integer arithmetic a SQL oracle can
+    replay; swap that branch for pyav keyframe extraction in
+    production (schema, fan-out shape, and batch bounds stay).
 
     Rows with empty/NULL payloads emit no frames (nothing to decode);
     payloads shorter than ``n_frames`` emit empty trailing frames —
@@ -935,6 +1051,20 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 if data is None or len(data) == 0:
                     continue
+                data = bytes(data)
+                try:
+                    frames = parse_avi(data)["frames"]
+                except ValueError:
+                    frames = None
+                if frames is not None:
+                    for idx in _sampled_indices(len(frames), n_frames):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["frame_bytes"].append(frames[idx])
+                        out["frame_sha"].append(
+                            hashlib.sha256(frames[idx]).hexdigest()
+                        )
+                    continue
                 length = len(data)
                 for i in range(n_frames):
                     chunk = data[i * length // n_frames : (i + 1) * length // n_frames]
@@ -945,6 +1075,134 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+VIDEO_PHASH_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, phash string, "
+    "width int, height int, decode_ok boolean"
+)
+
+
+def video_frame_phash(
+    df: DataFrame, n_frames: int = 4, hash_size: int = 8
+) -> DataFrame:
+    """Per-frame perceptual hashes through the REAL video path:
+    :func:`parse_avi` container walk → evenly-spaced frame sampling
+    (``_sampled_indices``) → :func:`decode_jpeg` per sampled frame →
+    :func:`dhash_hex` — the video analogue of :func:`perceptual_hash`
+    and the input to :func:`video_neardup_pairs` (re-encoded /
+    re-contained / brightness-shifted copies of a clip keep their
+    frame dHashes; byte-level sha256 can't see them).
+
+    ``ts_ms`` is the frame's presentation time from the container's
+    exact rational clock: ``frame_idx · 1000 · dwScale // dwRate`` —
+    integer arithmetic, replayable by a SQL oracle. Rows whose payload
+    is not a parseable AVI/MJPEG emit one ``decode_ok = false`` row
+    with NULL frame fields (the exact-dedup path owns those payloads);
+    a frame that fails JPEG decode emits its row with ``decode_ok =
+    false`` and a NULL hash — per-frame, not per-video, loudness.
+
+    Scale shape: one video row → ≤ ``n_frames`` output rows inside a
+    streaming ``mapInPandas`` projection — no shuffle, no driver
+    involvement, Arrow-batched like every operator in this module.
+    """
+    if n_frames <= 0:
+        raise ValueError(f"n_frames must be positive, got {n_frames}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "ts_ms": [],
+                "phash": [], "width": [], "height": [], "decode_ok": [],
+            }
+
+            def emit(mid, idx, ts, ph, w, h, ok):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["ts_ms"].append(ts)
+                out["phash"].append(ph)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["decode_ok"].append(ok)
+
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    vid = parse_avi(bytes(data) if data is not None else b"")
+                except ValueError:
+                    emit(mid, None, None, None, None, None, False)
+                    continue
+                for idx in _sampled_indices(vid["n_frames"], n_frames):
+                    ts = idx * 1000 * vid["fps_den"] // vid["fps_num"]
+                    try:
+                        arr = decode_jpeg(vid["frames"][idx])
+                    except ValueError:
+                        emit(mid, idx, ts, None, None, None, False)
+                        continue
+                    h, w = arr.shape[0], arr.shape[1]
+                    emit(mid, idx, ts, dhash_hex(arr, hash_size), w, h, True)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                    "ts_ms": pd.array(out["ts_ms"], dtype="Int64"),
+                    "phash": out["phash"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "decode_ok": out["decode_ok"],
+                }
+            )
+
+    return df.select("media_id", "data").mapInPandas(
+        run, schema=VIDEO_PHASH_SCHEMA
+    )
+
+
+def video_neardup_pairs(
+    frames_df: DataFrame,
+    id_col: str = "media_id",
+    phash_col: str = "phash",
+    min_shared: int = 2,
+    max_hash_videos: int = 64,
+) -> DataFrame:
+    """Video near-duplicate pairs by SHARED FRAME HASHES over
+    :func:`video_frame_phash` output: two clips that share ≥
+    ``min_shared`` distinct sampled-frame dHashes are re-encodes /
+    re-containers / trims of the same footage — the clip-level
+    analogue of :func:`media_neardup_pairs`.
+
+    All JVM, all equi-join: distinct (video, phash) → per-phash video
+    count → drop hashes seen in more than ``max_hash_videos`` clips
+    (black/title-card frames are the viral-image skew of the video
+    world; the cap is the same df-capped-blocking escape hatch as the
+    tf-idf and LSH pair miners — pairs supported ONLY by boilerplate
+    frames are noise, and an uncapped hot hash is a quadratic bucket)
+    → hash-keyed self-join (id < id), count distinct shared hashes,
+    keep pairs at ``min_shared``+. Shuffle is O(frames), candidate
+    work is bounded per hash by the cap — no cross product at any
+    scale."""
+    if min_shared <= 0:
+        raise ValueError(f"min_shared must be positive, got {min_shared}")
+    vh = (
+        frames_df.where(F.col(phash_col).isNotNull())
+        .select(F.col(id_col).alias("vid"), F.col(phash_col).alias("ph"))
+        .distinct()
+    )
+    keep = (
+        vh.groupBy("ph")
+        .agg(F.count("*").alias("n_videos"))
+        .where(F.col("n_videos") <= max_hash_videos)
+        .select("ph")
+    )
+    vh = vh.join(keep, "ph")
+    a = vh.select(F.col("vid").alias("media_id_a"), "ph")
+    b = vh.select(F.col("vid").alias("media_id_b"), "ph")
+    return (
+        a.join(b, "ph")
+        .where(F.col("media_id_a") < F.col("media_id_b"))
+        .groupBy("media_id_a", "media_id_b")
+        .agg(F.countDistinct("ph").alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared)
+    )
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -6034,6 +6034,258 @@ FROM media, range(0, 4) t(i)
 """
 
 
+def _build_mjpeg_corpus(docs):
+    """doc_id rows → (media_id, data) AVI/MJPEG videos, built entirely
+    in-engine (round-10; the video analogue of media_phash_jpeg's
+    in-engine JPEG builder): 4 frames of 72×64 DC-only grayscale
+    baseline JFIF at 25 fps, wrapped in a real RIFF container (LIST
+    hdrl with strh/strf, LIST movi of 00dc chunks, even-byte padding).
+
+    Frame f's 8×8 block at grid (x, y) is the CONSTANT
+    ``md5(key:f:x:y)[:2] mod 256`` where key = media_id // 2 for the
+    SAMPLED frames (0 and 2 — consecutive ids are planted clip twins
+    for the pairs query) and media_id itself for the unsampled odd
+    frames — so a sampler that picked the wrong indices would break
+    the twin structure and the hash compare. md5 pixels keep cross-id
+    hash collisions ~impossible (the same uniformity argument as
+    media_neardup_pairs), so pair output stays LINEAR in the corpus.
+    With the all-8s quant table each block decodes to exactly its
+    gray value — the analytic hook both DuckDB oracles replay."""
+
+    def build(batches):
+        import hashlib as _hl
+        import struct
+
+        import pandas as pd
+
+        dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        dc_vals = list(range(12))
+        dc_codes, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(dc_bits[ln - 1]):
+                dc_codes[dc_vals[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+
+        def seg(marker, body):
+            return (
+                bytes([0xFF, marker])
+                + struct.pack(">H", len(body) + 2)
+                + body
+            )
+
+        head = bytearray(b"\xff\xd8")
+        head += seg(0xDB, bytes([0]) + bytes([8] * 64))
+        head += seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 64, 72, 1) + bytes([1, 0x11, 0]),
+        )
+        head += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        head += seg(
+            0xC4,
+            bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]),
+        )
+        head += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        head = bytes(head)
+
+        def jpeg_frame(mid, f):
+            key = mid // 2 if f in (0, 2) else mid
+            bits, pred = [], 0
+            for by in range(8):
+                for bx in range(9):
+                    h = _hl.md5(f"{key}:{f}:{bx}:{by}".encode()).hexdigest()
+                    dc = int(h[:2], 16) % 256 - 128
+                    diff = dc - pred
+                    pred = dc
+                    t = abs(diff).bit_length()
+                    ln, c = dc_codes[t]
+                    bits.append((c, ln))
+                    if t:
+                        v = diff if diff > 0 else diff + (1 << t) - 1
+                        bits.append((v, t))
+                    bits.append((0, 1))  # EOB
+            out, acc, n = bytearray(), 0, 0
+            for v, ln in bits:
+                for i in range(ln - 1, -1, -1):
+                    acc = (acc << 1) | ((v >> i) & 1)
+                    n += 1
+                    if n == 8:
+                        out.append(acc)
+                        if acc == 0xFF:
+                            out.append(0x00)
+                        acc, n = 0, 0
+            if n:
+                acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+                out.append(acc)
+                if acc == 0xFF:
+                    out.append(0x00)
+            return head + bytes(out) + b"\xff\xd9"
+
+        def chunk(fourcc, body):
+            pad = b"\x00" if len(body) & 1 else b""
+            return fourcc + struct.pack("<I", len(body)) + body + pad
+
+        def lst(ltype, body):
+            return chunk(b"LIST", ltype + body)
+
+        def avi(mid):
+            frames = [jpeg_frame(mid, f) for f in range(4)]
+            strh = (
+                b"vids" + b"MJPG"
+                + struct.pack("<IHHIII", 0, 0, 0, 0, 1, 25)
+                + struct.pack("<IIIII", 0, len(frames), 0, 0, 0)
+                + struct.pack("<hhhh", 0, 0, 72, 64)
+            )
+            strf = struct.pack(
+                "<IiiHH4sIiiII", 40, 72, 64, 1, 24, b"MJPG", 0, 0, 0, 0, 0
+            )
+            avih = (
+                struct.pack(
+                    "<IIIIIIIIII", 40000, 0, 0, 0x10,
+                    len(frames), 0, 1, 0, 72, 64,
+                )
+                + b"\x00" * 16
+            )
+            hdrl = lst(
+                b"hdrl",
+                chunk(b"avih", avih)
+                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+            )
+            movi = lst(
+                b"movi", b"".join(chunk(b"00dc", fr) for fr in frames)
+            )
+            body = b"AVI " + hdrl + movi
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "data": [avi(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    return docs.mapInPandas(build, "media_id long, data binary")
+
+
+# Shared oracle prefix: the analytic per-(video, sampled-frame) dHash —
+# same block formula as _build_mjpeg_corpus, same 9×8 neighbor-compare
+# bit packing as _MEDIA_PHASH_JPEG_SQL.
+_VIDEO_PHASH_CTE = """
+WITH g AS (
+  SELECT d.doc_id, f.f, y.range AS y, x.range AS x,
+         ('0x' || substr(md5(
+            CAST(d.doc_id // 2 AS VARCHAR) || ':' ||
+            CAST(f.f AS VARCHAR) || ':' ||
+            CAST(x.range AS VARCHAR) || ':' ||
+            CAST(y.range AS VARCHAR)), 1, 2))::BIGINT % 256 AS gray
+  FROM documents d, (VALUES (0), (2)) f(f), range(8) y, range(9) x
+),
+b AS (
+  SELECT g1.doc_id, g1.f,
+         CAST(g1.y * 8 + g1.x AS BIGINT) AS idx,
+         CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+  FROM g g1
+  JOIN g g2 ON g1.doc_id = g2.doc_id AND g1.f = g2.f
+           AND g1.y = g2.y AND g2.x = g1.x + 1
+  WHERE g1.x < 8
+),
+h AS (
+  SELECT doc_id, f,
+    CAST(SUM(CASE WHEN idx < 32
+                  THEN CAST(bit AS BIGINT) << CAST(31 - idx AS INT)
+                  ELSE 0 END) AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN idx >= 32
+                  THEN CAST(bit AS BIGINT) << CAST(63 - idx AS INT)
+                  ELSE 0 END) AS BIGINT) AS lo
+  FROM b GROUP BY 1, 2
+)
+"""
+
+
+def video_mjpeg_phash(spark, sf_dir):
+    """Per-frame dHash through the REAL video path end-to-end
+    (operators/multimodal.py::video_frame_phash): in-engine AVI/MJPEG
+    containers (``_build_mjpeg_corpus``) → RIFF walk (``parse_avi``)
+    → evenly-spaced sampling (2 of 4 frames → container indices 0
+    and 2) → baseline JPEG decode (``decode_jpeg``) → dHash — with
+    the presentation clock ``ts_ms = frame_idx·1000·dwScale//dwRate``
+    (25 fps → 40 ms/frame) read from the container's own strh. The
+    DuckDB oracle recomputes every output column analytically from
+    the md5 block formula: container framing, frame sampling, Huffman
+    decode, DPCM, dequant+IDCT rounding, hex packing, and the frame
+    clock are all value-checked cross-engine."""
+    from ..operators.multimodal import video_frame_phash
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return video_frame_phash(_build_mjpeg_corpus(docs), n_frames=2).select(
+        "media_id", "frame_idx", "ts_ms", "phash", "width", "height",
+        "decode_ok",
+    )
+
+
+_VIDEO_PHASH_SQL = _VIDEO_PHASH_CTE + """
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+       CAST(f * 40 AS BIGINT) AS ts_ms,
+       printf('%08x%08x', hi, lo) AS phash,
+       CAST(72 AS INT) AS width, CAST(64 AS INT) AS height,
+       TRUE AS decode_ok
+FROM h
+"""
+
+
+def video_shared_frame_pairs(spark, sf_dir):
+    """Clip-level near-dup mining end-to-end
+    (operators/multimodal.py::video_neardup_pairs over
+    ``video_frame_phash``): consecutive doc ids are planted clip
+    twins — their SAMPLED frames (0 and 2) share the md5 block key
+    ``media_id // 2`` — so every (2k, 2k+1) pair shares both sampled
+    dHashes and surfaces with shared_frames = 2, while the unsampled
+    doc-keyed frames would break the structure if sampling drifted.
+    The DuckDB oracle recomputes the frame hashes analytically and
+    replays the ENTIRE pairing pipeline — distinct (video, hash),
+    the ≤64-video df cap, the hash-keyed self-join, and the
+    min_shared threshold — value-checking candidate generation and
+    aggregation cross-engine, not just the planted answer."""
+    from ..operators.multimodal import (
+        video_frame_phash,
+        video_neardup_pairs,
+    )
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+    frames = video_frame_phash(_build_mjpeg_corpus(docs), n_frames=2)
+    return video_neardup_pairs(
+        frames, min_shared=2, max_hash_videos=64
+    ).select("media_id_a", "media_id_b", "shared_frames")
+
+
+_VIDEO_PAIRS_SQL = _VIDEO_PHASH_CTE + """,
+vh AS (
+  SELECT DISTINCT doc_id AS vid, printf('%08x%08x', hi, lo) AS phash
+  FROM h
+),
+keep AS (
+  SELECT phash FROM vh GROUP BY 1 HAVING COUNT(*) <= 64
+),
+vhk AS (
+  SELECT vh.vid, vh.phash FROM vh JOIN keep USING (phash)
+)
+SELECT a.vid AS media_id_a, b.vid AS media_id_b,
+       CAST(COUNT(DISTINCT a.phash) AS BIGINT) AS shared_frames
+FROM vhk a
+JOIN vhk b ON a.phash = b.phash AND a.vid < b.vid
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT a.phash) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10094,6 +10346,10 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("lineitem_measures_long", lineitem_measures_long, _UNPIVOT_SQL),
     QueryDef("video_frame_samples", video_frame_samples, _FRAMES_SQL),
+    QueryDef("video_mjpeg_phash", video_mjpeg_phash, _VIDEO_PHASH_SQL),
+    QueryDef(
+        "video_shared_frame_pairs", video_shared_frame_pairs, _VIDEO_PAIRS_SQL
+    ),
     # (8) new in round 3 — curation surface: PII, Gopher rules, URLs,
     # ledger dedup, SemDeDup, corpus-frequency rarity
     QueryDef("pii_redaction", pii_redaction, _PII_SQL),

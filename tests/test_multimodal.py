@@ -921,3 +921,230 @@ def test_decode_jpeg_rejections_and_analyze_wiring(spark):
     assert (row["width"], row["height"], row["channels"]) == (8, 8, 1)
     assert row["decode_ok"] is True
     assert row["feat"][3] == _pytest.approx((10 + 128) / 255.0)
+
+
+# ---------------------------------------------------------------- AVI/MJPEG
+
+
+def _build_avi(frames, width, height, fps_num=25, fps_den=1,
+               handler=b"MJPG", compression=b"MJPG", stream_no=0,
+               extra_audio_stream=False):
+    """Minimal AVI/RIFF writer for test fixtures: LIST hdrl (avih +
+    strl/strh/strf) + LIST movi of ##dc chunks, even-byte padding."""
+    import struct
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    strh = (
+        b"vids" + handler
+        + struct.pack("<IHHIII", 0, 0, 0, 0, fps_den, fps_num)
+        + struct.pack("<IIIII", 0, len(frames), 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, compression, 0, 0, 0, 0, 0
+    )
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    if extra_audio_stream:
+        auds = (
+            b"auds" + b"\x00" * 4
+            + struct.pack("<IHHIII", 0, 0, 0, 0, 1, 8000)
+            + struct.pack("<IIIII", 0, 0, 0, 0, 1)
+            + struct.pack("<hhhh", 0, 0, 0, 0)
+        )
+        wavefmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        strl += lst(b"strl", chunk(b"strh", auds) + chunk(b"strf", wavefmt))
+    avih = (
+        struct.pack(
+            "<IIIIIIIIII",
+            1000000 * fps_den // fps_num, 0, 0, 0x10,
+            len(frames), 0, 2 if extra_audio_stream else 1, 0,
+            width, height,
+        )
+        + b"\x00" * 16
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(
+        b"movi",
+        b"".join(chunk(b"%02ddc" % stream_no, f) for f in frames),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _dc_jpeg(w, h, dc_of_block):
+    """DC-only grayscale baseline JPEG with an all-8s quant table:
+    block (by,bx) decodes to exactly clip(dc+128)."""
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    blocks = {
+        (by, bx): [dc_of_block(bx, by)] + [0] * 63
+        for by in range(nby)
+        for bx in range(nbx)
+    }
+    return _encode_jpeg(
+        w, h, [{"blocks": blocks, "h": 1, "v": 1, "tq": 0}], {0: [8] * 64}
+    )
+
+
+def test_parse_avi_roundtrip_and_padding():
+    from batch_processing_on_aws_spark.operators.multimodal import parse_avi
+
+    f0 = _dc_jpeg(16, 8, lambda bx, by: 10 * bx + by)
+    f1 = f0 + b"\x00"  # force odd payload length → pad byte exercised
+    if len(f1) % 2 == 0:
+        f1 = _dc_jpeg(16, 8, lambda bx, by: 3 * bx - by)
+        if len(f1) % 2 == 0:
+            f1 += b"\x00"
+    f2 = _dc_jpeg(16, 8, lambda bx, by: bx - 2 * by)
+    avi = _build_avi([f0, f1, f2], 16, 8, fps_num=30, fps_den=1001)
+    vid = parse_avi(avi)
+    assert (vid["width"], vid["height"]) == (16, 8)
+    assert (vid["fps_num"], vid["fps_den"]) == (30, 1001)
+    assert vid["n_frames"] == 3
+    assert vid["frames"] == [f0, f1, f2]
+    # audio stream alongside: video chunks still found, audio ignored
+    avi2 = _build_avi([f0, f2], 16, 8, extra_audio_stream=True)
+    assert parse_avi(avi2)["frames"] == [f0, f2]
+
+
+def test_parse_avi_rejections():
+    import pytest as _pytest
+
+    from batch_processing_on_aws_spark.operators.multimodal import parse_avi
+
+    f0 = _dc_jpeg(8, 8, lambda bx, by: 1)
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi(b"RIFFxxxxWAVE")
+    with _pytest.raises(ValueError, match="no video"):
+        parse_avi(_build_avi([], 8, 8)[:12])  # header only, no streams
+    # non-MJPG codec rejected loudly
+    with _pytest.raises(ValueError, match="only MJPG"):
+        parse_avi(
+            _build_avi([f0], 8, 8, handler=b"DIB ", compression=b"\x00" * 4)
+        )
+    # MJPG frame that is not a JPEG payload
+    with _pytest.raises(ValueError, match="SOI"):
+        parse_avi(_build_avi([b"nota jpeg!"], 8, 8))
+    # truncated chunk inside movi
+    avi = _build_avi([f0], 8, 8)
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_avi(avi[:-4])
+    # no frames at all
+    with _pytest.raises(ValueError, match="no video frames"):
+        parse_avi(_build_avi([], 8, 8))
+
+
+def test_sample_frames_real_container(spark):
+    from batch_processing_on_aws_spark.operators.multimodal import sample_frames
+
+    frames = [
+        _dc_jpeg(8, 8, lambda bx, by, k=k: (k * 7) % 100) for k in range(10)
+    ]
+    avi = _build_avi(frames, 8, 8)
+    short = _build_avi(frames[:2], 8, 8)
+    rows = [
+        (1, "video", None, bytearray(avi), None),
+        (2, "video", None, bytearray(short), None),
+        (3, "video", None, bytearray(b"abcdefghij"), None),  # stub path
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames(df, n_frames=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # real container: evenly spaced distinct container frame indices
+    got = sorted((r["frame_idx"], bytes(r["frame_bytes"])) for r in by_id[1])
+    assert [i for i, _ in got] == [0, 2, 5, 7]
+    assert all(b == frames[i] for i, b in got)
+    # 2-frame video: 2 distinct rows, not 4 duplicates
+    assert sorted(r["frame_idx"] for r in by_id[2]) == [0, 1]
+    # non-AVI payload keeps the byte-slice stub contract
+    assert sorted(r["frame_idx"] for r in by_id[3]) == [0, 1, 2, 3]
+    assert b"".join(
+        bytes(r["frame_bytes"])
+        for r in sorted(by_id[3], key=lambda r: r["frame_idx"])
+    ) == b"abcdefghij"
+
+
+def test_video_frame_phash_exact(spark):
+    import numpy as np
+
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        dhash_hex,
+        video_frame_phash,
+    )
+
+    def gray(f, bx, by):
+        return (f * 17 + bx * 11 + by * 13) % 256
+
+    frames = [
+        _dc_jpeg(72, 64, lambda bx, by, f=f: gray(f, bx, by) - 128)
+        for f in range(6)
+    ]
+    avi = _build_avi(frames, 72, 64, fps_num=25, fps_den=1)
+    # one valid AVI whose frame 2 is corrupt past the SOI marker
+    bad = _build_avi([frames[0], b"\xff\xd8garbage", frames[2]], 72, 64)
+    rows = [
+        (1, "video", None, bytearray(avi), None),
+        (2, "video", None, bytearray(b"not a container"), None),
+        (3, "video", None, bytearray(bad), None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = video_frame_phash(df, n_frames=3).collect()
+    got = {(r["media_id"], r["frame_idx"]): r for r in out}
+    # video 1: sampled frames 0,2,4 at the exact 25fps clock
+    for f in (0, 2, 4):
+        r = got[(1, f)]
+        px = np.zeros((64, 72, 1), dtype=np.uint8)
+        for by in range(8):
+            for bx in range(9):
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0] = gray(
+                    f, bx, by
+                )
+        assert r["phash"] == dhash_hex(px)
+        assert r["ts_ms"] == f * 40
+        assert (r["width"], r["height"]) == (72, 64)
+        assert r["decode_ok"] is True
+    # non-container payload: one loud decode_ok=false row
+    r2 = [r for r in out if r["media_id"] == 2]
+    assert len(r2) == 1 and r2[0]["decode_ok"] is False
+    assert r2[0]["frame_idx"] is None and r2[0]["phash"] is None
+    # corrupt FRAME: per-frame failure, siblings still hash
+    assert got[(3, 1)]["decode_ok"] is False and got[(3, 1)]["phash"] is None
+    assert got[(3, 0)]["decode_ok"] is True
+    assert got[(3, 0)]["phash"] == got[(1, 0)]["phash"]
+
+
+def test_video_neardup_pairs_planted(spark):
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        video_neardup_pairs,
+    )
+
+    rows = []
+    # v1 and v2 share 3 frame hashes; v3 shares only 1 with v1
+    for f, h in enumerate(["aa", "bb", "cc"]):
+        rows.append((1, f, h))
+        rows.append((2, f, h))
+    rows.append((3, 0, "aa"))
+    rows.append((3, 1, "zz"))
+    rows.append((3, 2, None))  # NULL hashes never pair
+    # a boilerplate hash present in MANY videos is df-capped out
+    for v in range(10, 20):
+        rows.append((v, 0, "hot"))
+        rows.append((v, 1, f"uniq{v}"))
+    df = spark.createDataFrame(rows, "media_id long, frame_idx int, phash string")
+    out = video_neardup_pairs(df, min_shared=2, max_hash_videos=5)
+    pairs = {(r["media_id_a"], r["media_id_b"]): r["shared_frames"]
+             for r in out.collect()}
+    assert pairs == {(1, 2): 3}
+    # with the cap lifted the hot-hash videos pair up (1 shared each)
+    out2 = video_neardup_pairs(df, min_shared=1, max_hash_videos=1000)
+    pairs2 = {(r["media_id_a"], r["media_id_b"]): r["shared_frames"]
+              for r in out2.collect()}
+    assert pairs2[(1, 3)] == 1 and pairs2[(2, 3)] == 1
+    assert pairs2[(10, 11)] == 1 and len(pairs2) == 3 + 45
