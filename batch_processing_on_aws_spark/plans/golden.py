@@ -6775,10 +6775,13 @@ def bpe_merge_table(spark, sf_dir):
     """BPE tokenizer induction (operators/bpe.py::learn_bpe): the
     learned merge table over the documents corpus. One corpus-sized
     word-frequency pass, then vocab-sized merge rounds — the
-    production-trainer reduction. Iterative + argmax-per-round, so no
-    SQL oracle (the driver records the rows-only check); the full
-    merge SEQUENCE is pinned against a from-scratch reference trainer
-    in tests/test_bpe.py."""
+    production-trainer reduction. Hash-exact-oracled (round 10): the
+    12 argmax-then-merge rounds unroll as chained MATERIALIZED DuckDB
+    CTEs (``_bpe_learn_sql``) that replay the trainer's recurrence
+    bit-for-bit — the same unroll move ``_supplier_pagerank_sql``
+    made for the PageRank loop; the merge SEQUENCE is additionally
+    pinned against a from-scratch reference trainer in
+    tests/test_bpe.py."""
     from ..operators.bpe import learn_bpe
 
     return learn_bpe(load_table(spark, sf_dir, "documents"), n_merges=12)
@@ -6790,11 +6793,16 @@ def bpe_tokenized_docs(spark, sf_dir):
     the corpus-sized consumer of the vocab-sized trainer, Arrow-
     batched with the per-batch word memo. Output: (doc_id, n_pieces,
     pieces_hash) — the piece sequence is hashed so the registry row
-    stays narrow while still pinning every piece boundary. Like the
-    trainer, replaying rank-ordered merges is iterative and non-SQL,
-    so this is a rows-only check; the application semantics are
-    pinned against the reference trainer's segmenter in
-    tests/test_bpe.py (round-trip, compression, memo equivalence)."""
+    stays narrow while still pinning every piece boundary.
+    Hash-exact-oracled (round 10): ``_bpe_apply_sql`` re-learns the
+    merge table in SQL (the ``_bpe_learn_sql`` chain), then reuses
+    the trainer's final per-word segmentation state as the
+    application memo — the distinct-word vocabulary after all 12
+    merges IS ``apply_bpe``'s segmentation of those words, because
+    application replays the identical merge order. The application
+    semantics are additionally pinned against the reference trainer's
+    segmenter in tests/test_bpe.py (round-trip, compression, memo
+    equivalence)."""
     from ..operators.bpe import apply_bpe, learn_bpe
 
     docs = load_table(spark, sf_dir, "documents")
@@ -6807,6 +6815,135 @@ def bpe_tokenized_docs(spark, sf_dir):
         # not just the concatenated characters
         F.md5(F.concat_ws("\x1f", F.col("pieces"))).alias("pieces_hash"),
     )
+
+
+def _bpe_learn_cte_chain(n_merges: int) -> str:
+    """Shared CTE chain replaying ``learn_bpe`` in DuckDB: the word
+    histogram, then ``n_merges`` unrolled argmax+merge rounds.
+
+    State encoding: each word's current segmentation is a string of
+    ``\\x1f``-wrapped symbols joined by single spaces (``\\x1f`` never
+    occurs in the corpus and sorts below every printable char, so
+    wrapped-symbol equality, adjacency, and even sort order are
+    exactly symbol-level). One merge round is then PURE string
+    algebra any engine evaluates identically:
+
+    * pair counts: split on space, zip adjacent, weighted group-by;
+    * argmax with the trainer's (count desc, left asc, right asc)
+      tie-break and the ``min_pair_count=2`` stop (a round that finds
+      no pair emits nothing and the chain degenerates to identity);
+    * merge application: ``replace(enc, '\\x1fL\\x1f \\x1fR\\x1f',
+      '\\x1fLR\\x1f')`` — left-to-right non-overlapping replace-all IS
+      the trainer's scan (the wrapper chars make false sub-symbol
+      matches impossible, and a replacement can never create a new
+      occurrence of the same round's pattern because the merged
+      symbol contains no interior wrapper).
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    reference, and each round references the previous ~3× — unrolled
+    12 deep that inlining is 3^12 scans; materialization makes the
+    chain linear (the same fix the engine's loop gets from
+    localCheckpoint)."""
+    parts = [r"""
+WITH w AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS word
+    FROM documents WHERE length(trim(text)) > 0
+  ) WHERE word <> '' GROUP BY 1
+),
+st0 AS MATERIALIZED (
+  SELECT word, n,
+    array_to_string(
+      list_append(
+        list_transform(range(1, length(word)+1),
+                       i -> chr(31) || word[i] || chr(31)),
+        chr(31) || '</w>' || chr(31)),
+      ' ') AS enc
+  FROM w
+)"""]
+    for k in range(1, n_merges + 1):
+        prev = f"st{k - 1}"
+        parts.append(f""",
+pc{k} AS MATERIALIZED (
+  SELECT p[1] AS lw, p[2] AS rw, SUM(n) AS cnt
+  FROM (
+    SELECT n, unnest(list_zip(syms[1:length(syms)-1],
+                              syms[2:length(syms)])) AS p
+    FROM (SELECT n, string_split(enc, ' ') AS syms FROM {prev})
+  ) GROUP BY 1, 2
+),
+m{k} AS MATERIALIZED (
+  SELECT CAST({k - 1} AS BIGINT) AS rank, lw, rw,
+         substr(lw, 2, length(lw)-2) AS left_s,
+         substr(rw, 2, length(rw)-2) AS right_s,
+         CAST(cnt AS BIGINT) AS cnt
+  FROM pc{k}
+  WHERE cnt >= 2
+  ORDER BY cnt DESC, substr(lw, 2, length(lw)-2) ASC,
+           substr(rw, 2, length(rw)-2) ASC
+  LIMIT 1
+),
+st{k} AS MATERIALIZED (
+  SELECT word, n, replace(enc,
+    COALESCE((SELECT lw || ' ' || rw FROM m{k}), chr(1)),
+    COALESCE((SELECT chr(31) || left_s || right_s || chr(31)
+              FROM m{k}), '')) AS enc
+  FROM {prev}
+)""")
+    return "".join(parts)
+
+
+def _bpe_learn_sql(n_merges: int = 12) -> str:
+    """DuckDB twin of ``bpe_merge_table`` (learn_bpe, n_merges=12)."""
+    union = " UNION ALL ".join(
+        f"SELECT rank, left_s, right_s, cnt FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return _bpe_learn_cte_chain(n_merges) + f"""
+SELECT rank, left_s AS "left", right_s AS "right",
+       left_s || right_s AS merged, cnt AS pair_count
+FROM ({union}) ORDER BY rank
+"""
+
+
+def _bpe_apply_sql(n_merges: int = 12) -> str:
+    """DuckDB twin of ``bpe_tokenized_docs``: re-learn the merges
+    (``_bpe_learn_cte_chain``), then segment every document by memo
+    lookup — the final training state st{n} maps each distinct word
+    to its fully-merged symbol string, which is exactly what
+    ``apply_bpe`` computes per word (same merge order, same
+    left-to-right scan). Per doc: whitespace-split the lowercased
+    text, join each word to its segmentation, concatenate in word
+    order, unwrap the \\x1f wrappers, hash with the same \\x1f piece
+    separator. Docs with no words emit (0, md5(''))."""
+    n = n_merges
+    return _bpe_learn_cte_chain(n) + rf""",
+wp AS MATERIALIZED (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id,
+           unnest(ws) AS word,
+           generate_subscripts(ws, 1) AS pos
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(text), '\s+') AS ws
+          FROM documents)
+  ) WHERE word <> ''
+),
+dp AS MATERIALIZED (
+  SELECT wp.doc_id, string_agg(s.enc, ' ' ORDER BY wp.pos) AS encs
+  FROM wp JOIN st{n} s USING (word)
+  GROUP BY wp.doc_id
+),
+fp AS (
+  SELECT doc_id,
+    list_transform(string_split(encs, ' '),
+                   x -> substr(x, 2, length(x)-2)) AS pieces
+  FROM dp
+)
+SELECT d.doc_id,
+  CAST(COALESCE(length(f.pieces), 0) AS BIGINT) AS n_pieces,
+  md5(COALESCE(array_to_string(f.pieces, chr(31)), '')) AS pieces_hash
+FROM documents d LEFT JOIN fp f USING (doc_id)
+"""
 
 
 def training_shuffle_order(spark, sf_dir):
@@ -10365,30 +10502,8 @@ QUERIES: list[QueryDef] = [
             "here the query drops to a rows-only check"
         ),
     ),
-    QueryDef(
-        "bpe_tokenized_docs",
-        bpe_tokenized_docs,
-        None,
-        rows_only_reason=(
-            "replaying a rank-ordered BPE merge table over each word "
-            "is iterative per token position and not expressible as "
-            "one SQL statement; segmentation semantics are pinned "
-            "against the reference trainer's segmenter in "
-            "tests/test_bpe.py"
-        ),
-    ),
-    QueryDef(
-        "bpe_merge_table",
-        bpe_merge_table,
-        None,
-        rows_only_reason=(
-            "iterative argmax over a mutating pair histogram (BPE "
-            "training) is not expressible as one SQL statement; "
-            "correctness is pinned instead by tests/test_bpe.py "
-            "merge-sequence equality vs a from-scratch reference "
-            "trainer plus property tests on random corpora"
-        ),
-    ),
+    QueryDef("bpe_tokenized_docs", bpe_tokenized_docs, _bpe_apply_sql()),
+    QueryDef("bpe_merge_table", bpe_merge_table, _bpe_learn_sql()),
     QueryDef("corpus_snapshot_diff", corpus_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     QueryDef("corpus_source_drift", corpus_source_drift, _SOURCE_DRIFT_SQL),
     QueryDef(
