@@ -90,7 +90,15 @@ def compute_host_factor(
     if len(suite_ratios) >= 20:
         suite_median = sorted(suite_ratios)[len(suite_ratios) // 2]
     if probe_ratios:
-        raw = sum(probe_ratios) / len(probe_ratios)
+        # MIN of the probe ratios, not the mean: the probes bracket
+        # the suite (before/after), and a transient slow window that
+        # catches ONE probe would rail a mean-derived factor to the
+        # clamp and widen the gate for every query (observed: before
+        # 2.7×, after 0.95× — host demonstrably fast). A host that is
+        # genuinely slow shows it at BOTH ends; a mid-suite transient
+        # is the confirming re-runs' job (flagged queries re-measure
+        # after the suite), not the factor's.
+        raw = min(probe_ratios)
         factor = min(clamp[1], max(clamp[0], raw))
         alarm = (
             suite_median is not None

@@ -70,6 +70,18 @@ def test_probe_factor_clamped():
     assert f == 1.0
 
 
+def test_one_sided_probe_transient_does_not_widen_gate():
+    # a transient slow window catching only the BEFORE probe (2.7x)
+    # while the AFTER probe shows a fast host must not rail the factor
+    # to the clamp — min of the bracketing probes, not the mean
+    f, _, alarm = compute_host_factor([2.7, 0.95], _suite(1.04))
+    assert f == 1.0
+    assert not alarm
+    # genuinely slow host shows at BOTH ends — factor follows it
+    f, _, _ = compute_host_factor([1.3, 1.25], _suite(1.25))
+    assert f == 1.25
+
+
 def test_legacy_fallback_without_probe_floor():
     # no committed probe floor yet: suite-median behavior, no alarm
     f, med, alarm = compute_host_factor([], _suite(1.2))
@@ -83,7 +95,8 @@ def test_legacy_fallback_without_probe_floor():
     assert not alarm
 
 
-def test_probe_ratios_average_bracketing_runs():
-    # before=1.1, after=1.3 -> factor is their mean
+def test_probe_ratios_take_min_of_bracketing_runs():
+    # before=1.1, after=1.3 -> factor is the MIN (the host's
+    # demonstrated best; see test_one_sided_probe_transient)
     f, _, _ = compute_host_factor([1.1, 1.3], _suite(1.2))
-    assert abs(f - 1.2) < 1e-12
+    assert abs(f - 1.1) < 1e-12
