@@ -1180,17 +1180,37 @@ def video_neardup_pairs(
     keep pairs at ``min_shared``+. Shuffle is O(frames), candidate
     work is bounded per hash by the cap — no cross product at any
     scale."""
+    return _shared_hash_pairs(
+        frames_df, id_col, phash_col, min_shared, max_hash_videos,
+        "shared_frames",
+    )
+
+
+def _shared_hash_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    min_shared: int,
+    max_hash_ids: int,
+    out_col: str,
+) -> DataFrame:
+    """Shared pair-mining core for the clip-level near-dup miners
+    (:func:`video_neardup_pairs`, :func:`audio_neardup_pairs`):
+    distinct (id, hash) → df-cap on hot hashes → hash-keyed
+    self-join (id < id) → count distinct shared hashes ≥
+    ``min_shared``. Shuffle is O(rows); candidate work is bounded per
+    hash by the cap — no cross product at any scale."""
     if min_shared <= 0:
         raise ValueError(f"min_shared must be positive, got {min_shared}")
     vh = (
-        frames_df.where(F.col(phash_col).isNotNull())
-        .select(F.col(id_col).alias("vid"), F.col(phash_col).alias("ph"))
+        df.where(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("vid"), F.col(hash_col).alias("ph"))
         .distinct()
     )
     keep = (
         vh.groupBy("ph")
-        .agg(F.count("*").alias("n_videos"))
-        .where(F.col("n_videos") <= max_hash_videos)
+        .agg(F.count("*").alias("n_ids"))
+        .where(F.col("n_ids") <= max_hash_ids)
         .select("ph")
     )
     vh = vh.join(keep, "ph")
@@ -1200,8 +1220,8 @@ def video_neardup_pairs(
         a.join(b, "ph")
         .where(F.col("media_id_a") < F.col("media_id_b"))
         .groupBy("media_id_a", "media_id_b")
-        .agg(F.countDistinct("ph").alias("shared_frames"))
-        .where(F.col("shared_frames") >= min_shared)
+        .agg(F.countDistinct("ph").alias(out_col))
+        .where(F.col(out_col) >= min_shared)
     )
 
 
@@ -1304,3 +1324,140 @@ def audio_features(df: DataFrame, batch_rows: int = 256) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(run, schema)
+
+
+AUDIO_FP_SCHEMA = (
+    "media_id long, window_idx int, fp string, n_windows int, "
+    "decode_ok boolean"
+)
+
+
+def audio_wht_fingerprint(
+    df: DataFrame, window: int = 64, n_bits: int = 32
+) -> DataFrame:
+    """Per-window audio fingerprints through the REAL WAV decode path
+    (:func:`decode_wav`) — the audio analogue of
+    :func:`video_frame_phash` and the key for
+    :func:`audio_neardup_pairs` (re-encoded / volume-shifted copies of
+    a clip keep their fingerprints; byte-level sha256 can't see them).
+
+    Transform: channel-0 samples as 16-bit-equivalent integers
+    (``rint(sample·32768)``, exact for 8/16-bit PCM — the
+    :func:`audio_features` contract) → non-overlapping ``window``-
+    sample frames → integer Walsh-Hadamard coefficients ``c_k =
+    Σ_n (−1)^popcount(k AND n) · x_n`` for k = 1..n_bits+1 (natural
+    order, DC skipped) → bit b = 1 iff ``|c_{b+1}| > |c_{b+2}|`` →
+    MSB-first hex. The WHT is the INTEGER-EXACT stand-in for the DFT
+    band energies real audio fingerprinting uses (±1 coefficients, so
+    every c_k is a plain BIGINT sum a SQL oracle replays — the same
+    reason dHash uses neighbor compares instead of a float DCT), and
+    the neighbor-compare bits are volume-invariant: scaling every
+    sample by λ > 0 scales every |c_k| by λ and flips no comparison.
+
+    Rows with non-WAV / corrupt payloads emit one ``decode_ok =
+    false`` row with NULL fingerprint fields; clips shorter than one
+    window emit one ``decode_ok = true`` row with ``n_windows = 0``
+    and NULL fingerprint — loud, not silent, per payload.
+
+    Scale shape: one clip row → ``n_windows`` rows inside a streaming
+    Arrow-batched ``mapInPandas`` projection — no shuffle, no driver
+    involvement. Overflow headroom: |c_k| ≤ window·32768 (2²¹ at the
+    default), 42 bits under the BIGINT ceiling.
+    """
+    if window < 2 or window & (window - 1):
+        raise ValueError(f"window must be a power of two ≥ 2, got {window}")
+    if not 1 <= n_bits <= window - 2:
+        raise ValueError(
+            f"n_bits must be in [1, window-2] = [1, {window - 2}], "
+            f"got {n_bits}"
+        )
+    hex_width = (n_bits + 3) // 4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # ±1 sign matrix for coefficients k = 1..n_bits+1 over sample
+        # positions n = 0..window-1 (natural Hadamard order)
+        ks = np.arange(1, n_bits + 2, dtype=np.int64)
+        ns = np.arange(window, dtype=np.int64)
+        pop = np.zeros((n_bits + 1, window), dtype=np.int64)
+        for i, k in enumerate(ks):
+            pop[i] = [bin(int(k) & int(n)).count("1") & 1 for n in ns]
+        signs = 1 - 2 * pop  # (n_bits+1, window)
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "window_idx": [], "fp": [],
+                "n_windows": [], "decode_ok": [],
+            }
+
+            def emit(mid, idx, fp, nw, ok):
+                out["media_id"].append(mid)
+                out["window_idx"].append(idx)
+                out["fp"].append(fp)
+                out["n_windows"].append(nw)
+                out["decode_ok"].append(ok)
+
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    samples, _rate = decode_wav(
+                        bytes(data) if data is not None else b""
+                    )
+                except (ValueError, TypeError):
+                    emit(mid, None, None, None, False)
+                    continue
+                a = np.rint(samples[:, 0] * 32768.0).astype(np.int64)
+                n_windows = a.shape[0] // window
+                if n_windows == 0:
+                    emit(mid, None, None, 0, True)
+                    continue
+                frames = a[: n_windows * window].reshape(n_windows, window)
+                coefs = frames @ signs.T  # (n_windows, n_bits+1)
+                mags = np.abs(coefs)
+                bits = (mags[:, :-1] > mags[:, 1:]).astype(np.uint64)
+                weights = (
+                    np.uint64(1) << np.arange(
+                        n_bits - 1, -1, -1, dtype=np.uint64
+                    )
+                )
+                codes = (bits * weights).sum(axis=1)
+                for w in range(n_windows):
+                    emit(
+                        mid, w, format(int(codes[w]), f"0{hex_width}x"),
+                        n_windows, True,
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "window_idx": pd.array(out["window_idx"], dtype="Int32"),
+                    "fp": out["fp"],
+                    "n_windows": pd.array(out["n_windows"], dtype="Int32"),
+                    "decode_ok": out["decode_ok"],
+                }
+            )
+
+    return df.select("media_id", "data").mapInPandas(
+        run, schema=AUDIO_FP_SCHEMA
+    )
+
+
+def audio_neardup_pairs(
+    fp_df: DataFrame,
+    id_col: str = "media_id",
+    fp_col: str = "fp",
+    min_shared: int = 2,
+    max_hash_clips: int = 64,
+) -> DataFrame:
+    """Audio near-duplicate pairs by SHARED WINDOW FINGERPRINTS over
+    :func:`audio_wht_fingerprint` output — the audio analogue of
+    :func:`video_neardup_pairs`, same :func:`_shared_hash_pairs`
+    core: two clips sharing ≥ ``min_shared`` distinct window
+    fingerprints are re-encodes / volume-shifts / trims of the same
+    recording. The ``max_hash_clips`` df cap drops fingerprints seen
+    in more clips (digital silence and constant tones are the hot
+    keys of the audio world — pairs supported only by silence are
+    noise, and an uncapped hot fingerprint is a quadratic bucket)."""
+    return _shared_hash_pairs(
+        fp_df, id_col, fp_col, min_shared, max_hash_clips,
+        "shared_windows",
+    )

@@ -6286,6 +6286,163 @@ HAVING COUNT(DISTINCT a.phash) >= 2
 """
 
 
+def _build_wav_corpus(docs):
+    """doc_id rows → (media_id, data) 16-bit PCM mono WAVs, built
+    entirely in-engine (the audio analogue of ``_build_mjpeg_corpus``):
+    4 windows of 64 samples at 8 kHz. Sample n of window w is the
+    16-bit value ``md5(key:w:n)[:4] − 32768`` where key =
+    media_id // 2 for windows 0 and 2 (consecutive ids are planted
+    clip twins sharing exactly those two window fingerprints) and
+    media_id itself for windows 1 and 3. md5 samples make cross-id
+    fingerprint collisions ~impossible at 32 fp bits, so pair output
+    stays LINEAR in the corpus; the int16 round-trip through
+    ``decode_wav`` (÷32768 then rint·32768) is exact, so the DuckDB
+    oracle recomputes every sample analytically."""
+
+    def build(batches):
+        import hashlib as _hl
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        head = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+
+        def wav(mid):
+            vals = []
+            for w in range(4):
+                key = mid // 2 if w in (0, 2) else mid
+                for n in range(64):
+                    h = _hl.md5(f"{key}:{w}:{n}".encode()).hexdigest()
+                    vals.append(int(h[:4], 16) - 32768)
+            raw = np.asarray(vals, dtype="<i2").tobytes()
+            body = head + b"data" + struct.pack("<I", len(raw)) + raw
+            return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "data": [wav(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    return docs.mapInPandas(build, "media_id long, data binary")
+
+
+# Shared oracle prefix: analytic per-(clip, window) WHT fingerprint —
+# same sample formula as _build_wav_corpus, same natural-order
+# Walsh-Hadamard neighbor-compare packing as audio_wht_fingerprint.
+_AUDIO_FP_CTE = """
+WITH s AS (
+  SELECT d.doc_id, w.range AS w, n.range AS n,
+         ('0x' || substr(md5(
+            CAST(CASE WHEN w.range IN (0, 2) THEN d.doc_id // 2
+                 ELSE d.doc_id END AS VARCHAR) || ':' ||
+            CAST(w.range AS VARCHAR) || ':' ||
+            CAST(n.range AS VARCHAR)), 1, 4))::BIGINT - 32768 AS x
+  FROM documents d, range(4) w, range(64) n
+),
+c AS (
+  SELECT doc_id, w, k.range AS k,
+         ABS(SUM(CASE WHEN bit_count(CAST(k.range AS BIGINT)
+                                     & CAST(n AS BIGINT)) % 2 = 0
+                      THEN x ELSE -x END)) AS mag
+  FROM s, range(1, 34) k
+  GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT c1.doc_id, c1.w, c1.k - 1 AS idx,
+         CASE WHEN c1.mag > c2.mag THEN 1 ELSE 0 END AS bit
+  FROM c c1
+  JOIN c c2 ON c2.doc_id = c1.doc_id AND c2.w = c1.w AND c2.k = c1.k + 1
+  WHERE c1.k <= 32
+),
+h AS (
+  SELECT doc_id, w,
+         CAST(SUM(CAST(bit AS BIGINT) << CAST(31 - idx AS INT))
+              AS BIGINT) AS code
+  FROM bits GROUP BY 1, 2
+)
+"""
+
+
+def audio_wht_fingerprints(spark, sf_dir):
+    """Per-window audio fingerprints through the REAL WAV path
+    end-to-end (operators/multimodal.py::audio_wht_fingerprint):
+    in-engine 16-bit PCM corpus (``_build_wav_corpus``) → RIFF/WAVE
+    decode (``decode_wav``) → integer Walsh-Hadamard coefficients →
+    volume-invariant neighbor-compare bit packing. The DuckDB oracle
+    recomputes every output column analytically from the md5 sample
+    formula: WAV framing, the int16 scale round-trip, all 33 WHT
+    sums, the |c_k| > |c_{k+1}| compares, and the MSB-first hex
+    packing are value-checked cross-engine."""
+    from ..operators.multimodal import audio_wht_fingerprint
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return audio_wht_fingerprint(_build_wav_corpus(docs)).select(
+        "media_id", "window_idx", "fp", "n_windows", "decode_ok"
+    )
+
+
+_AUDIO_FP_SQL = _AUDIO_FP_CTE + """
+SELECT doc_id AS media_id, CAST(w AS INT) AS window_idx,
+       printf('%08x', code) AS fp, CAST(4 AS INT) AS n_windows,
+       TRUE AS decode_ok
+FROM h
+"""
+
+
+def audio_shared_window_pairs(spark, sf_dir):
+    """Audio near-dup mining end-to-end
+    (operators/multimodal.py::audio_neardup_pairs over
+    ``audio_wht_fingerprint``): consecutive doc ids are planted clip
+    twins — windows 0 and 2 share the md5 sample key ``media_id //
+    2`` — so every (2k, 2k+1) pair shares exactly those two window
+    fingerprints and surfaces with shared_windows = 2, while the
+    doc-keyed windows 1 and 3 would break the structure if the
+    windowing or the WHT drifted. The DuckDB oracle recomputes the
+    fingerprints analytically and replays the ENTIRE pairing pipeline
+    — distinct (clip, fp), the ≤64-clip df cap, the fp-keyed
+    self-join, and the min_shared threshold."""
+    from ..operators.multimodal import (
+        audio_neardup_pairs,
+        audio_wht_fingerprint,
+    )
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+    fps = audio_wht_fingerprint(_build_wav_corpus(docs))
+    return audio_neardup_pairs(
+        fps, min_shared=2, max_hash_clips=64
+    ).select("media_id_a", "media_id_b", "shared_windows")
+
+
+_AUDIO_PAIRS_SQL = _AUDIO_FP_CTE + """,
+vh AS (
+  SELECT DISTINCT doc_id AS vid, printf('%08x', code) AS fp FROM h
+),
+keep AS (
+  SELECT fp FROM vh GROUP BY 1 HAVING COUNT(*) <= 64
+),
+vhk AS (
+  SELECT vh.vid, vh.fp FROM vh JOIN keep USING (fp)
+)
+SELECT a.vid AS media_id_a, b.vid AS media_id_b,
+       CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS shared_windows
+FROM vhk a
+JOIN vhk b ON a.fp = b.fp AND a.vid < b.vid
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT a.fp) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10486,6 +10643,14 @@ QUERIES: list[QueryDef] = [
     QueryDef("video_mjpeg_phash", video_mjpeg_phash, _VIDEO_PHASH_SQL),
     QueryDef(
         "video_shared_frame_pairs", video_shared_frame_pairs, _VIDEO_PAIRS_SQL
+    ),
+    QueryDef(
+        "audio_wht_fingerprints", audio_wht_fingerprints, _AUDIO_FP_SQL
+    ),
+    QueryDef(
+        "audio_shared_window_pairs",
+        audio_shared_window_pairs,
+        _AUDIO_PAIRS_SQL,
     ),
     # (8) new in round 3 — curation surface: PII, Gopher rules, URLs,
     # ledger dedup, SemDeDup, corpus-frequency rarity

@@ -1148,3 +1148,132 @@ def test_video_neardup_pairs_planted(spark):
               for r in out2.collect()}
     assert pairs2[(1, 3)] == 1 and pairs2[(2, 3)] == 1
     assert pairs2[(10, 11)] == 1 and len(pairs2) == 3 + 45
+
+
+# ------------------------------------------------------------ audio WHT fp
+
+
+def _wav_from_i16(samples, rate=8000):
+    """Mono 16-bit PCM WAV from a list/array of int16 sample values."""
+    import struct
+
+    import numpy as np
+
+    raw = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _ref_wht_fp(samples, window=64, n_bits=32):
+    """Reference fingerprint: per-window natural-order WHT neighbor
+    compares, straight from the definition."""
+    fps = []
+    n_windows = len(samples) // window
+    for w in range(n_windows):
+        x = samples[w * window : (w + 1) * window]
+        mags = []
+        for k in range(1, n_bits + 2):
+            c = sum(
+                (1 if bin(k & n).count("1") % 2 == 0 else -1) * x[n]
+                for n in range(window)
+            )
+            mags.append(abs(c))
+        code = 0
+        for b in range(n_bits):
+            code = (code << 1) | (1 if mags[b] > mags[b + 1] else 0)
+        fps.append(format(code, f"0{(n_bits + 3) // 4}x"))
+    return fps
+
+
+def test_audio_wht_fingerprint_matches_reference(spark):
+    import numpy as np
+
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        audio_wht_fingerprint,
+    )
+
+    rng = [((i * 2654435761) % 4001) - 2000 for i in range(192)]  # 3 windows
+    rows = [
+        (1, bytearray(_wav_from_i16(rng))),
+        (2, b"not a wav"),
+        (3, _wav_from_i16(rng[:10])),  # shorter than one window
+    ]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {
+        (r["media_id"], r["window_idx"]): r
+        for r in audio_wht_fingerprint(df).collect()
+    }
+    want = _ref_wht_fp(rng)
+    assert len(want) == 3
+    for w, fp in enumerate(want):
+        r = got[(1, w)]
+        assert r["fp"] == fp and r["n_windows"] == 3 and r["decode_ok"]
+    bad = got[(2, None)]
+    assert bad["decode_ok"] is False and bad["fp"] is None
+    short = got[(3, None)]
+    assert short["decode_ok"] is True and short["n_windows"] == 0
+    assert short["fp"] is None
+    # numpy path really used int64 (no silent float drift)
+    assert all(isinstance(v, str) for v in want)
+
+
+def test_audio_wht_fingerprint_volume_invariant(spark):
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        audio_wht_fingerprint,
+    )
+
+    base = [(((i * 48271) % 1999) - 999) * 2 for i in range(128)]  # even
+    half = [v // 2 for v in base]
+    df = spark.createDataFrame(
+        [(1, _wav_from_i16(base)), (2, _wav_from_i16(half))],
+        "media_id long, data binary",
+    )
+    out = audio_wht_fingerprint(df).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], {})[r["window_idx"]] = r["fp"]
+    assert by_id[1] == by_id[2]
+
+
+def test_audio_wht_fingerprint_validation(spark):
+    import pytest as _pytest
+
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        audio_wht_fingerprint,
+    )
+
+    df = spark.createDataFrame([(1, b"")], "media_id long, data binary")
+    with _pytest.raises(ValueError, match="power of two"):
+        audio_wht_fingerprint(df, window=60)
+    with _pytest.raises(ValueError, match="n_bits"):
+        audio_wht_fingerprint(df, window=64, n_bits=63)
+
+
+def test_audio_neardup_pairs_shared_windows_and_cap(spark):
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        audio_neardup_pairs,
+    )
+
+    # synthetic fingerprint rows: clips 1/2 share two windows, clip 3
+    # shares only one with clip 1; 'hot' is shared by everyone and
+    # must be dropped by the cap
+    rows = [
+        (1, 0, "aa"), (1, 1, "bb"), (1, 2, "hot"), (1, 3, "cc"),
+        (2, 0, "aa"), (2, 1, "bb"), (2, 2, "hot"),
+        (3, 0, "cc"), (3, 1, "hot"),
+        (4, 0, "hot"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, window_idx int, fp string")
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["shared_windows"]
+        for r in audio_neardup_pairs(df, min_shared=2, max_hash_clips=3).collect()
+    }
+    assert got == {(1, 2): 2}
+    # with the threshold at 1 and no cap pressure, the cc pair appears
+    got1 = {
+        (r["media_id_a"], r["media_id_b"]): r["shared_windows"]
+        for r in audio_neardup_pairs(df, min_shared=1, max_hash_clips=3).collect()
+    }
+    assert got1 == {(1, 2): 2, (1, 3): 1}
