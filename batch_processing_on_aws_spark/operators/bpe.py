@@ -287,3 +287,61 @@ def apply_bpe(
         F.col(id_col),
         _tokenize(F.col(text_col)).alias("pieces"),
     ).withColumn("n_pieces", F.size("pieces").cast("long"))
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group tokenizer health report over a learned merge table:
+    (group, n_docs, n_words, n_pieces, fertility, chars_per_piece).
+
+    FERTILITY — mean BPE pieces per word — is the standard metric for
+    how well a tokenizer fits a corpus slice (SentencePiece reports
+    it; multilingual pipelines track it per language/source because a
+    high-fertility slice trains at a token-budget discount and signals
+    vocabulary mismatch). chars_per_piece is the compression view of
+    the same fit (word chars + the per-word ``</w>`` sentinel, divided
+    by pieces).
+
+    Composition: :func:`apply_bpe` (corpus-sized, Arrow-batched, memo
+    per batch) → join the group column back by id → one hash-agg.
+    Word counts use the SAME whitespace split as application, so
+    fertility is exactly n_pieces / n_words. Ratios are rounded to 6
+    decimals from exact BIGINT sums — hash-portable across engines.
+    Empty-text docs count toward n_docs but contribute no words or
+    pieces; an all-empty group reports NULL ratios (0/0) rather than
+    a fake 0.
+    """
+    pieces = apply_bpe(df, merges, text_col=text_col)
+    toks = tokens(F.col(text_col))
+    words = df.select(
+        F.col("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.size(toks).cast("long").alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda w: F.length(w).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            + F.size(toks) * F.lit(len(EOW))
+        ).alias("n_chars"),
+    )
+    return (
+        words.join(pieces.select("doc_id", "n_pieces"), "doc_id")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces") / F.nullif(F.sum("n_words"), F.lit(0)), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars") / F.nullif(F.sum("n_pieces"), F.lit(0)), 6
+            ).alias("chars_per_piece"),
+        )
+    )

@@ -7103,6 +7103,56 @@ FROM documents d LEFT JOIN fp f USING (doc_id)
 """
 
 
+def tokenizer_fertility_by_source(spark, sf_dir):
+    """Per-source tokenizer health (operators/bpe.py::
+    tokenizer_fertility): fertility (mean BPE pieces per word — the
+    SentencePiece-reported fit metric multilingual pipelines track
+    per slice, because a high-fertility source trains at a
+    token-budget discount) and chars-per-piece, over the merge table
+    induced from the same corpus. Hash-exact: ratios round from
+    exact BIGINT sums, and the DuckDB oracle re-learns the merges
+    (``_bpe_learn_cte_chain``), counts pieces per word as
+    spaces-in-enc + 1, and replays the whole aggregation."""
+    from ..operators.bpe import learn_bpe, tokenizer_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=12)
+    return tokenizer_fertility(docs, merges).select(
+        "source", "n_docs", "n_words", "n_pieces", "fertility",
+        "chars_per_piece",
+    )
+
+
+def _fertility_sql(n_merges: int = 12) -> str:
+    """DuckDB twin of ``tokenizer_fertility_by_source``."""
+    return _bpe_learn_cte_chain(n_merges) + rf""",
+wpd AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+    FROM documents
+  ) WHERE word <> ''
+),
+per_doc AS (
+  SELECT w.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(length(s.enc) - length(replace(s.enc, ' ', '')) + 1)
+         AS BIGINT) AS n_pieces,
+    CAST(SUM(length(w.word) + 4) AS BIGINT) AS n_chars
+  FROM wpd w JOIN st{n_merges} s USING (word)
+  GROUP BY 1
+)
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COALESCE(SUM(p.n_words), 0) AS BIGINT) AS n_words,
+  CAST(COALESCE(SUM(p.n_pieces), 0) AS BIGINT) AS n_pieces,
+  ROUND(SUM(p.n_pieces) / NULLIF(SUM(p.n_words), 0), 6) AS fertility,
+  ROUND(SUM(p.n_chars) / NULLIF(SUM(p.n_pieces), 0), 6) AS chars_per_piece
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY 1
+"""
+
+
 def training_shuffle_order(spark, sf_dir):
     """Deterministic per-shard training-order shuffle
     (operators/sampling.py::training_order): position = rank of
@@ -10669,6 +10719,11 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("bpe_tokenized_docs", bpe_tokenized_docs, _bpe_apply_sql()),
     QueryDef("bpe_merge_table", bpe_merge_table, _bpe_learn_sql()),
+    QueryDef(
+        "tokenizer_fertility_by_source",
+        tokenizer_fertility_by_source,
+        _fertility_sql(),
+    ),
     QueryDef("corpus_snapshot_diff", corpus_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     QueryDef("corpus_source_drift", corpus_source_drift, _SOURCE_DRIFT_SQL),
     QueryDef(

@@ -179,3 +179,49 @@ def test_learn_bpe_property_matches_reference(spark):
         assert got == _ref_bpe(wc, 4)
 
     check()
+
+
+def test_tokenizer_fertility_hand_checked(spark):
+    from batch_processing_on_aws_spark.operators.bpe import (
+        tokenizer_fertility,
+    )
+
+    # fixed merge list: ab -> "ab"; words: "ab" -> [ab, </w>] (2 pieces),
+    # "aba" -> [ab, a, </w>] (3 pieces), "c" -> [c, </w>] (2 pieces)
+    rows = [
+        (1, "ab aba", "s1"),
+        (2, "c", "s1"),
+        (3, "", "s2"),          # empty doc: counts as a doc, no words
+        (4, "ab ab", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: r
+        for r in tokenizer_fertility(df, [("a", "b")]).collect()
+    }
+    s1 = got["s1"]
+    # s1: words ab, aba, c -> pieces 2+3+2=7, words 3,
+    # chars (2+4)+(3+4)+(1+4)=18
+    assert (s1["n_docs"], s1["n_words"], s1["n_pieces"]) == (2, 3, 7)
+    assert s1["fertility"] == round(7 / 3, 6)
+    assert s1["chars_per_piece"] == round(18 / 7, 6)
+    s2 = got["s2"]
+    # s2: empty doc contributes nothing; "ab ab" -> 2 words, 4 pieces
+    assert (s2["n_docs"], s2["n_words"], s2["n_pieces"]) == (2, 2, 4)
+    assert s2["fertility"] == 2.0
+
+
+def test_tokenizer_fertility_all_empty_group_reports_null(spark):
+    from batch_processing_on_aws_spark.operators.bpe import (
+        tokenizer_fertility,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "   ", "empty"), (2, "x", "full")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in tokenizer_fertility(df, []).collect()}
+    assert got["empty"]["n_words"] == 0
+    assert got["empty"]["fertility"] is None
+    assert got["empty"]["chars_per_piece"] is None
+    assert got["full"]["n_pieces"] == 2  # [x, </w>]

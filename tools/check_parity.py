@@ -69,13 +69,20 @@ def _value_hash(norm_rows) -> str:
 def main() -> int:
     argv = list(sys.argv[1:])
     json_path = None
+    merge = "--merge" in argv
+    if merge:
+        argv.remove("--merge")
     for a in list(argv):
         if a.startswith("--json="):
             json_path = a.split("=", 1)[1]
             argv.remove(a)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
-    if json_path is None and not only and sf_dir == "/root/testdata/sf0.01":
+    if (
+        json_path is None
+        and (not only or merge)
+        and sf_dir == "/root/testdata/sf0.01"
+    ):
         json_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "PARITY.json",
@@ -192,6 +199,21 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
     if json_path:
+        if only and merge and os.path.exists(json_path):
+            # --merge: fold the targeted queries into the existing
+            # sidecar so adding a registry query doesn't cost a full
+            # re-run; entries for queries no longer in the registry
+            # are dropped, and the pytest exact-coverage pin still
+            # catches queries never run under either path.
+            with open(json_path) as fh:
+                prev = json.load(fh)
+            merged = {
+                k: v
+                for k, v in prev.get("queries", {}).items()
+                if k in qs
+            }
+            merged.update(report)
+            report = merged
         with open(json_path, "w") as fh:
             json.dump({"sf_dir": sf_dir, "queries": report}, fh, indent=1)
         print(f"wrote {json_path} ({len(report)} queries)")

@@ -63,6 +63,7 @@ def _run(fn, spark, sf_dir):
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     json_path = os.path.join(REPO, "PLANS_GATE.json")
+    merge = "--merge" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.startswith("--json="):
             json_path = a.split("=", 1)[1]
@@ -164,7 +165,47 @@ def main() -> None:
     if gate["warns"]:
         for w in gate["warns"]:
             print("WARN", w)
-    if not only:
+    if only and merge:
+        # --merge: fold the targeted queries into the existing sidecar
+        # so adding a registry query doesn't cost a full re-run. The
+        # merged file re-derives flagged/warns per query: stale
+        # entries for queries no longer in the registry are dropped,
+        # and the coverage list is rebuilt from the CURRENT registry —
+        # the pytest pin (exact coverage) still catches queries that
+        # were never run under either path.
+        with open(json_path) as f:
+            prev = json.load(f)
+        names = {q.name for q in golden.QUERIES}
+        for sect in ("static", "windows", "smj_small_sides", "errors"):
+            merged = {
+                k: v for k, v in prev.get(sect, {}).items() if k in names
+            }
+            merged.update(gate[sect])
+            gate[sect] = merged
+        # coverage = what actually ran under either path (a query
+        # neither previously gated nor targeted now stays missing, so
+        # the pytest exact-coverage pin still fails on it)
+        gate["queries"] = sorted(
+            set(gate["static"]) | set(gate["errors"])
+        )
+        ran = set(gate["flagged"]) | {
+            w.split(":", 1)[0] for w in gate["warns"]
+        }
+        gate["flagged"] += [
+            q for q in prev.get("flagged", [])
+            if q in names and q not in only and q not in ran
+        ]
+        gate["warns"] += [
+            w for w in prev.get("warns", [])
+            if w.split(":", 1)[0] in names and w.split(":", 1)[0] not in only
+        ]
+        gate["elapsed_sec"] = round(
+            gate["elapsed_sec"] + prev.get("elapsed_sec", 0), 1
+        )
+        with open(json_path, "w") as f:
+            json.dump(gate, f, indent=1, sort_keys=True)
+        print(f"merged {sorted(only)} into {json_path}")
+    elif not only:
         with open(json_path, "w") as f:
             json.dump(gate, f, indent=1, sort_keys=True)
         print(f"wrote {json_path}")

@@ -103,6 +103,26 @@ QUERIES = [
     "source_vocab_overlap",
     "incremental_kmv_users",
     "normalized_doc_lengths",
+    # round-9 session-3: the prefix-filter exact Jaccard self-join —
+    # the zero-false-negative complement of the df-capped index; its
+    # prefix+size filters must keep candidates near-linear as the
+    # corpus grows
+    "prefix_jaccard_doc_pairs",
+    # round-10 additions: the real-codec multimodal paths (JPEG
+    # Huffman+IDCT, WARC container parse+extract, AVI walk + per-frame
+    # JPEG decode, WAV + integer WHT) are Arrow-batched 1-to-N
+    # projections that must scale with payload bytes, and the clip/
+    # audio pair miners must stay LINEAR in the corpus (df-capped
+    # hash self-joins — the media_neardup_pairs regression-guard
+    # argument, extended to the new modalities). bpe_tokenized_docs
+    # is the corpus-sized BPE application (per-batch word memo —
+    # throughput must track the vocabulary, not the token count).
+    "media_phash_jpeg",
+    "warc_main_text",
+    "video_mjpeg_phash",
+    "video_shared_frame_pairs",
+    "audio_shared_window_pairs",
+    "bpe_tokenized_docs",
 ]
 
 SCALES = {
