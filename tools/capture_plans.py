@@ -318,6 +318,32 @@ HEADLINERS = {
         "only their buckets — deterministic routing makes replayed "
         "epochs idempotent."
     ),
+    "warc_main_text": (
+        "Crawl-container ingest: one binaryFile row per WARC = one "
+        "parse task (no splitting a container across tasks), the "
+        "record explode and HTML→text extraction run as Arrow-"
+        "batched projections — zero shuffle until the final "
+        "projection; throughput scales with container bytes."
+    ),
+    "video_shared_frame_pairs": (
+        "Clip-level near-dup mining: AVI walk → per-frame JPEG "
+        "decode → dHash inside one mapInPandas projection, then a "
+        "df-capped hash-keyed self-join — candidate work bounded "
+        "per frame hash, pair output LINEAR in the corpus, no "
+        "cross product at any scale."
+    ),
+    "audio_wht_fingerprints": (
+        "Audio fingerprinting: WAV decode → integer Walsh-Hadamard "
+        "per 64-sample window inside one streaming Arrow projection "
+        "— 1→N fan-out with zero shuffle and zero driver "
+        "involvement; every BIGINT coefficient SQL-replayable."
+    ),
+    "tokenizer_fertility_by_source": (
+        "Tokenizer health report: the corpus is touched once by the "
+        "BPE word-histogram hash-agg and once by the Arrow-batched "
+        "application pass (per-batch word memo), then ONE hash-agg "
+        "rolls fertility up per source — no window, no re-scan."
+    ),
 }
 
 
