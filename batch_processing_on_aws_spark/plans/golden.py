@@ -7786,6 +7786,175 @@ WHERE fingerprint NOT IN (SELECT fingerprint FROM first_batch)
 """
 
 
+def streamed_media_corpus(spark, sf_dir):
+    """END-TO-END streaming PERCEPTUAL-dedup correctness — the
+    multimodal member of the streamed-ingest family
+    (streaming/incremental.py::ingest_media_dedup_stream): each doc id
+    becomes FOUR media rows — a base 9×8 P5 image with md5 pixels
+    (mod 128, the ``media_neardup_pairs`` fixture), a +64
+    brightness-shifted copy and a 2× nearest-neighbor blow-up (both
+    dHash-IDENTICAL to the base by construction), plus one
+    undecodable payload (``raw:<id>`` bytes) exercising the
+    ``s:<sha256>`` exact-fallback namespace — delivered as TWO real
+    Structured Streaming runs split by the deterministic media_id
+    hash bucket. The returned frame is the corpus the stream
+    accepted: within a delivery each perceptual triple collapses to
+    its smallest id, and the second delivery drops every fingerprint
+    the first admitted — so re-encoded copies arriving in LATER
+    deliveries never re-enter, which byte-level fingerprints cannot
+    do. The DuckDB oracle recomputes the dHash analytically from the
+    pixel formula, rebuilds both fingerprint namespaces, replays the
+    bucket split and the cumulative two-delivery semantics — policy,
+    not just plumbing, hash-verified. Same content-keyed scratch
+    contract as ``streamed_ingest_corpus``
+    (``$TMPDIR/spark_graft_ingest_media_*``)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.sampling import hash_bucket
+    from ..streaming.incremental import ingest_media_dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ingest_media_{key}"
+    )
+    inp, corpus, ledger, ckpt = (
+        os.path.join(root, d) for d in ("in", "corpus", "ledger", "ckpt")
+    )
+    done = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)  # half-built leftovers
+
+        def build(batches):
+            import hashlib as _hl
+
+            import pandas as pd
+
+            for pdf in batches:
+                ids, payloads = [], []
+                for mid in pdf["doc_id"]:
+                    did = int(mid)
+
+                    def gray(x, y):
+                        h = _hl.md5(f"{did}:{x}:{y}".encode()).hexdigest()
+                        return int(h[:2], 16) % 128
+
+                    base = [[gray(x, y) for x in range(9)] for y in range(8)]
+                    v0 = b"P5 9 8 255\n" + bytes(
+                        v for row in base for v in row
+                    )
+                    v1 = b"P5 9 8 255\n" + bytes(
+                        v + 64 for row in base for v in row
+                    )
+                    v2 = b"P5 18 16 255\n" + bytes(
+                        base[yy // 2][xx // 2]
+                        for yy in range(16)
+                        for xx in range(18)
+                    )
+                    v3 = f"raw:{did}".encode()
+                    for var, payload in enumerate((v0, v1, v2, v3)):
+                        ids.append(did * 4 + var)
+                        payloads.append(payload)
+                yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+        media = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .mapInPandas(build, "media_id long, data binary")
+        )
+        b = hash_bucket(F.col("media_id"))
+        for lo, hi in ((0, 50), (50, 100)):
+            media.where((b >= lo) & (b < hi)).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+            ingest_media_dedup_stream(
+                spark, inp, schema, corpus, ledger, ckpt
+            )
+        for scratch in (inp, ledger, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(key)
+    return spark.read.parquet(corpus).select("media_id", "fingerprint")
+
+
+_STREAM_MEDIA_SQL = r"""
+WITH g AS (
+  SELECT d.doc_id, y.range AS y, x.range AS x,
+         ('0x' || substr(md5(
+            CAST(d.doc_id AS VARCHAR) || ':' ||
+            CAST(x.range AS VARCHAR) || ':' ||
+            CAST(y.range AS VARCHAR)), 1, 2))::BIGINT % 128 AS gray
+  FROM documents d, range(8) y, range(9) x
+),
+bits AS (
+  SELECT g1.doc_id,
+         CAST(g1.y * 8 + g1.x AS BIGINT) AS idx,
+         CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+  FROM g g1
+  JOIN g g2 ON g1.doc_id = g2.doc_id AND g1.y = g2.y AND g2.x = g1.x + 1
+  WHERE g1.x < 8
+),
+h AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN idx < 32
+                  THEN CAST(bit AS BIGINT) << CAST(31 - idx AS INT)
+                  ELSE 0 END) AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN idx >= 32
+                  THEN CAST(bit AS BIGINT) << CAST(63 - idx AS INT)
+                  ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY 1
+),
+fp AS (
+  SELECT d.doc_id * 4 + v.var AS media_id,
+         CASE WHEN v.var < 3
+              THEN 'p:' || printf('%08x%08x', h.hi, h.lo)
+              ELSE 's:' || sha256('raw:' || CAST(d.doc_id AS VARCHAR))
+         END AS fingerprint
+  FROM documents d
+  JOIN h ON h.doc_id = d.doc_id
+  CROSS JOIN (VALUES (0), (1), (2), (3)) v(var)
+),
+fb AS (
+  SELECT *, CAST(('0x' || substr(md5(CAST(media_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 AS b
+  FROM fp
+),
+first_batch AS (
+  SELECT min(media_id) AS media_id, fingerprint
+  FROM fb WHERE b < 50 GROUP BY fingerprint
+),
+second_batch AS (
+  SELECT min(media_id) AS media_id, fingerprint
+  FROM fb WHERE b >= 50 GROUP BY fingerprint
+)
+SELECT media_id, fingerprint FROM first_batch
+UNION ALL
+SELECT media_id, fingerprint FROM second_batch
+WHERE fingerprint NOT IN (SELECT fingerprint FROM first_batch)
+"""
+
+
 def kmv_distinct_users(spark, sf_dir):
     """K-minimum-values distinct sketch per event type
     (operators/sketches.py::kmv_distinct) — the DETERMINISTIC sibling
@@ -10760,6 +10929,7 @@ QUERIES: list[QueryDef] = [
         "doc_distinctive_tokens", doc_distinctive_tokens, _DISTINCTIVE_SQL
     ),
     QueryDef("streamed_ingest_corpus", streamed_ingest_corpus, _STREAM_INGEST_SQL),
+    QueryDef("streamed_media_corpus", streamed_media_corpus, _STREAM_MEDIA_SQL),
     QueryDef("kmv_distinct_users", kmv_distinct_users, _KMV_SQL),
     QueryDef("source_vocab_overlap", source_vocab_overlap, _KMV_OVERLAP_SQL),
     QueryDef("incremental_kmv_users", incremental_kmv_users, _KMV_SQL),

@@ -4,6 +4,7 @@ from .incremental import (
     enrich_stream,
     incremental_merge_stream,
     ingest_dedup_stream,
+    ingest_media_dedup_stream,
     ingest_neardup_stream,
     ingest_span_dedup_stream,
     windowed_event_counts,
@@ -16,6 +17,7 @@ __all__ = [
     "enrich_stream",
     "incremental_merge_stream",
     "ingest_dedup_stream",
+    "ingest_media_dedup_stream",
     "ingest_neardup_stream",
     "ingest_span_dedup_stream",
     "sessionize_stream",

@@ -311,6 +311,98 @@ def ingest_dedup_stream(
     q.awaitTermination()
 
 
+def ingest_media_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    corpus_path: str,
+    ledger_path: str,
+    checkpoint_dir: str,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    fmt: str = "parquet",
+    compact_every: int | None = None,
+) -> None:
+    """Streaming MEDIA ingest with cross-batch PERCEPTUAL dedup — the
+    multimodal member of the ledger-dedup family
+    (:func:`ingest_dedup_stream` exact text fingerprints,
+    :func:`ingest_span_dedup_stream` exact substrings,
+    :func:`ingest_neardup_stream` banded MinHash): each micro-batch
+    decodes its payloads through the real codec layer
+    (``operators/multimodal.py::perceptual_hash`` — Arrow-batched
+    dHash), so a brightness-shifted or re-scaled copy of an image
+    admitted in ANY earlier delivery never re-enters the corpus —
+    the crawl-ingest case byte-level fingerprints can't see.
+
+    Fingerprint policy (the documented split the batch operators
+    use): decodable payloads dedup on ``p:<dHash>`` (perceptual);
+    undecodable payloads fall back to ``s:<sha256(bytes)>`` (exact) —
+    every row deduplicates on SOME key, none silently passes. The
+    two namespaces are prefix-disjoint so a phash can never collide
+    with a sha.
+
+    Same loop and crash contract as :func:`ingest_dedup_stream`:
+    in-batch duplicates collapse to the smallest id, the accepted
+    ledger from all PREVIOUS epochs anti-joins inside ``foreachBatch``
+    (a stream-static join would freeze batch N−1's fingerprints),
+    both writes are epoch-partitioned with dynamic overwrite so a
+    retried epoch replaces itself, and the ledger read excludes the
+    current epoch for crash-retry idempotency. At 100 TB the ledger
+    is fingerprint-only — orders of magnitude smaller than the media
+    bytes it guards."""
+    from ..operators.dedup import dedup_against_ledger, dedup_deterministic
+    from ..operators.multimodal import perceptual_hash
+
+    def _merge(batch: DataFrame, epoch: int) -> None:
+        ph = perceptual_hash(
+            batch.select(
+                F.col(id_col).alias("media_id"),
+                F.col(data_col).alias("data"),
+            )
+        )
+        keyed = batch.join(
+            ph.select(F.col("media_id").alias(id_col), "phash"), id_col
+        ).withColumn(
+            "fingerprint",
+            F.when(
+                F.col("phash").isNotNull(),
+                F.concat(F.lit("p:"), F.col("phash")),
+            ).otherwise(
+                F.concat(F.lit("s:"), F.sha2(F.col(data_col), 256))
+            ),
+        ).drop("phash")
+        b = dedup_deterministic(
+            keyed, ["fingerprint"], [F.col(id_col).asc()]
+        )
+        s = batch.sparkSession
+        ledger = _read_ledger_before_epoch(s, ledger_path, epoch)
+        fresh = b if ledger is None else dedup_against_ledger(b, ledger)
+        fresh.persist()
+        try:
+            _write_epoch_partitions(
+                (
+                    (fresh, corpus_path),
+                    (fresh.select("fingerprint"), ledger_path),
+                ),
+                epoch,
+            )
+        finally:
+            fresh.unpersist()
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            compact_ledger(s, ledger_path)
+
+    q = (
+        spark.readStream.schema(schema)
+        .format(fmt)
+        .load(input_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def ingest_neardup_stream(
     spark: SparkSession,
     input_dir: str,

@@ -879,3 +879,59 @@ def test_quarantine_stream_routes_both_sides(spark, tmp_path):
     # deterministic routing, re-delivery merges onto itself
     assert clean == {1, 3}
     assert dlq == {2: "v_small", 4: "v_small"}
+
+
+def test_ingest_media_dedup_stream_cross_batch(spark, tmp_path):
+    """Cross-batch PERCEPTUAL dedup through a real streaming query: a
+    brightness-shifted copy of an image admitted in an earlier
+    delivery is dropped (byte-level fingerprints can't see it);
+    undecodable payloads dedup in the sha256 fallback namespace."""
+    from batch_processing_on_aws_spark.streaming import (
+        ingest_media_dedup_stream,
+    )
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    inp = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    # 9x8 P5 with a horizontal gradient capped < 192 so +64 never wraps
+    base = [[(x * 13 + y * 7) % 128 for x in range(9)] for y in range(8)]
+    img = b"P5 9 8 255\n" + bytes(v for row in base for v in row)
+    bright = b"P5 9 8 255\n" + bytes(v + 64 for row in base for v in row)
+    upscale = b"P5 18 16 255\n" + bytes(
+        base[y // 2][x // 2] for y in range(16) for x in range(18)
+    )
+    other = [[(x * 31 + y * 3) % 128 for x in range(9)] for y in range(8)]
+    img2 = b"P5 9 8 255\n" + bytes(v for row in other for v in row)
+
+    def land(rows):
+        spark.createDataFrame(rows, media_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    # batch 1: base image, an in-batch brightness twin, one broken blob
+    land([(1, img), (2, bright), (3, b"raw:zzz")])
+    ingest_media_dedup_stream(spark, inp, media_schema, corpus, ledger, ckpt)
+    got = {r["media_id"]: r["fingerprint"]
+           for r in spark.read.parquet(corpus).collect()}
+    assert set(got) == {1, 3}  # twin 2 lost to smaller id 1
+    assert got[1].startswith("p:") and got[3].startswith("s:")
+
+    # batch 2: a 2x upscale of the admitted image (dHash-identical),
+    # a byte-identical re-delivery of the broken blob, and a new image
+    land([(4, upscale), (5, b"raw:zzz"), (6, img2)])
+    ingest_media_dedup_stream(spark, inp, media_schema, corpus, ledger, ckpt)
+    got = {r["media_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 3, 6}
+
+    # restart with nothing new: checkpoint prevents reprocessing
+    ingest_media_dedup_stream(spark, inp, media_schema, corpus, ledger, ckpt)
+    assert spark.read.parquet(corpus).count() == 3
+    assert spark.read.parquet(ledger).count() == 3
