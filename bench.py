@@ -46,7 +46,19 @@ def run_probe(spark, n_runs: int = 3) -> float:
     drift) and never with the build — unlike the suite median it
     replaces, which was computed from the engine itself and would
     normalize away an engine-wide uniform regression. min-of-n sheds
-    scheduler noise the same way the per-query timer does."""
+    scheduler noise the same way the per-query timer does.
+
+    One UNTIMED warmup pass runs first: at session start the probe
+    otherwise measures JVM cold-start (codegen compile, parquet
+    footer + page-cache fill), not the host — observed 2.4× on the
+    before-probe with the after-probe at 1.0×, which would rail a
+    probe-derived factor."""
+    run_query(
+        spark.range(0, 1_000_000, 1).selectExpr("sum(id * 2) AS s")
+    )
+    run_query(
+        spark.read.parquet(_CALIB_PARQUET).selectExpr("count(*) AS n")
+    )
     best = float("inf")
     for _ in range(n_runs):
         t0 = time.perf_counter()
@@ -69,7 +81,7 @@ def compute_host_factor(
     probe_ratios: list[float],
     suite_ratios: list[float],
     clamp: tuple[float, float] = (1.0, 1.4),
-    disagree_tol: float = 0.10,
+    disagree_tol: float = 0.15,
 ) -> tuple[float, float | None, bool]:
     """(host_factor, suite_median_ratio, engine_drift_alarm).
 
@@ -78,10 +90,19 @@ def compute_host_factor(
     ONLY from the probe — the engine-independent gauge — clamped to
     ``clamp``. The suite median is still computed as a cross-check:
     if the suite runs >``disagree_tol`` slower than the host predicts
-    (suite_median − probe_mean > tol), that excess is IN the engine —
-    an engine-wide regression the old suite-median normalization would
-    have hidden — and the alarm trips. Suite faster than probe is not
-    an alarm (the build got faster).
+    (suite_median − min probe ratio > tol), that excess is IN the
+    engine — an engine-wide regression the old suite-median
+    normalization would have hidden — and the alarm trips. Suite
+    faster than probe is not an alarm (the build got faster).
+
+    The tolerance budgets for a structural bias, not just noise:
+    per-query floors are MIN-of-3 of noisy sub-second samples, so a
+    healthy unchanged run's median ratio sits ~1.05–1.10 above them
+    by order statistics, while the single low-variance probe sits at
+    ~1.0 against its own min-of-revisions floor (measured: fresh
+    floors put the median at 1.10 with the suite total unchanged run
+    over run). 0.15 absorbs that bias; a genuine uniform ~20 %
+    engine regression still lands the median at ~1.3 and trips.
 
     Without probe ratios (no committed floor yet, or non-standard sf)
     falls back to the legacy suite-median factor.

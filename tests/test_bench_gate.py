@@ -56,9 +56,11 @@ def test_engine_faster_than_probe_is_not_an_alarm():
 
 def test_disagreement_tolerance_boundary():
     # within tolerance vs clearly above (boundaries kept off exact
-    # float edges)
-    _, _, ok = compute_host_factor([1.0], _suite(1.09))
-    _, _, bad = compute_host_factor([1.0], _suite(1.12))
+    # float edges). 0.15 tolerance budgets the min-of-3 floor bias:
+    # a healthy run's median sits ~1.05-1.10 over fresh floors while
+    # the low-variance probe sits ~1.0 — that gap must NOT alarm.
+    _, _, ok = compute_host_factor([1.0], _suite(1.12))
+    _, _, bad = compute_host_factor([1.0], _suite(1.17))
     assert not ok
     assert bad
 
