@@ -294,6 +294,7 @@ def tokenizer_fertility(
     merges: DataFrame | list[tuple[str, str]],
     text_col: str = "text",
     group_col: str = "source",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-group tokenizer health report over a learned merge table:
     (group, n_docs, n_words, n_pieces, fertility, chars_per_piece).
@@ -315,10 +316,10 @@ def tokenizer_fertility(
     pieces; an all-empty group reports NULL ratios (0/0) rather than
     a fake 0.
     """
-    pieces = apply_bpe(df, merges, text_col=text_col)
+    pieces = apply_bpe(df, merges, text_col=text_col, id_col=id_col)
     toks = tokens(F.col(text_col))
     words = df.select(
-        F.col("doc_id"),
+        F.col(id_col),
         F.col(group_col).alias("grp"),
         F.size(toks).cast("long").alias("n_words"),
         (
@@ -331,7 +332,7 @@ def tokenizer_fertility(
         ).alias("n_chars"),
     )
     return (
-        words.join(pieces.select("doc_id", "n_pieces"), "doc_id")
+        words.join(pieces.select(id_col, "n_pieces"), id_col)
         .groupBy(F.col("grp").alias(group_col))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -373,7 +373,10 @@ def mad_anomaly(
         ),
     )
     if partition_cols:
-        r1 = r1.join(F.broadcast(counts), list(partition_cols))
+        # no explicit broadcast: the aggregate is one row PER GROUP, so
+        # its size scales with key cardinality — let AQE broadcast when
+        # it measures small (the unkeyed branch stays hinted: 1 row).
+        r1 = r1.join(counts, list(partition_cols))
     else:
         r1 = r1.crossJoin(F.broadcast(counts))
     med = r1.where(F.col("__r") == pick(F.col("__n"))).select(
@@ -381,7 +384,7 @@ def mad_anomaly(
         F.col(y_col).cast("long").alias("__med"),
     )
     if partition_cols:
-        dev = df.join(F.broadcast(med), list(partition_cols))
+        dev = df.join(med, list(partition_cols))
     else:
         dev = df.crossJoin(F.broadcast(med))
     dev = dev.withColumn(
@@ -394,7 +397,7 @@ def mad_anomaly(
         ),
     )
     if partition_cols:
-        r2 = r2.join(F.broadcast(counts), list(partition_cols))
+        r2 = r2.join(counts, list(partition_cols))
     else:
         r2 = r2.crossJoin(F.broadcast(counts))
     mad = r2.where(F.col("__r") == pick(F.col("__n"))).select(
@@ -402,8 +405,8 @@ def mad_anomaly(
         F.col("__dev").alias("__mad"),
     )
     if partition_cols:
-        out = dev.join(F.broadcast(mad), list(partition_cols)).join(
-            F.broadcast(counts), list(partition_cols)
+        out = dev.join(mad, list(partition_cols)).join(
+            counts, list(partition_cols)
         )
     else:
         out = dev.crossJoin(F.broadcast(mad)).crossJoin(F.broadcast(counts))
@@ -484,14 +487,14 @@ def seasonal_decompose(
     )
     seas = (
         base.withColumn("__r", F.row_number().over(wr))
-        .join(F.broadcast(counts), pcols)
+        .join(counts, pcols)
         .where(
             F.col("__r") == F.floor((F.col("__n") + F.lit(1)) / F.lit(2))
         )
         .select(*pcols, F.col("__detr").alias("seasonal"))
     )
     return (
-        base.join(F.broadcast(seas), pcols)
+        base.join(seas, pcols)
         .withColumn("residual", F.col("__detr") - F.col("seasonal"))
         .select(*df.columns, "trend", "phase", "seasonal", "residual")
     )

@@ -98,4 +98,24 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_bounded_window_warns(spark)
     return spark
+
+
+def _quiet_bounded_window_warns(spark: SparkSession) -> None:
+    """Silence the ``WindowExec: No Partition Defined`` WARN.
+
+    The only unpartitioned windows in the engine are the allowlisted
+    calendar/schema-bounded spines (≤366 rows by construction, reasons
+    in plans/contracts.py) — each execution sprays this WARN, burying
+    real signal in captured bench logs. Raise just that one logger to
+    ERROR; everything else stays at WARN. Best-effort: log4j2 only."""
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec", level
+        )
+    except Exception:
+        pass

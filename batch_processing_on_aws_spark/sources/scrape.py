@@ -14,6 +14,16 @@ This module is the engine-side equivalent, split in two:
   table on the page. Browser automation stays out of scope: the
   reference only needs Selenium because the TfL index is rendered
   client-side; given the HTML, parsing is pure.
+
+  PERMANENT SCOPE CUT — failure mode, stated plainly: this parser
+  sees only server-rendered HTML. An index page whose table is
+  populated by client-side JavaScript (the reference drives a real
+  Chrome for exactly this reason, init_3_web_scraping_dag.py:37-43)
+  yields ZERO rows here, loudly (empty manifest), never silently
+  wrong data. Users scraping JS-rendered pages must pre-render
+  upstream (headless browser, crawl service) and hand this module
+  the resulting HTML; pulling a browser into the engine container
+  is deliberately out of scope for a data-plane library.
 - :func:`tfl_usage_links` — the reference's selection policy
   (folder marker → capture; filename ``…17Mar2021-23Mar2021.csv`` →
   key ``23Mar2021``; keep years in scope), reproduced faithfully.

@@ -354,13 +354,21 @@ def ingest_media_dedup_stream(
     from ..operators.multimodal import perceptual_hash
 
     def _merge(batch: DataFrame, epoch: int) -> None:
+        # Collapse duplicate ids BEFORE the phash join: if media_id
+        # repeated within a batch, the id-equi-join below would multiply
+        # rows and could pair one payload with another payload's phash
+        # (fingerprint no longer describing its row's bytes). Winner is
+        # deterministic: smallest payload digest per id.
+        uniq = dedup_deterministic(
+            batch, [id_col], [F.sha2(F.col(data_col), 256).asc()]
+        )
         ph = perceptual_hash(
-            batch.select(
+            uniq.select(
                 F.col(id_col).alias("media_id"),
                 F.col(data_col).alias("data"),
             )
         )
-        keyed = batch.join(
+        keyed = uniq.join(
             ph.select(F.col("media_id").alias(id_col), "phash"), id_col
         ).withColumn(
             "fingerprint",
