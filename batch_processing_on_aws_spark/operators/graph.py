@@ -464,3 +464,91 @@ def strongly_connected_components(
         .groupBy("node")
         .agg(F.min("partner").alias("component"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 4,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (LPA,
+    Raghavan et al. 2007) — the community sibling of the
+    connected-components / SCC labelers: returns one ``(node,
+    community)`` row per node of the UNDIRECTED graph, where
+    ``community`` is the label the node holds after ``n_rounds``
+    synchronous rounds. CC merges everything reachable; LPA splits a
+    connected graph along its dense regions — the "which cluster of
+    near-dup docs / which user cohort" question CC can't answer.
+
+    DETERMINISM (the property naive LPA lacks): the textbook rule
+    breaks ties randomly and updates asynchronously, so two runs
+    disagree; here rounds are synchronous (every node updates from the
+    round-k labels simultaneously) and the tie-break is total —
+    adopt the MIN label among those with MAX neighbor count; a node
+    with no neighbors keeps its own label. Every round is therefore a
+    pure function of the previous labeling, the output is bit-stable
+    under any partitioning, and a SQL oracle replays the rounds as
+    chained CTEs (golden ``customer_community_labels``).
+
+    Shape, per round: one equi-join of the symmetrized edge table to
+    the label table on the neighbor key + two hash-aggs ((node, label)
+    vote counts, then the struct-max argmax) — map-side partials, no
+    windows, no driver round-trips; localCheckpoint every
+    ``checkpoint_every`` rounds truncates lineage (the iterative-loop
+    lesson from page_rank / transitive_closure). At 100 TB: edges
+    shuffle on node id per round; label skew (a giant community late
+    in the run) concentrates VOTE rows, but votes pre-aggregate
+    map-side per (node, label) so the reduce side is bounded by
+    distinct labels per node's neighborhood, not community size.
+
+    Convergence note: synchronous LPA can two-cycle on bipartite-ish
+    structure (a star flips hub↔spokes forever) — callers pick
+    ``n_rounds`` for their diameter and treat the fixed round count as
+    the contract, exactly like ``transitive_closure.max_depth``.
+    Labels must be non-negative integers (the argmax negates them
+    inside a struct-max).
+    """
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+    rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    e = (
+        fwd.unionByName(rev)
+        .where(
+            F.col("node").isNotNull()
+            & F.col("nbr").isNotNull()
+            & (F.col("node") != F.col("nbr"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select("node").distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(n_rounds):
+        votes = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nlabel")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "nlabel")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = votes.groupBy("node").agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("nlabel")).alias("neg"))
+            ).alias("__b")
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(-F.col("__b.neg"), F.col("label")).alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))

@@ -262,3 +262,87 @@ def test_scc_matches_python_reference_on_random_graph(spark):
 
     got = _scc_map(spark, sorted(edges))
     assert got == want
+
+
+# ------------------------------------------------------ label propagation
+
+
+def _lpa_map(spark, edges, n_rounds=3):
+    from batch_processing_on_aws_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.community
+        for r in label_propagation(df, n_rounds=n_rounds).collect()
+    }
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two 4-cliques {1..4} and {10..13} joined by one bridge edge:
+    # LPA must split the CONNECTED graph into the two planted
+    # communities (components would collapse it to one label)
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    got = _lpa_map(spark, edges)
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+
+
+def test_lpa_deterministic_tiebreak_and_rounds(spark):
+    # node 3's neighbors 1 and 2 tie at one vote each -> min label 1
+    got = _lpa_map(spark, [(1, 3), (2, 3)], n_rounds=1)
+    assert got[3] == 1
+    # symmetrized: 1 and 2 each see only 3 -> adopt 3
+    assert got[1] == 3 and got[2] == 3
+
+    from batch_processing_on_aws_spark.operators.graph import label_propagation
+
+    with pytest.raises(ValueError, match="n_rounds"):
+        label_propagation(
+            spark.createDataFrame([(1, 2)], "src long, dst long"), n_rounds=0
+        )
+
+
+def test_lpa_self_loops_nulls_and_python_reference(spark):
+    # self-loops and NULL endpoints are dropped; the sync-round
+    # semantics match a plain python replay on a random graph
+    import random
+
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            (rng.randrange(20), rng.randrange(20))
+            for _ in range(40)
+        }
+    )
+    rows = [(int(s), int(d)) for s, d in edges] + [(5, 5), (None, 3)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+
+    nbrs = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    labels = {n: n for n in nbrs}
+    for _ in range(3):
+        new = {}
+        for n, ns in nbrs.items():
+            counts = {}
+            for m in ns:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+
+    from batch_processing_on_aws_spark.operators.graph import label_propagation
+
+    got = {
+        r.node: r.community for r in label_propagation(df, n_rounds=3).collect()
+    }
+    want = dict(labels)
+    # (5,5) self-loop contributes no edge; (None,3) dropped. node 3
+    # and 5 may still appear via random edges only.
+    assert got == want

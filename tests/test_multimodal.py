@@ -66,20 +66,89 @@ def test_sample_frames_fan_out_and_edges(spark):
         sample_frames(df, n_frames=0)
 
 
-def test_resize_media_rewrites_meta_only(spark):
-    from batch_processing_on_aws_spark.operators.multimodal import resize_media
+def test_resize_media_real_transform(spark):
+    import numpy as np
 
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        decode_image,
+        resize_media,
+    )
+
+    # 4x4 grayscale PGM with distinct pixels: resize to 2x2 must pick
+    # the index-map nearest neighbors (0,2)x(0,2) -> values 0,2,8,10
+    src = bytes(range(16))
+    pgm = b"P5 4 4 255\n" + src
+    # 2x2 color PPM upscaled to 4x4: each pixel replicates 2x2
+    rgb = bytes(
+        [255, 0, 0, 0, 255, 0,
+         0, 0, 255, 9, 9, 9]
+    )
+    ppm = b"P6 2 2 255\n" + rgb
     rows = [
-        (1, "image", "image/jpeg", bytearray(b"payload"), (640, 480, None)),
-        (2, "image", "image/jpeg", None, (10, 10, None)),
+        (1, "image", "image/x-portable-graymap", bytearray(pgm), (4, 4, None)),
+        (2, "image", "image/x-portable-pixmap", bytearray(ppm), (2, 2, None)),
+        (3, "audio", "audio/wav", bytearray(b"not an image"), (None, None, 7)),
+        (4, "image", "image/jpeg", None, (10, 10, None)),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    out = {r.media_id: r for r in resize_media(df, 224, 224).collect()}
-    assert (out[1].meta.width, out[1].meta.height) == (224, 224)
-    assert bytes(out[1].data) == b"payload"  # stub passes bytes through
+
+    out = {r.media_id: r for r in resize_media(df, 2, 2).collect()}
     assert out[1].resized is True
-    assert out[2].resized is False
-    assert (out[2].meta.width, out[2].meta.height) == (10, 10)
+    assert out[1].mime == "image/x-portable-graymap"
+    assert (out[1].meta.width, out[1].meta.height) == (2, 2)
+    arr = decode_image(bytes(out[1].data))
+    assert arr.shape == (2, 2, 1)
+    assert arr[:, :, 0].tolist() == [[0, 2], [8, 10]]
+
+    up = {r.media_id: r for r in resize_media(df, 4, 4).collect()}
+    assert up[2].resized is True
+    assert up[2].mime == "image/x-portable-pixmap"
+    arr2 = decode_image(bytes(up[2].data))
+    assert arr2.shape == (4, 4, 3)
+    # 2x blow-up: kron of the source with ones((2,2))
+    src_arr = np.frombuffer(rgb, dtype=np.uint8).reshape(2, 2, 3)
+    expect = np.kron(src_arr, np.ones((2, 2, 1), dtype=np.uint8))
+    assert (arr2 == expect).all()
+
+    # undecodable + NULL payloads pass through untouched, loudly
+    assert out[3].resized is False
+    assert bytes(out[3].data) == b"not an image"
+    assert out[3].mime == "audio/wav"
+    assert out[3].meta.duration_ms == 7
+    assert out[4].resized is False
+    assert out[4].data is None
+    assert (out[4].meta.width, out[4].meta.height) == (10, 10)
+
+
+def test_resize_media_aspect_and_roundtrip(spark):
+    import numpy as np
+
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        decode_image,
+        encode_pnm,
+        resample_nearest,
+        resize_media,
+    )
+
+    # non-integral downscale 7x5 -> 3x2 follows (i*src)//dst exactly
+    src = np.arange(35, dtype=np.uint8).reshape(5, 7, 1)
+    pgm = encode_pnm(src)
+    assert decode_image(pgm).tolist() == src.tolist()  # PNM round-trip
+    df = spark.createDataFrame(
+        [(1, "image", "image/x-portable-graymap", bytearray(pgm), (7, 5, None))],
+        MEDIA_SCHEMA,
+    )
+    out = resize_media(df, 3, 2).collect()[0]
+    got = decode_image(bytes(out.data))
+    ys = (np.arange(2) * 5) // 2
+    xs = (np.arange(3) * 7) // 3
+    assert got.tolist() == src[np.ix_(ys, xs)].tolist()
+    assert resample_nearest(src, 3, 2).tolist() == got.tolist()
+    # RGBA/gray+alpha inputs drop alpha on encode
+    rgba = np.arange(16, dtype=np.uint8).reshape(2, 2, 4)
+    assert decode_image(encode_pnm(rgba)).shape == (2, 2, 3)
+    ga = np.arange(8, dtype=np.uint8).reshape(2, 2, 2)
+    assert decode_image(encode_pnm(ga)).shape == (2, 2, 1)
 
 
 # ------------------------------------------------------- real codec
