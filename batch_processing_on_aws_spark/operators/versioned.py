@@ -287,7 +287,7 @@ class VersionedTable:
         since ``parent`` and, if so, compute the new base.
 
         Commutes = every interleaved commit is itself a keyed
-        bucket-local write (upsert/replace_keys) AND the bucket sets
+        bucket-local write (upsert/replace_keys/delete_keys) AND the bucket sets
         are disjoint (bucket-level granularity — the same unit the
         table shards by; two writers touching different keys in the
         SAME bucket conflict loudly rather than risk a lost update,
@@ -313,7 +313,7 @@ class VersionedTable:
                     f"interleaved version {v} is not readable, cannot "
                     "verify commutativity"
                 ) from e
-            if m["operation"] not in ("upsert", "replace_keys"):
+            if m["operation"] not in ("upsert", "replace_keys", "delete_keys"):
                 raise RuntimeError(
                     f"concurrent commit conflict at {self.path!r}: "
                     f"version {v} is a non-commutative "
@@ -748,6 +748,71 @@ class VersionedTable:
         combined.update(files)
         return self._commit(
             combined, parent, operation="delete", committed_at=committed_at
+        )
+
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        txn: dict | None = None,
+        committed_at: str | None = None,
+    ) -> int:
+        """Drop every stored row whose FULL key tuple appears in
+        ``keys_df`` — the CDC-replication delete (a change feed names
+        keys, not predicates). Cheaper than :meth:`delete` for keyed
+        work: touched buckets are a pure function of the keys (no
+        predicate scan of the snapshot), so bucket discovery is
+        O(batch) like :meth:`upsert`, the survivor anti-join reads
+        only the touched buckets' files (null-safe keys, mirroring
+        upsert), and untouched buckets stay file-shared with the
+        parent. Accepts a ``txn`` stamp — replication appliers replay
+        epochs after a crash and must detect an already-applied
+        delete (``txn_applied``), which predicate :meth:`delete`
+        cannot. Keys absent from the table are a no-op; an empty
+        ``keys_df`` mints an audited no-op commit sharing every file."""
+        parent = self.latest_version()
+        if parent == 0:
+            raise ValueError(
+                "delete_keys on a table with no committed version"
+            )
+        missing = [c for c in self.keys if c not in keys_df.columns]
+        if missing:
+            raise ValueError(f"keys_df lacks key columns: {missing}")
+        kb = self._bucketed(keys_df.select(*self.keys).distinct())
+        kb = kb.localCheckpoint(eager=True)
+        manifest = self._manifest(parent)["buckets"]
+        touched = {
+            r[BUCKET_COL] for r in kb.select(BUCKET_COL).distinct().collect()
+        }
+        touched = {b for b in touched if str(b) in manifest}
+        if not touched:
+            return self._commit(
+                {int(b): list(fs) for b, fs in manifest.items()}, parent,
+                txn=txn, operation="delete_keys", committed_at=committed_at,
+            )
+        touched_files = [
+            os.path.join(self.path, f)
+            for b in sorted(touched)
+            for f in manifest.get(str(b), [])
+        ]
+        old = spark.read.option("mergeSchema", "true").parquet(*touched_files)
+        if BUCKET_COL in old.columns:
+            old = old.drop(BUCKET_COL)
+        old = self._bucketed(old)
+        on = [kb[k].eqNullSafe(old[k]) for k in self.keys]
+        survivors = old.join(kb, on=on, how="left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        files = self._write_commit(survivors)
+        combined = {
+            int(b): list(fs)
+            for b, fs in manifest.items()
+            if int(b) not in touched
+        }
+        combined.update(files)
+        return self._commit(
+            combined, parent, txn=txn, operation="delete_keys",
+            retry_touched={int(b) for b in touched},
+            committed_at=committed_at,
         )
 
     def changes(

@@ -905,6 +905,135 @@ WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.event_id = b.event_id)
 """
 
 
+def replicated_events_table(spark, sf_dir):
+    """CDC-fed table REPLICATION end-to-end (r10 verdict task 7,
+    streaming/incremental.py::replicate_changes_stream): a SOURCE
+    VersionedTable runs the full ``versioned_changes_feed`` lifecycle
+    (v1 seed overwrite → v2 update+insert upsert → v3 delete through
+    the real DML), its row-level change feeds become two streamed
+    deliveries — delivery 1 = the v1 snapshot as inserts + the v1→v2
+    feed (one micro-batch spanning TWO source commits, so the
+    per-key last-change-wins collapse is exercised), delivery 2 = the
+    v2→v3 delete-bearing feed — and a TARGET VersionedTable follows
+    by applying each batch as keyed upsert + ``delete_keys`` commits
+    stamped with per-half writer transactions. Returned frame: the
+    target's final state, which must equal the source at v3 —
+    replication converged, hash-exact. The oracle replays the source's
+    three-commit lifecycle in SQL (the ``versioned_changes_feed`` v3
+    state); it never sees the feed, so the whole
+    changes() → stream → apply loop is value-checked cross-engine.
+    Scratch is keyed on the source identity and reused across
+    invocations, like the other streaming registry queries."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.versioned import VersionedTable
+    from ..streaming.incremental import replicate_changes_stream
+
+    src = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_repl_{key}")
+    feed, source, target, ckpt = (
+        os.path.join(root, d) for d in ("feed", "source", "target", "ckpt")
+    )
+    done = os.path.join(root, "_COMPLETE")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("change_type", T.StringType()),
+            T.StructField("v_to", T.LongType()),
+        ]
+    )
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events")
+        base = events.where(F.col("event_id") % 5 == 0).select(
+            "event_id", "event_type", "value"
+        )
+        inc = base.where(F.col("event_type") == "click").withColumn(
+            "value", F.round(F.col("value") * 2, 2)
+        ).unionByName(
+            events.where(
+                (F.col("event_id") % 5 == 1)
+                & (F.col("event_type") == "view")
+            ).select("event_id", "event_type", "value")
+        )
+        svt = VersionedTable(source, keys=["event_id"], n_buckets=8)
+        v1 = svt.overwrite(base)
+        v2 = svt.upsert(spark, inc)
+        v3 = svt.delete(spark, F.col("event_id") % 10 == 5)
+
+        def feed_rows(changes, v_to):
+            return changes.select(
+                "event_id",
+                F.col("new_event_type").alias("event_type"),
+                F.col("new_value").alias("value"),
+                "change_type",
+                F.lit(v_to).cast("long").alias("v_to"),
+            )
+
+        seed = svt.read(spark, v1).select(
+            "event_id", "event_type", "value",
+            F.lit("insert").alias("change_type"),
+            F.lit(v1).cast("long").alias("v_to"),
+        )
+        deliveries = (
+            seed.unionByName(feed_rows(svt.changes(spark, v1, v2), v2)),
+            feed_rows(svt.changes(spark, v2, v3), v3),
+        )
+        for delivery in deliveries:
+            delivery.coalesce(1).write.mode("append").parquet(feed)
+            replicate_changes_stream(
+                spark, feed, schema, target, ["event_id"], ckpt,
+                app_id="repl", n_buckets=8,
+                max_files_per_trigger=8,
+                commit_clock=lambda e: f"2024-02-{e + 1:02d}T00:00:00+00:00",
+            )
+        for scratch in (feed, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(key)
+    tvt = VersionedTable(target, keys=["event_id"], n_buckets=8)
+    return tvt.read(spark).select("event_id", "event_type", "value")
+
+
+_REPLICATED_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 5 = 0
+),
+inc AS (
+  SELECT event_id, event_type, ROUND(value * 2, 2) AS value
+  FROM base WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, event_type, value FROM events
+  WHERE event_id % 5 = 1 AND event_type = 'view'
+),
+v2 AS (
+  SELECT * FROM inc
+  UNION ALL
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.event_id = b.event_id)
+)
+SELECT event_id, event_type, value FROM v2
+WHERE NOT COALESCE(event_id % 10 = 5, FALSE)
+"""
+
+
 def upsert_events_writer(spark, sf_dir):
     """§2.9 — the same MERGE contract as ``upsert_events`` but through
     the WRITER path (bucket-partitioned parquet + dynamic partition
@@ -10961,6 +11090,11 @@ QUERIES: list[QueryDef] = [
         "streamed_versioned_events",
         streamed_versioned_events,
         _STREAM_VERSIONED_SQL,
+    ),
+    QueryDef(
+        "replicated_events_table",
+        replicated_events_table,
+        _REPLICATED_SQL,
     ),
     QueryDef("sessionize_events", sessionize_events, _SESSIONS_SQL),
     QueryDef("event_type_pivot", event_type_pivot, _PIVOT_SQL),

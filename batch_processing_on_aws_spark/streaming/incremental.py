@@ -131,6 +131,105 @@ def ingest_versioned_stream(
     q.awaitTermination()
 
 
+def replicate_changes_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    table_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    app_id: str = "replicate",
+    fmt: str = "parquet",
+    n_buckets: int = 32,
+    commit_clock: Callable[[int], str] | None = None,
+    change_type_col: str = "change_type",
+    version_col: str = "v_to",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """CDC-fed table REPLICATION: a target
+    :class:`~..operators.versioned.VersionedTable` follows a source
+    table by consuming its row-level change feed
+    (``VersionedTable.changes()`` output shape: the target's full row
+    for inserts/updates, the key for deletes, plus ``change_type``
+    and the source commit version ``v_to``) — the mini-replication /
+    downstream-materialization story, composed entirely from existing
+    oracled pieces (change feed → keyed upsert + keyed delete).
+
+    Apply semantics per micro-batch: a batch may span several source
+    commits, so first collapse to the LAST change per key (max
+    ``version_col`` — one keyed window over the batch, O(batch)),
+    then apply inserts/updates as ONE ``upsert`` commit and deletes
+    as ONE ``delete_keys`` commit. Both are keyed bucket-local
+    writes: touched buckets derive from the batch's keys, untouched
+    buckets stay file-shared — the target pays O(delta), never a
+    table rewrite, the property that makes follow-by-feed viable when
+    the table is 100 TB and the feed is megabytes.
+
+    Crash contract (two commits per epoch, individually stamped):
+    upsert carries txn ``(app_id + ".u", epoch)`` and delete
+    ``(app_id + ".d", epoch)``; a replayed epoch skips whichever half
+    already landed (``txn_applied``), so the crash window between the
+    two commits is covered — replay completes the delete half without
+    re-minting the upsert. Empty halves commit nothing (no no-op
+    version spam). ``commit_clock`` as in
+    :func:`ingest_versioned_stream` for reproducible time travel."""
+    from ..operators.versioned import VersionedTable
+
+    vt = VersionedTable(table_path, keys=keys, n_buckets=n_buckets)
+    value_cols = [
+        f.name
+        for f in schema.fields
+        if f.name not in (change_type_col, version_col)
+    ]
+
+    def _apply(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        from pyspark.sql import Window
+
+        s = batch.sparkSession
+        w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+        last = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        ca = commit_clock(epoch) if commit_clock is not None else None
+        if not vt.txn_applied(f"{app_id}.u", epoch):
+            ups = last.where(F.col(change_type_col) != "delete").select(
+                *value_cols
+            )
+            if not ups.isEmpty():
+                vt.upsert(
+                    s, ups,
+                    txn={"app": f"{app_id}.u", "epoch": epoch},
+                    committed_at=ca,
+                )
+        if not vt.txn_applied(f"{app_id}.d", epoch):
+            dels = last.where(F.col(change_type_col) == "delete").select(
+                *keys
+            )
+            if not dels.isEmpty():
+                vt.delete_keys(
+                    s, dels,
+                    txn={"app": f"{app_id}.d", "epoch": epoch},
+                    committed_at=ca,
+                )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format(fmt)
+        .load(input_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def dedup_stream(
     events: DataFrame,
     keys: Sequence[str],

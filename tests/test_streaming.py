@@ -935,3 +935,60 @@ def test_ingest_media_dedup_stream_cross_batch(spark, tmp_path):
     ingest_media_dedup_stream(spark, inp, media_schema, corpus, ledger, ckpt)
     assert spark.read.parquet(corpus).count() == 3
     assert spark.read.parquet(ledger).count() == 3
+
+
+def test_replicate_changes_stream_end_to_end(spark, tmp_path):
+    """replicate_changes_stream: a batch spanning two source commits
+    collapses to the last change per key (max v_to), inserts/updates
+    land as one upsert commit and deletes as one delete_keys commit
+    (separate txn stamps), and the target converges to the source's
+    final state."""
+    from batch_processing_on_aws_spark.operators.versioned import (
+        VersionedTable,
+    )
+    from batch_processing_on_aws_spark.streaming.incremental import (
+        replicate_changes_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("change_type", T.StringType()),
+            T.StructField("v_to", T.LongType()),
+        ]
+    )
+    feed = str(tmp_path / "feed")
+    target = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    # delivery 1 spans v1 (seed inserts) and v2 (update id=2, delete
+    # id=1, insert id=3): last-change-wins within the batch
+    d1 = spark.createDataFrame(
+        [
+            (1, "a", "insert", 1),
+            (2, "b", "insert", 1),
+            (2, "B", "update", 2),
+            (1, None, "delete", 2),
+            (3, "c", "insert", 2),
+        ],
+        schema,
+    )
+    # delivery 2: v3 deletes id=3, re-inserts id=1
+    d2 = spark.createDataFrame(
+        [(3, None, "delete", 3), (1, "A", "insert", 3)], schema
+    )
+    for d in (d1, d2):
+        d.coalesce(1).write.mode("append").parquet(feed)
+        replicate_changes_stream(
+            spark, feed, schema, target, ["id"], ckpt,
+            app_id="r", n_buckets=4, max_files_per_trigger=8,
+        )
+    vt = VersionedTable(target, keys=["id"], n_buckets=4)
+    assert {(r["id"], r["val"]) for r in vt.read(spark).collect()} == {
+        (2, "B"), (1, "A"),
+    }
+    # both halves of epoch 0 stamped; a replayed apply is detectable
+    assert vt.txn_applied("r.u", 0) and vt.txn_applied("r.d", 0)
+    assert vt.txn_applied("r.u", 1) and vt.txn_applied("r.d", 1)
+    ops = [vt._manifest(v)["operation"] for v in vt.versions()]
+    assert ops == ["overwrite", "delete_keys", "upsert", "delete_keys"]

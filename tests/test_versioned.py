@@ -573,3 +573,48 @@ def test_history_and_timestamp_travel(spark, tmp_path):
         vt.version_as_of("2025-12-31T00:00:00Z")
     with pytest.raises(ValueError):
         vt.read(spark, version=1, as_of="2026-01-01T00:00:00Z")
+
+
+def test_delete_keys_semantics_txn_and_sharing(spark, tmp_path):
+    """delete_keys(): full-key-tuple drops (null-safe), absent keys a
+    no-op, empty keys an audited no-op commit, txn stamps make a
+    replayed apply detectable, untouched buckets file-shared."""
+    import pytest
+
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=8)
+    rows = [(i, f"v{i}") for i in range(40)] + [(None, "nullkey")]
+    vt.overwrite(_df(spark, rows))
+    m1 = vt._manifest(1)["buckets"]
+
+    ks = spark.createDataFrame(
+        [(3,), (7,), (9999,), (None,)], "id long"
+    )
+    v2 = vt.delete_keys(spark, ks, txn={"app": "repl.d", "epoch": 0})
+    assert v2 == 2
+    kept = _snap(spark, vt)
+    assert kept == {(i, f"v{i}") for i in range(40) if i not in (3, 7)}
+    assert vt.txn_applied("repl.d", 0)
+    # untouched buckets share files with the parent byte-for-byte
+    m2 = vt._manifest(2)["buckets"]
+    # touched = buckets of EVERY key in keys_df (absent keys included:
+    # discovery is key-side), via the table's own bucketing
+    from batch_processing_on_aws_spark.operators.versioned import BUCKET_COL
+
+    touched = {
+        str(r[BUCKET_COL])
+        for r in vt._bucketed(ks).select(BUCKET_COL).distinct().collect()
+    }
+    for b, fs in m1.items():
+        if b not in touched:
+            assert m2[b] == fs
+
+    # empty keys_df: audited no-op commit sharing every file
+    v3 = vt.delete_keys(spark, spark.createDataFrame([], "id long"))
+    assert vt._manifest(3)["buckets"] == m2
+    assert _snap(spark, vt, v3) == kept
+
+    with pytest.raises(ValueError, match="lacks key columns"):
+        vt.delete_keys(spark, spark.createDataFrame([(1,)], "other long"))
+    empty = VersionedTable(str(tmp_path / "e"), keys=["id"])
+    with pytest.raises(ValueError, match="no committed version"):
+        empty.delete_keys(spark, ks)
