@@ -387,8 +387,6 @@ def ivf_topk(
     Euclidean argmin is computed as argmax of v·c − ‖c‖²/2 (‖v‖² is
     constant per row); ties go to the lower cell id (numpy first-hit).
     """
-    from pyspark.sql import Window
-
     # no fan_out here: unlike the interpreted-expression operators,
     # cell assignment is a vectorized batch matmul — so cheap per row
     # that scan-split parallelism is enough, and a repartition would
@@ -399,13 +397,36 @@ def ivf_topk(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
     centers = _train_centroids(c, n_cells=n_cells, seed=seed, max_iter=max_iter)
-    half_sq = (centers**2).sum(1) / 2.0
     assigned = _assign_cells(c, centers)
+    return _ivf_probe_topk(
+        assigned, queries, centers, n_probe, k,
+        query_id_col=query_id_col, vec_col=vec_col,
+    )
+
+
+def _ivf_probe_topk(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centers,
+    n_probe: int,
+    k: int,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The probe + exact-rescore + top-k tail shared by the one-shot
+    :func:`ivf_topk` and the standing :class:`~.ann_index.IVFIndex` —
+    ``assigned`` is the (vec_id, c_vec, cell) corpus, ``centers`` the
+    frozen quantizer. Keeping one implementation is what makes
+    "incremental index == one-shot assignment" a structural identity
+    rather than two code paths pinned equal by test."""
+    from pyspark.sql import Window
+
+    half_sq = (centers**2).sum(1) / 2.0
     # query probing stays JVM-side: the query set is small, so a
     # cross join against the 16-row centroid table + a rank window is
     # cheaper than spinning a second Python runner stage for it
     cent = F.broadcast(
-        c.sparkSession.createDataFrame(
+        assigned.sparkSession.createDataFrame(
             [
                 (i, [float(x) for x in ctr], float(h))
                 for i, (ctr, h) in enumerate(zip(centers, half_sq))

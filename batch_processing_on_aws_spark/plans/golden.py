@@ -1655,6 +1655,85 @@ def embedding_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, n_cells=16, n_probe=12, k=10)
 
 
+def incremental_ivf_topk(spark, sf_dir):
+    """INCREMENTALLY-MAINTAINED IVF index end-to-end: the embeddings
+    table arrives as TWO deliveries (deterministic vec_id hash split)
+    through ``streaming/incremental.py::ingest_ivf_index_stream`` —
+    real availableNow streaming runs with checkpoint + writer-txn
+    idempotency. Delivery 1 TRAINS the coarse quantizer (bounded
+    deterministic sample) and commits the full assignment; delivery 2
+    assigns against the FROZEN centroids and upserts O(batch)
+    assign-only rows into the VersionedTable (plus a PSI drift-audit
+    row). The returned frame probes the standing index for the same
+    5 queries as ``embedding_ivf_topk``.
+
+    The oracle replays the frozen-quantizer contract analytically:
+    centroids re-derived from DELIVERY 1's rows only (the hash split
+    is md5-replayable in DuckDB), then assignment + probe over the
+    FULL table — so "index built incrementally over two deliveries ==
+    one-shot assignment under the same model" is hash-verified, not
+    just row-counted. FAISS's train()/add() split re-expressed on
+    engine primitives (similarity.py quantizer + versioned.py
+    commits); scratch reuse contract as ``streamed_ingest_corpus``
+    (``$TMPDIR/spark_graft_ivf_*``)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators.ann_index import IVFIndex
+    from ..operators.sampling import hash_bucket
+    from ..streaming.incremental import ingest_ivf_index_stream
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    inp, index_root, ckpt = (
+        os.path.join(root, d) for d in ("in", "index", "ckpt")
+    )
+    done = os.path.join(root, "_COMPLETE")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)  # half-built leftovers
+        b = hash_bucket(F.col("vec_id"))
+        for lo, hi in ((0, 50), (50, 100)):
+            emb.where((b >= lo) & (b < hi)).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+            ingest_ivf_index_stream(
+                spark, inp, emb.schema, index_root, ckpt
+            )
+        # the standing index (model + assignments + drift audit) is
+        # what reuse reads back; the delivery staging and checkpoint
+        # are scratch — drop them to bound the /tmp footprint
+        for scratch in (inp, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(key)
+    idx = IVFIndex(index_root)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return idx.topk(spark, queries, n_probe=12, k=10)
+
+
+# delivery 1 of the incremental-IVF golden: the same md5 hash-bucket
+# split sampling.hash_bucket computes, restricted to buckets [0, 50)
+_INCR_IVF_TRAIN_WHERE = (
+    "WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100 < 50"
+)
+
+
 def _dlist(xs) -> str:
     """Full-precision DuckDB DOUBLE[] literal (repr round-trips IEEE)."""
     return "[" + ", ".join(repr(float(x)) for x in xs) + "]::DOUBLE[]"
@@ -2028,7 +2107,8 @@ FROM scored QUALIFY rank <= {k}
 
 
 def _oracle_centroid_values(
-    n_cells: int, seed: int, max_iter: int, n_train: int
+    n_cells: int, seed: int, max_iter: int, n_train: int,
+    train_where: str = "",
 ) -> str | None:
     """Shared centroid derivation for the k-means-based oracles
     (``_ivf_sql``, ``_semantic_dedup_sql``): the quantizer is a
@@ -2053,6 +2133,7 @@ def _oracle_centroid_values(
         rows = con.execute(
             f"SELECT CAST(embedding AS DOUBLE[]) "
             f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            f"{train_where} "
             f"ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)) "
             f"LIMIT {n_train}"
         ).fetchall()
@@ -2074,11 +2155,18 @@ def _ivf_sql(
     seed: int = 42,
     max_iter: int = 8,
     n_train: int = 4096,
+    train_where: str = "",
 ) -> str | None:
     """DuckDB twin of ``embedding_ivf_topk`` — centroids inlined as
     literals via ``_oracle_centroid_values`` (see there). Valid only
-    at the oracle scale; None → rows-only check."""
-    vals = _oracle_centroid_values(n_cells, seed, max_iter, n_train)
+    at the oracle scale; None → rows-only check. ``train_where``
+    restricts the quantizer's training sample (the
+    ``incremental_ivf_topk`` oracle trains on delivery 1 only, the
+    frozen-quantizer contract) — assignment and probing still run
+    over the FULL table."""
+    vals = _oracle_centroid_values(
+        n_cells, seed, max_iter, n_train, train_where=train_where
+    )
     if vals is None:
         return None
     return f"""
@@ -7395,6 +7483,246 @@ GROUP BY 1
 """
 
 
+def unigram_vocab_table(spark, sf_dir):
+    """Unigram-LM tokenizer induction (operators/unigram.py::
+    train_unigram — the SentencePiece trainer family beside BPE,
+    Kudo 2018): substring-seeded vocabulary, two hard-EM rounds of
+    Viterbi segmentation + count re-estimation, integer micro-nat
+    log-probs. The DuckDB oracle replays the WHOLE loop analytically
+    (``_unigram_cte_chain``): seed counts, each round's Viterbi DP
+    unrolled position-by-position as materialized CTEs with the
+    trainer's exact (score desc, fewer pieces, path asc) tie-break,
+    and the add-one-smoothed M-step — so the learned model is
+    hash-verified end-to-end, like ``bpe_merge_table``."""
+    from ..operators.unigram import train_unigram
+
+    return train_unigram(load_table(spark, sf_dir, "documents"))
+
+
+def unigram_tokenized_docs(spark, sf_dir):
+    """Unigram-LM APPLICATION (operators/unigram.py::apply_unigram):
+    Viterbi-segment every document under the trained model — the
+    corpus-sized consumer (Arrow-batched, per-batch word memo) of the
+    vocab-sized trainer. Output: (doc_id, n_pieces, pieces_hash),
+    boundary-pinning hash like ``bpe_tokenized_docs``. The oracle
+    re-trains in SQL and runs ONE more Viterbi chain under the final
+    scores — application is the E-step of a round that never
+    M-steps."""
+    from ..operators.unigram import apply_unigram, train_unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = train_unigram(docs)
+    out = apply_unigram(docs, vocab)
+    return out.select(
+        "doc_id",
+        "n_pieces",
+        F.md5(F.concat_ws("\x1f", F.col("pieces"))).alias("pieces_hash"),
+    )
+
+
+def unigram_fertility_by_source(spark, sf_dir):
+    """Per-source fertility for the UNIGRAM tokenizer (operators/
+    unigram.py::unigram_fertility) — the second row-family of the
+    tokenizer-comparison report: the same metrics
+    ``tokenizer_fertility_by_source`` reports for BPE, over the same
+    corpus, so the two trainer families compare on one table
+    (unigram pieces carry no ``</w>`` sentinel, so chars_per_piece
+    counts raw word chars)."""
+    from ..operators.unigram import train_unigram, unigram_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = train_unigram(docs)
+    return unigram_fertility(docs, vocab).select(
+        "source", "n_docs", "n_words", "n_pieces", "fertility",
+        "chars_per_piece",
+    )
+
+
+def _unigram_cte_chain(
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    n_multi_seed: int = 150,
+    max_word_len: int = 16,
+) -> str:
+    """Shared CTE chain replaying ``train_unigram`` in DuckDB: the
+    word histogram, substring-seeded vocabulary (every single char +
+    top-``n_multi_seed`` multi-char substrings by (count desc, piece
+    asc)), then ``n_rounds`` hard-EM rounds — each round's Viterbi
+    segmentation unrolled as ``max_word_len`` per-position DP CTEs
+    (dp_j = best of dp_{j-l} + piece(word[j-l+1..j]) over l ≤
+    ``max_piece_len``, argmax via a per-word window with the
+    trainer's (score desc, np asc, path asc) tie-break) followed by
+    the usage recount and the add-one-smoothed micro-nat M-step —
+    PLUS one extra Viterbi chain (round ``n_rounds``+1) under the
+    final scores, which is exactly what application does.
+
+    Same conventions as ``_bpe_learn_cte_chain``: ``\\x1f``-wrapped
+    pieces joined by spaces encode paths (wrapped-piece string order
+    IS symbol-sequence order), every CTE is MATERIALIZED so the
+    unrolled chain stays linear, and all scores are BIGINT micro-nats
+    so the DP argmax compares integers. Words longer than
+    ``max_word_len`` are atomic out-of-model pieces (never trained
+    on, emitted whole at apply time)."""
+    parts = [r"""
+WITH w AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS word
+    FROM documents WHERE length(trim(text)) > 0
+  ) WHERE word <> '' GROUP BY 1
+),
+sub AS MATERIALIZED (
+  SELECT substr(word, s, l) AS piece, SUM(n) AS c
+  FROM (
+    SELECT word, n, s,
+           unnest(range(1, least(""" + str(max_piece_len)
+    + r""", length(word) - s + 1) + 1)) AS l
+    FROM (SELECT word, n, unnest(range(1, length(word)+1)) AS s
+          FROM w WHERE length(word) <= """ + str(max_word_len) + r""")
+  ) GROUP BY 1
+),
+seedsel AS MATERIALIZED (
+  SELECT piece, c FROM sub WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c FROM sub WHERE length(piece) >= 2
+    ORDER BY c DESC, piece ASC LIMIT """ + str(n_multi_seed) + r""")
+),
+v0 AS MATERIALIZED (
+  SELECT piece, CAST(c AS BIGINT) AS c,
+    CAST(round(ln((c + 1)::DOUBLE /
+         ((SELECT SUM(c) FROM seedsel) + (SELECT COUNT(*) FROM seedsel)))
+         * 1000000.0) AS BIGINT) AS lp
+  FROM seedsel
+)"""]
+    for t in range(1, n_rounds + 2):  # rounds 1..n, +1 apply-only chain
+        parts.append(f""",
+r{t}dp0 AS MATERIALIZED (
+  SELECT word, n, CAST(0 AS BIGINT) AS score, 0 AS np, '' AS path
+  FROM w WHERE length(word) <= {max_word_len}
+)""")
+        for j in range(1, max_word_len + 1):
+            branches = []
+            for length in range(1, min(max_piece_len, j) + 1):
+                branches.append(f"""
+      SELECT d.word, d.n, d.score + v.lp AS score, d.np + 1 AS np,
+             d.path || CASE WHEN d.path = '' THEN '' ELSE ' ' END
+                    || chr(31) || v.piece || chr(31) AS path
+      FROM r{t}dp{j - length} d
+      JOIN v{t - 1} v ON v.piece = substr(d.word, {j - length + 1}, {length})
+      WHERE length(d.word) >= {j}""")
+            union = "\n      UNION ALL".join(branches)
+            parts.append(f""",
+r{t}dp{j} AS MATERIALIZED (
+  SELECT word, n, score, np, path FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY word
+      ORDER BY score DESC, np ASC, path ASC) AS rn
+    FROM ({union})
+  ) WHERE rn = 1
+)""")
+            seg_union = "\n  UNION ALL ".join(
+                f"SELECT word, n, np, path FROM r{t}dp{jj} "
+                f"WHERE length(word) = {jj}"
+                for jj in range(1, max_word_len + 1)
+            )
+        parts.append(f""",
+seg{t} AS MATERIALIZED (
+  {seg_union}
+)""")
+        if t <= n_rounds:
+            parts.append(f""",
+u{t} AS MATERIALIZED (
+  SELECT piece, SUM(n) AS c FROM (
+    SELECT n, substr(x, 2, length(x)-2) AS piece
+    FROM (SELECT n, unnest(string_split(path, ' ')) AS x FROM seg{t})
+  ) GROUP BY 1
+),
+v{t} AS MATERIALIZED (
+  SELECT s.piece, CAST(COALESCE(u.c, 0) AS BIGINT) AS c,
+    CAST(round(ln((COALESCE(u.c, 0) + 1)::DOUBLE /
+         ((SELECT COALESCE(SUM(c), 0) FROM u{t})
+          + (SELECT COUNT(*) FROM v0))) * 1000000.0) AS BIGINT) AS lp
+  FROM v0 s LEFT JOIN u{t} u USING (piece)
+)""")
+    return "".join(parts)
+
+
+def _unigram_vocab_sql(n_rounds: int = 2) -> str:
+    """DuckDB twin of ``unigram_vocab_table``."""
+    return _unigram_cte_chain(n_rounds) + f"""
+SELECT piece, c AS n_uses, lp AS lp_micro FROM v{n_rounds}
+"""
+
+
+def _unigram_apply_tail(n_rounds: int = 2, max_word_len: int = 16) -> str:
+    """Per-doc segmentation tail shared by the apply/fertility
+    oracles: the apply-only chain's segmentation (round n+1) is the
+    distinct-word memo; long words join in as atomic pieces."""
+    return rf""",
+wordseg AS MATERIALIZED (
+  SELECT word, path FROM seg{n_rounds + 1}
+  UNION ALL
+  SELECT word, chr(31) || word || chr(31) AS path
+  FROM w WHERE length(word) > {max_word_len}
+),
+wp AS MATERIALIZED (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id,
+           unnest(ws) AS word,
+           generate_subscripts(ws, 1) AS pos
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(text), '\s+') AS ws
+          FROM documents)
+  ) WHERE word <> ''
+)"""
+
+
+def _unigram_apply_sql(n_rounds: int = 2) -> str:
+    """DuckDB twin of ``unigram_tokenized_docs``."""
+    return _unigram_cte_chain(n_rounds) + _unigram_apply_tail(n_rounds) + r""",
+dp_docs AS MATERIALIZED (
+  SELECT wp.doc_id, string_agg(ws.path, ' ' ORDER BY wp.pos) AS encs
+  FROM wp JOIN wordseg ws USING (word)
+  GROUP BY 1
+),
+fp AS (
+  SELECT doc_id,
+    list_transform(string_split(encs, ' '),
+                   x -> substr(x, 2, length(x)-2)) AS pieces
+  FROM dp_docs
+)
+SELECT d.doc_id,
+  CAST(COALESCE(length(f.pieces), 0) AS BIGINT) AS n_pieces,
+  md5(COALESCE(array_to_string(f.pieces, chr(31)), '')) AS pieces_hash
+FROM documents d LEFT JOIN fp f USING (doc_id)
+"""
+
+
+def _unigram_fertility_sql(n_rounds: int = 2) -> str:
+    """DuckDB twin of ``unigram_fertility_by_source``: pieces per
+    word from the wordseg memo (spaces-in-path + 1), chars without
+    any sentinel."""
+    return _unigram_cte_chain(n_rounds) + _unigram_apply_tail(n_rounds) + r""",
+per_doc AS (
+  SELECT wp.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(length(ws.path) - length(replace(ws.path, ' ', '')) + 1)
+         AS BIGINT) AS n_pieces,
+    CAST(SUM(length(wp.word)) AS BIGINT) AS n_chars
+  FROM wp JOIN wordseg ws USING (word)
+  GROUP BY 1
+)
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COALESCE(SUM(p.n_words), 0) AS BIGINT) AS n_words,
+  CAST(COALESCE(SUM(p.n_pieces), 0) AS BIGINT) AS n_pieces,
+  ROUND(SUM(p.n_pieces) / NULLIF(SUM(p.n_words), 0), 6) AS fertility,
+  ROUND(SUM(p.n_chars) / NULLIF(SUM(p.n_pieces), 0), 6) AS chars_per_piece
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY 1
+"""
+
+
 def training_shuffle_order(spark, sf_dir):
     """Deterministic per-shard training-order shuffle
     (operators/sampling.py::training_order): position = rank of
@@ -11206,6 +11534,17 @@ QUERIES: list[QueryDef] = [
             "here the query drops to a rows-only check"
         ),
     ),
+    QueryDef(
+        "incremental_ivf_topk",
+        incremental_ivf_topk,
+        _ivf_sql(train_where=_INCR_IVF_TRAIN_WHERE),
+        rows_only_reason=(
+            "oracle requires k-means centroids generated from the "
+            "correctness-scale parquet (delivery-1 rows); when that "
+            "data is unreadable here the query drops to a rows-only "
+            "check"
+        ),
+    ),
     # (5) new in round 2 — classic TPC-H shapes widening the agg/join enum
     QueryDef("q14_promo_revenue", q14_promo_revenue, _Q14_SQL),
     QueryDef("q18_large_orders", q18_large_orders, _Q18_SQL),
@@ -11258,6 +11597,17 @@ QUERIES: list[QueryDef] = [
         "tokenizer_fertility_by_source",
         tokenizer_fertility_by_source,
         _fertility_sql(),
+    ),
+    QueryDef(
+        "unigram_vocab_table", unigram_vocab_table, _unigram_vocab_sql()
+    ),
+    QueryDef(
+        "unigram_tokenized_docs", unigram_tokenized_docs, _unigram_apply_sql()
+    ),
+    QueryDef(
+        "unigram_fertility_by_source",
+        unigram_fertility_by_source,
+        _unigram_fertility_sql(),
     ),
     QueryDef("corpus_snapshot_diff", corpus_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     QueryDef("corpus_source_drift", corpus_source_drift, _SOURCE_DRIFT_SQL),

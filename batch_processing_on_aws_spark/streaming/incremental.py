@@ -131,6 +131,82 @@ def ingest_versioned_stream(
     q.awaitTermination()
 
 
+def ingest_ivf_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    index_root: str,
+    checkpoint_dir: str,
+    app_id: str = "ivf-ingest",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    n_train: int = 4096,
+    fmt: str = "parquet",
+    drift_threshold_micro: int = 250_000,
+) -> None:
+    """Streaming maintenance of a STANDING IVF ANN index
+    (:class:`~..operators.ann_index.IVFIndex`) — the FAISS
+    train-once/add-many lifecycle as a micro-batch loop: the FIRST
+    delivery trains the coarse quantizer on its bounded deterministic
+    sample and commits the full assignment (``build``); every later
+    delivery assigns against the FROZEN centroids and upserts
+    assign-only rows (``add``, O(batch) — the standing corpus is
+    never rescanned), recording a PSI drift row per batch. Drifted
+    batches only FLAG retrain; the quantizer never swaps mid-stream
+    (a swap inside a micro-batch breaks replay idempotency) —
+    ``IVFIndex.refresh`` is the explicit audited retrain.
+
+    Exactly-once via the writer-transaction stamp (``app_id``,
+    epoch): a crash-replayed epoch is detected by ``txn_applied`` and
+    skipped. A replayed BUILD epoch (crash between the model write
+    and the assignment commit) re-trains deterministically on the
+    same batch — same model bytes, same assignments — so the retry
+    converges instead of forking.
+
+    Because assignment is a pure per-row function of the frozen
+    model, the index after N deliveries equals the one-shot
+    assignment of their union — pinned hash-exact against the DuckDB
+    oracle by the ``incremental_ivf_topk`` golden.
+    """
+    from ..operators.ann_index import IVFIndex
+
+    idx = IVFIndex(
+        index_root,
+        n_cells=n_cells,
+        seed=seed,
+        max_iter=max_iter,
+        n_train=n_train,
+        id_col=id_col,
+        vec_col=vec_col,
+        drift_threshold_micro=drift_threshold_micro,
+    )
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if idx.table.txn_applied(app_id, epoch_id):
+            return  # crash-replayed epoch: already committed
+        txn = {"app": app_id, "epoch": epoch_id}
+        if idx.table.latest_version() == 0:
+            idx.build(batch, txn=txn)
+        else:
+            idx.add(batch, txn=txn)
+
+    q = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .load(input_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def replicate_changes_stream(
     spark: SparkSession,
     input_dir: str,

@@ -17,14 +17,15 @@ def test_registry_shape():
     # every oracle key has a query
     assert set(oracles) <= set(qs)
     # every registered query carries an oracle except the documented
-    # rows-only ones: sketch estimates are impl-defined, the two
-    # centroid oracles are generated from the correctness-scale data
+    # rows-only ones: sketch estimates are impl-defined, the
+    # centroid-based oracles are generated from the correctness-scale data
     # (they drop to rows-only if that parquet is unreadable here), and
     # BPE training is iterative-with-argmax (genuinely non-SQL; the
     # merge sequence is instead pinned against a reference trainer in
     # tests/test_bpe.py)
     assert set(qs) - set(oracles) <= {
         "embedding_ivf_topk",
+        "incremental_ivf_topk",
         "semantic_dedup_kept",
         "source_distinct_sketches",
         "bpe_merge_table",
