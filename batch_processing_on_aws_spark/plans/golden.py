@@ -2613,6 +2613,85 @@ def zorder_layout_audit(spark, sf_dir):
     )
 
 
+def bloom_layout_audit(spark, sf_dir):
+    """The parquet BLOOM-FILTER layout, audited against physical
+    bitsets (operators/bloom.py::bloom_write + bloom_probe_audit) —
+    the point-lookup sibling of ``zorder_layout_audit``: write orders
+    one-file-per-bucket (md5 hash bucket of o_orderkey, 8 buckets)
+    with an over-provisioned split-block bloom filter on the key,
+    then read the footers + bitsets back DISTRIBUTED and answer 24
+    deterministic probes (the 12 smallest order keys — present — and
+    12 keys past the max — absent) per bucket.
+
+    Because the filter is sized for 50k NDV while holding a few
+    thousand keys, its false-positive rate is ~0 and the audit's
+    ``bloom_maybe`` must equal EXACT membership — which is what the
+    SQL oracle computes analytically (bucket × probe membership
+    join). Present probes prove no-false-negatives (the bloom
+    correctness law); absent probes prove the skip actually fires on
+    7 of 8 buckets per key (the 100-TB point-lookup win min/max
+    stats cannot deliver on a hashed key)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from ..operators.bloom import bloom_probe_audit, bloom_write
+    from ..operators.sampling import hash_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    present = [
+        int(r["o_orderkey"])
+        for r in orders.select("o_orderkey")
+        .distinct()
+        .orderBy("o_orderkey")
+        .limit(12)
+        .collect()
+    ]
+    mx = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    probes = present + [mx + i for i in range(1, 13)]
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bloom_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    bloom_write(
+        orders.withColumn("bucket", hash_bucket(F.col("o_orderkey"), 8)),
+        path,
+        "o_orderkey",
+    )
+    files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    audit = bloom_probe_audit(spark, files, "o_orderkey", probes)
+    return (
+        audit.withColumn(
+            "bucket", F.regexp_extract("file", r"bucket=(\d+)", 1).cast("long")
+        )
+        .groupBy("bucket", "probe")
+        .agg(F.max("bloom_maybe").alias("bloom_maybe"))
+    )
+
+
+_BLOOM_AUDIT_SQL = """
+WITH probes AS (
+  SELECT probe FROM (
+    SELECT DISTINCT o_orderkey AS probe FROM orders ORDER BY 1 LIMIT 12)
+  UNION ALL
+  SELECT (SELECT MAX(o_orderkey) FROM orders) + i
+  FROM range(1, 13) t(i)
+),
+b AS (
+  SELECT o_orderkey,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS bucket
+  FROM orders
+)
+SELECT bk.bucket, CAST(p.probe AS BIGINT) AS probe,
+       EXISTS(SELECT 1 FROM b
+              WHERE b.bucket = bk.bucket AND b.o_orderkey = p.probe)
+         AS bloom_maybe
+FROM (SELECT DISTINCT bucket FROM b) bk CROSS JOIN probes p
+"""
+
+
 def distinct_users_per_type(spark, sf_dir):
     """Exact + approximate distinct: distinct users per event type
     (the approx twin is checked rows-only via a tolerance test)."""
@@ -11506,6 +11585,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("event_type_trend", event_type_trend, _TREND_SQL),
     QueryDef("zorder_cell_stats", zorder_cell_stats, _zorder_sql()),
     QueryDef("zorder_layout_audit", zorder_layout_audit, _zorder_sql()),
+    QueryDef("bloom_layout_audit", bloom_layout_audit, _BLOOM_AUDIT_SQL),
     QueryDef("distinct_users_per_type", distinct_users_per_type, _DISTINCT_SQL),
     QueryDef("purchase_attribution", purchase_attribution, _ASOF_SQL),
     QueryDef("clicks_before_purchase", clicks_before_purchase, _RANGE_SQL),
