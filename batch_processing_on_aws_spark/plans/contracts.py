@@ -48,6 +48,11 @@ CROSS_PRODUCT_ALLOWED: dict[str, str] = {
         "query-probe step crosses the small-by-contract query set with "
         "the n_cells-row centroid table — bounded |Q|x16, never the corpus"
     ),
+    "incremental_ivf_topk": (
+        "same probe shape as embedding_ivf_topk (shared "
+        "_ivf_probe_topk): query set x n_cells-row frozen-centroid "
+        "table — bounded |Q|x16, the standing corpus only equi-joins"
+    ),
     "hard_negative_candidates": (
         "brute-force family: query side broadcast, corpus streams "
         "(documented exception, same as embedding_topk)"

@@ -344,6 +344,29 @@ HEADLINERS = {
         "application pass (per-batch word memo), then ONE hash-agg "
         "rolls fertility up per source — no window, no re-scan."
     ),
+    "incremental_ivf_topk": (
+        "Standing ANN index probe: the assignment table (built "
+        "incrementally — train-once/add-many, never a corpus rescan) "
+        "reads back from the VersionedTable manifest and equi-joins "
+        "the broadcast probe list; the only crossJoin is the "
+        "|Q|x16 query-probe scaffold, and the top-k window sits "
+        "behind the partial-rank pre-prune like every ANN path."
+    ),
+    "unigram_vocab_table": (
+        "Unigram-LM trainer: ONE corpus-sized hash-agg (the word "
+        "histogram) is the only data-scaled work — the plan shows the "
+        "histogram aggregate; seeding and the EM rounds run on the "
+        "vocab-sized reduction (driver-local under the bounded-"
+        "histogram cap, per-round Arrow jobs above it), exactly the "
+        "learn_bpe contract."
+    ),
+    "bloom_layout_audit": (
+        "Physical bloom-filter audit: the file LIST parallelizes "
+        "through mapInPandas (footers + bitsets only — no data "
+        "pages), then one hash-agg folds row-group answers per "
+        "(bucket, probe). The write side is one repartition on the "
+        "bucket id; no window, no join anywhere."
+    ),
 }
 
 

@@ -38,6 +38,11 @@ APPROX = [
     "embedding_lsh_topk",
     "embedding_multilsh_topk",
     "embedding_ivf_topk",
+    # the STANDING index (train-once on delivery 1, add delivery 2
+    # against frozen centroids): same probe settings as
+    # embedding_ivf_topk, so the recall delta isolates what freezing
+    # the quantizer on half the corpus costs
+    "incremental_ivf_topk",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
 ]
