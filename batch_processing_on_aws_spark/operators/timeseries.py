@@ -321,6 +321,7 @@ def mad_anomaly(
     k: int = 5,
     min_points: int = 12,
     bounded_input: bool = False,
+    broadcast_group_aggs: bool = False,
 ) -> DataFrame:
     """Median/MAD robust anomaly flags per series — the BREAKDOWN-
     RESISTANT complement of :func:`rolling_zscore`: mean/σ move with
@@ -372,11 +373,16 @@ def mad_anomaly(
             w_rank.orderBy(F.col(y_col).asc(), F.col(x_col).asc())
         ),
     )
+    # keyed per-group aggregates scale with key cardinality, so the
+    # broadcast hint is OPT-IN: callers pass broadcast_group_aggs=True
+    # only when the group count is bounded by construction (calendar
+    # rollups, schema-bounded categories); otherwise AQE broadcasts
+    # when it measures small. The unkeyed branch stays hinted: 1 row.
+    def _hint(d):
+        return F.broadcast(d) if broadcast_group_aggs else d
+
     if partition_cols:
-        # no explicit broadcast: the aggregate is one row PER GROUP, so
-        # its size scales with key cardinality — let AQE broadcast when
-        # it measures small (the unkeyed branch stays hinted: 1 row).
-        r1 = r1.join(counts, list(partition_cols))
+        r1 = r1.join(_hint(counts), list(partition_cols))
     else:
         r1 = r1.crossJoin(F.broadcast(counts))
     med = r1.where(F.col("__r") == pick(F.col("__n"))).select(
@@ -384,7 +390,7 @@ def mad_anomaly(
         F.col(y_col).cast("long").alias("__med"),
     )
     if partition_cols:
-        dev = df.join(med, list(partition_cols))
+        dev = df.join(_hint(med), list(partition_cols))
     else:
         dev = df.crossJoin(F.broadcast(med))
     dev = dev.withColumn(
@@ -397,7 +403,7 @@ def mad_anomaly(
         ),
     )
     if partition_cols:
-        r2 = r2.join(counts, list(partition_cols))
+        r2 = r2.join(_hint(counts), list(partition_cols))
     else:
         r2 = r2.crossJoin(F.broadcast(counts))
     mad = r2.where(F.col("__r") == pick(F.col("__n"))).select(
@@ -405,8 +411,8 @@ def mad_anomaly(
         F.col("__dev").alias("__mad"),
     )
     if partition_cols:
-        out = dev.join(mad, list(partition_cols)).join(
-            counts, list(partition_cols)
+        out = dev.join(_hint(mad), list(partition_cols)).join(
+            _hint(counts), list(partition_cols)
         )
     else:
         out = dev.crossJoin(F.broadcast(mad)).crossJoin(F.broadcast(counts))
@@ -429,6 +435,7 @@ def seasonal_decompose(
     period: int = 7,
     trend_window: int = 7,
     bounded_input: bool = False,
+    broadcast_group_aggs: bool = False,
 ) -> DataFrame:
     """Robust seasonal decomposition (STL-lite on order statistics):
     y = trend + seasonal + residual, where
@@ -485,16 +492,21 @@ def seasonal_decompose(
     wr = Window.partitionBy(*pcols).orderBy(
         F.col("__detr").asc(), F.col(x_col).asc()
     )
+    # same opt-in contract as mad_anomaly: (series, phase) aggregates
+    # are group-count-sized; hint only on caller-bounded group counts
+    def _hint(d):
+        return F.broadcast(d) if broadcast_group_aggs else d
+
     seas = (
         base.withColumn("__r", F.row_number().over(wr))
-        .join(counts, pcols)
+        .join(_hint(counts), pcols)
         .where(
             F.col("__r") == F.floor((F.col("__n") + F.lit(1)) / F.lit(2))
         )
         .select(*pcols, F.col("__detr").alias("seasonal"))
     )
     return (
-        base.join(seas, pcols)
+        base.join(_hint(seas), pcols)
         .withColumn("residual", F.col("__detr") - F.col("seasonal"))
         .select(*df.columns, "trend", "phase", "seasonal", "residual")
     )

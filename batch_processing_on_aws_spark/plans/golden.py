@@ -10390,7 +10390,7 @@ def daily_value_decomposition(spark, sf_dir):
     )
     return seasonal_decompose(
         daily, "value_micro", "epoch_day", ("event_type",),
-        period=7, trend_window=7,
+        period=7, trend_window=7, broadcast_group_aggs=True,
     ).orderBy("event_type", "epoch_day")
 
 
@@ -10460,10 +10460,13 @@ def calendar_adjusted_anomalies(spark, sf_dir):
     )
     dec = seasonal_decompose(
         daily, "value_micro", "epoch_day", ("event_type",),
-        period=7, trend_window=7,
+        period=7, trend_window=7, broadcast_group_aggs=True,
     )
+    # event_type is schema-bounded (~5 groups): the per-group
+    # aggregates are tiny by construction, so the hint is sound here
     return mad_anomaly(
-        dec, "residual", "epoch_day", ("event_type",), k=5, min_points=12
+        dec, "residual", "epoch_day", ("event_type",), k=5,
+        min_points=12, broadcast_group_aggs=True,
     ).select(
         "event_type", "epoch_day", "value_micro", "residual",
         "median", "mad", "deviation", "is_anomaly",
@@ -11331,7 +11334,8 @@ def daily_mad_anomalies(spark, sf_dir):
         ).alias("value_micro")
     )
     return mad_anomaly(
-        daily, "value_micro", "day_ts", ("event_type",), k=5, min_points=12
+        daily, "value_micro", "day_ts", ("event_type",), k=5,
+        min_points=12, broadcast_group_aggs=True,
     ).orderBy("event_type", "day_ts")
 
 

@@ -123,6 +123,17 @@ QUERIES = [
     "video_shared_frame_pairs",
     "audio_shared_window_pairs",
     "bpe_tokenized_docs",
+    # round-11 additions: the standing IVF index (scratch reuse means
+    # min-of-2 measures the PROBE path over the incrementally-built
+    # assignment table — candidates ≈ N·n_probe/n_cells must scale
+    # linearly; the one-time build cost is the first run), the
+    # corpus-sized unigram application (per-batch word memo — same
+    # throughput-tracks-vocabulary claim as bpe_tokenized_docs), and
+    # the bloom layout audit (the WRITE scales with the fact, the
+    # footer+bitset audit is metadata-sized by construction).
+    "incremental_ivf_topk",
+    "unigram_tokenized_docs",
+    "bloom_layout_audit",
 ]
 
 SCALES = {

@@ -83,6 +83,16 @@ QUERIES = [
     # candidate BLOCKING (the documented contract) while the weight/
     # norm hash-aggs absorb the hot tokens map-side
     "tfidf_cosine_doc_pairs",
+    # round-11: the standing IVF index under a hot embedding — 20% of
+    # vectors are ONE template point, so a single quantizer cell holds
+    # a fifth of the corpus: assignment stays a shuffle-free map, and
+    # the hot cell only inflates the probe join's candidate list for
+    # queries that probe it (AQE skew-split absorbs the join side);
+    # and the unigram application under the hot template text — the
+    # per-batch word memo segments the shared vocabulary once per
+    # batch, so hot words cost memo lookups, not re-segmentation
+    "incremental_ivf_topk",
+    "unigram_tokenized_docs",
 ]
 
 
