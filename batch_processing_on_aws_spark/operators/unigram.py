@@ -166,6 +166,24 @@ def _em_rounds_local(
     return usage, scores
 
 
+def _prune_vocab(usage: dict[str, int], target_vocab: int) -> list[str]:
+    """SentencePiece-style vocabulary cut: every single character
+    stays (coverage — dropping one would make some word
+    unsegmentable), multi-char pieces compete for the remaining
+    slots by final-round Viterbi usage with the engine's
+    deterministic (usage desc, piece asc) tie-break. Returns the
+    surviving pieces; callers re-run one EM round on the cut so the
+    probabilities renormalize over the smaller vocabulary (usage mass
+    from dropped pieces redistributes onto their survivors)."""
+    chars = sorted(p for p in usage if len(p) == 1)
+    slots = max(0, target_vocab - len(chars))
+    multi = sorted(
+        ((p, c) for p, c in usage.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:slots]
+    return chars + sorted(p for p, _ in multi)
+
+
 def _seed_distributed(
     hist: DataFrame, max_piece_len: int, n_multi_seed: int, max_word_len: int
 ) -> list[tuple[str, int]]:
@@ -234,6 +252,42 @@ def _viterbi_pieces_udf(scores: dict[str, int], max_piece_len: int,
     return _pieces
 
 
+def _em_rounds_distributed(
+    eligible: DataFrame,
+    seed: list[tuple[str, int]],
+    n_rounds: int,
+    max_piece_len: int,
+    max_word_len: int,
+) -> tuple[dict[str, int], dict[str, int]]:
+    """The distributed twin of :func:`_em_rounds_local`: each round is
+    one Arrow-batched Viterbi pass over the (word, n) histogram (the
+    model dict rides the closure) + one vocab-sized usage hash-agg;
+    the M-step re-smooths driver-side over the model-sized counts.
+    Pinned bit-identical to the local path by tests/test_unigram.py."""
+    vocab = [p for p, _ in seed]
+    v = len(vocab)
+    tot0 = sum(c for _, c in seed)
+    scores = {p: _lp_micro(c, tot0 + v) for p, c in seed}
+    usage = {p: 0 for p in vocab}
+    for _ in range(n_rounds):
+        pieces_udf = _viterbi_pieces_udf(scores, max_piece_len, max_word_len)
+        used = (
+            eligible.select(
+                F.col("n"), F.explode(pieces_udf(F.col("word"))).alias("p")
+            )
+            .groupBy("p")
+            .agg(F.sum("n").alias("c"))
+            .collect()
+        )
+        usage = {p: 0 for p in vocab}
+        for r in used:
+            if r["p"] in usage:  # atomic fallbacks stay out-of-model
+                usage[r["p"]] = int(r["c"])
+        tot = sum(usage.values())
+        scores = {p: _lp_micro(usage[p], tot + v) for p in vocab}
+    return usage, scores
+
+
 def train_unigram(
     df: DataFrame,
     text_col: str = "text",
@@ -242,6 +296,7 @@ def train_unigram(
     n_rounds: int = 2,
     max_word_len: int = 16,
     local_histogram_max_words: int = 500_000,
+    target_vocab: int | None = None,
 ) -> DataFrame:
     """Train the unigram-LM piece vocabulary.
 
@@ -252,7 +307,15 @@ def train_unigram(
     runs driver-local when the histogram is bounded
     (``local_histogram_max_words``; SentencePiece's own shape) and as
     per-round Arrow-batched distributed jobs above the cap — the two
-    paths are pinned bit-identical by tests/test_unigram.py."""
+    paths are pinned bit-identical by tests/test_unigram.py.
+
+    ``target_vocab`` adds the SentencePiece PRUNE step: after the EM
+    rounds, keep every single character plus the most-used multi-char
+    pieces up to the target, then run ONE more EM round on the cut so
+    probabilities renormalize over the surviving vocabulary (dropped
+    pieces' usage mass falls back onto their sub-pieces). Default
+    None keeps the full seed — the oracle-pinned registry
+    configuration."""
     spark = df.sparkSession
     hist = _word_histogram(df, text_col).localCheckpoint()
     if (
@@ -263,37 +326,28 @@ def train_unigram(
         seed = _seed_local(
             word_counts, max_piece_len, n_multi_seed, max_word_len
         )
-        usage, scores = _em_rounds_local(
-            word_counts, seed, n_rounds, max_piece_len, max_word_len
-        )
+
+        def em(s, r):
+            return _em_rounds_local(
+                word_counts, s, r, max_piece_len, max_word_len
+            )
     else:
+        eligible = hist.where(F.length("word") <= max_word_len)
         seed = _seed_distributed(
             hist, max_piece_len, n_multi_seed, max_word_len
         )
-        vocab = [p for p, _ in seed]
-        v = len(vocab)
-        tot0 = sum(c for _, c in seed)
-        scores = {p: _lp_micro(c, tot0 + v) for p, c in seed}
-        usage = {p: 0 for p in vocab}
-        eligible = hist.where(F.length("word") <= max_word_len)
-        for _ in range(n_rounds):
-            pieces_udf = _viterbi_pieces_udf(
-                scores, max_piece_len, max_word_len
+
+        def em(s, r):
+            return _em_rounds_distributed(
+                eligible, s, r, max_piece_len, max_word_len
             )
-            used = (
-                eligible.select(
-                    F.col("n"), F.explode(pieces_udf(F.col("word"))).alias("p")
-                )
-                .groupBy("p")
-                .agg(F.sum("n").alias("c"))
-                .collect()
-            )
-            usage = {p: 0 for p in vocab}
-            for r in used:
-                if r["p"] in usage:  # atomic fallbacks stay out-of-model
-                    usage[r["p"]] = int(r["c"])
-            tot = sum(usage.values())
-            scores = {p: _lp_micro(usage[p], tot + v) for p in vocab}
+
+    usage, scores = em(seed, n_rounds)
+    if target_vocab is not None and target_vocab < len(usage):
+        kept = _prune_vocab(usage, target_vocab)
+        # the pruned round re-seeds from the final usage counts, the
+        # same counts-to-scores convention as the substring seed
+        usage, scores = em([(p, usage[p]) for p in kept], 1)
     return spark.createDataFrame(
         [(p, usage[p], scores[p]) for p in sorted(usage)],
         "piece string, n_uses long, lp_micro long",

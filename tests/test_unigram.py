@@ -120,6 +120,55 @@ def test_training_is_deterministic(spark):
     assert a == b
 
 
+def test_prune_keeps_chars_and_top_multi(spark):
+    """target_vocab cuts to size with the SentencePiece rules: every
+    single char survives (coverage), multi-char slots go to the
+    most-used pieces, and the model renormalizes over the cut."""
+    df = _df(spark)
+    full = {r["piece"]: r for r in train_unigram(df).collect()}
+    target = len([p for p in full if len(p) == 1]) + 3
+    pruned = {
+        r["piece"]: r
+        for r in train_unigram(df, target_vocab=target).collect()
+    }
+    assert len(pruned) == target
+    chars = {p for p in full if len(p) == 1}
+    assert chars <= set(pruned)
+    kept_multi = {p for p in pruned if len(p) >= 2}
+    assert len(kept_multi) == 3
+    # survivors are exactly the top-3 multi pieces by final usage
+    top3 = sorted(
+        ((p, r["n_uses"]) for p, r in full.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:3]
+    assert kept_multi == {p for p, _ in top3}
+    # the cut renormalized: total usage mass redistributes, chars pick
+    # up the segmentation work dropped pieces were doing
+    assert sum(r["n_uses"] for r in pruned.values()) >= sum(
+        r["n_uses"] for p, r in full.items() if p in pruned
+    )
+
+
+def test_prune_round_trips_and_twin_agrees(spark):
+    df = _df(spark)
+    target = 30
+    vocab = train_unigram(df, target_vocab=target)
+    out = {r["doc_id"]: r["pieces"] for r in apply_unigram(df, vocab).collect()}
+    for doc_id, text in CORPUS:
+        assert "".join(out[doc_id]) == text.lower().replace(" ", "")
+    dist = train_unigram(df, target_vocab=target, local_histogram_max_words=0)
+    assert sorted(map(tuple, vocab.collect())) == sorted(
+        map(tuple, dist.collect())
+    )
+
+
+def test_no_prune_when_target_exceeds_vocab(spark):
+    df = _df(spark)
+    a = sorted(map(tuple, train_unigram(df).collect()))
+    b = sorted(map(tuple, train_unigram(df, target_vocab=10_000).collect()))
+    assert a == b
+
+
 def test_lp_micro_matches_formula():
     import math
 
