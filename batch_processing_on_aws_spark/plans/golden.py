@@ -7642,7 +7642,22 @@ def _unigram_cte_chain(
     so the DP argmax compares integers. Words longer than
     ``max_word_len`` are atomic out-of-model pieces (never trained
     on, emitted whole at apply time)."""
-    parts = [r"""
+    parts = [_unigram_seed_sql(max_piece_len, n_multi_seed, max_word_len)]
+    for t in range(1, n_rounds + 2):  # rounds 1..n, +1 apply-only chain
+        parts.append(
+            _unigram_viterbi_ctes(t, f"v{t - 1}", max_piece_len, max_word_len)
+        )
+        if t <= n_rounds:
+            parts.append(_unigram_mstep_ctes(t, "v0"))
+    return "".join(parts)
+
+
+def _unigram_seed_sql(
+    max_piece_len: int = 4, n_multi_seed: int = 150, max_word_len: int = 16
+) -> str:
+    """The word histogram + substring seed + v0 scores — the chain
+    prefix shared by the EM, apply, and prune oracles."""
+    return (r"""
 WITH w AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
     SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS word
@@ -7672,25 +7687,33 @@ v0 AS MATERIALIZED (
          ((SELECT SUM(c) FROM seedsel) + (SELECT COUNT(*) FROM seedsel)))
          * 1000000.0) AS BIGINT) AS lp
   FROM seedsel
-)"""]
-    for t in range(1, n_rounds + 2):  # rounds 1..n, +1 apply-only chain
-        parts.append(f""",
+)""")
+
+
+def _unigram_viterbi_ctes(
+    t: int, vocab_table: str, max_piece_len: int, max_word_len: int
+) -> str:
+    """One Viterbi round's CTEs (the per-position DP chain + the
+    per-word segmentation view) against an arbitrary vocab table —
+    shared by the plain EM chain and the prune oracle's post-cut
+    round."""
+    parts = [f""",
 r{t}dp0 AS MATERIALIZED (
   SELECT word, n, CAST(0 AS BIGINT) AS score, 0 AS np, '' AS path
   FROM w WHERE length(word) <= {max_word_len}
-)""")
-        for j in range(1, max_word_len + 1):
-            branches = []
-            for length in range(1, min(max_piece_len, j) + 1):
-                branches.append(f"""
+)"""]
+    for j in range(1, max_word_len + 1):
+        branches = []
+        for length in range(1, min(max_piece_len, j) + 1):
+            branches.append(f"""
       SELECT d.word, d.n, d.score + v.lp AS score, d.np + 1 AS np,
              d.path || CASE WHEN d.path = '' THEN '' ELSE ' ' END
                     || chr(31) || v.piece || chr(31) AS path
       FROM r{t}dp{j - length} d
-      JOIN v{t - 1} v ON v.piece = substr(d.word, {j - length + 1}, {length})
+      JOIN {vocab_table} v ON v.piece = substr(d.word, {j - length + 1}, {length})
       WHERE length(d.word) >= {j}""")
-            union = "\n      UNION ALL".join(branches)
-            parts.append(f""",
+        union = "\n      UNION ALL".join(branches)
+        parts.append(f""",
 r{t}dp{j} AS MATERIALIZED (
   SELECT word, n, score, np, path FROM (
     SELECT *, row_number() OVER (
@@ -7699,17 +7722,22 @@ r{t}dp{j} AS MATERIALIZED (
     FROM ({union})
   ) WHERE rn = 1
 )""")
-            seg_union = "\n  UNION ALL ".join(
-                f"SELECT word, n, np, path FROM r{t}dp{jj} "
-                f"WHERE length(word) = {jj}"
-                for jj in range(1, max_word_len + 1)
-            )
-        parts.append(f""",
+    seg_union = "\n  UNION ALL ".join(
+        f"SELECT word, n, np, path FROM r{t}dp{jj} "
+        f"WHERE length(word) = {jj}"
+        for jj in range(1, max_word_len + 1)
+    )
+    parts.append(f""",
 seg{t} AS MATERIALIZED (
   {seg_union}
 )""")
-        if t <= n_rounds:
-            parts.append(f""",
+    return "".join(parts)
+
+
+def _unigram_mstep_ctes(t: int, vocab_table: str) -> str:
+    """Round ``t``'s usage recount + add-one-smoothed micro-nat
+    M-step over ``vocab_table``'s piece set (the smoothing V)."""
+    return f""",
 u{t} AS MATERIALIZED (
   SELECT piece, SUM(n) AS c FROM (
     SELECT n, substr(x, 2, length(x)-2) AS piece
@@ -7720,10 +7748,9 @@ v{t} AS MATERIALIZED (
   SELECT s.piece, CAST(COALESCE(u.c, 0) AS BIGINT) AS c,
     CAST(round(ln((COALESCE(u.c, 0) + 1)::DOUBLE /
          ((SELECT COALESCE(SUM(c), 0) FROM u{t})
-          + (SELECT COUNT(*) FROM v0))) * 1000000.0) AS BIGINT) AS lp
-  FROM v0 s LEFT JOIN u{t} u USING (piece)
-)""")
-    return "".join(parts)
+          + (SELECT COUNT(*) FROM {vocab_table}))) * 1000000.0) AS BIGINT) AS lp
+  FROM {vocab_table} s LEFT JOIN u{t} u USING (piece)
+)"""
 
 
 def _unigram_vocab_sql(n_rounds: int = 2) -> str:
@@ -7731,6 +7758,74 @@ def _unigram_vocab_sql(n_rounds: int = 2) -> str:
     return _unigram_cte_chain(n_rounds) + f"""
 SELECT piece, c AS n_uses, lp AS lp_micro FROM v{n_rounds}
 """
+
+
+def unigram_pruned_vocab(spark, sf_dir):
+    """Unigram trainer WITH the SentencePiece prune step
+    (operators/unigram.py::train_unigram(target_vocab=64)): after the
+    two EM rounds, every single character survives (coverage), the
+    most-used multi-char pieces fill the remaining slots
+    ((usage desc, piece asc) tie-break), and ONE more EM round
+    renormalizes over the cut — dropped pieces' usage mass falls back
+    onto their sub-pieces. The oracle replays the full lifecycle:
+    seed → 2 EM rounds → rank-window prune → re-seeded scores → one
+    more unrolled Viterbi chain + M-step, so the cut's selection AND
+    the renormalized model are both hash-verified."""
+    from ..operators.unigram import train_unigram
+
+    return train_unigram(
+        load_table(spark, sf_dir, "documents"), target_vocab=64
+    )
+
+
+def _unigram_prune_sql(
+    n_rounds: int = 2,
+    target_vocab: int = 64,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+) -> str:
+    """DuckDB twin of ``unigram_pruned_vocab``: the plain EM chain's
+    rounds, then the prune (chars unconditionally + top multi-char by
+    final usage up to the target), the re-seeded scores, and one more
+    Viterbi round + M-step over the cut vocabulary."""
+    parts = [_unigram_cte_chain_rounds_only(n_rounds)]
+    vt = f"v{n_rounds}"
+    parts.append(f""",
+vp0 AS MATERIALIZED (
+  SELECT piece, c FROM {vt} WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c,
+           row_number() OVER (ORDER BY c DESC, piece ASC) AS rnk
+    FROM {vt} WHERE length(piece) >= 2
+  ) WHERE rnk <= {target_vocab}
+            - (SELECT COUNT(*) FROM {vt} WHERE length(piece) = 1)
+),
+vp AS MATERIALIZED (
+  SELECT piece, CAST(c AS BIGINT) AS c,
+    CAST(round(ln((c + 1)::DOUBLE /
+         ((SELECT SUM(c) FROM vp0) + (SELECT COUNT(*) FROM vp0)))
+         * 1000000.0) AS BIGINT) AS lp
+  FROM vp0
+)""")
+    t = n_rounds + 1
+    parts.append(_unigram_viterbi_ctes(t, "vp", max_piece_len, max_word_len))
+    parts.append(_unigram_mstep_ctes(t, "vp0"))
+    parts.append(f"""
+SELECT piece, c AS n_uses, lp AS lp_micro FROM v{t}
+""")
+    return "".join(parts)
+
+
+def _unigram_cte_chain_rounds_only(n_rounds: int) -> str:
+    """The seed + EM rounds WITHOUT the trailing apply-only chain —
+    the prune oracle appends its own post-cut round instead."""
+    # regenerate via the main builder's components to stay in lockstep
+    parts = [_unigram_seed_sql()]
+    for t in range(1, n_rounds + 1):
+        parts.append(_unigram_viterbi_ctes(t, f"v{t - 1}", 4, 16))
+        parts.append(_unigram_mstep_ctes(t, "v0"))
+    return "".join(parts)
 
 
 def _unigram_apply_tail(n_rounds: int = 2, max_word_len: int = 16) -> str:
@@ -11684,6 +11779,9 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef(
         "unigram_vocab_table", unigram_vocab_table, _unigram_vocab_sql()
+    ),
+    QueryDef(
+        "unigram_pruned_vocab", unigram_pruned_vocab, _unigram_prune_sql()
     ),
     QueryDef(
         "unigram_tokenized_docs", unigram_tokenized_docs, _unigram_apply_sql()
