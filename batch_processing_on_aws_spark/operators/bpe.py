@@ -64,6 +64,20 @@ def _symbolize(words: DataFrame) -> DataFrame:
     )
 
 
+def _symbolize_wp(words: DataFrame) -> DataFrame:
+    """WordPiece symbolization: first character plain, every later
+    character ``##``-prefixed (no end-of-word sentinel — the
+    continuation prefix carries the boundary information)."""
+    chars = F.split(F.col("word"), "")
+    return words.withColumn(
+        "syms",
+        F.transform(
+            chars,
+            lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit("##"), c)),
+        ),
+    )
+
+
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """(left, right, cnt): adjacent-symbol pair frequencies weighted by
     word count — JVM expressions only, map-side partials."""
@@ -86,13 +100,18 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
+def _apply_merge(
+    vocab: DataFrame, left: str, right: str, merged: str | None = None
+) -> DataFrame:
     """Replace every adjacent (left, right) with the merged symbol,
-    left-to-right — Arrow-batched over the vocab table."""
+    left-to-right — Arrow-batched over the vocab table. ``merged``
+    defaults to plain concatenation (BPE); the WordPiece trainer
+    passes its ##-stripped concatenation."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    merged = left + right
+    if merged is None:
+        merged = left + right
 
     @pandas_udf("array<string>")
     def _merge(col):

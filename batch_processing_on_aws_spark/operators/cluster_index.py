@@ -1,0 +1,180 @@
+"""Incrementally-maintained duplicate-cluster index (extension
+surface; the standing-table sibling of ``clustering.dup_clusters``).
+
+``dup_clusters`` closes a FULL pair set into connected components —
+correct for a one-shot curation run, wrong for the production shape:
+a crawl appended to daily, whose near-dup pair miners emit a small
+edge batch per delivery while the accumulated cluster assignment of
+billions of documents must stay current. Re-running CC over every
+pair ever emitted is O(history) per day; this module folds each edge
+batch in O(batch + touched clusters):
+
+- **contract** — every endpoint of the batch's edges maps to its
+  EXISTING cluster label (or itself if unlabeled): existing clusters
+  become super-nodes, so the graph CC actually runs on has one node
+  per touched cluster/new doc and one edge per batch pair — batch-
+  sized, never corpus-sized.
+- **close** — ``clustering.connected_components`` (min-label
+  propagation) over the contracted graph. Because a cluster's label
+  is the MIN doc id of its members, the min over a contracted
+  component of labels IS the min doc id over the union of the merged
+  clusters' members — min-label CC is confluent, so folding edges in
+  ANY delivery order lands in the same fixpoint as one-shot CC over
+  the union of all edges (the property the
+  ``incremental_dup_clusters`` golden pins hash-exact).
+- **relabel** — rows to rewrite are the batch's endpoints plus the
+  members of clusters whose root label changed (a broadcast semi-join
+  of the label table against the remap — the scan reads the NARROW
+  (doc_id, cluster_id) label table, never document payloads, and the
+  WRITE touches only affected buckets of the
+  :class:`~.versioned.VersionedTable`).
+
+Crash contract: one keyed upsert commit per batch, stamped with the
+caller's writer txn — a replayed epoch is detected by ``txn_applied``
+and skipped (``ingest_cluster_stream`` wires the availableNow loop).
+
+At 100 TB: the label table is ~16 B/row metadata, orders below the
+corpus; the per-batch CC input is O(batch); the one non-O(batch)
+term is the relabel semi-scan of the label table, stated here (a
+cluster-bucketed secondary layout would prune it; not needed while
+the label table is millions-of-rows narrow). Reference scope:
+extension beyond the reference pipeline; the versioned-commit
+pattern mirrors its Redshift COPY+UPSERT load
+(`airflow/dags/proc_2_transfer_to_redshift_dag.py:31-43`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .clustering import connected_components
+from .versioned import VersionedTable
+
+LABELS_DIR = "labels"
+
+
+class ClusterIndex:
+    """A persisted, incrementally-maintained (doc_id, cluster_id)
+    assignment rooted at ``root/labels``, fed by near-dup pair
+    batches. Docs that never appear in a pair carry no row —
+    :meth:`labels_for` coalesces them to their own id, exactly like
+    ``clustering.assign_clusters``."""
+
+    def __init__(self, root: str, n_buckets: int = 32):
+        self.root = root
+        self.table = VersionedTable(
+            os.path.join(root, LABELS_DIR),
+            keys=["doc_id"],
+            n_buckets=n_buckets,
+        )
+
+    def exists(self) -> bool:
+        return self.table.latest_version() > 0
+
+    def apply(
+        self,
+        pairs: DataFrame,
+        id_a: str = "doc_id_a",
+        id_b: str = "doc_id_b",
+        txn: dict | None = None,
+    ) -> dict:
+        """Fold one edge batch into the standing assignment — ONE
+        keyed upsert commit (idempotent under the txn stamp)."""
+        spark = pairs.sparkSession
+        if txn is not None and self.table.txn_applied(
+            txn["app"], txn["epoch"]
+        ):
+            return {"version": self.table.latest_version(), "replayed": True}
+        edges = pairs.select(
+            F.col(id_a).alias("a"), F.col(id_b).alias("b")
+        ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        have_labels = self.exists()
+        if have_labels:
+            cur = self.table.read(spark).select("doc_id", "cluster_id")
+            la = cur.withColumnRenamed("doc_id", "a").withColumnRenamed(
+                "cluster_id", "ca"
+            )
+            lb = cur.withColumnRenamed("doc_id", "b").withColumnRenamed(
+                "cluster_id", "cb"
+            )
+            contracted = (
+                edges.join(la, "a", "left")
+                .join(lb, "b", "left")
+                .select(
+                    F.coalesce("ca", F.col("a")).alias("src"),
+                    F.coalesce("cb", F.col("b")).alias("dst"),
+                )
+            )
+        else:
+            contracted = edges.select(
+                F.col("a").alias("src"), F.col("b").alias("dst")
+            )
+        contracted = contracted.where(
+            F.col("src") != F.col("dst")
+        ).localCheckpoint(eager=True)
+        if contracted.isEmpty():
+            # every pair already internal to one cluster: no-op commit
+            # still mints the txn stamp so a replay skips cleanly
+            if have_labels and txn is not None:
+                v = self.table.upsert(
+                    spark, self.table.read(spark).limit(0), txn=txn
+                )
+                return {"version": v, "relabeled_nodes": 0}
+            return {"version": self.table.latest_version(),
+                    "relabeled_nodes": 0}
+        comp = connected_components(
+            contracted, src="src", dst="dst", check_every=2
+        ).localCheckpoint(eager=True)
+        # comp: (n = contracted node, component = new root). Rows to
+        # write: 1) the contracted nodes themselves (old roots and
+        # fresh docs), 2) members of clusters whose root moved.
+        node_rows = comp.select(
+            F.col("n").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+        if have_labels:
+            remap = comp.where(F.col("n") != F.col("component")).select(
+                F.col("n").alias("cluster_id"),
+                F.col("component").alias("__new"),
+            )
+            relabeled = (
+                cur.join(F.broadcast(remap), "cluster_id")
+                .select("doc_id", F.col("__new").alias("cluster_id"))
+            )
+            rows = node_rows.unionByName(relabeled)
+        else:
+            rows = node_rows
+        # a doc may appear both as a contracted node and a relabeled
+        # member — identical label either way; keep one
+        rows = rows.groupBy("doc_id").agg(
+            F.min("cluster_id").alias("cluster_id")
+        )
+        moved = comp.where(F.col("n") != F.col("component")).count()
+        v = self.table.upsert(spark, rows, txn=txn)
+        return {"version": v, "relabeled_nodes": int(moved)}
+
+    def labels(self, spark: SparkSession, version: int | None = None):
+        """The standing (doc_id, cluster_id) assignment — paired docs
+        only (singletons are implicit)."""
+        return self.table.read(spark, version=version).select(
+            "doc_id", "cluster_id"
+        )
+
+    def labels_for(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        version: int | None = None,
+    ) -> DataFrame:
+        """All of ``docs`` with a ``cluster_id`` — the standing-index
+        form of ``clustering.assign_clusters``: component label for
+        paired docs, own id for singletons."""
+        spark = docs.sparkSession
+        lab = self.labels(spark, version=version).withColumnRenamed(
+            "doc_id", id_col
+        )
+        return docs.join(lab, id_col, "left").withColumn(
+            "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+        )

@@ -86,3 +86,29 @@ def redact_pii(
         counts.append(F.regexp_count(staged, F.lit(pattern)).alias(f"n_{kind}"))
         staged = F.regexp_replace(staged, pattern, token)
     return df.select(F.col(id_col), *counts, staged.alias("redacted"))
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Quasi-identifier combinations shared by FEWER than ``k`` rows
+    — the re-identification risk audit (Sweeney 2002: a record is
+    k-anonymous when at least k−1 others share its quasi-identifier
+    tuple; small equivalence classes are the linkable ones). The
+    release-gate companion to regex PII scrubbing: redaction removes
+    DIRECT identifiers, this measures whether the remaining
+    attribute combinations still single people out.
+
+    Output: one row per violating combination (quasi columns,
+    n_rows) — the worklist for suppression or generalization.
+    ONE hash-agg with map-side partials (NULL is a value: an absent
+    attribute still forms an equivalence class); at 100 TB the
+    grouping is the same shuffle any per-group audit pays, and the
+    output is bounded by the violating-class count, not the table."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .where(F.col("n_rows") < k)
+    )

@@ -1,0 +1,422 @@
+"""Incrementally-maintained BM25 text index (extension surface; the
+standing-index sibling of ``textstats.bm25_search``, and the text twin
+of ``ann_index.IVFIndex``).
+
+``bm25_search`` tokenizes the whole corpus, re-aggregates per-term
+document frequencies, and re-counts N/Σlen on EVERY call — correct for
+a one-shot probe, wrong for a standing search surface that document
+batches keep arriving into (the production shape: a crawl appended to
+daily, queried constantly). This module is the Lucene
+index-once/search-many split re-expressed on engine primitives:
+
+- **postings** — a :class:`~.versioned.VersionedTable` keyed on the
+  doc id, ONE row per document: ``doc_len`` plus the term→tf postings
+  as a term-sorted ``array<struct<term,tf>>`` (array-of-struct, not
+  map: deterministic bytes, and row-level CDC needs value equality,
+  which Spark defines for arrays/structs but not maps). An ``add`` is
+  a keyed upsert — O(batch), touched buckets only; re-delivered docs
+  REPLACE their old postings in place. Tokenization (the dominant
+  cost of every one-shot search) is paid once, at index time.
+- **stats** — per-term document frequencies, maintained O(delta) from
+  the postings table's OWN row-level change feed
+  (:meth:`~.versioned.VersionedTable.changes`): each changed doc
+  contributes +1 per term in its new postings and −1 per term in its
+  old ones; the signed sums fold into the stored df by key. Terms
+  whose df reaches 0 stay as TOMBSTONE rows (df = 0, hidden by
+  ``read``) so the fold is ONE idempotent upsert commit — the
+  IncrementalAgg tombstone contract, which is what makes a
+  crash-replayed epoch safe to skip instead of split-brained between
+  an upsert half and a delete half.
+- **meta** — the two corpus scalars BM25 needs (N docs, Σ doc_len) as
+  a 1-row versioned table, folded forward by the same feed's signed
+  deltas (insert +1/+len, delete −1/−len, update ±len diff). Exact
+  BIGINT arithmetic end-to-end, so the incrementally-maintained
+  scalars equal a full COUNT/SUM recompute bit-for-bit.
+- **search** — reads postings at a pinned version, per-row
+  ``F.filter``s each doc's postings array down to the probe terms
+  (array filter before explode: the exploded stream is
+  O(matching terms), never O(vocab·docs)), joins the broadcast
+  term-df rows and the broadcast 1-row scalars, and scores with the
+  SAME shared float expression as ``bm25_search``
+  (``textstats.bm25_partial_micro`` — micro-quantized BIGINT
+  partials), finishing in a ``TakeOrderedAndProject``. Because every
+  operand (tf, doc_len, df, N, Σlen) is an exact integer maintained
+  by exact integer folds, a search against the standing index is
+  hash-identical to a from-scratch BM25 over the corpus's current
+  state — the property the ``standing_bm25_search`` golden pins
+  against DuckDB across two deliveries AND a document-replacing
+  re-delivery (df decrements included).
+
+Crash contract (the ``ingest_text_index_stream`` loop): the three
+commits of an ``add`` are stamped per-subtable
+(``app.p`` / ``app.s`` / ``app.m``); a replayed epoch re-derives the
+change feed from the already-committed postings versions and applies
+only the halves whose stamp is missing — the
+``replicate_changes_stream`` per-half protocol.
+
+At 100 TB: an add touches O(batch) postings buckets (manifest
+file-sharing leaves the rest untouched) and reads only the CHANGED
+buckets for the feed; the stats fold joins the delta (batch-vocab
+sized) against the stats table — O(vocab), which is orders below
+corpus scale and stated here as the one non-O(batch) term; search
+scans two narrow postings columns (doc_len + the filtered array),
+never re-tokenizes, and its only shuffle is the per-doc score sum.
+Doc-keyed segments deliberately trade term-partition pruning for
+O(batch) maintenance — the Lucene segment choice, without the
+segment-merge machinery.
+
+Reference scope: extension beyond the reference pipeline (which has
+no search surface); the versioned-commit pattern mirrors its Redshift
+COPY+UPSERT warehouse load (reference
+`airflow/dags/proc_2_transfer_to_redshift_dag.py:31-43`) applied to
+an inverted index instead of a fact table.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textstats import bm25_partial_micro, tokens
+from .versioned import VersionedTable
+
+POSTINGS_DIR = "postings"
+STATS_DIR = "stats"
+META_DIR = "meta"
+
+
+class TextIndex:
+    """A persisted, incrementally-maintained BM25 index rooted at
+    ``root``: ``root/postings`` (per-doc term postings, keyed on
+    ``doc_id``), ``root/stats`` (per-term df with tombstones),
+    ``root/meta`` (the 1-row N/Σlen scalars)."""
+
+    def __init__(
+        self,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int = 32,
+        stats_buckets: int = 32,
+    ):
+        self.root = root
+        self.id_col = id_col
+        self.text_col = text_col
+        self.postings = VersionedTable(
+            os.path.join(root, POSTINGS_DIR),
+            keys=["doc_id"],
+            n_buckets=n_buckets,
+        )
+        self.stats = VersionedTable(
+            os.path.join(root, STATS_DIR),
+            keys=["term"],
+            n_buckets=stats_buckets,
+        )
+        self.meta = VersionedTable(
+            os.path.join(root, META_DIR), keys=["k"], n_buckets=1
+        )
+
+    def exists(self) -> bool:
+        return self.postings.latest_version() > 0
+
+    # -- postings derivation -----------------------------------------
+
+    def _postings_rows(self, df: DataFrame) -> DataFrame:
+        """(doc_id, doc_len, tfs) — tfs a term-SORTED array of
+        (term, tf) structs, so the stored bytes are a deterministic
+        function of the document text (crash-replayed builds
+        converge) and CDC value-compare is well-defined. Duplicate
+        ids within one batch collapse to a deterministic winner
+        (min md5 of the text — the media-stream id-collision guard)
+        BEFORE tokenization, so a row's postings always describe its
+        own text. One explode + two hash-aggs; empty/NULL text docs
+        keep a row (doc_len 0, empty postings) so N and Σlen count
+        them exactly as a full recompute would."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.md5(F.coalesce(F.col(self.text_col), F.lit(""))).asc()
+        )
+        uniq = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                F.col(self.id_col).alias("doc_id"),
+                F.transform(
+                    tokens(F.col(self.text_col)), lambda x: F.lower(x)
+                ).alias("__t"),
+            )
+        )
+        per_term = (
+            uniq.select("doc_id", F.explode_outer("__t").alias("__tok"))
+            .groupBy("doc_id", "__tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+        )
+        return per_term.groupBy("doc_id").agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__tok").isNull(), F.lit(0)).otherwise(
+                        F.col("__tf")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("doc_len"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__tok").isNotNull(),
+                        F.struct(
+                            F.col("__tok").alias("term"),
+                            F.col("__tf").alias("tf"),
+                        ),
+                    )
+                )
+            ).alias("tfs"),
+        )
+
+    # -- lifecycle ---------------------------------------------------
+
+    @staticmethod
+    def _sub(txn: dict | None, part: str) -> dict | None:
+        if txn is None:
+            return None
+        return {"app": f"{txn['app']}.{part}", "epoch": txn["epoch"]}
+
+    def _applied(self, table: VersionedTable, txn: dict | None, part: str):
+        if txn is None:
+            return False
+        return table.txn_applied(f"{txn['app']}.{part}", txn["epoch"])
+
+    def build(self, corpus: DataFrame, txn: dict | None = None) -> dict:
+        """Index the initial corpus: postings overwrite, then stats
+        and meta computed FULL (one explode + hash-agg over the fresh
+        postings) — the only corpus-sized stats pass the index ever
+        runs. Deterministic, so a crash-replayed build epoch
+        re-derives identical content and each unapplied sub-commit
+        converges."""
+        spark = corpus.sparkSession
+        p = self._postings_rows(corpus).localCheckpoint(eager=True)
+        if not self._applied(self.postings, txn, "p0"):
+            self.postings.overwrite(p, txn=self._sub(txn, "p0"))
+        if not self._applied(self.stats, txn, "s"):
+            stats = (
+                p.select(F.explode("tfs").alias("e"))
+                .groupBy(F.col("e.term").alias("term"))
+                .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            )
+            self.stats.overwrite(stats, txn=self._sub(txn, "s"))
+        if not self._applied(self.meta, txn, "m"):
+            row = p.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.coalesce(F.sum("doc_len"), F.lit(0))
+                .cast("long")
+                .alias("sum_len"),
+            ).collect()[0]
+            self.meta.overwrite(
+                spark.createDataFrame(
+                    [(0, int(row["n_docs"]), int(row["sum_len"]))],
+                    "k int, n_docs long, sum_len long",
+                ),
+                txn=self._sub(txn, "m"),
+            )
+        return {"version": self.postings.latest_version()}
+
+    def apply(self, batch: DataFrame, txn: dict | None = None) -> dict:
+        """Route a delivery: first-ever batch builds, later batches
+        add. Replay-aware: a crash-replayed BUILD epoch is recognized
+        by its distinct ``.p0`` stamp (the build's overwrite) and
+        re-enters :meth:`build` — routing a replayed build through
+        :meth:`add` would diff against a nonexistent version 0."""
+        if self.postings.latest_version() == 0 or self._applied(
+            self.postings, txn, "p0"
+        ):
+            return self.build(batch, txn=txn)
+        return self.add(batch, txn=txn)
+
+    def add(self, batch: DataFrame, txn: dict | None = None) -> dict:
+        """Upsert a document batch and fold the resulting row-level
+        change feed into stats and meta — O(batch) postings work +
+        one O(vocab) stats fold; the standing corpus is never
+        re-tokenized or rescanned. Inserts, updates (postings
+        replaced, df −old/+new), and unchanged re-deliveries
+        (value-equal ⇒ feed-invisible ⇒ stats untouched) all flow
+        through the same signed-delta fold."""
+        spark = batch.sparkSession
+        if self._applied(self.postings, txn, "p"):
+            v_after = self.postings.latest_version()
+        else:
+            p = self._postings_rows(batch).localCheckpoint(eager=True)
+            v_after = self.postings.upsert(spark, p, txn=self._sub(txn, "p"))
+        v_before = v_after - 1
+        feed = self.postings.changes(spark, v_before, v_after).localCheckpoint(
+            eager=True
+        )
+        if not self._applied(self.stats, txn, "s"):
+            plus = feed.where(F.col("change_type") != "delete").select(
+                F.explode("new_tfs").alias("e")
+            )
+            minus = feed.where(F.col("change_type") != "insert").select(
+                F.explode("old_tfs").alias("e")
+            )
+            delta = (
+                plus.select(F.col("e.term").alias("term"), F.lit(1).alias("d"))
+                .unionAll(
+                    minus.select(
+                        F.col("e.term").alias("term"), F.lit(-1).alias("d")
+                    )
+                )
+                .groupBy("term")
+                .agg(F.sum("d").cast("long").alias("d_df"))
+                .where(F.col("d_df") != 0)
+            )
+            if not delta.isEmpty():
+                cur = self.stats.read(spark).select("term", "df")
+                folded = delta.join(cur, "term", "left").select(
+                    "term",
+                    (F.coalesce(F.col("df"), F.lit(0)) + F.col("d_df"))
+                    .cast("long")
+                    .alias("df"),
+                )
+                # df 0 rows persist as tombstones (read() hides them):
+                # ONE commit, so a replayed epoch skips atomically
+                self.stats.upsert(spark, folded, txn=self._sub(txn, "s"))
+        if not self._applied(self.meta, txn, "m"):
+            d = feed.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("change_type") == "insert", 1)
+                        .when(F.col("change_type") == "delete", -1)
+                        .otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("dn"),
+                F.coalesce(
+                    F.sum(
+                        F.coalesce(F.col("new_doc_len"), F.lit(0))
+                        - F.coalesce(F.col("old_doc_len"), F.lit(0))
+                    ),
+                    F.lit(0),
+                ).alias("dlen"),
+            ).collect()[0]
+            old = self.meta.read(spark).collect()[0]
+            self.meta.upsert(
+                spark,
+                spark.createDataFrame(
+                    [
+                        (
+                            0,
+                            int(old["n_docs"]) + int(d["dn"]),
+                            int(old["sum_len"]) + int(d["dlen"]),
+                        )
+                    ],
+                    "k int, n_docs long, sum_len long",
+                ),
+                txn=self._sub(txn, "m"),
+            )
+        return {"version": v_after}
+
+    # -- maintenance -------------------------------------------------
+
+    def vacuum_tombstones(self, spark: SparkSession) -> int:
+        """Drop df=0 stats rows (terms no surviving document holds).
+        Tombstones are CORRECT to keep forever — :meth:`term_stats`
+        hides them and re-inserts fold onto them — but a churny
+        corpus (rolling crawl windows) accretes dead vocabulary;
+        this is the explicit, audited GC (one ``delete_keys``
+        commit, prior versions still time-travel readable). Safe at
+        any point between adds: a term deleted here that reappears
+        later simply inserts fresh (coalesce(df, 0) in the fold)."""
+        dead = self.stats.read(spark).where(F.col("df") <= 0).select("term")
+        return self.stats.delete_keys(spark, dead)
+
+    def compact(self, spark: SparkSession, min_files: int = 2) -> dict:
+        """Fold small files in all three tables (every streaming add
+        appends commit files; content-identical fold, thin buckets
+        stay shared) — the VersionedTable.compact maintenance pass
+        applied to the whole index."""
+        return {
+            "postings": self.postings.compact(spark, min_files=min_files),
+            "stats": self.stats.compact(spark, min_files=min_files),
+            "meta": self.meta.compact(spark, min_files=min_files),
+        }
+
+    # -- stats views -------------------------------------------------
+
+    def term_stats(self, spark: SparkSession) -> DataFrame:
+        """Live (term, df) rows — tombstones hidden, exactly as a
+        from-scratch df count over the current corpus would show."""
+        return self.stats.read(spark).where(F.col("df") > 0).select(
+            "term", "df"
+        )
+
+    def corpus_stats(self, spark: SparkSession) -> DataFrame:
+        """The 1-row (n_docs, sum_len) scalars."""
+        return self.meta.read(spark).select("n_docs", "sum_len")
+
+    # -- query -------------------------------------------------------
+
+    def search(
+        self,
+        spark: SparkSession,
+        query_terms: Sequence[str],
+        k1: float = 1.2,
+        b: float = 0.75,
+        top_k: int = 10,
+        versions: tuple[int, int, int] | None = None,
+    ) -> DataFrame:
+        """BM25 top-k against the standing index — identical scores
+        to ``bm25_search`` over the corpus's current state, without
+        tokenizing or re-counting anything. ``versions`` pins a
+        consistent historical snapshot as the (postings, stats, meta)
+        version triple — the caller correlates them via the per-epoch
+        txn stamps (one epoch commits at most one version to each)."""
+        vp, vs, vm = versions if versions is not None else (None, None, None)
+        terms = sorted({t.lower() for t in query_terms})
+        matched = (
+            self.postings.read(spark, version=vp)
+            .select(
+                "doc_id",
+                F.col("doc_len").alias("__len"),
+                F.filter(
+                    "tfs", lambda x: x["term"].isin(terms)
+                ).alias("__m"),
+            )
+            .where(F.size("__m") > 0)
+        )
+        post = matched.select(
+            "doc_id",
+            "__len",
+            F.explode("__m").alias("e"),
+        ).select(
+            "doc_id",
+            "__len",
+            F.col("e.term").alias("__tok"),
+            F.col("e.tf").alias("__tf"),
+        )
+        dfreq = (
+            self.stats.read(spark, version=vs)
+            .where(F.col("term").isin(terms) & (F.col("df") > 0))
+            .select(F.col("term").alias("__tok"), F.col("df").alias("__df"))
+        )
+        totals = self.meta.read(spark, version=vm).select(
+            F.col("n_docs").alias("__n"), F.col("sum_len").alias("__sumlen")
+        )
+        part_micro = bm25_partial_micro(
+            F.col("__tf"), F.col("__len"), F.col("__df"),
+            F.col("__n"), F.col("__sumlen"), k1=k1, b=b,
+        )
+        scored = (
+            post.join(F.broadcast(dfreq), "__tok")
+            .crossJoin(F.broadcast(totals))
+            .select("doc_id", part_micro.alias("__pm"))
+            .groupBy("doc_id")
+            .agg(F.sum("__pm").cast("long").alias("score_micro"))
+        )
+        return scored.orderBy(
+            F.col("score_micro").desc(), F.col("doc_id").asc()
+        ).limit(top_k)

@@ -474,6 +474,32 @@ def bigram_lm_scores(
     )
 
 
+def bm25_partial_micro(
+    tf: Column,
+    doc_len: Column,
+    df_count: Column,
+    n_docs: Column,
+    sum_len: Column,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Column:
+    """Per-(doc, term) BM25 partial score in micro-units BIGINT —
+    the ONE shared float expression behind :func:`bm25_search` and
+    the standing :class:`~.text_index.TextIndex`, so one-shot search
+    and the incrementally-maintained index cannot drift apart. All
+    five operands are exact BIGINTs; the constants are written as
+    float EXPRESSIONS ((k1 + 1.0), (1.0 − b)) so the engine and the
+    DuckDB oracle round identically (the bigram-LM pattern)."""
+    avg_len = sum_len / n_docs
+    idf = F.log(
+        F.lit(1.0) + (n_docs - df_count + F.lit(0.5)) / (df_count + F.lit(0.5))
+    )
+    tf_norm = (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * doc_len / avg_len)
+    )
+    return F.round(idf * tf_norm * F.lit(1_000_000.0)).cast("long")
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: Sequence[str],
@@ -528,17 +554,10 @@ def bm25_search(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum("__len").alias("__sumlen"),
     )
-    avg_len = F.col("__sumlen") / F.col("__n")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("__n") - F.col("__df") + F.lit(0.5))
-        / (F.col("__df") + F.lit(0.5))
+    part_micro = bm25_partial_micro(
+        F.col("__tf"), F.col("__len"), F.col("__df"),
+        F.col("__n"), F.col("__sumlen"), k1=k1, b=b,
     )
-    tf_norm = (F.col("__tf") * F.lit(k1 + 1.0)) / (
-        F.col("__tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__len") / avg_len)
-    )
-    part_micro = F.round(idf * tf_norm * F.lit(1_000_000.0)).cast("long")
     scored = (
         postings.join(lens, id_col)
         .join(F.broadcast(dfreq), "__tok")

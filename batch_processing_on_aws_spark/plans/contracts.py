@@ -76,6 +76,19 @@ CROSS_PRODUCT_ALLOWED: dict[str, str] = {
         "broadcasts the ONE-ROW (N, sum len) scalar into the "
         "term-filtered posting stream"
     ),
+    "standing_bm25_search": (
+        "same scalar shape as bm25_doc_search: the standing index's "
+        "ONE-ROW meta table (N, sum len) broadcasts into the "
+        "term-filtered posting stream"
+    ),
+    "standing_bm25_stats": (
+        "the ONE-ROW meta scalars (N, sum len) cross the "
+        "#probe-terms-row df table — bounded 3x1 report join"
+    ),
+    "curation_funnel_report": (
+        "broadcasts the ONE-ROW corpus total into the 8-row funnel "
+        "for the retained-share column"
+    ),
     "doc_length_psi_drift": (
         "broadcasts two ONE-ROW snapshot totals into the #bins-row PSI "
         "table"

@@ -3910,6 +3910,212 @@ FROM (
 """
 
 
+def curation_funnel_report(spark, sf_dir):
+    """Per-stage survivor accounting of the flagship curation
+    pipeline — the observability report a data-curation run ships
+    with (Dolma/RefinedWeb publish exactly this table): how many
+    documents survive each gate, in pipeline order, with the
+    retained share of the input. Stages recompute the SAME operator
+    chain ``training_corpus`` composes (quality → language → exact
+    dedup → near-dup canonical → split), so the funnel is the
+    pipeline's own numbers, not a parallel estimate; counts are
+    exact BIGINTs and the share is one division of two BIGINTs
+    rounded in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_quality(docs).select("doc_id", "n_tokens", "punct_ratio")
+    lang = language_scores(docs).select("doc_id", "pred_lang")
+    fp = fingerprint(docs).select("doc_id", "md5_normalized")
+    base = q.join(lang, "doc_id").join(fp, "doc_id")
+    # stages 0–3 as ONE conditional aggregate over one pass of the
+    # gate chain: the nested-filter counts are sums of indicator
+    # columns, and the exact-dedup CANONICAL count is a distinct
+    # count of surviving fingerprints — no window, no re-scan
+    qual = (F.col("n_tokens") >= 30) & (F.col("punct_ratio") <= 0.1)
+    lp = qual & (F.col("pred_lang") == "en")
+    gates = base.agg(
+        F.count(F.lit(1)).cast("long").alias("input"),
+        F.sum(qual.cast("long")).cast("long").alias("quality_pass"),
+        F.sum(lp.cast("long")).cast("long").alias("language_pass"),
+        F.countDistinct(F.when(lp, F.col("md5_normalized")))
+        .cast("long")
+        .alias("exact_dedup_canonical"),
+    )
+    gate_rows = gates.selectExpr(
+        "stack(4, "
+        "0L, 'input', input, "
+        "1L, 'quality_pass', quality_pass, "
+        "2L, 'language_pass', language_pass, "
+        "3L, 'exact_dedup_canonical', exact_dedup_canonical"
+        ") as (stage_ord, stage, n_docs)"
+    )
+    # ONE evaluation of the near-dup closure: per-split counts pinned
+    # by localCheckpoint (3 rows), stage 4 derived as their sum
+    splits = (
+        training_corpus(spark, sf_dir)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    split_rows = splits.select(
+        (
+            F.lit(5)
+            + F.when(F.col("split") == "train", 0)
+            .when(F.col("split") == "val", 1)
+            .otherwise(2)
+        )
+        .cast("long")
+        .alias("stage_ord"),
+        F.concat(F.lit("split_"), F.col("split")).alias("stage"),
+        "n_docs",
+    )
+    neardup_row = splits.agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
+    ).select(
+        F.lit(4).cast("long").alias("stage_ord"),
+        F.lit("neardup_canonical").alias("stage"),
+        "n_docs",
+    )
+    funnel = gate_rows.unionByName(neardup_row).unionByName(split_rows)
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    return funnel.crossJoin(F.broadcast(total)).select(
+        "stage_ord",
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__total"), 6).alias("retained_pct"),
+    )
+
+
+def _curation_funnel_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+') END)
+              AS BIGINT) AS n_tokens,
+         ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+               / GREATEST(length(text), 1), 4) AS punct_ratio,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fpx
+  FROM documents
+), lang AS (
+  SELECT doc_id, pred_lang FROM ({_lang_sql()})
+), j AS (
+  SELECT b.*, l.pred_lang FROM base b JOIN lang l USING (doc_id)
+), qp AS (
+  SELECT * FROM j WHERE n_tokens >= 30 AND punct_ratio <= 0.1
+), lp AS (
+  SELECT * FROM qp WHERE pred_lang = 'en'
+), ec AS (
+  SELECT * FROM lp
+  QUALIFY row_number() OVER (PARTITION BY fpx ORDER BY doc_id) = 1
+), fin AS (
+  {_training_corpus_sql()}
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents),
+funnel AS (
+  SELECT CAST(0 AS BIGINT) AS stage_ord, 'input' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  UNION ALL SELECT 1, 'quality_pass', CAST(COUNT(*) AS BIGINT) FROM qp
+  UNION ALL SELECT 2, 'language_pass', CAST(COUNT(*) AS BIGINT) FROM lp
+  UNION ALL SELECT 3, 'exact_dedup_canonical', CAST(COUNT(*) AS BIGINT) FROM ec
+  UNION ALL SELECT 4, 'neardup_canonical', CAST(COUNT(*) AS BIGINT) FROM fin
+  UNION ALL
+  SELECT 5 + CASE split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END,
+         'split_' || split, CAST(COUNT(*) AS BIGINT)
+  FROM fin GROUP BY split
+)
+SELECT stage_ord, stage, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / t, 6) AS retained_pct
+FROM funnel CROSS JOIN tot
+"""
+
+
+def incremental_dup_clusters(spark, sf_dir):
+    """INCREMENTALLY-MAINTAINED duplicate clusters
+    (operators/cluster_index.py::ClusterIndex +
+    streaming/incremental.py::ingest_cluster_stream): the corpus's
+    near-dup PAIR stream arrives as TWO deliveries (deterministic
+    md5 split on the pair key) through real availableNow streaming —
+    each micro-batch contracts onto the existing labels, closes the
+    batch-sized contracted graph with min-label CC, and upserts only
+    touched rows (O(batch + touched clusters), never the pair
+    history). The oracle runs ONE-SHOT connected components over the
+    full pair set (the ``training_corpus`` recursive-CTE closure), so
+    the hash match proves min-label folding is CONFLUENT: any
+    delivery order lands in the one-shot fixpoint — the property
+    that makes standing dedup clusters maintainable under a daily
+    crawl. Scratch reuse contract as the sibling standing indexes
+    (``$TMPDIR/spark_graft_cidx_*``)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators.cluster_index import ClusterIndex
+    from ..operators.neardup import (
+        CURATION_MAX_BUCKET_SIZE,
+        minhash_lsh_pairs,
+    )
+    from ..operators.sampling import hash_bucket
+    from ..streaming.incremental import ingest_cluster_stream
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_cidx_{key}")
+    inp, index_root, ckpt = (
+        os.path.join(root, d) for d in ("in", "index", "ckpt")
+    )
+    done = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)  # half-built leftovers
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(
+            docs,
+            max_bucket_size=CURATION_MAX_BUCKET_SIZE,
+            oversized="star",
+        ).select("doc_id_a", "doc_id_b").localCheckpoint(eager=True)
+        b = hash_bucket(
+            F.concat_ws(":", F.col("doc_id_a"), F.col("doc_id_b"))
+        )
+        for lo, hi in ((0, 50), (50, 100)):
+            pairs.where((b >= lo) & (b < hi)).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+            ingest_cluster_stream(
+                spark, inp, pairs.schema, index_root, ckpt
+            )
+        for scratch in (inp, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(key)
+    idx = ClusterIndex(index_root)
+    return idx.labels(spark)
+
+
+_INCR_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+edges AS (
+  SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(n, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT reach.n, e.d FROM reach JOIN edges e ON reach.r = e.s
+)
+SELECT n AS doc_id, LEAST(n, MIN(r)) AS cluster_id
+FROM reach GROUP BY n
+"""
+
+
 def jaccard_dup_pairs(spark, sf_dir):
     """Standalone n-gram Jaccard near-dup — the no-signature dedup
     method next to MinHash/SimHash — as rare-shingle (df-weighted)
@@ -6910,6 +7116,31 @@ _AUGMENT_PII_SQL = """
 """
 
 
+def customer_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators/pii.py::k_anonymity_violations):
+    (nation, market segment) equivalence classes with fewer than
+    k=10 customers — the re-identification risk worklist
+    (Sweeney 2002) that complements regex PII scrubbing: redaction
+    removes direct identifiers, this measures whether the surviving
+    attribute combinations still single people out. One hash-agg
+    with map-side partials; output bounded by violating-class
+    count."""
+    from ..operators.pii import k_anonymity_violations
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_violations(
+        cust, ["c_nationkey", "c_mktsegment"], k=10
+    )
+
+
+_K_ANON_SQL = """
+SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM customer
+GROUP BY 1, 2
+HAVING COUNT(*) < 10
+"""
+
+
 def pii_redaction(spark, sf_dir):
     """PII scrub over the (synthetically PII-augmented) corpus:
     per-category match counts + fully redacted text. Map-only regex
@@ -7884,6 +8115,217 @@ per_doc AS (
          AS BIGINT) AS n_pieces,
     CAST(SUM(length(wp.word)) AS BIGINT) AS n_chars
   FROM wp JOIN wordseg ws USING (word)
+  GROUP BY 1
+)
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COALESCE(SUM(p.n_words), 0) AS BIGINT) AS n_words,
+  CAST(COALESCE(SUM(p.n_pieces), 0) AS BIGINT) AS n_pieces,
+  ROUND(SUM(p.n_pieces) / NULLIF(SUM(p.n_words), 0), 6) AS fertility,
+  ROUND(SUM(p.n_chars) / NULLIF(SUM(p.n_pieces), 0), 6) AS chars_per_piece
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY 1
+"""
+
+
+def wordpiece_merge_table(spark, sf_dir):
+    """WordPiece tokenizer induction
+    (operators/wordpiece.py::learn_wordpiece): the likelihood-scored
+    merge table — the THIRD trainer family beside BPE and unigram.
+    The argmax maximizes count(l,r)/(count(l)·count(r)) (Schuster &
+    Nakajima 2012 / the BERT WordPieceTrainer) over exact BIGINT
+    operands, so rare-but-associated pairs merge before frequent
+    independent ones; the score is ONE integer-operand division both
+    engines evaluate to the same IEEE double, and every OUTPUT column
+    is an exact integer. The oracle unrolls the 12 rounds as
+    materialized CTEs (the ``_bpe_learn_cte_chain`` move) with a
+    per-round symbol-count aggregate feeding the score."""
+    from ..operators.wordpiece import learn_wordpiece
+
+    return learn_wordpiece(load_table(spark, sf_dir, "documents"), n_merges=12)
+
+
+def wordpiece_tokenized_docs(spark, sf_dir):
+    """WordPiece APPLICATION
+    (operators/wordpiece.py::apply_wordpiece): segment every document
+    with the merge table induced from the same corpus — merge REPLAY,
+    the training-consistent segmenter (the greedy max-munch BERT
+    runtime form, ``wordpiece_greedy``, handles OOV words and pins in
+    pytest; greedy longest-match is not SQL-expressible). Output:
+    (doc_id, n_pieces, pieces_hash) — the ``bpe_tokenized_docs``
+    boundary-pinning hash. The oracle re-learns the merges and uses
+    the final training state as the per-word segmentation memo."""
+    from ..operators.wordpiece import apply_wordpiece, learn_wordpiece
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_wordpiece(docs, n_merges=12)
+    out = apply_wordpiece(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_pieces",
+        F.md5(F.concat_ws("\x1f", F.col("pieces"))).alias("pieces_hash"),
+    )
+
+
+def wordpiece_fertility_by_source(spark, sf_dir):
+    """Per-source fertility for the WORDPIECE tokenizer
+    (operators/wordpiece.py::wordpiece_fertility) — the third
+    row-family of the tokenizer-comparison report: the same metrics
+    as the BPE and unigram rows over the same corpus, so all three
+    trainer families compare on one table (chars count raw word
+    characters; ``##`` prefixes are piece markup, not text)."""
+    from ..operators.wordpiece import learn_wordpiece, wordpiece_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_wordpiece(docs, n_merges=12)
+    return wordpiece_fertility(docs, merges).select(
+        "source", "n_docs", "n_words", "n_pieces", "fertility",
+        "chars_per_piece",
+    )
+
+
+def _wp_learn_cte_chain(n_merges: int) -> str:
+    """Shared CTE chain replaying ``learn_wordpiece`` in DuckDB — the
+    ``_bpe_learn_cte_chain`` state encoding (``\\x1f``-wrapped symbols
+    joined by spaces; replace() as the left-to-right merge scan) with
+    WordPiece's two differences per round: a symbol-count aggregate
+    joins the pair counts so the argmax orders by
+    ``CAST(cnt AS DOUBLE) / (lc · rc)`` (identical integer operands ⇒
+    identical IEEE double in both engines), and the merged symbol
+    strips the right side's ``##`` continuation prefix. st0
+    symbolizes first-char-plain / later-chars-``##``-prefixed (no
+    end-of-word sentinel)."""
+    parts = [r"""
+WITH w AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS word
+    FROM documents WHERE length(trim(text)) > 0
+  ) WHERE word <> '' GROUP BY 1
+),
+st0 AS MATERIALIZED (
+  SELECT word, n,
+    array_to_string(
+      list_transform(range(1, length(word)+1),
+        i -> chr(31) ||
+             CASE WHEN i = 1 THEN word[i] ELSE '##' || word[i] END ||
+             chr(31)),
+      ' ') AS enc
+  FROM w
+)"""]
+    for k in range(1, n_merges + 1):
+        prev = f"st{k - 1}"
+        parts.append(f""",
+pc{k} AS MATERIALIZED (
+  SELECT p[1] AS lw, p[2] AS rw, SUM(n) AS cnt
+  FROM (
+    SELECT n, unnest(list_zip(syms[1:length(syms)-1],
+                              syms[2:length(syms)])) AS p
+    FROM (SELECT n, string_split(enc, ' ') AS syms FROM {prev})
+  ) GROUP BY 1, 2
+),
+sc{k} AS MATERIALIZED (
+  SELECT s AS sym, SUM(n) AS scnt
+  FROM (
+    SELECT n, unnest(string_split(enc, ' ')) AS s FROM {prev}
+  ) GROUP BY 1
+),
+m{k} AS MATERIALIZED (
+  SELECT CAST({k - 1} AS BIGINT) AS rank, lw, rw,
+         substr(lw, 2, length(lw)-2) AS left_s,
+         substr(rw, 2, length(rw)-2) AS right_s,
+         left_s ||
+           CASE WHEN right_s LIKE '##%'
+                THEN substr(right_s, 3)
+                ELSE right_s END AS merged_s,
+         CAST(cnt AS BIGINT) AS cnt,
+         CAST(sl.scnt AS BIGINT) AS lc,
+         CAST(sr.scnt AS BIGINT) AS rc
+  FROM pc{k}
+  JOIN sc{k} sl ON sl.sym = pc{k}.lw
+  JOIN sc{k} sr ON sr.sym = pc{k}.rw
+  WHERE cnt >= 2
+  ORDER BY CAST(cnt AS DOUBLE) / (sl.scnt * sr.scnt) DESC,
+           substr(lw, 2, length(lw)-2) ASC,
+           substr(rw, 2, length(rw)-2) ASC
+  LIMIT 1
+),
+st{k} AS MATERIALIZED (
+  SELECT word, n, replace(enc,
+    COALESCE((SELECT lw || ' ' || rw FROM m{k}), chr(1)),
+    COALESCE((SELECT chr(31) || merged_s || chr(31)
+              FROM m{k}), '')) AS enc
+  FROM {prev}
+)""")
+    return "".join(parts)
+
+
+def _wp_learn_sql(n_merges: int = 12) -> str:
+    """DuckDB twin of ``wordpiece_merge_table``."""
+    union = " UNION ALL ".join(
+        f"SELECT rank, left_s, right_s, merged_s, cnt, lc, rc FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return _wp_learn_cte_chain(n_merges) + f"""
+SELECT rank, left_s AS "left", right_s AS "right", merged_s AS merged,
+       cnt AS pair_count, lc AS left_count, rc AS right_count
+FROM ({union}) ORDER BY rank
+"""
+
+
+def _wp_apply_sql(n_merges: int = 12) -> str:
+    """DuckDB twin of ``wordpiece_tokenized_docs``: re-learn the
+    merges, then segment by memo lookup against the final training
+    state (the ``_bpe_apply_sql`` move — replay application's
+    per-word result IS the training state)."""
+    n = n_merges
+    return _wp_learn_cte_chain(n) + rf""",
+wp AS MATERIALIZED (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id,
+           unnest(ws) AS word,
+           generate_subscripts(ws, 1) AS pos
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(text), '\s+') AS ws
+          FROM documents)
+  ) WHERE word <> ''
+),
+dp AS MATERIALIZED (
+  SELECT wp.doc_id, string_agg(s.enc, ' ' ORDER BY wp.pos) AS encs
+  FROM wp JOIN st{n} s USING (word)
+  GROUP BY wp.doc_id
+),
+fp AS (
+  SELECT doc_id,
+    list_transform(string_split(encs, ' '),
+                   x -> substr(x, 2, length(x)-2)) AS pieces
+  FROM dp
+)
+SELECT d.doc_id,
+  CAST(COALESCE(length(f.pieces), 0) AS BIGINT) AS n_pieces,
+  md5(COALESCE(array_to_string(f.pieces, chr(31)), '')) AS pieces_hash
+FROM documents d LEFT JOIN fp f USING (doc_id)
+"""
+
+
+def _wp_fertility_sql(n_merges: int = 12) -> str:
+    """DuckDB twin of ``wordpiece_fertility_by_source``: pieces per
+    word from the final state (spaces-in-enc + 1), chars without any
+    sentinel (raw word characters)."""
+    return _wp_learn_cte_chain(n_merges) + rf""",
+wpd AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+    FROM documents
+  ) WHERE word <> ''
+),
+per_doc AS (
+  SELECT w.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(length(s.enc) - length(replace(s.enc, ' ', '')) + 1)
+         AS BIGINT) AS n_pieces,
+    CAST(SUM(length(w.word)) AS BIGINT) AS n_chars
+  FROM wpd w JOIN st{n_merges} s USING (word)
   GROUP BY 1
 )
 SELECT d.source,
@@ -10043,12 +10485,21 @@ def bm25_doc_search(spark, sf_dir):
     )
 
 
-_BM25_SQL = r"""
+def _bm25_sql(corpus: str) -> str:
+    """The BM25 oracle parameterized over its corpus relation — the
+    one-shot search runs it over ``documents``; the standing-index
+    goldens run the SAME scoring chain over the post-update corpus,
+    so 'incrementally-maintained index == from-scratch BM25' is the
+    statement the hash compares."""
+    return _BM25_SQL_TEMPLATE.replace("__CORPUS__", corpus)
+
+
+_BM25_SQL_TEMPLATE = r"""
 WITH t AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
               ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-  FROM documents
+  FROM __CORPUS__
 ),
 lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
 tok AS (
@@ -10081,6 +10532,132 @@ SELECT doc_id, CAST(SUM(pm) AS BIGINT) AS score_micro
 FROM parts GROUP BY 1
 ORDER BY score_micro DESC, doc_id ASC
 LIMIT 25
+"""
+
+_BM25_SQL = _bm25_sql("documents")
+
+# the standing-index goldens re-deliver every doc in md5 bucket < 10
+# with this replacement text: old terms vanish (df decrements through
+# the change-feed fold), a probe term appears twice (tf saturation on
+# the updated rows), and the corpus Σlen changes — all three stats
+# paths exercised by one update delivery
+_STANDING_REPLACEMENT = "stream stream replacement notice text"
+
+_STANDING_CORPUS = (
+    "(SELECT doc_id, CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS "
+    "VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10 THEN "
+    f"'{_STANDING_REPLACEMENT}' ELSE text END AS text FROM documents)"
+)
+
+
+def _standing_text_index(spark, sf_dir):
+    """Build-once scratch harness for the standing BM25 index (the
+    ``incremental_ivf_topk`` reuse pattern): THREE deliveries through
+    ``streaming/incremental.py::ingest_text_index_stream`` — real
+    availableNow runs with checkpoint + per-subtable writer-txn
+    stamps. Delivery 1 (md5 buckets [0, 50)) BUILDs postings + full
+    stats; delivery 2 (the rest) upserts inserts and folds +df
+    deltas; delivery 3 RE-DELIVERS buckets [0, 10) with replaced
+    text, so postings rows are overwritten in place and the stats
+    fold decrements the vanished terms' df — the df-goes-down path
+    no insert-only corpus can reach."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import hash_bucket
+    from ..operators.text_index import TextIndex
+    from ..streaming.incremental import ingest_text_index_stream
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_tidx_{key}")
+    inp, index_root, ckpt = (
+        os.path.join(root, d) for d in ("in", "index", "ckpt")
+    )
+    done = os.path.join(root, "_COMPLETE")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)  # half-built leftovers
+        b = hash_bucket(F.col("doc_id"))
+        deliveries = (
+            docs.where(b < 50),
+            docs.where(b >= 50),
+            docs.where(b < 10).withColumn(
+                "text", F.lit(_STANDING_REPLACEMENT)
+            ),
+        )
+        for d in deliveries:
+            d.coalesce(1).write.mode("append").parquet(inp)
+            ingest_text_index_stream(spark, inp, docs.schema, index_root, ckpt)
+        for scratch in (inp, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(key)
+    return TextIndex(index_root)
+
+
+def standing_bm25_search(spark, sf_dir):
+    """Search the STANDING BM25 index
+    (operators/text_index.py::TextIndex) — same probe and top-k as
+    ``bm25_doc_search``, but served from incrementally-maintained
+    postings/df/N/Σlen state (two insert deliveries + one
+    document-replacing re-delivery, via real availableNow streaming)
+    instead of a corpus-rescanning one-shot. The oracle runs the
+    from-scratch BM25 chain over the post-update corpus, so the hash
+    match proves the signed-delta stats folds (including the df
+    DECREMENTS from the replacement delivery) are exact — the
+    'index == rebuild' contract, Lucene's index-once/search-many on
+    engine primitives."""
+    idx = _standing_text_index(spark, sf_dir)
+    return idx.search(spark, ["hash", "vector", "stream"], top_k=25)
+
+
+_STANDING_BM25_SQL = _bm25_sql(_STANDING_CORPUS)
+
+
+def standing_bm25_stats(spark, sf_dir):
+    """The standing index's maintained statistics surfaced directly:
+    per-probe-term df joined with the 1-row corpus scalars
+    (N docs, Σ token len). The search golden proves these
+    transitively (every score depends on them); this one pins the
+    state tables themselves, so a stats drift shows up named instead
+    of as an opaque score diff."""
+    idx = _standing_text_index(spark, sf_dir)
+    stats = idx.term_stats(spark).where(
+        F.col("term").isin(["hash", "vector", "stream"])
+    )
+    return stats.crossJoin(F.broadcast(idx.corpus_stats(spark)))
+
+
+_STANDING_STATS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM {_STANDING_CORPUS}
+),
+tok AS (SELECT doc_id, lower(unnest(toks)) AS tk FROM t),
+dfq AS (
+  SELECT tk AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok WHERE tk IN ('hash', 'vector', 'stream') GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS sum_len
+  FROM t
+)
+SELECT term, df, n_docs, sum_len FROM dfq CROSS JOIN tot
 """
 
 
@@ -11606,6 +12183,16 @@ QUERIES: list[QueryDef] = [
     QueryDef("event_type_pivot", event_type_pivot, _PIVOT_SQL),
     QueryDef("event_type_unpivot", event_type_unpivot, _EVENT_UNPIVOT_SQL),
     QueryDef("conversion_funnel", conversion_funnel, _FUNNEL_SQL),
+    QueryDef(
+        "curation_funnel_report",
+        curation_funnel_report,
+        _curation_funnel_sql(),
+    ),
+    QueryDef(
+        "incremental_dup_clusters",
+        incremental_dup_clusters,
+        _INCR_CLUSTERS_SQL,
+    ),
     QueryDef("user_tier_scd2", user_tier_scd2, _SCD2_SQL),
     QueryDef(
         "hourly_event_interpolated", hourly_event_interpolated, _INTERP_SQL
@@ -11627,6 +12214,8 @@ QUERIES: list[QueryDef] = [
         "event_value_quantile_sketch", event_value_quantile_sketch, _QHIST_SQL
     ),
     QueryDef("bm25_doc_search", bm25_doc_search, _BM25_SQL),
+    QueryDef("standing_bm25_search", standing_bm25_search, _STANDING_BM25_SQL),
+    QueryDef("standing_bm25_stats", standing_bm25_stats, _STANDING_STATS_SQL),
     QueryDef("versioned_scd2_history", versioned_scd2_history, _VSCD2_SQL),
     QueryDef(
         "customer_hierarchy_closure", customer_hierarchy_closure, _CLOSURE_SQL
@@ -11758,6 +12347,7 @@ QUERIES: list[QueryDef] = [
     # (8) new in round 3 — curation surface: PII, Gopher rules, URLs,
     # ledger dedup, SemDeDup, corpus-frequency rarity
     QueryDef("pii_redaction", pii_redaction, _PII_SQL),
+    QueryDef("customer_k_anonymity", customer_k_anonymity, _K_ANON_SQL),
     QueryDef("gopher_quality_flags", gopher_quality_flags, _GOPHER_SQL),
     QueryDef("doc_quality_logit", doc_quality_logit, _QUALITY_LOGIT_SQL),
     QueryDef(
@@ -11785,6 +12375,17 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef(
         "unigram_tokenized_docs", unigram_tokenized_docs, _unigram_apply_sql()
+    ),
+    QueryDef(
+        "wordpiece_merge_table", wordpiece_merge_table, _wp_learn_sql()
+    ),
+    QueryDef(
+        "wordpiece_tokenized_docs", wordpiece_tokenized_docs, _wp_apply_sql()
+    ),
+    QueryDef(
+        "wordpiece_fertility_by_source",
+        wordpiece_fertility_by_source,
+        _wp_fertility_sql(),
     ),
     QueryDef(
         "unigram_fertility_by_source",

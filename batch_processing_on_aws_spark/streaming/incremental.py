@@ -207,6 +207,116 @@ def ingest_ivf_index_stream(
     q.awaitTermination()
 
 
+def ingest_text_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    index_root: str,
+    checkpoint_dir: str,
+    app_id: str = "text-ingest",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming maintenance of a STANDING BM25 index
+    (:class:`~..operators.text_index.TextIndex`) — the Lucene
+    index-once/search-many lifecycle as a micro-batch loop: the FIRST
+    delivery indexes the corpus and computes term/corpus statistics
+    full (``build``); every later delivery upserts O(batch) postings
+    rows and folds the postings table's OWN change feed into the df
+    stats and the N/Σlen scalars (``add`` — inserts, updates, and
+    df decrements all signed-delta folds, never a corpus rescan).
+
+    Exactly-once via per-subtable writer-transaction stamps
+    (``app.p`` / ``app.s`` / ``app.m``): a crash between the postings
+    commit and the stats fold replays the epoch, re-derives the SAME
+    change feed from the committed version pair, and applies only the
+    missing halves — the ``replicate_changes_stream`` protocol.
+    Because every statistic is an exact integer fold, the index after
+    N deliveries equals a from-scratch index of their merged state —
+    pinned hash-exact against the DuckDB oracle by the
+    ``standing_bm25_search`` golden (two deliveries plus a
+    document-replacing re-delivery).
+    """
+    from ..operators.text_index import TextIndex
+
+    idx = TextIndex(
+        index_root,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+    )
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        idx.apply(batch, txn={"app": app_id, "epoch": epoch_id})
+
+    q = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .load(input_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_cluster_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    index_root: str,
+    checkpoint_dir: str,
+    app_id: str = "cluster-ingest",
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    n_buckets: int = 32,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming maintenance of a STANDING duplicate-cluster
+    assignment (:class:`~..operators.cluster_index.ClusterIndex`):
+    each drained micro-batch of near-dup PAIRS contracts onto the
+    existing cluster labels, closes the batch-sized contracted graph
+    with min-label CC, and upserts only the touched rows — the
+    O(batch + touched clusters) fold that keeps dedup clusters
+    current under a daily crawl without ever re-running CC over the
+    accumulated pair history.
+
+    Exactly-once via the writer-txn stamp: each ``apply`` is ONE
+    keyed commit; a crash-replayed epoch is detected by
+    ``txn_applied`` and skipped. Min-label CC is confluent, so the
+    assignment after N deliveries equals one-shot CC over the union
+    of all pairs — pinned hash-exact by the
+    ``incremental_dup_clusters`` golden.
+    """
+    from ..operators.cluster_index import ClusterIndex
+
+    idx = ClusterIndex(index_root, n_buckets=n_buckets)
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        idx.apply(
+            batch, id_a=id_a, id_b=id_b,
+            txn={"app": app_id, "epoch": epoch_id},
+        )
+
+    q = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .load(input_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def replicate_changes_stream(
     spark: SparkSession,
     input_dir: str,

@@ -134,6 +134,18 @@ QUERIES = [
     "incremental_ivf_topk",
     "unigram_tokenized_docs",
     "bloom_layout_audit",
+    # round-11 session-2 additions: the standing BM25 index (scratch
+    # reuse means min-of-2 measures the SEARCH path — a projected
+    # postings scan + per-row array filter, no tokenize, no df agg —
+    # which must scale with the postings table, and the stats probe
+    # is vocab-row metadata), the standing cluster assignment (the
+    # labels read must scale with the label table), the corpus-sized
+    # WordPiece application (throughput tracks the vocabulary), and
+    # the one-pass funnel (one conditional agg + one closure run).
+    "standing_bm25_search",
+    "incremental_dup_clusters",
+    "wordpiece_tokenized_docs",
+    "curation_funnel_report",
 ]
 
 SCALES = {

@@ -93,6 +93,18 @@ QUERIES = [
     # batch, so hot words cost memo lookups, not re-segmentation
     "incremental_ivf_topk",
     "unigram_tokenized_docs",
+    # round-11 session-2: the standing BM25 index under the hot
+    # template — 20% of docs share one vocabulary, so the template
+    # terms' df rows become corpus-hot: the stats fold absorbs them
+    # in ONE vocab-keyed hash-agg (map-side partials), search still
+    # filters per-row postings arrays before exploding, and the only
+    # skew surface is the per-doc score agg (doc-keyed, not
+    # term-keyed — deliberately immune to hot terms); and the
+    # standing cluster fold under the template's hot band bucket —
+    # the star-capped pair stream keeps the contracted graph linear,
+    # so the fold's CC rounds stay bounded
+    "standing_bm25_search",
+    "incremental_dup_clusters",
 ]
 
 
