@@ -1396,6 +1396,111 @@ AUDIO_FP_SCHEMA = (
 )
 
 
+def resample_audio(
+    df: DataFrame,
+    rate_out: int,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Binary→binary audio transform (the audio sibling of
+    :func:`resize_media`): REAL WAV decode → INTEGER-EXACT linear
+    resampling to ``rate_out`` Hz → 16-bit PCM re-encode.
+
+    Output frame ``j`` samples the source at position
+    ``j·rate_in/rate_out``, split exactly as ``i0 = (j·rate_in) //
+    rate_out`` and fractional numerator ``r = (j·rate_in) mod
+    rate_out``; the resampled value is the floor-weighted average
+    ``(u[i0]·(rate_out−r) + u[i1]·r) // rate_out − 32768`` computed
+    in int64 over the UNSIGNED-OFFSET samples ``u = x + 32768`` (the
+    offset makes the numerator non-negative, so floor-vs-truncate
+    division ambiguity between engines cannot arise — the weighted
+    sum is affine, so the offset divides out exactly).
+    ``i1 = min(i0+1, n−1)`` clamps the final frame; ``n_out =
+    (n_in · rate_out) // rate_in``. One multiply-add per sample, no
+    float anywhere — the whole transform replays analytically in the
+    DuckDB oracle (golden ``audio_resampled_fingerprints`` pushes the
+    resampled corpus back through the WHT fingerprint, so decode,
+    lerp, re-encode, AND re-decode are value-checked end-to-end).
+
+    Per channel independently; 8-bit input upconverts through the
+    exact ``rint(sample·32768)`` int16 equivalence
+    (:func:`audio_features` contract). Undecodable payloads pass
+    through unchanged with ``resampled = false`` (the
+    :func:`resize_media` stub contract — loud, not silent).
+
+    Scale shape: Arrow-batched 1→1 binary projection, no shuffle;
+    cost tracks payload bytes like every codec path here.
+    """
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    if rate_out <= 0:
+        raise ValueError(f"rate_out must be positive, got {rate_out}")
+
+    def run(batches):
+        for pdf in batches:
+            out_data, out_rate, n_in_l, n_out_l, ok = [], [], [], [], []
+            for data in pdf[data_col]:
+                try:
+                    samples, rate_in = decode_wav(bytes(data))
+                except (ValueError, TypeError):
+                    out_data.append(data)
+                    out_rate.append(None)
+                    n_in_l.append(None)
+                    n_out_l.append(None)
+                    ok.append(False)
+                    continue
+                x = np.rint(samples * 32768.0).astype(np.int64)
+                x = np.clip(x, -32768, 32767)
+                n_in, n_ch = x.shape
+                n_out = (n_in * rate_out) // rate_in
+                j = np.arange(n_out, dtype=np.int64)
+                num = j * rate_in
+                i0 = num // rate_out
+                r = num % rate_out
+                i1 = np.minimum(i0 + 1, n_in - 1)
+                u = x + 32768  # non-negative: floor == truncate
+                y = (
+                    u[i0] * (rate_out - r)[:, None]
+                    + u[i1] * r[:, None]
+                ) // rate_out - 32768
+                raw = y.astype("<i2").tobytes()
+                fmt = struct.pack(
+                    "<HHIIHH", 1, n_ch, rate_out, rate_out * 2 * n_ch,
+                    2 * n_ch, 16,
+                )
+                body = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(raw)) + raw
+                )
+                out_data.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE"
+                    + body
+                )
+                out_rate.append(rate_out)
+                n_in_l.append(n_in)
+                n_out_l.append(n_out)
+                ok.append(True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    data_col: out_data,
+                    "sample_rate": pd.array(out_rate, dtype="Int64"),
+                    "n_frames_in": pd.array(n_in_l, dtype="Int64"),
+                    "n_frames_out": pd.array(n_out_l, dtype="Int64"),
+                    "resampled": ok,
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        f"{id_col} long, {data_col} binary, sample_rate long, "
+        "n_frames_in long, n_frames_out long, resampled boolean",
+    )
+
+
 def audio_wht_fingerprint(
     df: DataFrame, window: int = 64, n_bits: int = 32
 ) -> DataFrame:

@@ -126,13 +126,17 @@ class TextIndex:
 
     def _postings_rows(self, df: DataFrame) -> DataFrame:
         """(doc_id, doc_len, tfs) — tfs a term-SORTED array of
-        (term, tf) structs, so the stored bytes are a deterministic
-        function of the document text (crash-replayed builds
-        converge) and CDC value-compare is well-defined. Duplicate
-        ids within one batch collapse to a deterministic winner
-        (min md5 of the text — the media-stream id-collision guard)
-        BEFORE tokenization, so a row's postings always describe its
-        own text. One explode + two hash-aggs; empty/NULL text docs
+        (term, tf, positions) structs with SORTED 0-based token
+        offsets, so the stored bytes are a deterministic function of
+        the document text (crash-replayed builds converge) and CDC
+        value-compare is well-defined. Positions make the index
+        POSITIONAL (Lucene's trade: O(tokens) extra ints buy exact
+        phrase queries — :meth:`phrase`); the df/N/Σlen folds ignore
+        them, so stats maintenance is unchanged. Duplicate ids
+        within one batch collapse to a deterministic winner (min md5
+        of the text — the media-stream id-collision guard) BEFORE
+        tokenization, so a row's postings always describe its own
+        text. One posexplode + two hash-aggs; empty/NULL text docs
         keep a row (doc_len 0, empty postings) so N and Σlen count
         them exactly as a full recompute would."""
         from pyspark.sql import Window
@@ -151,9 +155,16 @@ class TextIndex:
             )
         )
         per_term = (
-            uniq.select("doc_id", F.explode_outer("__t").alias("__tok"))
+            uniq.select(
+                "doc_id", F.posexplode_outer("__t").alias("__p", "__tok")
+            )
             .groupBy("doc_id", "__tok")
-            .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("__tf"),
+                F.sort_array(
+                    F.collect_list(F.col("__p").cast("long"))
+                ).alias("__pos"),
+            )
         )
         return per_term.groupBy("doc_id").agg(
             F.coalesce(
@@ -173,6 +184,7 @@ class TextIndex:
                         F.struct(
                             F.col("__tok").alias("term"),
                             F.col("__tf").alias("tf"),
+                            F.col("__pos").alias("positions"),
                         ),
                     )
                 )
@@ -247,6 +259,11 @@ class TextIndex:
         (value-equal ⇒ feed-invisible ⇒ stats untouched) all flow
         through the same signed-delta fold."""
         spark = batch.sparkSession
+        if not self.exists():
+            raise ValueError(
+                "add() on an empty index — run build() first (or route "
+                "deliveries through apply(), which decides)"
+            )
         if self._applied(self.postings, txn, "p"):
             v_after = self.postings.latest_version()
         else:
@@ -420,3 +437,62 @@ class TextIndex:
         return scored.orderBy(
             F.col("score_micro").desc(), F.col("doc_id").asc()
         ).limit(top_k)
+
+    def phrase(
+        self,
+        spark: SparkSession,
+        phrase: Sequence[str],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Exact phrase matching against the STANDING positional
+        postings — the Lucene PhraseQuery served from the index
+        (``textstats.phrase_search`` is the one-shot corpus-scanning
+        twin; same output columns, same 0-based offsets). The scan
+        projects doc_id + the tfs array, the per-row array filter
+        prunes to the phrase's terms, a ``map_from_entries`` lookup
+        exposes each term's position list, and the consecutive-run
+        check is the same codegen'd array filter — no tokenize, no
+        join, no window. Docs missing ANY phrase term drop on the
+        ``size == n_terms`` guard before any position work."""
+        terms = [t.lower() for t in phrase]
+        if not terms:
+            raise ValueError("empty phrase")
+        uniq = sorted(set(terms))
+        m = (
+            self.postings.read(spark, version=version)
+            .select(
+                "doc_id",
+                F.filter("tfs", lambda x: x["term"].isin(uniq)).alias(
+                    "__m"
+                ),
+            )
+            .where(F.size("__m") == len(uniq))
+        )
+        pos_map = F.map_from_entries(
+            F.transform(
+                F.col("__m"),
+                lambda x: F.struct(
+                    x["term"].alias("k"), x["positions"].alias("v")
+                ),
+            )
+        )
+        with_map = m.select("doc_id", pos_map.alias("__pm"))
+        starts = F.element_at(F.col("__pm"), terms[0])
+        matches = F.filter(starts, lambda p: _phrase_tail(p, terms))
+        return with_map.select(
+            "doc_id",
+            F.size(matches).cast("long").alias("n_matches"),
+            F.array_min(matches).cast("long").alias("first_pos"),
+        ).where(F.col("n_matches") > 0)
+
+
+def _phrase_tail(p, terms):
+    """Consecutive-run predicate for one candidate start ``p``: every
+    later phrase term's position list must contain ``p + offset`` —
+    pure JVM expressions over the ``__pm`` term→positions map."""
+    cond = F.lit(True)
+    for off, t in enumerate(terms[1:], start=1):
+        cond = cond & F.array_contains(
+            F.element_at(F.col("__pm"), t), p + F.lit(off)
+        )
+    return cond

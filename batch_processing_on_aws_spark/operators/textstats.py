@@ -571,6 +571,80 @@ def bm25_search(
     ).limit(top_k)
 
 
+def phrase_search(
+    df: DataFrame,
+    phrase: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact phrase matching over the corpus — the positional-postings
+    query BM25's bag-of-terms ranking cannot answer (Lucene's
+    PhraseQuery): a document matches where the phrase's tokens occur
+    at CONSECUTIVE positions. Output: (id, n_matches, first_pos),
+    matched docs only; positions are 0-based token offsets.
+
+    Shape: ONE posexplode of the token stream filtered to the phrase's
+    terms BEFORE aggregation (original positions survive the filter,
+    so consecutiveness is checked on the true token offsets while the
+    exploded stream is O(matching tokens), never O(corpus tokens));
+    one per-doc hash-agg collects each term's position list; the
+    consecutive-run check is a per-row array filter —
+    ``p ∈ pos(t₁) with p+i ∈ pos(tᵢ₊₁) ∀i`` — fully JVM-side, so the
+    DuckDB oracle replays it with ``list_filter``/``list_contains``
+    verbatim. Repeated terms inside the phrase work (each position
+    list is collected per DISTINCT term). No window, no self-join:
+    the per-doc state is bounded by the phrase terms' occurrence
+    count."""
+    from .partitioning import fan_out
+
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("empty phrase")
+    uniq = sorted(set(terms))
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    pos = (
+        fan_out(df, partitions)
+        .select(F.col(id_col), F.posexplode(toks).alias("__p", "__tok"))
+        .where(F.col("__tok").isin(uniq))
+    )
+    per_term = [
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("__tok") == t, F.col("__p"))
+            )
+        ).alias(f"__pos_{i}")
+        for i, t in enumerate(uniq)
+    ]
+    grouped = pos.groupBy(id_col).agg(*per_term)
+    idx = {t: i for i, t in enumerate(uniq)}
+    starts = F.col(f"__pos_{idx[terms[0]]}")
+    matches = F.filter(
+        starts,
+        lambda p: _phrase_tail_check(p, terms, idx),
+    )
+    return (
+        grouped.select(
+            F.col(id_col),
+            F.size(matches).cast("long").alias("n_matches"),
+            F.array_min(matches).cast("long").alias("first_pos"),
+        )
+        .where(F.col("n_matches") > 0)
+    )
+
+
+def _phrase_tail_check(p, terms, idx):
+    """Predicate for one candidate start ``p``: every later phrase
+    term must occur at its offset. Built as a fold of
+    ``array_contains`` columns — pure JVM expressions."""
+    cond = F.lit(True)
+    for off, t in enumerate(terms[1:], start=1):
+        cond = cond & F.array_contains(
+            F.col(f"__pos_{idx[t]}"), p + F.lit(off)
+        )
+    return cond
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .bpe import _apply_merge, _symbolize_wp, _word_histogram
+from .textstats import tokens
 
 CONT = "##"
 
@@ -277,6 +278,73 @@ def wordpiece_vocab(
     for r in rows:
         vset.add(r["merged"] if not isinstance(r, tuple) else r[2])
     return vset
+
+
+def wordpiece_unk_stats(
+    probe: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    unk_max_word_chars: int = 100,
+) -> DataFrame:
+    """Per-group OOV/UNK-rate report: how much of ``probe`` would the
+    BERT runtime tokenizer trained on ``train`` map to ``[UNK]`` —
+    the tokenizer-coverage number multilingual pipelines track per
+    source before committing a vocabulary (a high-UNK slice trains
+    on noise).
+
+    Exactness contract: with an ALPHABET-CLOSED vocabulary (what
+    :func:`wordpiece_vocab` builds — every observed first-position
+    and continuation character is present), greedy longest-match can
+    always fall back to single characters, so a word UNKs IFF some
+    position's character form is outside the training alphabet (or
+    the word exceeds ``unk_max_word_chars`` — the same whole-word
+    guard :func:`wordpiece_greedy` applies). That reduction makes
+    UNK a pure character-set test: the whole report runs JVM-side
+    (no UDF, no greedy loop) and replays exactly in SQL —
+    greedy-equivalence is pinned by test. Alphabets are
+    position-sensitive (no training word starts with 's' ⇒ plain
+    's' is not in the vocabulary), faithfully to how the trainer
+    seeds symbols.
+
+    One training-alphabet distinct (vocab-sized, collected like a
+    merge table) + one probe-corpus pass with a per-group hash-agg.
+    Output: (group, n_words, n_unk_words, unk_rate)."""
+    alpha = {
+        r["s"]
+        for r in _symbolize_wp(_word_histogram(train, text_col))
+        .select(F.explode("syms").alias("s"))
+        .distinct()
+        .collect()
+    }
+    first_alpha = sorted(s for s in alpha if not s.startswith(CONT))
+    cont_alpha = sorted(
+        {s[len(CONT):] for s in alpha if s.startswith(CONT)}
+    )
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    words = probe.select(
+        F.col(group_col).alias("grp"), F.explode(toks).alias("__w")
+    )
+    tail = F.when(
+        F.length("__w") >= 2,
+        F.split(F.expr("substring(__w, 2)"), ""),
+    ).otherwise(F.array().cast("array<string>"))
+    unk = (
+        (F.length("__w") > unk_max_word_chars)
+        | ~F.substring("__w", 1, 1).isin(first_alpha)
+        | F.exists(tail, lambda c: ~c.isin(cont_alpha))
+    )
+    return (
+        words.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(unk.cast("long")).cast("long").alias("n_unk_words"),
+        )
+        .withColumn(
+            "unk_rate",
+            F.round(F.col("n_unk_words") / F.col("n_words"), 6),
+        )
+    )
 
 
 def wordpiece_fertility(

@@ -7012,6 +7012,82 @@ FROM h
 """
 
 
+def audio_resampled_fingerprints(spark, sf_dir):
+    """Audio RESAMPLING end-to-end
+    (operators/multimodal.py::resample_audio): the 8 kHz WAV corpus
+    resamples to 6 kHz through the integer-exact linear kernel
+    (unsigned-offset floor-weighted average — no float anywhere),
+    re-encodes as 16-bit PCM, and the resampled bytes go back
+    through the REAL decode → WHT fingerprint path (192 frames = 3
+    windows). The oracle recomputes the source samples from the md5
+    formula, replays the lerp analytically (same i0/i1/remainder
+    arithmetic), and runs the same WHT/neighbor-compare packing — so
+    decode, resample, re-encode, AND re-decode are all
+    value-checked cross-engine. The audio sibling of
+    ``media_resized_phash``."""
+    from ..operators.multimodal import (
+        audio_wht_fingerprint,
+        resample_audio,
+    )
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+    rs = resample_audio(_build_wav_corpus(docs), 6000)
+    return audio_wht_fingerprint(rs.select("media_id", "data")).select(
+        "media_id", "window_idx", "fp", "n_windows", "decode_ok"
+    )
+
+
+_AUDIO_RESAMPLE_SQL = """
+WITH src AS (
+  SELECT d.doc_id, w.range * 64 + n.range AS t,
+         ('0x' || substr(md5(
+            CAST(CASE WHEN w.range IN (0, 2) THEN d.doc_id // 2
+                 ELSE d.doc_id END AS VARCHAR) || ':' ||
+            CAST(w.range AS VARCHAR) || ':' ||
+            CAST(n.range AS VARCHAR)), 1, 4))::BIGINT - 32768 AS x
+  FROM documents d, range(4) w, range(64) n
+),
+rs AS (
+  SELECT a.doc_id, j.range AS j,
+         ((a.x + 32768) * (6000 - (j.range * 8000) % 6000)
+          + (b.x + 32768) * ((j.range * 8000) % 6000)) // 6000
+           - 32768 AS y
+  FROM range(192) j
+  JOIN src a ON a.t = (j.range * 8000) // 6000
+  JOIN src b ON b.doc_id = a.doc_id
+            AND b.t = LEAST((j.range * 8000) // 6000 + 1, 255)
+),
+c AS (
+  SELECT doc_id, j // 64 AS w, k.range AS k,
+         ABS(SUM(CASE WHEN bit_count(CAST(k.range AS BIGINT)
+                                     & CAST(j % 64 AS BIGINT)) % 2 = 0
+                      THEN y ELSE -y END)) AS mag
+  FROM rs, range(1, 34) k
+  GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT c1.doc_id, c1.w, c1.k - 1 AS idx,
+         CASE WHEN c1.mag > c2.mag THEN 1 ELSE 0 END AS bit
+  FROM c c1
+  JOIN c c2 ON c2.doc_id = c1.doc_id AND c2.w = c1.w AND c2.k = c1.k + 1
+  WHERE c1.k <= 32
+),
+h AS (
+  SELECT doc_id, w,
+         CAST(SUM(CAST(bit AS BIGINT) << CAST(31 - idx AS INT))
+              AS BIGINT) AS code
+  FROM bits GROUP BY 1, 2
+)
+SELECT doc_id AS media_id, CAST(w AS INT) AS window_idx,
+       printf('%08x', code) AS fp, CAST(3 AS INT) AS n_windows,
+       TRUE AS decode_ok
+FROM h
+"""
+
+
 def audio_shared_window_pairs(spark, sf_dir):
     """Audio near-dup mining end-to-end
     (operators/multimodal.py::audio_neardup_pairs over
@@ -8182,6 +8258,82 @@ def wordpiece_fertility_by_source(spark, sf_dir):
         "source", "n_docs", "n_words", "n_pieces", "fertility",
         "chars_per_piece",
     )
+
+
+def wordpiece_oov_by_source(spark, sf_dir):
+    """Tokenizer-coverage report
+    (operators/wordpiece.py::wordpiece_unk_stats): per-source
+    [UNK]-word rate of a probe corpus under the WordPiece runtime
+    tokenizer trained on the base corpus — the number a multilingual
+    pipeline checks per slice before committing a vocabulary. The
+    probe deterministically augments md5-bucket<20 docs with words
+    containing characters ABSENT from the training corpus ('z', 'x',
+    '9' — the synthetic alphabet stops at a-w), plus one covered
+    word, so every source carries a real, distinct OOV rate. With an
+    alphabet-closed vocabulary greedy UNK reduces to a
+    position-sensitive character-coverage test (greedy-equivalence
+    pinned in tests/test_wordpiece.py), which is what makes the
+    report SQL-replayable — no greedy loop in either engine."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.wordpiece import wordpiece_unk_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    probe = docs.withColumn(
+        "text",
+        F.when(
+            b < 20, F.concat(F.col("text"), F.lit(" data zebra x9"))
+        ).otherwise(F.col("text")),
+    )
+    return wordpiece_unk_stats(probe, docs)
+
+
+_WP_OOV_SQL = r"""
+WITH tw AS (
+  SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS word
+  FROM documents WHERE length(trim(text)) > 0
+),
+twf AS (SELECT word FROM tw WHERE word <> ''),
+fl AS (
+  SELECT list(DISTINCT word[1]) AS fl FROM twf
+),
+cl AS (
+  SELECT list(DISTINCT c) AS cl FROM (
+    SELECT unnest(list_transform(range(2, length(word)+1),
+                                 i -> word[i])) AS c
+    FROM twf
+  )
+),
+probe AS (
+  SELECT source,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 < 20
+              THEN text || ' data zebra x9' ELSE text END AS text
+  FROM documents
+),
+pw AS (
+  SELECT source,
+         lower(unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                           ELSE regexp_split_to_array(trim(text), '\s+')
+                      END)) AS w
+  FROM probe
+),
+flags AS (
+  SELECT source,
+         CASE WHEN length(w) > 100 THEN 1
+              WHEN NOT list_contains(fl, w[1]) THEN 1
+              WHEN len(list_filter(
+                     list_transform(range(2, length(w)+1), i -> w[i]),
+                     c -> NOT list_contains(cl, c))) > 0 THEN 1
+              ELSE 0 END AS unk
+  FROM pw CROSS JOIN fl CROSS JOIN cl
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(unk) AS BIGINT) AS n_unk_words,
+  ROUND(CAST(SUM(unk) AS DOUBLE) / COUNT(*), 6) AS unk_rate
+FROM flags GROUP BY 1
+"""
 
 
 def _wp_learn_cte_chain(n_merges: int) -> str:
@@ -10581,7 +10733,9 @@ def _standing_text_index(spark, sf_dir):
         f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
     ]
     key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_tidx_{key}")
+    # v2: positional postings (layout change ⇒ new scratch key so a
+    # pre-positions cached index rebuilds instead of failing phrase)
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_tidx2_{key}")
     inp, index_root, ckpt = (
         os.path.join(root, d) for d in ("in", "index", "ckpt")
     )
@@ -10626,6 +10780,55 @@ def standing_bm25_search(spark, sf_dir):
 _STANDING_BM25_SQL = _bm25_sql(_STANDING_CORPUS)
 
 
+def standing_phrase_matches(spark, sf_dir):
+    """Exact phrase query served from the STANDING positional index
+    (operators/text_index.py::TextIndex.phrase): same phrase as the
+    one-shot ``phrase_doc_matches`` but answered from the
+    incrementally-maintained postings — no tokenize, no corpus scan;
+    positions were stored at index time and survived the
+    document-REPLACING re-delivery (bucket<10 docs lost their
+    original text, so their matches must be GONE). The oracle runs
+    the one-shot positional check over the post-update corpus, so
+    the hash match proves positions upsert correctly through the
+    standing index's whole delivery history."""
+    idx = _standing_text_index(spark, sf_dir)
+    return idx.phrase(spark, ["slow", "hash", "batch"])
+
+
+_STANDING_PHRASE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM {_STANDING_CORPUS}
+),
+p AS (
+  SELECT doc_id, lower(unnest(toks)) AS w,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM t
+),
+g AS (
+  SELECT doc_id,
+         list_sort(list(pos) FILTER (w = 'slow'))  AS p0,
+         list_sort(list(pos) FILTER (w = 'hash'))  AS p1,
+         list_sort(list(pos) FILTER (w = 'batch')) AS p2
+  FROM p WHERE w IN ('slow', 'hash', 'batch')
+  GROUP BY 1
+  HAVING COUNT(DISTINCT w) = 3
+),
+m AS (
+  SELECT doc_id,
+         list_filter(p0, s -> list_contains(p1, s + 1)
+                          AND list_contains(p2, s + 2)) AS hits
+  FROM g
+)
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(list_min(hits) AS BIGINT) AS first_pos
+FROM m WHERE len(hits) > 0
+"""
+
+
 def standing_bm25_stats(spark, sf_dir):
     """The standing index's maintained statistics surfaced directly:
     per-probe-term df joined with the 1-row corpus scalars
@@ -10658,6 +10861,54 @@ tot AS (
   FROM t
 )
 SELECT term, df, n_docs, sum_len FROM dfq CROSS JOIN tot
+"""
+
+
+def phrase_doc_matches(spark, sf_dir):
+    """Exact phrase search (operators/textstats.py::phrase_search):
+    documents containing the 3-token phrase "slow hash batch" at
+    consecutive positions — the positional-postings query bag-of-
+    terms BM25 cannot answer (Lucene PhraseQuery). One filtered
+    posexplode + one per-doc hash-agg + a per-row array filter; the
+    oracle replays positions with generate_subscripts and the same
+    list_filter/list_contains consecutive-run check. Output
+    positions are 0-based token offsets."""
+    from ..operators.textstats import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, ["slow", "hash", "batch"])
+
+
+_PHRASE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id, lower(unnest(toks)) AS w,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM t
+),
+g AS (
+  SELECT doc_id,
+         list_sort(list(pos) FILTER (w = 'slow'))  AS p0,
+         list_sort(list(pos) FILTER (w = 'hash'))  AS p1,
+         list_sort(list(pos) FILTER (w = 'batch')) AS p2
+  FROM p WHERE w IN ('slow', 'hash', 'batch')
+  GROUP BY 1
+),
+m AS (
+  SELECT doc_id,
+         list_filter(p0, s -> list_contains(p1, s + 1)
+                          AND list_contains(p2, s + 2)) AS hits
+  FROM g
+)
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(list_min(hits) AS BIGINT) AS first_pos
+FROM m WHERE len(hits) > 0
 """
 
 
@@ -12214,8 +12465,14 @@ QUERIES: list[QueryDef] = [
         "event_value_quantile_sketch", event_value_quantile_sketch, _QHIST_SQL
     ),
     QueryDef("bm25_doc_search", bm25_doc_search, _BM25_SQL),
+    QueryDef("phrase_doc_matches", phrase_doc_matches, _PHRASE_SQL),
     QueryDef("standing_bm25_search", standing_bm25_search, _STANDING_BM25_SQL),
     QueryDef("standing_bm25_stats", standing_bm25_stats, _STANDING_STATS_SQL),
+    QueryDef(
+        "standing_phrase_matches",
+        standing_phrase_matches,
+        _STANDING_PHRASE_SQL,
+    ),
     QueryDef("versioned_scd2_history", versioned_scd2_history, _VSCD2_SQL),
     QueryDef(
         "customer_hierarchy_closure", customer_hierarchy_closure, _CLOSURE_SQL
@@ -12340,6 +12597,11 @@ QUERIES: list[QueryDef] = [
         "audio_wht_fingerprints", audio_wht_fingerprints, _AUDIO_FP_SQL
     ),
     QueryDef(
+        "audio_resampled_fingerprints",
+        audio_resampled_fingerprints,
+        _AUDIO_RESAMPLE_SQL,
+    ),
+    QueryDef(
         "audio_shared_window_pairs",
         audio_shared_window_pairs,
         _AUDIO_PAIRS_SQL,
@@ -12386,6 +12648,9 @@ QUERIES: list[QueryDef] = [
         "wordpiece_fertility_by_source",
         wordpiece_fertility_by_source,
         _wp_fertility_sql(),
+    ),
+    QueryDef(
+        "wordpiece_oov_by_source", wordpiece_oov_by_source, _WP_OOV_SQL
     ),
     QueryDef(
         "unigram_fertility_by_source",

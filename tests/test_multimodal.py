@@ -1346,3 +1346,53 @@ def test_audio_neardup_pairs_shared_windows_and_cap(spark):
         for r in audio_neardup_pairs(df, min_shared=1, max_hash_clips=3).collect()
     }
     assert got1 == {(1, 2): 2, (1, 3): 1}
+
+
+def test_resample_audio_integer_kernel(spark):
+    """resample_audio: identity ratio returns the exact samples,
+    2:1 downsample picks every other sample (r=0 everywhere), a
+    fractional ratio matches the reference integer lerp, and
+    undecodable payloads pass through flagged."""
+    import numpy as np
+
+    from batch_processing_on_aws_spark.operators.multimodal import (
+        decode_wav,
+        resample_audio,
+    )
+
+    src = [((i * 2654435761) % 4001) - 2000 for i in range(256)]
+    rows = [
+        (1, bytearray(_wav_from_i16(src))),
+        (2, b"mp3-ish junk"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+
+    def samples_of(data):
+        s, rate = decode_wav(bytes(data))
+        return np.rint(s[:, 0] * 32768.0).astype(np.int64).tolist(), rate
+
+    # identity: same rate out == exact same samples
+    ident = {r["media_id"]: r for r in resample_audio(df, 8000).collect()}
+    got, rate = samples_of(ident[1]["data"])
+    assert rate == 8000 and got == src
+    assert ident[1]["n_frames_in"] == ident[1]["n_frames_out"] == 256
+    assert ident[2]["resampled"] is False
+    assert bytes(ident[2]["data"]) == b"mp3-ish junk"
+
+    # 2:1 downsample: every other sample, no interpolation residue
+    half = {r["media_id"]: r for r in resample_audio(df, 4000).collect()}
+    got, rate = samples_of(half[1]["data"])
+    assert rate == 4000 and got == src[::2]
+
+    # fractional 4:3 ratio: reference integer lerp
+    frac = {r["media_id"]: r for r in resample_audio(df, 6000).collect()}
+    got, rate = samples_of(frac[1]["data"])
+    assert rate == 6000 and len(got) == 192
+    want = []
+    for j in range(192):
+        num = j * 8000
+        i0, r = divmod(num, 6000)
+        i1 = min(i0 + 1, 255)
+        u0, u1 = src[i0] + 32768, src[i1] + 32768
+        want.append((u0 * (6000 - r) + u1 * r) // 6000 - 32768)
+    assert got == want

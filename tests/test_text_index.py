@@ -196,6 +196,44 @@ def test_vacuum_and_compact_preserve_search(spark, root):
     } == {"bm25": 1}
 
 
+def test_standing_phrase_matches_one_shot(spark, root):
+    """The positional postings answer phrase queries exactly like the
+    corpus-scanning twin (textstats.phrase_search) — across an
+    update delivery that rewrites a matching doc's text (its match
+    must vanish from the standing index)."""
+    from batch_processing_on_aws_spark.operators.textstats import (
+        phrase_search,
+    )
+
+    corpus = CORPUS + [(8, "spark shuffles data again and again")]
+    full = _docs(spark, corpus)
+    idx = TextIndex(root, n_buckets=4, stats_buckets=4)
+    idx.build(full)
+
+    def phrases(q):
+        got = sorted(_scores(idx.phrase(spark, q)))
+        want = sorted(_scores(phrase_search(current, q)))
+        return got, want
+
+    current = full
+    for q in (["spark", "shuffles"], ["again", "and", "again"], ["spark"]):
+        got, want = phrases(q)
+        assert got == want and len(got) > 0, q
+
+    # update: doc 1 loses the phrase
+    idx.add(_docs(spark, [(1, "no phrase here")]))
+    current = _docs(
+        spark,
+        [r for r in corpus if r[0] != 1] + [(1, "no phrase here")],
+    )
+    got, want = phrases(["spark", "shuffles"])
+    assert got == want
+    assert all(d != 1 for d, _, _ in got)
+    # 'no phrase here' is searchable positionally too
+    got, want = phrases(["no", "phrase", "here"])
+    assert got == want == [(1, 1, 0)]
+
+
 def test_search_version_pinning(spark, root):
     """Pinning the (postings, stats, meta) triple replays a
     historical search exactly — time travel for the index."""

@@ -216,3 +216,40 @@ def test_tfidf_cosine_matches_python_replay(spark):
         return round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1_000_000.0)
 
     assert got == {(1, 2): cos_micro(1, 2)}, got
+
+
+def test_phrase_search_consecutive_and_repeated_terms(spark):
+    """phrase_search: consecutive-position semantics, repeated terms
+    inside the phrase, overlapping matches, 0-based first_pos, and
+    no match across a gap."""
+    from batch_processing_on_aws_spark.operators.textstats import (
+        phrase_search,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick brown cow and quick brown fox"),
+            (3, "quick crown brown"),          # gap: no match
+            (4, "go go go stop"),              # overlapping repeats
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, ["quick", "brown"]).collect()
+    }
+    assert got == {1: (1, 1), 2: (2, 0)}
+
+    rep = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, ["go", "go"]).collect()
+    }
+    assert rep == {4: (2, 0)}  # positions 0-1 and 1-2 both match
+
+    tri = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, ["go", "go", "stop"]).collect()
+    }
+    assert tri == {4: (1, 1)}

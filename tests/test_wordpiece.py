@@ -186,6 +186,53 @@ def test_greedy_longest_match_unk_and_oov(spark):
     assert got[5] == []
 
 
+def test_unk_stats_match_greedy(spark):
+    """The reduction behind ``wordpiece_unk_stats``: with the
+    alphabet-closed ``wordpiece_vocab``, greedy longest-match UNKs a
+    word IFF the position-sensitive character-coverage test fails —
+    so the SQL-replayable report counts exactly the greedy
+    tokenizer's [UNK] words."""
+    from batch_processing_on_aws_spark.operators.wordpiece import (
+        learn_wordpiece, wordpiece_greedy, wordpiece_unk_stats,
+        wordpiece_vocab,
+    )
+
+    train = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [
+            (1, "src_a", "low nest zebra"),  # covered, alphabet-OOV 'z'
+            (2, "src_a", "quiz quix 9lo"),   # covered, x-cont OOV, 9-first OOV
+            (3, "src_b", "widest"),          # fully covered
+            (4, "src_b", ""),                # no words
+        ],
+        "doc_id long, source string, text string",
+    )
+    stats = {
+        r["source"]: (r["n_words"], r["n_unk_words"])
+        for r in wordpiece_unk_stats(probe, train).collect()
+    }
+    merges = learn_wordpiece(train, n_merges=10)
+    vocab = wordpiece_vocab(train, merges)
+    greedy = wordpiece_greedy(probe, vocab)
+    g = (
+        probe.join(greedy.select("doc_id", "pieces"), "doc_id")
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("nw"),
+            F.size(F.filter("pieces", lambda p: p == "[UNK]")).alias("nu"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("nw").cast("long").alias("n_words"),
+            F.sum("nu").cast("long").alias("n_unk"),
+        )
+    )
+    want = {r["source"]: (r["n_words"], r["n_unk"]) for r in g.collect()}
+    assert stats == want
+    assert stats["src_a"][1] >= 3  # zebra, quix, 9lo all UNK
+
+
 def test_greedy_with_full_vocab_handles_oov(spark):
     """``wordpiece_vocab`` seeds the training ALPHABET (first-position
     and ## forms) plus merged symbols, so an unseen word made of seen

@@ -367,6 +367,29 @@ HEADLINERS = {
         "(bucket, probe). The write side is one repartition on the "
         "bucket id; no window, no join anywhere."
     ),
+    "standing_bm25_search": (
+        "Standing BM25 search: the postings table reads back from the "
+        "VersionedTable manifest projected to TWO narrow columns "
+        "(doc_len + the tfs array), the per-row array filter prunes "
+        "to the probe terms BEFORE the explode, df rows and the "
+        "1-row N/Σlen scalars ride as broadcasts, and the tail is "
+        "one per-doc hash-agg into TakeOrderedAndProject — no "
+        "tokenize, no corpus-wide df aggregation, no window."
+    ),
+    "incremental_dup_clusters": (
+        "Standing dup-cluster read: the label table reads back from "
+        "the VersionedTable manifest — the interesting work (contract "
+        "onto existing labels, batch-sized CC, touched-bucket "
+        "relabel) happened at ingest, which is the point: the "
+        "assignment a consumer joins against is a plain narrow scan."
+    ),
+    "phrase_doc_matches": (
+        "Exact phrase search: ONE posexplode filtered to the "
+        "phrase's terms before aggregation (positions survive, "
+        "stream is O(matching tokens)), one per-doc hash-agg "
+        "collecting position lists, and the consecutive-run check "
+        "is a codegen'd array filter — no self-join, no window."
+    ),
 }
 
 

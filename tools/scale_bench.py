@@ -166,18 +166,24 @@ def run_query(df) -> None:
 
 def main() -> None:
     out_path = "SCALING_r04.json"
+    only = []
     for a in sys.argv[1:]:
         if a.startswith("--json="):
             out_path = a.split("=", 1)[1]
+        elif not a.startswith("--"):
+            only.append(a)
+    # positional names restrict the run (targeted additions fold into
+    # the existing curve via the per-query merge below)
+    queries = [q for q in QUERIES if not only or q in only]
     spark = get_spark(app_name="scale_bench")
     qs = entrymod.queries()
 
     # warm JVM + Python worker pool (same rationale as bench.py)
     run_query(qs["pricing_summary"](spark, SCALES["1x"]))
 
-    results: dict[str, dict[str, float]] = {name: {} for name in QUERIES}
+    results: dict[str, dict[str, float]] = {name: {} for name in queries}
     for scale, sf_dir in SCALES.items():
-        for name in QUERIES:
+        for name in queries:
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -218,10 +224,21 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as f:
             merged = json.load(f)
+    # per-query merge: a targeted run (trimmed QUERIES list) folds its
+    # rows into the existing curve instead of clobbering prior
+    # coverage; flagged_superlinear is recomputed over the union
+    all_queries = dict(merged.get("queries", {}))
+    all_queries.update(doc["queries"])
     merged.update(doc)
+    merged["queries"] = all_queries
+    merged["flagged_superlinear"] = sorted(
+        n
+        for n, r in all_queries.items()
+        if isinstance(r, dict) and r.get("superlinear")
+    )
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
-    print(json.dumps({"flagged": doc["flagged_superlinear"]}))
+    print(json.dumps({"flagged": merged["flagged_superlinear"]}))
 
 
 if __name__ == "__main__":
