@@ -1445,6 +1445,10 @@ def resample_audio(
             for data in pdf[data_col]:
                 try:
                     samples, rate_in = decode_wav(bytes(data))
+                    # a parseable header can still carry a zero/absurd
+                    # rate — treat it as undecodable, not a crash
+                    if rate_in <= 0:
+                        raise ValueError(f"bad sample rate {rate_in}")
                 except (ValueError, TypeError):
                     out_data.append(data)
                     out_rate.append(None)

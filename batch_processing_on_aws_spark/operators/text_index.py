@@ -194,6 +194,25 @@ class TextIndex:
     # -- lifecycle ---------------------------------------------------
 
     @staticmethod
+    def _txn_version(
+        table: VersionedTable, app: str, epoch
+    ) -> tuple[int, int] | None:
+        """(parent, version) of the commit stamped (``app``,
+        ``epoch``) — newest-first manifest scan (bounded metadata
+        reads; replayed epochs are recent by construction). None if
+        the stamp's manifest is gone (vacuumed)."""
+        for v in reversed(table.versions()):
+            m = table._manifest(v)
+            t = m.get("txn")
+            if (
+                t
+                and t.get("app") == app
+                and int(t.get("epoch", -1)) == int(epoch)
+            ):
+                return int(m.get("parent", v - 1)), v
+        return None
+
+    @staticmethod
     def _sub(txn: dict | None, part: str) -> dict | None:
         if txn is None:
             return None
@@ -212,6 +231,14 @@ class TextIndex:
         re-derives identical content and each unapplied sub-commit
         converges."""
         spark = corpus.sparkSession
+        if (
+            self._applied(self.postings, txn, "p0")
+            and self._applied(self.stats, txn, "s")
+            and self._applied(self.meta, txn, "m")
+        ):
+            # fully-replayed build epoch: nothing to commit — skip the
+            # corpus-sized tokenize/shuffle entirely
+            return {"version": self.postings.latest_version()}
         p = self._postings_rows(corpus).localCheckpoint(eager=True)
         if not self._applied(self.postings, txn, "p0"):
             self.postings.overwrite(p, txn=self._sub(txn, "p0"))
@@ -265,11 +292,26 @@ class TextIndex:
                 "deliveries through apply(), which decides)"
             )
         if self._applied(self.postings, txn, "p"):
-            v_after = self.postings.latest_version()
+            # crash-replayed epoch: resolve the version pair the
+            # epoch's own postings commit minted (manifests carry
+            # per-commit txn stamps) — latest_version()-1 would be
+            # wrong if maintenance (compact/vacuum) interleaved
+            # between the crash and the replay, silently dropping the
+            # epoch's stats/meta deltas
+            resolved = self._txn_version(
+                self.postings, f"{txn['app']}.p", txn["epoch"]
+            )
+            if resolved is None:
+                raise ValueError(
+                    "replayed epoch's postings commit is not resolvable "
+                    "from the manifest log (vacuumed?) — its change feed "
+                    "cannot be re-derived"
+                )
+            v_before, v_after = resolved
         else:
             p = self._postings_rows(batch).localCheckpoint(eager=True)
+            v_before = self.postings.latest_version()
             v_after = self.postings.upsert(spark, p, txn=self._sub(txn, "p"))
-        v_before = v_after - 1
         feed = self.postings.changes(spark, v_before, v_after).localCheckpoint(
             eager=True
         )
@@ -364,6 +406,16 @@ class TextIndex:
 
     # -- stats views -------------------------------------------------
 
+    def snapshot_versions(self) -> tuple[int, int, int]:
+        """The current (postings, stats, meta) version triple — take
+        it while the writer is quiescent and pass it to
+        :meth:`search` for an exactly-consistent repeated read."""
+        return (
+            self.postings.latest_version(),
+            self.stats.latest_version(),
+            self.meta.latest_version(),
+        )
+
     def term_stats(self, spark: SparkSession) -> DataFrame:
         """Live (term, df) rows — tombstones hidden, exactly as a
         from-scratch df count over the current corpus would show."""
@@ -391,8 +443,17 @@ class TextIndex:
         tokenizing or re-counting anything. ``versions`` pins a
         consistent historical snapshot as the (postings, stats, meta)
         version triple — the caller correlates them via the per-epoch
-        txn stamps (one epoch commits at most one version to each)."""
-        vp, vs, vm = versions if versions is not None else (None, None, None)
+        txn stamps (one epoch commits at most one version to each).
+        With ``versions=None`` the three latest versions are resolved
+        ONCE, up front; a concurrent ``add`` landing between those
+        reads could still skew the triple by one epoch, so a reader
+        that must be exactly consistent while ingest runs should pin
+        ``versions`` from :meth:`snapshot_versions` taken when the
+        writer was quiescent (single-writer tables, as everywhere in
+        this family)."""
+        if versions is None:
+            versions = self.snapshot_versions()
+        vp, vs, vm = versions
         terms = sorted({t.lower() for t in query_terms})
         matched = (
             self.postings.read(spark, version=vp)

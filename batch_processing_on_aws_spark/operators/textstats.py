@@ -645,6 +645,65 @@ def _phrase_tail_check(p, terms, idx):
     return cond
 
 
+def phrase_snippets(
+    df: DataFrame,
+    phrase: Sequence[str],
+    context: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context snippets for a phrase — the search-result
+    presentation step on top of :func:`phrase_search`: matched docs
+    with ``context`` tokens of surrounding text around the FIRST
+    occurrence. Output: (id, n_matches, first_pos, snippet), matched
+    docs only; the snippet is the lowercased token window rejoined
+    with single spaces (matching is case-folded, so the excerpt is
+    too).
+
+    Shape: ZERO shuffle — candidate starts enumerate per-row
+    (``sequence(0, len−k)`` filtered by a positional token compare),
+    the window is an ``slice`` + ``array_join``, all inside
+    whole-stage codegen. The per-row scan touches every doc's token
+    array (no posting-filter prune), which is the right trade for a
+    presentation query that runs AFTER retrieval narrowed the set;
+    for corpus-wide match mining use :func:`phrase_search` (filtered
+    posexplode) or the standing index's positional postings."""
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("empty phrase")
+    k = len(terms)
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    n = F.size("__t")
+
+    def is_match(p):
+        cond = F.lit(True)
+        for i, t in enumerate(terms):
+            cond = cond & (
+                F.element_at(F.col("__t"), p + F.lit(i + 1)) == F.lit(t)
+            )
+        return cond
+
+    starts = F.when(
+        n >= k, F.filter(F.sequence(F.lit(0), n - k), is_match)
+    ).otherwise(F.array().cast("array<int>"))
+    with_starts = base.select(
+        F.col(id_col), F.col("__t"), starts.alias("__s")
+    ).where(F.size("__s") > 0)
+    first = F.array_min(F.col("__s"))
+    win_start = F.greatest(first + F.lit(1 - context), F.lit(1))
+    win_end = F.least(first + F.lit(k + context), F.size("__t"))
+    return with_starts.select(
+        F.col(id_col),
+        F.size("__s").cast("long").alias("n_matches"),
+        first.cast("long").alias("first_pos"),
+        F.array_join(
+            F.slice(F.col("__t"), win_start, win_end - win_start + F.lit(1)),
+            " ",
+        ).alias("snippet"),
+    )
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     text_col: str = "text",

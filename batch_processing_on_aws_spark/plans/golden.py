@@ -1655,6 +1655,36 @@ def embedding_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, n_cells=16, n_probe=12, k=10)
 
 
+def _scratch_root(sf_dir: str, table: str, prefix: str):
+    """Content-keyed scratch layout shared by every build-once
+    standing-index harness (IVF, text, clusters): the key hashes the
+    source table's file list + sizes + mtimes, so a regenerated
+    fixture forces a rebuild while repeated runs reuse the finished
+    index. Returns (root, in_dir, index_dir, ckpt_dir, done_marker);
+    callers build under ``in``/``ckpt`` (scratch — delete after),
+    persist under ``index``, and touch the marker last."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = [os.path.realpath(src)] + [
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
+    ]
+    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
+    inp, index_root, ckpt = (
+        os.path.join(root, d) for d in ("in", "index", "ckpt")
+    )
+    return root, inp, index_root, ckpt, os.path.join(root, "_COMPLETE")
+
+
 def incremental_ivf_topk(spark, sf_dir):
     """INCREMENTALLY-MAINTAINED IVF index end-to-end: the embeddings
     table arrives as TWO deliveries (deterministic vec_id hash split)
@@ -1676,31 +1706,15 @@ def incremental_ivf_topk(spark, sf_dir):
     engine primitives (similarity.py quantizer + versioned.py
     commits); scratch reuse contract as ``streamed_ingest_corpus``
     (``$TMPDIR/spark_graft_ivf_*``)."""
-    import hashlib
     import shutil
-    import tempfile
 
     from ..operators.ann_index import IVFIndex
     from ..operators.sampling import hash_bucket
     from ..streaming.incremental import ingest_ivf_index_stream
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    files = (
-        sorted(
-            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
-        )
-        if os.path.isdir(src)
-        else [src]
+    root, inp, index_root, ckpt, done = _scratch_root(
+        sf_dir, "embeddings", "spark_graft_ivf"
     )
-    sig = [os.path.realpath(src)] + [
-        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
-    ]
-    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
-    inp, index_root, ckpt = (
-        os.path.join(root, d) for d in ("in", "index", "ckpt")
-    )
-    done = os.path.join(root, "_COMPLETE")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if not os.path.exists(done):
         shutil.rmtree(root, ignore_errors=True)  # half-built leftovers
@@ -4044,9 +4058,7 @@ def incremental_dup_clusters(spark, sf_dir):
     that makes standing dedup clusters maintainable under a daily
     crawl. Scratch reuse contract as the sibling standing indexes
     (``$TMPDIR/spark_graft_cidx_*``)."""
-    import hashlib
     import shutil
-    import tempfile
 
     from ..operators.cluster_index import ClusterIndex
     from ..operators.neardup import (
@@ -4056,23 +4068,9 @@ def incremental_dup_clusters(spark, sf_dir):
     from ..operators.sampling import hash_bucket
     from ..streaming.incremental import ingest_cluster_stream
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    files = (
-        sorted(
-            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
-        )
-        if os.path.isdir(src)
-        else [src]
+    root, inp, index_root, ckpt, done = _scratch_root(
+        sf_dir, "documents", "spark_graft_cidx"
     )
-    sig = [os.path.realpath(src)] + [
-        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
-    ]
-    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_cidx_{key}")
-    inp, index_root, ckpt = (
-        os.path.join(root, d) for d in ("in", "index", "ckpt")
-    )
-    done = os.path.join(root, "_COMPLETE")
     if not os.path.exists(done):
         shutil.rmtree(root, ignore_errors=True)  # half-built leftovers
         docs = load_table(spark, sf_dir, "documents")
@@ -10713,33 +10711,17 @@ def _standing_text_index(spark, sf_dir):
     text, so postings rows are overwritten in place and the stats
     fold decrements the vanished terms' df — the df-goes-down path
     no insert-only corpus can reach."""
-    import hashlib
     import shutil
-    import tempfile
 
     from ..operators.sampling import hash_bucket
     from ..operators.text_index import TextIndex
     from ..streaming.incremental import ingest_text_index_stream
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    files = (
-        sorted(
-            os.path.join(dp, f) for dp, _, fs in os.walk(src) for f in fs
-        )
-        if os.path.isdir(src)
-        else [src]
-    )
-    sig = [os.path.realpath(src)] + [
-        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in files
-    ]
-    key = hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
-    # v2: positional postings (layout change ⇒ new scratch key so a
+    # v2: positional postings (layout change ⇒ new scratch prefix so a
     # pre-positions cached index rebuilds instead of failing phrase)
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_tidx2_{key}")
-    inp, index_root, ckpt = (
-        os.path.join(root, d) for d in ("in", "index", "ckpt")
+    root, inp, index_root, ckpt, done = _scratch_root(
+        sf_dir, "documents", "spark_graft_tidx2"
     )
-    done = os.path.join(root, "_COMPLETE")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     if not os.path.exists(done):
         shutil.rmtree(root, ignore_errors=True)  # half-built leftovers
@@ -10909,6 +10891,49 @@ SELECT doc_id,
        CAST(len(hits) AS BIGINT) AS n_matches,
        CAST(list_min(hits) AS BIGINT) AS first_pos
 FROM m WHERE len(hits) > 0
+"""
+
+
+def phrase_snippets_kwic(spark, sf_dir):
+    """Keyword-in-context snippets
+    (operators/textstats.py::phrase_snippets): the matched docs of
+    ``phrase_doc_matches`` with 3 tokens of context around the first
+    occurrence — the search-result presentation step, computed with
+    ZERO shuffle (per-row candidate-start enumeration + slice +
+    array_join in whole-stage codegen). The oracle replays the
+    positional compare, the window clamp arithmetic, and the space
+    rejoin verbatim, so every snippet string is value-checked."""
+    from ..operators.textstats import phrase_snippets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_snippets(docs, ["slow", "hash", "batch"], context=3)
+
+
+_PHRASE_KWIC_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END,
+           w -> lower(w)) AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         list_filter(range(0, len(toks) - 2),
+                     p -> toks[p + 1] = 'slow'
+                      AND toks[p + 2] = 'hash'
+                      AND toks[p + 3] = 'batch') AS starts
+  FROM t WHERE len(toks) >= 3
+)
+SELECT doc_id,
+       CAST(len(starts) AS BIGINT) AS n_matches,
+       CAST(list_min(starts) AS BIGINT) AS first_pos,
+       array_to_string(
+         toks[GREATEST(list_min(starts) + 1 - 3, 1)
+              : LEAST(list_min(starts) + 3 + 3, len(toks))],
+         ' ') AS snippet
+FROM s WHERE len(starts) > 0
 """
 
 
@@ -12466,6 +12491,7 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("bm25_doc_search", bm25_doc_search, _BM25_SQL),
     QueryDef("phrase_doc_matches", phrase_doc_matches, _PHRASE_SQL),
+    QueryDef("phrase_snippets_kwic", phrase_snippets_kwic, _PHRASE_KWIC_SQL),
     QueryDef("standing_bm25_search", standing_bm25_search, _STANDING_BM25_SQL),
     QueryDef("standing_bm25_stats", standing_bm25_stats, _STANDING_STATS_SQL),
     QueryDef(

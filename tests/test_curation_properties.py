@@ -135,3 +135,44 @@ def test_gopher_keep_equals_flag_conjunction(spark, texts):
         assert (r["word_count"] == 0) == (r["mean_word_len"] == 0.0) or r[
             "mean_word_len"
         ] > 0
+
+
+# tiny vocabulary so phrases repeat and overlap often
+_pwords = st.sampled_from(["a", "b", "c", "ab"])
+_pdocs = st.lists(
+    st.lists(_pwords, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+_pphrase = st.lists(_pwords, min_size=1, max_size=3)
+
+
+@given(_pdocs, _pphrase)
+@settings(**_SETTINGS)
+def test_phrase_search_matches_python_reference(spark, texts, phrase):
+    """phrase_search == a straight Python scan over the tokenized
+    docs: same matching docs, same match counts, same 0-based first
+    position — under repeated terms, overlaps, and empty docs."""
+    from batch_processing_on_aws_spark.operators.textstats import (
+        phrase_search,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, phrase).collect()
+    }
+    want = {}
+    k = len(phrase)
+    for i, text in enumerate(texts):
+        toks = text.lower().split()
+        hits = [
+            p
+            for p in range(len(toks) - k + 1)
+            if toks[p : p + k] == list(phrase)
+        ]
+        if hits:
+            want[i] = (len(hits), hits[0])
+    assert got == want

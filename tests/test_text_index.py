@@ -173,6 +173,40 @@ def test_crash_replay_routing_and_idempotency(spark, root):
     assert got == want
 
 
+def test_replay_after_interleaved_compact_folds_correct_feed(spark, root):
+    """A crash-replayed add epoch must re-derive ITS OWN commit's
+    change feed even when maintenance (compact) minted versions
+    between the crash and the replay — resolving latest-1 would diff
+    the compact's empty change set and silently drop the epoch's
+    stats/meta deltas."""
+    full = _docs(spark, CORPUS)
+    idx = TextIndex(root, n_buckets=4, stats_buckets=4)
+    idx.apply(full.where(F.col("doc_id") <= 4), txn={"app": "t", "epoch": 0})
+    # epoch 1 crashes after the postings half only
+    d = _docs(spark, [(10, "late arriving doc")])
+    idx.postings.upsert(
+        spark, idx._postings_rows(d), txn={"app": "t.p", "epoch": 1}
+    )
+    # maintenance interleaves before the stream restarts
+    idx.postings.compact(spark)
+    idx.apply(d, txn={"app": "t", "epoch": 1})  # replay completes the epoch
+    assert {
+        r["term"]: r["df"]
+        for r in idx.term_stats(spark).where(F.col("term") == "late").collect()
+    } == {"late": 1}
+    meta = idx.corpus_stats(spark).collect()[0]
+    assert meta["n_docs"] == 5 and meta["sum_len"] > 0
+    got = _scores(idx.search(spark, ["late", "spark"], top_k=10))
+    want = _scores(
+        bm25_search(
+            full.where(F.col("doc_id") <= 4).unionByName(d),
+            ["late", "spark"],
+            top_k=10,
+        )
+    )
+    assert got == want
+
+
 def test_vacuum_and_compact_preserve_search(spark, root):
     """Tombstone GC drops only df=0 rows; compact folds commit files
     — neither changes a single search result, and a vacuumed term

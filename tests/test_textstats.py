@@ -253,3 +253,31 @@ def test_phrase_search_consecutive_and_repeated_terms(spark):
         for r in phrase_search(df, ["go", "go", "stop"]).collect()
     }
     assert tri == {4: (1, 1)}
+
+
+def test_phrase_snippets_window_clamps(spark):
+    """phrase_snippets: context window clamps at both doc edges,
+    snippet is the lowercased rejoined window, n_matches counts
+    overlaps, and unmatched/short docs drop."""
+    from batch_processing_on_aws_spark.operators.textstats import (
+        phrase_snippets,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Quick Brown fox jumps over the lazy dog"),  # match at 0
+            (2, "the very lazy quick brown"),                # match at end
+            (3, "quick quick brown brown"),                  # overlap-free 1
+            (4, "brown quick"),                              # wrong order
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"], r["snippet"])
+        for r in phrase_snippets(df, ["quick", "brown"], context=2).collect()
+    }
+    assert got == {
+        1: (1, 0, "quick brown fox jumps"),        # left edge clamped
+        2: (1, 3, "very lazy quick brown"),        # right edge clamped
+        3: (1, 1, "quick quick brown brown"),
+    }

@@ -173,7 +173,12 @@ def main() -> None:
         elif not a.startswith("--"):
             only.append(a)
     # positional names restrict the run (targeted additions fold into
-    # the existing curve via the per-query merge below)
+    # the existing curve via the per-query merge below); unknown names
+    # are a hard error — a typo'd targeted run must not silently
+    # measure nothing and rewrite the sidecar anyway
+    unknown = sorted(set(only) - set(QUERIES))
+    if unknown:
+        raise SystemExit(f"unknown scale-bench queries: {unknown}")
     queries = [q for q in QUERIES if not only or q in only]
     spark = get_spark(app_name="scale_bench")
     qs = entrymod.queries()
