@@ -8334,6 +8334,46 @@ FROM flags GROUP BY 1
 """
 
 
+def tokenizer_family_report(spark, sf_dir):
+    """The three trainer families' fertility metrics on ONE table —
+    (family, source, n_docs, n_words, n_pieces, fertility,
+    chars_per_piece) — the report a pipeline owner reads to pick a
+    tokenizer per corpus slice. Each family trains on the same
+    corpus with its registry defaults (BPE 12 merges, unigram 2 EM
+    rounds, WordPiece 12 likelihood merges) and reuses the exact
+    per-source aggregation its standalone golden pins, so this
+    union adds comparability, not new math."""
+    from ..operators.bpe import learn_bpe, tokenizer_fertility
+    from ..operators.unigram import train_unigram, unigram_fertility
+    from ..operators.wordpiece import learn_wordpiece, wordpiece_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = [
+        "source", "n_docs", "n_words", "n_pieces", "fertility",
+        "chars_per_piece",
+    ]
+    bpe = tokenizer_fertility(docs, learn_bpe(docs, n_merges=12)).select(
+        F.lit("bpe").alias("family"), *cols
+    )
+    uni = unigram_fertility(docs, train_unigram(docs)).select(
+        F.lit("unigram").alias("family"), *cols
+    )
+    wp = wordpiece_fertility(docs, learn_wordpiece(docs, n_merges=12)).select(
+        F.lit("wordpiece").alias("family"), *cols
+    )
+    return bpe.unionByName(uni).unionByName(wp)
+
+
+def _tokenizer_family_sql() -> str:
+    return f"""
+SELECT 'bpe' AS family, * FROM ({_fertility_sql()})
+UNION ALL
+SELECT 'unigram', * FROM ({_unigram_fertility_sql()})
+UNION ALL
+SELECT 'wordpiece', * FROM ({_wp_fertility_sql()})
+"""
+
+
 def _wp_learn_cte_chain(n_merges: int) -> str:
     """Shared CTE chain replaying ``learn_wordpiece`` in DuckDB — the
     ``_bpe_learn_cte_chain`` state encoding (``\\x1f``-wrapped symbols
@@ -12677,6 +12717,11 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef(
         "wordpiece_oov_by_source", wordpiece_oov_by_source, _WP_OOV_SQL
+    ),
+    QueryDef(
+        "tokenizer_family_report",
+        tokenizer_family_report,
+        _tokenizer_family_sql(),
     ),
     QueryDef(
         "unigram_fertility_by_source",
