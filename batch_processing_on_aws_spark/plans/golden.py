@@ -1732,7 +1732,7 @@ def incremental_ivf_topk(spark, sf_dir):
         for scratch in (inp, ckpt):
             shutil.rmtree(scratch, ignore_errors=True)
         with open(done, "w") as f:
-            f.write(key)
+            f.write(os.path.basename(root))
     idx = IVFIndex(index_root)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -4092,7 +4092,7 @@ def incremental_dup_clusters(spark, sf_dir):
         for scratch in (inp, ckpt):
             shutil.rmtree(scratch, ignore_errors=True)
         with open(done, "w") as f:
-            f.write(key)
+            f.write(os.path.basename(root))
     idx = ClusterIndex(index_root)
     return idx.labels(spark)
 
@@ -10779,7 +10779,7 @@ def _standing_text_index(spark, sf_dir):
         for scratch in (inp, ckpt):
             shutil.rmtree(scratch, ignore_errors=True)
         with open(done, "w") as f:
-            f.write(key)
+            f.write(os.path.basename(root))
     return TextIndex(index_root)
 
 
