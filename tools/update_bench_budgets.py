@@ -62,10 +62,15 @@ def main() -> int:
     # would keep flagging the new cost forever. An override replaces
     # the floor and records why; remove it once history catches up.
     overrides: dict[str, dict] = {}
+    drift_notes: dict[str, str] = {}
     bud_path = os.path.join(ROOT, "BENCH_BUDGETS.json")
     if os.path.exists(bud_path):
         with open(bud_path) as f:
-            overrides = json.load(f).get("overrides", {})
+            prior = json.load(f)
+        overrides = prior.get("overrides", {})
+        # adjudicated engine_drift_alarm post-mortems (bench.py) —
+        # hand-written, preserved across regeneration like overrides
+        drift_notes = prior.get("drift_notes", {})
     for q, o in overrides.items():
         best[q] = float(o["floor_sec"])
     out = {
@@ -76,6 +81,7 @@ def main() -> int:
         "tolerance_x": tol,
         "sf": 0.1,
         "overrides": overrides,
+        "drift_notes": drift_notes,
         "budgets_sec": dict(sorted(best.items())),
     }
     # the engine-independent calibration probe's floor (bench.py
