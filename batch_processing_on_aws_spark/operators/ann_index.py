@@ -45,7 +45,7 @@ probe n_probe cells via the same broadcast equi-join as ``ivf_topk``.
 Reference scope: extension beyond the reference pipeline (which has
 no vector surface); the versioned-commit pattern mirrors its
 Redshift COPY+UPSERT warehouse load (reference
-`airflow/dags/proc_2_transfer_to_redshift_dag.py:31-43`) applied to
+`airflow/dags/proc_2_s3_to_redshifht_dag.py:31-43`) applied to
 an index instead of a fact table.
 """
 
@@ -277,3 +277,38 @@ class IVFIndex:
         needs_retrain) — the monitoring feed a retrain scheduler
         consumes."""
         return spark.read.parquet(self.drift_path).drop("__epoch")
+
+    # -- maintenance (the shared standing-index contract) --------------
+
+    def delete(self, keys: DataFrame, txn: dict | None = None) -> dict:
+        """Remove vectors from the standing index (corpus retention,
+        takedown, re-crawl churn) — before this, a vector removed
+        from the corpus stayed in the index forever and kept
+        surfacing in ``topk``. One keyed ``delete_keys`` commit:
+        touched buckets are a pure function of the ids (O(batch)
+        bucket discovery, untouched buckets file-shared), prior
+        versions stay time-travel readable, and the ``txn`` stamp
+        makes a crash-replayed delete epoch skip cleanly.
+
+        The model is untouched: the frozen quantizer and its base
+        occupancy histogram describe the distribution the index was
+        trained on, which deletion does not retrain away — a corpus
+        whose composition drifts through heavy deletion flags on the
+        NEXT add's PSI gate, and :meth:`refresh` resets both."""
+        spark = keys.sparkSession
+        version = self.table.delete_keys(
+            spark, keys.select(F.col(self.id_col).alias("vec_id")), txn=txn
+        )
+        return {"version": version}
+
+    def compact(self, spark: SparkSession, min_files: int = 2) -> int | None:
+        """Fold upsert-accreted small files in the assignment table —
+        content-identical (probe results invariant, pinned by test);
+        every streaming add appends one file per touched bucket and
+        this is the OPTIMIZE pass that heals the accretion."""
+        return self.table.compact(spark, min_files=min_files)
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY of the assignment table (metadata-only):
+        build/add/delete/compact commits with their txn stamps."""
+        return self.table.history()

@@ -40,7 +40,7 @@ cluster-bucketed secondary layout would prune it; not needed while
 the label table is millions-of-rows narrow). Reference scope:
 extension beyond the reference pipeline; the versioned-commit
 pattern mirrors its Redshift COPY+UPSERT load
-(`airflow/dags/proc_2_transfer_to_redshift_dag.py:31-43`).
+(`airflow/dags/proc_2_s3_to_redshifht_dag.py:31-43`).
 """
 
 from __future__ import annotations
@@ -116,12 +116,22 @@ class ClusterIndex:
             F.col("src") != F.col("dst")
         ).localCheckpoint(eager=True)
         if contracted.isEmpty():
-            # every pair already internal to one cluster: no-op commit
-            # still mints the txn stamp so a replay skips cleanly
-            if have_labels and txn is not None:
-                v = self.table.upsert(
-                    spark, self.table.read(spark).limit(0), txn=txn
+            # every pair already internal to one cluster (or the whole
+            # batch was self-pairs/nulls): no-op commit still mints the
+            # txn stamp so a replay skips cleanly — in BOTH branches;
+            # a first-delivery no-op that skipped the stamp would be
+            # re-run on every replay (benign but inconsistent with the
+            # labeled branch's contract)
+            if txn is not None:
+                empty = (
+                    self.table.read(spark).limit(0)
+                    if have_labels
+                    else edges.select(
+                        F.col("a").alias("doc_id"),
+                        F.col("a").alias("cluster_id"),
+                    ).limit(0)
                 )
+                v = self.table.upsert(spark, empty, txn=txn)
                 return {"version": v, "relabeled_nodes": 0}
             return {"version": self.table.latest_version(),
                     "relabeled_nodes": 0}
@@ -178,3 +188,45 @@ class ClusterIndex:
         return docs.join(lab, id_col, "left").withColumn(
             "cluster_id", F.coalesce("cluster_id", F.col(id_col))
         )
+
+    # -- maintenance (the shared standing-index contract) --------------
+
+    def remove_docs(self, keys: DataFrame, txn: dict | None = None) -> int:
+        """MEMBERSHIP removal only (corpus retention, takedown): drop
+        the docs' label rows so :meth:`labels` / :meth:`labels_for`
+        stop reporting them. One keyed ``delete_keys`` commit, txn
+        stamped, prior versions time-travel readable.
+
+        What this deliberately does NOT do — and why — is the
+        documented position on cluster deletion: true label
+        RETRACTION (splitting a cluster whose members were only
+        connected through the removed doc) is impossible from the
+        label table alone. Labels are the min-label fixpoint of the
+        edge set, and the index stores the fixpoint, not the edges —
+        the same economy that makes :meth:`apply` O(batch) forfeits
+        the information a split needs. Retraction therefore requires
+        the pair LEDGER the near-dup miners emitted (which the
+        pipeline already persists for replay) and is an O(touched
+        cluster) recompute: filter the ledger to the removed docs'
+        clusters, drop edges incident to the removed docs, re-run
+        ``connected_components`` over just those clusters' remaining
+        edges, and upsert the relabel — the ``recompute_touched``
+        shape, run as an explicit audited maintenance pass, never
+        inline in the hot add path. Membership removal is the right
+        default for near-dup curation: remaining members' labels
+        stay a conservative over-grouping (docs once transitively
+        near-dup stay grouped), which biases toward MORE dedup,
+        never less."""
+        spark = keys.sparkSession
+        return self.table.delete_keys(
+            spark, keys.select("doc_id").distinct(), txn=txn
+        )
+
+    def compact(self, spark: SparkSession, min_files: int = 2) -> int | None:
+        """Fold upsert-accreted small files in the label table —
+        content-identical (labels invariant, pinned by test)."""
+        return self.table.compact(spark, min_files=min_files)
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY of the label table (metadata-only)."""
+        return self.table.history()

@@ -1,0 +1,279 @@
+"""Incrementally-maintained SemDeDup corpus (the standing-index
+sibling of ``similarity.semantic_dedup``).
+
+``semantic_dedup`` re-trains the quantizer and re-compares the whole
+corpus on every call — correct one-shot, wrong for a corpus that a
+crawl appends to daily. This module composes the frozen-quantizer
+pattern of :class:`~.ann_index.IVFIndex` (train once on the first
+delivery, assign-only ever after) with SemDeDup's within-cell cosine
+ball (Abbas et al. 2023, arXiv:2303.09540):
+
+- **state** — ONE VersionedTable keyed on ``vec_id`` holding every
+  vector ever delivered with its frozen-cell assignment and its
+  ``kept`` flag. Dropped rows are retained, not discarded: SemDeDup's
+  drop rule quantifies over ALL smaller-id neighbors (a vector
+  dropped because of an even-smaller neighbor still drops ITS larger
+  neighbors), so dropped rows stay comparators forever. ``kept`` is
+  the audit surface, exactly the one-shot operator's output frame.
+- **add is O(batch × touched-cell density)** — assign the batch
+  against the frozen centroids (shuffle-free Arrow matmul), read the
+  standing rows of only the CELLS the batch touches (cell predicate
+  pushed to the parquet scan), then one cell-keyed equi-join decides
+  both directions: a batch row is dropped iff SOME smaller-id
+  same-cell row (standing or in-batch) sits within the ball, and a
+  standing KEPT row is retracted iff a NEW smaller-id batch row
+  lands within its ball. The union's drop set is monotone — rows
+  only ever flip kept→dropped — which is what makes delivery order
+  irrelevant: after any sequence of adds the flags equal the
+  one-shot ``semantic_dedup`` of the union under the same frozen
+  quantizer (pinned hash-exact by the ``streamed_semantic_corpus``
+  golden).
+- **contract** — a ``vec_id``'s embedding is immutable (ids are
+  content hashes in a real pipeline); value-equal re-deliveries are
+  idempotent (the recomputed flag can only confirm or tighten).
+  A value-CHANGING re-delivery breaks monotonicity and is out of
+  contract — route it as a delete + new id.
+
+At 100 TB: the model is n_cells × dim (kilobytes, rides task
+closures); state is O(corpus) but the add path never rescans it —
+the cell filter prunes the standing read to the batch's touched
+cells, and n_cells scales ∝ N (the paper's ~0.1 %·N) so cells stay
+bounded. The state table is bucketed by ``vec_id`` for keyed
+upserts; at warehouse scale you would additionally cluster files by
+``cell`` (``VersionedTable.compact(zorder_by=...)``) so the
+touched-cell read prunes at file rather than row-group level.
+
+Reference scope: extension beyond the reference pipeline (no vector
+surface there); the versioned-commit pattern mirrors its Redshift
+COPY+UPSERT warehouse load (reference
+`airflow/dags/proc_2_s3_to_redshifht_dag.py:31-43`) applied to a
+curation ledger instead of a fact table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _as_double,
+    _assign_cells,
+    _train_centroids,
+    cosine,
+)
+from .versioned import VersionedTable
+
+MODEL_DIR = "model"
+STATE_DIR = "state"
+
+
+class SemDedupIndex:
+    """A persisted, incrementally-maintained SemDeDup ledger rooted at
+    ``root``: ``root/model`` (frozen quantizer), ``root/state``
+    (VersionedTable of (vec_id, c_vec, cell, kept) keyed on
+    ``vec_id``)."""
+
+    def __init__(
+        self,
+        root: str,
+        n_cells: int = 16,
+        tau: float = 0.92,
+        seed: int = 42,
+        max_iter: int = 8,
+        n_train: int = 4096,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_buckets: int = 32,
+    ):
+        self.root = root
+        self.n_cells = n_cells
+        self.tau = tau
+        self.seed = seed
+        self.max_iter = max_iter
+        self.n_train = n_train
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.model_path = os.path.join(root, MODEL_DIR)
+        self.table = VersionedTable(
+            os.path.join(root, STATE_DIR), keys=["vec_id"], n_buckets=n_buckets
+        )
+
+    # -- model state ---------------------------------------------------
+
+    def _canon(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(self.id_col).alias("vec_id"),
+            _as_double(F.col(self.vec_col)).alias("c_vec"),
+        )
+
+    def _write_model(self, spark: SparkSession, centers) -> None:
+        rows = [
+            (i, [float(x) for x in ctr], float((ctr**2).sum() / 2.0))
+            for i, ctr in enumerate(centers)
+        ]
+        (
+            spark.createDataFrame(
+                rows, "cell int, centroid array<double>, half_sq double"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(self.model_path)
+        )
+
+    def _load_model(self, spark: SparkSession):
+        import numpy as np
+
+        rows = spark.read.parquet(self.model_path).orderBy("cell").collect()
+        return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+    def exists(self) -> bool:
+        return self.table.latest_version() > 0
+
+    # -- the drop rule (shared by build and add) -----------------------
+
+    @staticmethod
+    def _dropped_ids(candidates: DataFrame, comparators: DataFrame, tau: float):
+        """ids of ``candidates`` rows having SOME strictly-smaller-id
+        same-cell comparator within the cosine ball. Comparators
+        include dropped rows — SemDeDup's rule quantifies over all
+        smaller-id neighbors, not just survivors. Cosine rounded to 4
+        decimals before thresholding (the cross-engine reproducibility
+        convention shared with ``semantic_dedup``)."""
+        a = candidates.select(
+            F.col("vec_id").alias("a_id"), F.col("c_vec").alias("a_vec"), "cell"
+        )
+        b = comparators.select(
+            F.col("vec_id").alias("b_id"), F.col("c_vec").alias("b_vec"), "cell"
+        )
+        return (
+            a.join(b, "cell")
+            .where(F.col("b_id") < F.col("a_id"))
+            .where(F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4) >= tau)
+            .select(F.col("a_id").alias("vec_id"))
+            .distinct()
+        )
+
+    def _flag(self, rows: DataFrame, dropped: DataFrame) -> DataFrame:
+        return (
+            rows.join(dropped.withColumn("__drop", F.lit(True)), "vec_id", "left")
+            .select(
+                "vec_id",
+                "c_vec",
+                "cell",
+                F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+            )
+        )
+
+    # -- lifecycle -----------------------------------------------------
+
+    def build(self, corpus: DataFrame, txn: dict | None = None) -> dict:
+        """Train the quantizer on a bounded deterministic sample of the
+        FIRST delivery, freeze it, and commit the delivery's full
+        (vec_id, cell, kept) frame as version 1. Deterministic, so a
+        crash-replayed build epoch converges (same model bytes, same
+        flags)."""
+        spark = corpus.sparkSession
+        c = self._canon(corpus)
+        centers = _train_centroids(
+            c,
+            n_cells=self.n_cells,
+            seed=self.seed,
+            max_iter=self.max_iter,
+            n_train=self.n_train,
+        )
+        assigned = _assign_cells(c, centers).localCheckpoint(eager=True)
+        self._write_model(spark, centers)
+        rows = self._flag(assigned, self._dropped_ids(assigned, assigned, self.tau))
+        version = self.table.overwrite(rows, txn=txn)
+        return {"version": version}
+
+    def add(self, batch: DataFrame, txn: dict | None = None) -> dict:
+        """Fold a delivery in: assign against the FROZEN quantizer,
+        compare within touched cells in both directions, commit ONE
+        keyed upsert (new rows with their flags + retractions of
+        standing survivors newly shadowed by smaller-id arrivals)."""
+        spark = batch.sparkSession
+        centers = self._load_model(spark)
+        assigned = _assign_cells(self._canon(batch), centers).localCheckpoint(
+            eager=True
+        )
+        cells = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+        standing = (
+            self.table.read(spark)
+            .where(F.col("cell").isin(cells))
+            .select("vec_id", "c_vec", "cell", "kept")
+            .localCheckpoint(eager=True)
+        )
+        # batch rows compare against the union-so-far (standing rows
+        # kept OR dropped, plus the batch itself); for a re-delivered
+        # id the standing copy is excluded by the strict b_id < a_id
+        comparators = assigned.unionByName(
+            standing.select("vec_id", "c_vec", "cell")
+        )
+        batch_rows = self._flag(
+            assigned, self._dropped_ids(assigned, comparators, self.tau)
+        )
+        # standing survivors retracted by new smaller-id arrivals;
+        # re-delivered ids are re-flagged via batch_rows (upsert wins
+        # by key), so exclude them here to keep one row per key
+        retracted_ids = self._dropped_ids(
+            standing.where(F.col("kept")), assigned, self.tau
+        ).join(assigned.select("vec_id"), "vec_id", "left_anti")
+        retractions = (
+            standing.join(retracted_ids, "vec_id")
+            .select("vec_id", "c_vec", "cell", F.lit(False).alias("kept"))
+        )
+        version = self.table.upsert(
+            spark, batch_rows.unionByName(retractions), txn=txn
+        )
+        return {"version": version}
+
+    def apply(self, batch: DataFrame, txn: dict | None = None) -> dict:
+        """build() on an empty index, add() after — the streaming
+        entrypoint's decision, factored for reuse."""
+        if not self.exists():
+            return self.build(batch, txn=txn)
+        return self.add(batch, txn=txn)
+
+    # -- read surface ----------------------------------------------------
+
+    def audit(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The full (vec_id, cell, kept) frame — the one-shot
+        ``semantic_dedup`` output shape, for dedup-rate audits and the
+        parity oracle. ``version`` time-travels."""
+        return self.table.read(spark, version=version).select(
+            "vec_id", "cell", "kept"
+        )
+
+    def survivors(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Kept vectors only — what downstream training actually reads."""
+        return (
+            self.table.read(spark, version=version)
+            .where(F.col("kept"))
+            .select("vec_id", "cell")
+        )
+
+    # -- maintenance (the shared standing-index contract) ----------------
+
+    def delete(self, keys: DataFrame, txn: dict | None = None) -> int:
+        """Remove vectors from the ledger (corpus retention, takedown).
+        NOTE the asymmetry with :meth:`add`: removing a row does NOT
+        resurrect larger-id rows it once dropped — SemDeDup survivors
+        are a curation decision, and un-dropping would require the
+        full touched-cell recompute (run :meth:`add` semantics over
+        the affected cells from scratch if that matters). Documented,
+        explicit, audited — one ``delete_keys`` commit."""
+        spark = keys.sparkSession
+        return self.table.delete_keys(
+            spark, keys.select(F.col(self.id_col).alias("vec_id")), txn=txn
+        )
+
+    def compact(self, spark: SparkSession, min_files: int = 2) -> int | None:
+        """Fold upsert-accreted small files; content-identical."""
+        return self.table.compact(spark, min_files=min_files)
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY of the state table (metadata-only)."""
+        return self.table.history()

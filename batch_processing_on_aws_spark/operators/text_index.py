@@ -68,7 +68,7 @@ segment-merge machinery.
 Reference scope: extension beyond the reference pipeline (which has
 no search surface); the versioned-commit pattern mirrors its Redshift
 COPY+UPSERT warehouse load (reference
-`airflow/dags/proc_2_transfer_to_redshift_dag.py:31-43`) applied to
+`airflow/dags/proc_2_s3_to_redshifht_dag.py:31-43`) applied to
 an inverted index instead of a fact table.
 """
 
@@ -332,6 +332,10 @@ class TextIndex:
                 .groupBy("term")
                 .agg(F.sum("d").cast("long").alias("d_df"))
                 .where(F.col("d_df") != 0)
+                # materialize before the isEmpty probe: isEmpty would
+                # otherwise evaluate the unioned/aggregated feed once
+                # just to answer, then the fold re-evaluates it
+                .localCheckpoint(eager=True)
             )
             if not delta.isEmpty():
                 cur = self.stats.read(spark).select("term", "df")
@@ -344,6 +348,14 @@ class TextIndex:
                 # df 0 rows persist as tombstones (read() hides them):
                 # ONE commit, so a replayed epoch skips atomically
                 self.stats.upsert(spark, folded, txn=self._sub(txn, "s"))
+            else:
+                # empty delta (all re-deliveries value-equal): commit
+                # an empty upsert anyway so the `.s` stamp exists —
+                # without it every crash replay of this epoch
+                # re-derives the change feed and recomputes the delta
+                self.stats.upsert(spark, delta.select(
+                    "term", F.col("d_df").alias("df")
+                ), txn=self._sub(txn, "s"))
         if not self._applied(self.meta, txn, "m"):
             d = feed.agg(
                 F.coalesce(
@@ -402,6 +414,18 @@ class TextIndex:
             "postings": self.postings.compact(spark, min_files=min_files),
             "stats": self.stats.compact(spark, min_files=min_files),
             "meta": self.meta.compact(spark, min_files=min_files),
+        }
+
+    def history(self) -> dict[str, list[dict]]:
+        """DESCRIBE HISTORY for all three subtables (metadata-only) —
+        the standing-index maintenance contract shared with
+        ``IVFIndex.history`` / ``ClusterIndex.history``; this index is
+        a three-table transaction, so its history is a dict keyed by
+        subtable rather than one list."""
+        return {
+            "postings": self.postings.history(),
+            "stats": self.stats.history(),
+            "meta": self.meta.history(),
         }
 
     # -- stats views -------------------------------------------------

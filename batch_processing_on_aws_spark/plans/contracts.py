@@ -53,6 +53,11 @@ CROSS_PRODUCT_ALLOWED: dict[str, str] = {
         "_ivf_probe_topk): query set x n_cells-row frozen-centroid "
         "table — bounded |Q|x16, the standing corpus only equi-joins"
     ),
+    "incremental_ivf_topk_deleted": (
+        "same probe shape as incremental_ivf_topk (shared "
+        "_ivf_probe_topk) over the post-delete survivor set — bounded "
+        "|Q|x16, the standing corpus only equi-joins"
+    ),
     "hard_negative_candidates": (
         "brute-force family: query side broadcast, corpus streams "
         "(documented exception, same as embedding_topk)"

@@ -1753,6 +1753,170 @@ def _dlist(xs) -> str:
     return "[" + ", ".join(repr(float(x)) for x in xs) + "]::DOUBLE[]"
 
 
+def incremental_ivf_topk_deleted(spark, sf_dir):
+    """DELETION path of the standing IVF index (round-12: before
+    this, a vector removed from the corpus stayed in the index — and
+    in every topk answer — forever): the same two streamed deliveries
+    as ``incremental_ivf_topk`` build the index, then
+    ``IVFIndex.delete`` removes every ``vec_id % 7 == 3`` vector as
+    ONE keyed ``delete_keys`` commit (txn-stamped; touched buckets a
+    pure function of the ids, untouched buckets file-shared, prior
+    versions time-travel readable). The probe then runs against the
+    surviving set — the oracle re-derives the frozen delivery-1
+    quantizer and scores ONLY ``vec_id % 7 <> 3`` rows, so "deleted
+    vectors never surface in topk" is hash-verified, not just
+    asserted. Scratch reuse contract as ``incremental_ivf_topk``
+    (``$TMPDIR/spark_graft_ivfd_*``)."""
+    import shutil
+
+    from ..operators.ann_index import IVFIndex
+    from ..operators.sampling import hash_bucket
+    from ..streaming.incremental import ingest_ivf_index_stream
+
+    root, inp, index_root, ckpt, done = _scratch_root(
+        sf_dir, "embeddings", "spark_graft_ivfd"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        b = hash_bucket(F.col("vec_id"))
+        for lo, hi in ((0, 50), (50, 100)):
+            emb.where((b >= lo) & (b < hi)).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+            ingest_ivf_index_stream(
+                spark, inp, emb.schema, index_root, ckpt
+            )
+        idx = IVFIndex(index_root)
+        if not idx.table.txn_applied("ivfd-del", 0):
+            idx.delete(
+                emb.where(F.col("vec_id") % 7 == 3),
+                txn={"app": "ivfd-del", "epoch": 0},
+            )
+        for scratch in (inp, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(os.path.basename(root))
+    idx = IVFIndex(index_root)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return idx.topk(spark, queries, n_probe=12, k=10)
+
+
+def streamed_semantic_corpus(spark, sf_dir):
+    """INCREMENTAL SemDeDup end-to-end (round-12: the last
+    ledger-dedup family member to go incremental — the one-shot
+    ``semantic_dedup_kept`` re-trains and re-compares the whole
+    corpus per call): TWO real availableNow deliveries through
+    ``streaming/incremental.py::ingest_semantic_dedup_stream``.
+    Delivery 1 (hash buckets [0,50)) trains and FREEZES the
+    quantizer and flags itself; delivery 2 carries the remaining
+    rows PLUS six re-embedded near-dup clones of vecs 0-2 — three
+    with ids SMALLER than everything (−1,−2,−3: each retroactively
+    RETRACTS its delivery-1 original, the hard direction) and three
+    with larger ids (dropped on arrival, the easy direction). The
+    returned frame is the full (vec_id, cell, kept) audit.
+
+    The oracle replays the union analytically: centroids from
+    delivery-1 rows only (md5-replayable hash split), assignment
+    over originals + both clone sets, kept = no smaller-id same-cell
+    neighbor with cosine ≥ τ — so "flags after two deliveries ==
+    one-shot SemDeDup of the union under the frozen quantizer" is
+    hash-verified, retractions included. τ=0.4 as in
+    ``semantic_dedup_kept`` (near-orthogonal fixture embeddings; a
+    dedup-grade τ≈0.9 would only ever drop the exact clones).
+    Scratch reuse contract as ``incremental_ivf_topk``
+    (``$TMPDIR/spark_graft_semx_*``)."""
+    import shutil
+
+    from ..operators.sampling import hash_bucket
+    from ..operators.semdedup_index import SemDedupIndex
+    from ..streaming.incremental import ingest_semantic_dedup_stream
+
+    root, inp, index_root, ckpt, done = _scratch_root(
+        sf_dir, "embeddings", "spark_graft_semx"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        b = hash_bucket(F.col("vec_id"))
+        clones = emb.where(F.col("vec_id") < 3)
+        d2 = (
+            emb.where(b >= 50)
+            .unionByName(
+                clones.select(
+                    (-(F.col("vec_id") + 1)).alias("vec_id"), "embedding"
+                )
+            )
+            .unionByName(
+                clones.select(
+                    (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                    "embedding",
+                )
+            )
+        )
+        for delivery in (emb.where(b < 50), d2):
+            delivery.coalesce(1).write.mode("append").parquet(inp)
+            ingest_semantic_dedup_stream(
+                spark, inp, emb.schema, index_root, ckpt, tau=0.4
+            )
+        for scratch in (inp, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(os.path.basename(root))
+    idx = SemDedupIndex(index_root, tau=0.4)
+    return idx.audit(spark)
+
+
+def _streamed_semdedup_sql(
+    n_cells: int = 16,
+    tau: float = 0.4,
+    seed: int = 42,
+    max_iter: int = 8,
+    n_train: int = 4096,
+) -> str | None:
+    """DuckDB twin of ``streamed_semantic_corpus`` — centroids from
+    delivery-1 rows only (``_INCR_IVF_TRAIN_WHERE``, the frozen-
+    quantizer contract), union includes both synthetic clone sets;
+    None → rows-only check."""
+    vals = _oracle_centroid_values(
+        n_cells, seed, max_iter, n_train,
+        train_where=_INCR_IVF_TRAIN_WHERE,
+    )
+    if vals is None:
+        return None
+    return f"""
+WITH cent(cell, centroid, half_sq) AS (VALUES
+  {vals}
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings
+  UNION ALL
+  SELECT -(vec_id + 1), CAST(embedding AS DOUBLE[]) FROM embeddings
+  WHERE vec_id < 3
+  UNION ALL
+  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+  WHERE vec_id < 3
+),
+assigned AS (
+  SELECT vec_id, c_vec, cell FROM (
+    SELECT vec_id, c_vec, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_dot_product(c_vec, centroid) - half_sq DESC,
+                                       cell ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+)
+SELECT a.vec_id, a.cell,
+       NOT EXISTS (
+         SELECT 1 FROM assigned b
+         WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+           AND ROUND(list_cosine_similarity(a.c_vec, b.c_vec), 4) >= {tau}
+       ) AS kept
+FROM assigned a
+"""
+
+
 def embedding_pq_topk(spark, sf_dir):
     """Product-quantization ANN (operators/similarity.py::pq_topk):
     normalized corpus vectors compressed to m=16 6-bit codes, queries
@@ -2170,6 +2334,7 @@ def _ivf_sql(
     max_iter: int = 8,
     n_train: int = 4096,
     train_where: str = "",
+    corpus_where: str = "",
 ) -> str | None:
     """DuckDB twin of ``embedding_ivf_topk`` — centroids inlined as
     literals via ``_oracle_centroid_values`` (see there). Valid only
@@ -2177,7 +2342,9 @@ def _ivf_sql(
     restricts the quantizer's training sample (the
     ``incremental_ivf_topk`` oracle trains on delivery 1 only, the
     frozen-quantizer contract) — assignment and probing still run
-    over the FULL table."""
+    over the FULL table. ``corpus_where`` restricts the INDEXED set
+    (the ``incremental_ivf_topk_deleted`` oracle scores only the
+    surviving vectors) — queries still probe from the full table."""
     vals = _oracle_centroid_values(
         n_cells, seed, max_iter, n_train, train_where=train_where
     )
@@ -2187,7 +2354,8 @@ def _ivf_sql(
 WITH cent(cell, centroid, half_sq) AS (VALUES
   {vals}
 ),
-c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_vec
+      FROM embeddings {corpus_where}),
 q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
       FROM embeddings WHERE vec_id < 5),
 assigned AS (
@@ -12853,6 +13021,32 @@ QUERIES: list[QueryDef] = [
     QueryDef("part_name_features", part_name_features, _PART_STR_SQL),
     QueryDef("top_revenue_orders", top_revenue_orders, _TOP_ORDERS_SQL),
     QueryDef("orders_above_customer_avg", orders_above_customer_avg, _ABOVE_AVG_SQL),
+    # (18) new in round 12 — standing-index deletion + incremental SemDeDup
+    QueryDef(
+        "incremental_ivf_topk_deleted",
+        incremental_ivf_topk_deleted,
+        _ivf_sql(
+            train_where=_INCR_IVF_TRAIN_WHERE,
+            corpus_where="WHERE vec_id % 7 <> 3",
+        ),
+        rows_only_reason=(
+            "oracle requires k-means centroids generated from the "
+            "correctness-scale parquet (delivery-1 rows); when that "
+            "data is unreadable here the query drops to a rows-only "
+            "check"
+        ),
+    ),
+    QueryDef(
+        "streamed_semantic_corpus",
+        streamed_semantic_corpus,
+        _streamed_semdedup_sql(),
+        rows_only_reason=(
+            "oracle requires k-means centroids generated from the "
+            "correctness-scale parquet (delivery-1 rows); when that "
+            "data is unreadable here the query drops to a rows-only "
+            "check"
+        ),
+    ),
 ]
 
 

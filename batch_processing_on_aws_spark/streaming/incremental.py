@@ -317,6 +317,79 @@ def ingest_cluster_stream(
     q.awaitTermination()
 
 
+def ingest_semantic_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    index_root: str,
+    checkpoint_dir: str,
+    app_id: str = "semdedup-ingest",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    tau: float = 0.92,
+    seed: int = 42,
+    max_iter: int = 8,
+    n_train: int = 4096,
+    n_buckets: int = 32,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming maintenance of a STANDING SemDeDup corpus
+    (:class:`~..operators.semdedup_index.SemDedupIndex`) — the last
+    ledger-dedup family member to go incremental: the FIRST delivery
+    trains the quantizer on its bounded deterministic sample and
+    commits the delivery's (vec_id, cell, kept) frame (``build``);
+    every later delivery assigns against the FROZEN centroids and
+    folds in O(batch × touched-cell density): new rows flagged
+    against the union-so-far, standing survivors retracted when a
+    smaller-id arrival lands inside their cosine ball (``add``).
+    The standing corpus is never re-embedded, re-assigned, or
+    globally re-compared.
+
+    Exactly-once via the writer-txn stamp: each apply is ONE keyed
+    commit; a crash-replayed epoch is detected by ``txn_applied``
+    and skipped; a replayed BUILD epoch re-trains deterministically
+    (same sample order, same seeded Lloyd) so the retry converges.
+    Because the drop rule quantifies over the final union and the
+    drop set is monotone, the flags after N deliveries equal the
+    one-shot ``semantic_dedup`` of the union under the same frozen
+    quantizer — pinned hash-exact by the ``streamed_semantic_corpus``
+    golden (two real deliveries, the second carrying smaller-id
+    near-dup re-embeds that retract delivery-1 survivors).
+    """
+    from ..operators.semdedup_index import SemDedupIndex
+
+    idx = SemDedupIndex(
+        index_root,
+        n_cells=n_cells,
+        tau=tau,
+        seed=seed,
+        max_iter=max_iter,
+        n_train=n_train,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_buckets=n_buckets,
+    )
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if idx.table.txn_applied(app_id, epoch_id):
+            return  # crash-replayed epoch: already committed
+        idx.apply(batch, txn={"app": app_id, "epoch": epoch_id})
+
+    q = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .load(input_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def replicate_changes_stream(
     spark: SparkSession,
     input_dir: str,

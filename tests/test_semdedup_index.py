@@ -1,0 +1,156 @@
+"""Incrementally-maintained SemDeDup (operators/semdedup_index.py +
+streaming wrapper): frozen-quantizer incremental folds, retroactive
+retraction by smaller-id arrivals, re-delivery idempotency, and the
+union-invariant that pins it all — flags after N deliveries equal the
+one-shot drop rule over the union under the same frozen model."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_processing_on_aws_spark.operators.semdedup_index import (
+    SemDedupIndex,
+)
+from batch_processing_on_aws_spark.operators.similarity import _assign_cells
+
+
+def _vectors(spark, n=80, dim=8, start_id=0):
+    """Two well-separated blobs (k-means has real structure), plus
+    per-row jitter so cosine neighborhoods are nontrivial."""
+    rows = []
+    for i in range(n):
+        blob = 10.0 if i % 2 else 1.0
+        vec = [
+            blob + ((i * 7 + j * 13) % 17) / 17.0 for j in range(dim)
+        ]
+        rows.append((start_id + i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "semdedup_index")
+
+
+def _flags(idx, spark):
+    return {
+        r["vec_id"]: r["kept"] for r in idx.audit(spark).collect()
+    }
+
+
+def test_incremental_equals_union_drop_rule(spark, root):
+    """build(d1) + add(d2) == the one-shot drop rule over d1 ∪ d2
+    under the SAME frozen quantizer (assign union with the index's
+    model, drop iff some smaller-id same-cell neighbor in-ball)."""
+    full = _vectors(spark, n=80)
+    d1 = full.where(F.col("vec_id") < 40)
+    d2 = full.where(F.col("vec_id") >= 40)
+    idx = SemDedupIndex(root, n_cells=4, tau=0.95, n_train=32)
+    idx.build(d1)
+    idx.add(d2)
+
+    centers = idx._load_model(spark)
+    assigned = _assign_cells(
+        full.select("vec_id", F.col("embedding").alias("c_vec")), centers
+    ).localCheckpoint(eager=True)
+    dropped = {
+        r["vec_id"]
+        for r in SemDedupIndex._dropped_ids(
+            assigned, assigned, idx.tau
+        ).collect()
+    }
+    expected = {
+        r["vec_id"]: r["vec_id"] not in dropped
+        for r in assigned.select("vec_id").collect()
+    }
+    assert _flags(idx, spark) == expected and len(expected) == 80
+
+
+def test_smaller_id_arrival_retracts_standing_survivor(spark, root):
+    """The hard direction: delivery 2 brings a near-identical vector
+    with a SMALLER id than a delivery-1 survivor — the survivor must
+    flip kept→dropped (one-shot semantics over the union)."""
+    d1 = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (20, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = SemDedupIndex(root, n_cells=1, tau=0.9, n_train=8)
+    idx.build(d1)
+    assert _flags(idx, spark) == {10: True, 20: True}
+    d2 = spark.createDataFrame(
+        [(1, [1.0, 0.001, 0.0]), (30, [0.0, 1.0, 0.001])],
+        "vec_id long, embedding array<double>",
+    )
+    idx.add(d2)
+    # 1 shadows 10 (retraction); 30 is shadowed by 20 on arrival
+    assert _flags(idx, spark) == {1: True, 10: False, 20: True, 30: False}
+
+
+def test_dropped_rows_still_drop_larger_neighbors(spark, root):
+    """SemDeDup's rule quantifies over ALL smaller-id neighbors: a
+    row dropped by an even-smaller neighbor still drops ITS larger
+    neighbors — dropped rows must remain comparators."""
+    import math
+
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    # 1 at 0°, 2 at 18° (cos 0.951 ≥ τ: dropped by 1), 3 at 36°:
+    # cos(3,1)=0.809 < τ but cos(3,2)=0.951 ≥ τ — 3 is in-ball ONLY
+    # of the dropped row 2
+    d1 = spark.createDataFrame(
+        [(1, at(0)), (2, at(18))], "vec_id long, embedding array<double>"
+    )
+    idx = SemDedupIndex(root, n_cells=1, tau=0.95, n_train=8)
+    idx.build(d1)
+    d2 = spark.createDataFrame(
+        [(3, at(36))], "vec_id long, embedding array<double>"
+    )
+    idx.add(d2)
+    assert _flags(idx, spark) == {1: True, 2: False, 3: False}
+
+
+def test_redelivery_is_idempotent(spark, root):
+    full = _vectors(spark, n=40)
+    d1 = full.where(F.col("vec_id") < 20)
+    d2 = full.where(F.col("vec_id") >= 20)
+    idx = SemDedupIndex(root, n_cells=2, tau=0.95, n_train=16)
+    idx.build(d1)
+    idx.add(d2)
+    before = _flags(idx, spark)
+    idx.add(d2)  # value-equal re-delivery
+    assert _flags(idx, spark) == before
+    assert idx.table.read(spark).count() == 40
+
+
+def test_survivors_and_audit_shapes(spark, root):
+    idx = SemDedupIndex(root, n_cells=2, tau=0.95, n_train=16)
+    idx.build(_vectors(spark, n=30))
+    audit = idx.audit(spark)
+    assert audit.columns == ["vec_id", "cell", "kept"]
+    surv = idx.survivors(spark)
+    kept_ids = {r["vec_id"] for r in audit.where("kept").collect()}
+    assert {r["vec_id"] for r in surv.collect()} == kept_ids
+
+
+def test_delete_removes_rows(spark, root):
+    idx = SemDedupIndex(root, n_cells=2, tau=0.95, n_train=16)
+    idx.build(_vectors(spark, n=30))
+    gone = spark.createDataFrame([(0,), (2,)], "vec_id long")
+    idx.delete(gone)
+    ids = {r["vec_id"] for r in idx.audit(spark).collect()}
+    assert 0 not in ids and 2 not in ids and len(ids) == 28
+
+
+def test_stream_replay_skips_applied_epoch(spark, root, tmp_path):
+    """The foreachBatch guard: an already-stamped epoch is skipped
+    (apply() not re-run) — the exactly-once contract the stream
+    wrapper provides."""
+    idx = SemDedupIndex(root, n_cells=2, tau=0.95, n_train=16)
+    idx.apply(_vectors(spark, n=20), txn={"app": "sx", "epoch": 0})
+    v1 = idx.table.latest_version()
+    assert idx.table.txn_applied("sx", 0)
+    assert not idx.table.txn_applied("sx", 1)
+    idx.apply(
+        _vectors(spark, n=10, start_id=100), txn={"app": "sx", "epoch": 1}
+    )
+    assert idx.table.latest_version() == v1 + 1
