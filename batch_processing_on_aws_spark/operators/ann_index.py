@@ -312,3 +312,11 @@ class IVFIndex:
         """DESCRIBE HISTORY of the assignment table (metadata-only):
         build/add/delete/compact commits with their txn stamps."""
         return self.table.history()
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Reclaim data files only pre-compact/pre-delete versions
+        reference (VersionedTable.vacuum; txn stamps survive at any
+        ``keep_last`` via the fold-forward map). Trades time-travel
+        depth for disk — run after :meth:`compact` in the same
+        maintenance window."""
+        return self.table.vacuum(keep_last=keep_last)

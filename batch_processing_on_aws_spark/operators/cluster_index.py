@@ -230,3 +230,8 @@ class ClusterIndex:
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY of the label table (metadata-only)."""
         return self.table.history()
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Reclaim unreferenced data files (VersionedTable.vacuum);
+        see ``IVFIndex.vacuum`` for the contract."""
+        return self.table.vacuum(keep_last=keep_last)

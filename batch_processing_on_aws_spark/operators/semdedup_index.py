@@ -67,6 +67,7 @@ from .versioned import VersionedTable
 
 MODEL_DIR = "model"
 STATE_DIR = "state"
+DRIFT_DIR = "drift"
 
 
 class SemDedupIndex:
@@ -86,6 +87,7 @@ class SemDedupIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         n_buckets: int = 32,
+        drift_threshold_micro: int = 250_000,
     ):
         self.root = root
         self.n_cells = n_cells
@@ -95,7 +97,9 @@ class SemDedupIndex:
         self.n_train = n_train
         self.id_col = id_col
         self.vec_col = vec_col
+        self.drift_threshold_micro = drift_threshold_micro
         self.model_path = os.path.join(root, MODEL_DIR)
+        self.drift_path = os.path.join(root, DRIFT_DIR)
         self.table = VersionedTable(
             os.path.join(root, STATE_DIR), keys=["vec_id"], n_buckets=n_buckets
         )
@@ -108,14 +112,15 @@ class SemDedupIndex:
             _as_double(F.col(self.vec_col)).alias("c_vec"),
         )
 
-    def _write_model(self, spark: SparkSession, centers) -> None:
+    def _write_model(self, spark: SparkSession, centers, base_hist) -> None:
         rows = [
-            (i, [float(x) for x in ctr], float((ctr**2).sum() / 2.0))
-            for i, ctr in enumerate(centers)
+            (i, [float(x) for x in ctr], float((ctr**2).sum() / 2.0), int(n))
+            for i, (ctr, n) in enumerate(zip(centers, base_hist))
         ]
         (
             spark.createDataFrame(
-                rows, "cell int, centroid array<double>, half_sq double"
+                rows,
+                "cell int, centroid array<double>, half_sq double, base_n long",
             )
             .coalesce(1)
             .write.mode("overwrite")
@@ -123,10 +128,12 @@ class SemDedupIndex:
         )
 
     def _load_model(self, spark: SparkSession):
+        """(centers ndarray ordered by cell, base histogram list)."""
         import numpy as np
 
         rows = spark.read.parquet(self.model_path).orderBy("cell").collect()
-        return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+        centers = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+        return centers, [int(r["base_n"]) for r in rows]
 
     def exists(self) -> bool:
         return self.table.latest_version() > 0
@@ -174,6 +181,8 @@ class SemDedupIndex:
         (vec_id, cell, kept) frame as version 1. Deterministic, so a
         crash-replayed build epoch converges (same model bytes, same
         flags)."""
+        from .ann_index import _cell_histogram
+
         spark = corpus.sparkSession
         c = self._canon(corpus)
         centers = _train_centroids(
@@ -184,18 +193,21 @@ class SemDedupIndex:
             n_train=self.n_train,
         )
         assigned = _assign_cells(c, centers).localCheckpoint(eager=True)
-        self._write_model(spark, centers)
+        base_hist = _cell_histogram(assigned, len(centers))
+        self._write_model(spark, centers, base_hist)
         rows = self._flag(assigned, self._dropped_ids(assigned, assigned, self.tau))
         version = self.table.overwrite(rows, txn=txn)
-        return {"version": version}
+        return {"version": version, "psi_micro": 0}
 
     def add(self, batch: DataFrame, txn: dict | None = None) -> dict:
         """Fold a delivery in: assign against the FROZEN quantizer,
         compare within touched cells in both directions, commit ONE
         keyed upsert (new rows with their flags + retractions of
         standing survivors newly shadowed by smaller-id arrivals)."""
+        from .ann_index import _cell_histogram, _psi_micro
+
         spark = batch.sparkSession
-        centers = self._load_model(spark)
+        centers, base_hist = self._load_model(spark)
         assigned = _assign_cells(self._canon(batch), centers).localCheckpoint(
             eager=True
         )
@@ -228,7 +240,33 @@ class SemDedupIndex:
         version = self.table.upsert(
             spark, batch_rows.unionByName(retractions), txn=txn
         )
-        return {"version": version}
+        # PSI drift gate, same convention as IVFIndex.add: the frozen
+        # quantizer stops matching the data (new domain, new embedding
+        # model) → within-cell balls stop meaning "semantic near-dup"
+        # and recall of true dups decays. Above-threshold batches flag
+        # needs_retrain; the index never retrains itself mid-add.
+        batch_hist = _cell_histogram(assigned, len(centers))
+        psi = _psi_micro(base_hist, batch_hist)
+        needs_retrain = psi > self.drift_threshold_micro
+        drift_row = spark.createDataFrame(
+            [(version, sum(batch_hist), psi, needs_retrain)],
+            "version long, batch_n long, psi_micro long, needs_retrain boolean",
+        )
+        epoch = (txn or {}).get("epoch")
+        (
+            drift_row.withColumn(
+                "__epoch", F.lit(-1 if epoch is None else int(epoch))
+            )
+            .write.mode("overwrite" if epoch is not None else "append")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(self.drift_path)
+        )
+        return {
+            "version": version,
+            "psi_micro": psi,
+            "needs_retrain": needs_retrain,
+        }
 
     def apply(self, batch: DataFrame, txn: dict | None = None) -> dict:
         """build() on an empty index, add() after — the streaming
@@ -255,6 +293,12 @@ class SemDedupIndex:
             .select("vec_id", "cell")
         )
 
+    def drift_history(self, spark: SparkSession) -> DataFrame:
+        """The per-add drift audit (version, batch_n, psi_micro,
+        needs_retrain) — the monitoring feed a retrain scheduler
+        consumes; same shape as ``IVFIndex.drift_history``."""
+        return spark.read.parquet(self.drift_path).drop("__epoch")
+
     # -- maintenance (the shared standing-index contract) ----------------
 
     def delete(self, keys: DataFrame, txn: dict | None = None) -> int:
@@ -277,3 +321,8 @@ class SemDedupIndex:
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY of the state table (metadata-only)."""
         return self.table.history()
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Reclaim unreferenced data files (VersionedTable.vacuum);
+        see ``IVFIndex.vacuum`` for the contract."""
+        return self.table.vacuum(keep_last=keep_last)

@@ -428,6 +428,19 @@ class TextIndex:
             "meta": self.meta.history(),
         }
 
+    def vacuum(self, keep_last: int = 2) -> dict[str, list[str]]:
+        """Reclaim unreferenced data files in all three subtables
+        (VersionedTable.vacuum; txn stamps survive via the
+        fold-forward map). Trades time-travel depth for disk — run
+        after :meth:`compact`. Distinct from
+        :meth:`vacuum_tombstones`, which GCs dead VOCABULARY rows
+        from the live stats state."""
+        return {
+            "postings": self.postings.vacuum(keep_last=keep_last),
+            "stats": self.stats.vacuum(keep_last=keep_last),
+            "meta": self.meta.vacuum(keep_last=keep_last),
+        }
+
     # -- stats views -------------------------------------------------
 
     def snapshot_versions(self) -> tuple[int, int, int]:

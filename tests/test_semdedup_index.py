@@ -48,7 +48,7 @@ def test_incremental_equals_union_drop_rule(spark, root):
     idx.build(d1)
     idx.add(d2)
 
-    centers = idx._load_model(spark)
+    centers, _ = idx._load_model(spark)
     assigned = _assign_cells(
         full.select("vec_id", F.col("embedding").alias("c_vec")), centers
     ).localCheckpoint(eager=True)
@@ -139,6 +139,37 @@ def test_delete_removes_rows(spark, root):
     idx.delete(gone)
     ids = {r["vec_id"] for r in idx.audit(spark).collect()}
     assert 0 not in ids and 2 not in ids and len(ids) == 28
+
+
+def test_drift_gate_flags_shifted_batch(spark, root):
+    """A delivery from a different distribution (all vectors shifted
+    into one blob) must flag needs_retrain via the PSI gate — the
+    frozen quantizer stops matching the data."""
+    idx = SemDedupIndex(
+        root, n_cells=4, tau=0.95, n_train=32,
+        drift_threshold_micro=100_000,
+    )
+    idx.build(_vectors(spark, n=60))
+    shifted = spark.createDataFrame(
+        [(1000 + i, [50.0 + j for j in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    out = idx.add(shifted)
+    assert out["needs_retrain"] and out["psi_micro"] > 100_000
+    hist = idx.drift_history(spark).collect()
+    assert any(r["needs_retrain"] for r in hist)
+
+
+def test_vacuum_reclaims_and_flags_survive(spark, root):
+    idx = SemDedupIndex(root, n_cells=2, tau=0.95, n_train=16, n_buckets=4)
+    full = _vectors(spark, n=40)
+    idx.build(full.where(F.col("vec_id") < 20))
+    idx.add(full.where(F.col("vec_id") >= 20))
+    before = _flags(idx, spark)
+    idx.compact(spark)
+    deleted = idx.vacuum(keep_last=1)
+    assert deleted  # pre-compact files reclaimed
+    assert _flags(idx, spark) == before
 
 
 def test_stream_replay_skips_applied_epoch(spark, root, tmp_path):
