@@ -275,6 +275,41 @@ class SemDedupIndex:
             return self.build(batch, txn=txn)
         return self.add(batch, txn=txn)
 
+    def refresh(self, spark: SparkSession, txn: dict | None = None) -> dict:
+        """The drift-triggered retrain (same contract as
+        ``IVFIndex.refresh``): re-fit centroids on the CURRENT state's
+        vectors (bounded-sample trainer), re-assign everything, and
+        recompute EVERY kept flag with the one-shot drop rule — flags
+        are a function of the cell structure, so a quantizer swap
+        invalidates them wholesale; recomputing only some would mix
+        two geometries. Commits as a new version (prior flags stay
+        time-travel readable — rollback from a bad retrain is a
+        version pin); never runs itself mid-add, because a quantizer
+        swap inside a micro-batch breaks replay idempotency.
+
+        NOTE refresh can UN-drop: a row dropped under the old cells
+        may have no smaller-id in-ball neighbor in its new cell. That
+        is correct — the monotone-drop contract is per-quantizer, and
+        refresh starts a new one (audited by the commit boundary)."""
+        from .ann_index import _cell_histogram
+
+        current = self.table.read(spark).select("vec_id", "c_vec")
+        centers = _train_centroids(
+            current,
+            n_cells=self.n_cells,
+            seed=self.seed,
+            max_iter=self.max_iter,
+            n_train=self.n_train,
+        )
+        assigned = _assign_cells(current, centers).localCheckpoint(eager=True)
+        base_hist = _cell_histogram(assigned, len(centers))
+        self._write_model(spark, centers, base_hist)
+        rows = self._flag(
+            assigned, self._dropped_ids(assigned, assigned, self.tau)
+        )
+        version = self.table.overwrite(rows, txn=txn)
+        return {"version": version, "psi_micro": 0}
+
     # -- read surface ----------------------------------------------------
 
     def audit(self, spark: SparkSession, version: int | None = None) -> DataFrame:

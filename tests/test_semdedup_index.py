@@ -160,6 +160,40 @@ def test_drift_gate_flags_shifted_batch(spark, root):
     assert any(r["needs_retrain"] for r in hist)
 
 
+def test_refresh_retrains_and_recomputes_flags(spark, root):
+    """After a drifted delivery, refresh() re-fits the quantizer on
+    the CURRENT state and recomputes every flag with the one-shot
+    drop rule under the new model — verified by recomputing that
+    rule directly from the refreshed model."""
+    idx = SemDedupIndex(root, n_cells=4, tau=0.95, n_train=64)
+    idx.build(_vectors(spark, n=40))
+    shifted = spark.createDataFrame(
+        [(1000 + i, [50.0 + (i % 3) * 0.001 + j for j in range(8)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    out = idx.add(shifted)
+    v = idx.refresh(spark)
+    assert v["version"] > out["version"]
+
+    centers, _ = idx._load_model(spark)
+    state = idx.table.read(spark).select("vec_id", "c_vec")
+    assigned = _assign_cells(state, centers).localCheckpoint(eager=True)
+    dropped = {
+        r["vec_id"]
+        for r in SemDedupIndex._dropped_ids(
+            assigned, assigned, idx.tau
+        ).collect()
+    }
+    expected = {
+        r["vec_id"]: r["vec_id"] not in dropped
+        for r in assigned.select("vec_id").collect()
+    }
+    assert _flags(idx, spark) == expected
+    # prior flags remain time-travel readable
+    assert idx.table.read(spark, version=out["version"]).count() == 60
+
+
 def test_vacuum_reclaims_and_flags_survive(spark, root):
     idx = SemDedupIndex(root, n_cells=2, tau=0.95, n_train=16, n_buckets=4)
     full = _vectors(spark, n=40)

@@ -390,6 +390,23 @@ HEADLINERS = {
         "collecting position lists, and the consecutive-run check "
         "is a codegen'd array filter — no self-join, no window."
     ),
+    "streamed_semantic_corpus": (
+        "Incremental SemDeDup audit read: the (vec_id, cell, kept) "
+        "state reads back from the VersionedTable manifest as a "
+        "plain narrow scan — the interesting work (frozen-cell "
+        "Arrow assignment, within-touched-cell equi-join in both "
+        "directions, retraction upsert) happened at ingest. The "
+        "fold's joins are ON THE CELL ID: per-cell pairwise is the "
+        "SemDeDup semantics, never a global cross product."
+    ),
+    "incremental_ivf_topk_deleted": (
+        "Post-delete standing-index probe: identical probe shape to "
+        "incremental_ivf_topk (bounded |Q|×n_cells centroid cross, "
+        "cell equi-join, partial-pruned top-k window) over the "
+        "delete_keys-filtered survivor manifest — deleted buckets' "
+        "files simply left the manifest; nothing rescans or "
+        "re-filters the corpus at probe time."
+    ),
 }
 
 

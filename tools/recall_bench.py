@@ -175,6 +175,46 @@ def main() -> None:
                 f"mean={sum(recalls)/len(recalls):.3f} ({secs}s)",
                 flush=True,
             )
+    # Post-delete recall (round 12): IVFIndex.delete removes ~1/7 of
+    # the vectors from the standing index; recall of the survivor
+    # probe must be measured against brute force over the SAME
+    # survivor set (the full-corpus baseline would count deleted
+    # vectors as misses and understate it). The quantizer stays the
+    # delivery-1 model — delete never retrains — so this also
+    # measures what probing a delete-thinned frozen index costs.
+    from batch_processing_on_aws_spark.operators.similarity import (  # noqa: E402
+        brute_force_topk,
+    )
+
+    for scale, sf_dir in SCALES.items():
+        if scale not in report:
+            continue
+        emb = load_table(spark, sf_dir, "embeddings")
+        survivors = emb.where(F.col("vec_id") % 7 != 3)
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact_surv = _topk_sets(brute_force_topk(survivors, queries, k=K))
+        approx, secs = _timed(
+            lambda: qs["incremental_ivf_topk_deleted"](spark, sf_dir)
+        )
+        recalls = [
+            len(approx.get(q, set()) & hits) / max(len(hits), 1)
+            for q, hits in sorted(exact_surv.items())
+        ]
+        report[scale]["post_delete"] = {
+            "incremental_ivf_topk_deleted": {
+                "mean": round(sum(recalls) / len(recalls), 3),
+                "min": round(min(recalls), 3),
+                "secs": secs,
+            }
+        }
+        print(
+            f"{scale:4s} post-delete recall@{K} "
+            f"mean={sum(recalls)/len(recalls):.3f} ({secs}s)",
+            flush=True,
+        )
+
     crossover = _crossover_section(spark)
     with open(out_path, "w") as f:
         json.dump(

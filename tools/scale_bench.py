@@ -146,6 +146,15 @@ QUERIES = [
     "incremental_dup_clusters",
     "wordpiece_tokenized_docs",
     "curation_funnel_report",
+    # round-12 additions: the incremental SemDeDup fold (scratch reuse
+    # means min-of-2 measures the AUDIT read of the standing state —
+    # must scale with the state table; the fold itself is exercised on
+    # the first run, whose cost is the within-touched-cell equi-join,
+    # never all-pairs), and the post-delete IVF probe (survivor-set
+    # candidates ≈ N·n_probe/n_cells, same linearity claim as
+    # incremental_ivf_topk over a delete_keys-filtered table).
+    "streamed_semantic_corpus",
+    "incremental_ivf_topk_deleted",
 ]
 
 SCALES = {

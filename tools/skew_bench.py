@@ -105,6 +105,16 @@ QUERIES = [
     # so the fold's CC rounds stay bounded
     "standing_bm25_search",
     "incremental_dup_clusters",
+    # round-12: the incremental SemDeDup fold under the hot embedding
+    # — 20% of vectors are ONE template point, so a single frozen cell
+    # holds a fifth of the corpus. The within-cell compare is
+    # all-pairs BY SEMANTICS (the paper's within-cluster step), so the
+    # candidate volume in the hot cell is real quadratic work that
+    # must PARALLELIZE (AQE skew-split on the cell equi-join) while
+    # the OUTPUT stays linear (distinct dropped ids — every template
+    # copy needs only its one min-id witness); the standing-state read
+    # side is cell-filtered so cold cells never join
+    "streamed_semantic_corpus",
 ]
 
 
