@@ -312,6 +312,52 @@ class TextIndex:
             p = self._postings_rows(batch).localCheckpoint(eager=True)
             v_before = self.postings.latest_version()
             v_after = self.postings.upsert(spark, p, txn=self._sub(txn, "p"))
+        return self._fold_feed(spark, v_before, v_after, txn)
+
+    def delete_docs(self, keys: DataFrame, txn: dict | None = None) -> dict:
+        """Remove documents from the index (corpus retention,
+        takedown, rolling crawl windows) — the true-removal sibling
+        of the document-REPLACING re-delivery :meth:`add` already
+        handles. One keyed ``delete_keys`` commit drops the docs'
+        postings rows; the resulting change feed consists purely of
+        ``delete`` rows, and the SAME signed-delta fold that handles
+        updates decrements every dropped term's df and the N/Σlen
+        scalars — search over the surviving index equals a
+        from-scratch index of the surviving corpus (pinned hash-exact
+        by the ``standing_bm25_after_delete`` golden). Terms whose df
+        reaches 0 persist as tombstones until
+        :meth:`vacuum_tombstones`. Same per-subtable txn-stamp replay
+        contract as :meth:`add`; ids absent from the index produce an
+        empty feed (audited no-op, stamps still minted)."""
+        spark = keys.sparkSession
+        if not self.exists():
+            raise ValueError("delete_docs() on an empty index")
+        if self._applied(self.postings, txn, "p"):
+            resolved = self._txn_version(
+                self.postings, f"{txn['app']}.p", txn["epoch"]
+            )
+            if resolved is None:
+                raise ValueError(
+                    "replayed epoch's postings commit is not resolvable "
+                    "from the manifest log (vacuumed?) — its change feed "
+                    "cannot be re-derived"
+                )
+            v_before, v_after = resolved
+        else:
+            k = keys.select(F.col(self.id_col).alias("doc_id"))
+            v_before = self.postings.latest_version()
+            v_after = self.postings.delete_keys(
+                spark, k, txn=self._sub(txn, "p")
+            )
+        return self._fold_feed(spark, v_before, v_after, txn)
+
+    def _fold_feed(
+        self, spark: SparkSession, v_before: int, v_after: int, txn
+    ) -> dict:
+        """Fold the postings change feed (v_before → v_after) into
+        stats and meta — shared by :meth:`add` (inserts/updates) and
+        :meth:`delete_docs` (deletes); every path is a signed delta,
+        so one fold serves all three change types."""
         feed = self.postings.changes(spark, v_before, v_after).localCheckpoint(
             eager=True
         )

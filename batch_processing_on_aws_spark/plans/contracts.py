@@ -90,6 +90,11 @@ CROSS_PRODUCT_ALLOWED: dict[str, str] = {
         "the ONE-ROW meta scalars (N, sum len) cross the "
         "#probe-terms-row df table — bounded 3x1 report join"
     ),
+    "standing_bm25_after_delete": (
+        "same scalar shape as standing_bm25_search (shared "
+        "TextIndex.search): the ONE-ROW meta table broadcasts into "
+        "the term-filtered posting stream of the survivor index"
+    ),
     "curation_funnel_report": (
         "broadcasts the ONE-ROW corpus total into the 8-row funnel "
         "for the retained-share column"

@@ -10969,6 +10969,70 @@ def standing_bm25_search(spark, sf_dir):
 
 _STANDING_BM25_SQL = _bm25_sql(_STANDING_CORPUS)
 
+# post-delete corpus: the replaced bucket [0,10) stays, buckets
+# [10,20) are REMOVED — replacement (df −old/+new) and true removal
+# (pure delete feed) both live in one index's history
+_STANDING_DELETED_CORPUS = (
+    "(SELECT doc_id, CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS "
+    "VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10 THEN "
+    f"'{_STANDING_REPLACEMENT}' ELSE text END AS text FROM documents "
+    "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100 NOT BETWEEN 10 AND 19)"
+)
+
+
+def standing_bm25_after_delete(spark, sf_dir):
+    """TRUE document REMOVAL from the standing BM25 index (round-12:
+    the replacement path existed, removal did not — a doc leaving the
+    corpus stayed searchable forever): a fresh index takes the same
+    three deliveries as ``_standing_text_index`` (build, insert fold,
+    document-replacing re-delivery), then ``TextIndex.delete_docs``
+    removes every md5-bucket-[10,20) doc — one keyed ``delete_keys``
+    postings commit whose pure-delete change feed flows through the
+    SAME signed-delta fold, decrementing every dropped term's df and
+    the N/Σlen scalars. The oracle runs from-scratch BM25 over the
+    surviving post-update corpus, so 'search after delete == rebuild
+    without the deleted docs' is hash-verified. Scratch reuse
+    contract as the other standing harnesses
+    (``$TMPDIR/spark_graft_tidxd_*``)."""
+    import shutil
+
+    from ..operators.sampling import hash_bucket
+    from ..operators.text_index import TextIndex
+    from ..streaming.incremental import ingest_text_index_stream
+
+    root, inp, index_root, ckpt, done = _scratch_root(
+        sf_dir, "documents", "spark_graft_tidxd"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        b = hash_bucket(F.col("doc_id"))
+        deliveries = (
+            docs.where(b < 50),
+            docs.where(b >= 50),
+            docs.where(b < 10).withColumn(
+                "text", F.lit(_STANDING_REPLACEMENT)
+            ),
+        )
+        for d in deliveries:
+            d.coalesce(1).write.mode("append").parquet(inp)
+            ingest_text_index_stream(spark, inp, docs.schema, index_root, ckpt)
+        idx = TextIndex(index_root)
+        idx.delete_docs(
+            docs.where((b >= 10) & (b < 20)).select("doc_id"),
+            txn={"app": "tidxd-del", "epoch": 0},
+        )
+        for scratch in (inp, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(os.path.basename(root))
+    idx = TextIndex(index_root)
+    return idx.search(spark, ["hash", "vector", "stream"], top_k=25)
+
+
+_STANDING_BM25_DELETED_SQL = _bm25_sql(_STANDING_DELETED_CORPUS)
+
 
 def standing_phrase_matches(spark, sf_dir):
     """Exact phrase query served from the STANDING positional index
@@ -13046,6 +13110,11 @@ QUERIES: list[QueryDef] = [
             "data is unreadable here the query drops to a rows-only "
             "check"
         ),
+    ),
+    QueryDef(
+        "standing_bm25_after_delete",
+        standing_bm25_after_delete,
+        _STANDING_BM25_DELETED_SQL,
     ),
 ]
 

@@ -286,3 +286,45 @@ def test_search_version_pinning(spark, root):
         _scores(idx.search(spark, ["spark"], top_k=5, versions=v))
         == historical
     )
+
+
+def test_delete_docs_matches_rebuild_of_survivors(spark, root):
+    """TRUE removal: delete_docs drops the docs' postings as one
+    keyed commit and the pure-delete change feed decrements df and
+    N/Σlen through the shared fold — search equals a from-scratch
+    index of the surviving corpus."""
+    full = _docs(spark, CORPUS)
+    idx = TextIndex(root, n_buckets=4, stats_buckets=4)
+    idx.build(full.where(F.col("doc_id") <= 4))
+    idx.add(full.where(F.col("doc_id") > 4))
+    idx.delete_docs(_docs(spark, [(4, "x"), (2, "y")]).select("doc_id"))
+    survivors = full.where(~F.col("doc_id").isin(2, 4))
+    got = _scores(idx.search(spark, ["spark", "postings"], top_k=5))
+    want = _scores(bm25_search(survivors, ["spark", "postings"], top_k=5))
+    assert got == want and len(got) > 0
+    meta = idx.corpus_stats(spark).collect()[0]
+    assert meta["n_docs"] == 5
+    # doc 4 held 3 of the 4 'spark' occurrences; df drops 2 -> 1
+    df = {r["term"]: r["df"] for r in idx.term_stats(spark).collect()}
+    assert df["spark"] == 1
+    # 'incrementally' lived only in doc 2: df 0 -> tombstoned (hidden)
+    assert "incrementally" not in df
+
+
+def test_delete_docs_replay_and_absent_ids(spark, root):
+    full = _docs(spark, CORPUS)
+    idx = TextIndex(root, n_buckets=4, stats_buckets=4)
+    idx.build(full)
+    txn = {"app": "deld", "epoch": 7}
+    idx.delete_docs(_docs(spark, [(1, "")]).select("doc_id"), txn=txn)
+    after = _scores(idx.search(spark, ["spark"], top_k=5))
+    meta1 = idx.corpus_stats(spark).collect()[0]
+    # crash replay of the same epoch: all three sub-stamps minted, so
+    # the fold is not re-applied (df would double-decrement otherwise)
+    idx.delete_docs(_docs(spark, [(1, "")]).select("doc_id"), txn=txn)
+    assert _scores(idx.search(spark, ["spark"], top_k=5)) == after
+    meta2 = idx.corpus_stats(spark).collect()[0]
+    assert tuple(meta1) == tuple(meta2)
+    # absent ids: audited no-op, stats untouched
+    idx.delete_docs(_docs(spark, [(999, "")]).select("doc_id"))
+    assert tuple(idx.corpus_stats(spark).collect()[0]) == tuple(meta2)
