@@ -4282,6 +4282,80 @@ FROM reach GROUP BY n
 """
 
 
+def dup_clusters_after_removal(spark, sf_dir):
+    """MEMBERSHIP removal from the standing cluster index (round-12:
+    ``ClusterIndex.remove_docs``): the same two streamed pair
+    deliveries build the assignment, then every ``doc_id % 11 == 5``
+    doc's label row is dropped as ONE keyed ``delete_keys`` commit.
+    Remaining members keep their labels — the documented conservative
+    over-grouping (a cluster_id may even BE a removed doc's id; ids
+    are opaque min-labels, not membership claims) — and true label
+    RETRACTION is the documented pair-ledger recompute, deliberately
+    not this operation. The oracle runs the one-shot CC closure and
+    filters the removed docs' ROWS only, so 'removal drops exactly
+    the members, never the structure' is hash-verified. Scratch
+    reuse contract as the siblings (``$TMPDIR/spark_graft_cidxr_*``)."""
+    import shutil
+
+    from ..operators.cluster_index import ClusterIndex
+    from ..operators.neardup import (
+        CURATION_MAX_BUCKET_SIZE,
+        minhash_lsh_pairs,
+    )
+    from ..operators.sampling import hash_bucket
+    from ..streaming.incremental import ingest_cluster_stream
+
+    root, inp, index_root, ckpt, done = _scratch_root(
+        sf_dir, "documents", "spark_graft_cidxr"
+    )
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(
+            docs,
+            max_bucket_size=CURATION_MAX_BUCKET_SIZE,
+            oversized="star",
+        ).select("doc_id_a", "doc_id_b").localCheckpoint(eager=True)
+        b = hash_bucket(
+            F.concat_ws(":", F.col("doc_id_a"), F.col("doc_id_b"))
+        )
+        for lo, hi in ((0, 50), (50, 100)):
+            pairs.where((b >= lo) & (b < hi)).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+            ingest_cluster_stream(
+                spark, inp, pairs.schema, index_root, ckpt
+            )
+        idx = ClusterIndex(index_root)
+        idx.remove_docs(
+            docs.where(F.col("doc_id") % 11 == 5).select("doc_id"),
+            txn={"app": "cidxr-rm", "epoch": 0},
+        )
+        for scratch in (inp, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(os.path.basename(root))
+    idx = ClusterIndex(index_root)
+    return idx.labels(spark)
+
+
+_INCR_CLUSTERS_REMOVED_SQL = f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+edges AS (
+  SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(n, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT reach.n, e.d FROM reach JOIN edges e ON reach.r = e.s
+)
+SELECT n AS doc_id, LEAST(n, MIN(r)) AS cluster_id
+FROM reach WHERE n % 11 <> 5 GROUP BY n
+"""
+
+
 def jaccard_dup_pairs(spark, sf_dir):
     """Standalone n-gram Jaccard near-dup — the no-signature dedup
     method next to MinHash/SimHash — as rare-shingle (df-weighted)
@@ -13115,6 +13189,11 @@ QUERIES: list[QueryDef] = [
         "standing_bm25_after_delete",
         standing_bm25_after_delete,
         _STANDING_BM25_DELETED_SQL,
+    ),
+    QueryDef(
+        "dup_clusters_after_removal",
+        dup_clusters_after_removal,
+        _INCR_CLUSTERS_REMOVED_SQL,
     ),
 ]
 
