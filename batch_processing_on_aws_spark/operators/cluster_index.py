@@ -197,30 +197,151 @@ class ClusterIndex:
         stop reporting them. One keyed ``delete_keys`` commit, txn
         stamped, prior versions time-travel readable.
 
-        What this deliberately does NOT do — and why — is the
-        documented position on cluster deletion: true label
-        RETRACTION (splitting a cluster whose members were only
-        connected through the removed doc) is impossible from the
-        label table alone. Labels are the min-label fixpoint of the
-        edge set, and the index stores the fixpoint, not the edges —
-        the same economy that makes :meth:`apply` O(batch) forfeits
-        the information a split needs. Retraction therefore requires
-        the pair LEDGER the near-dup miners emitted (which the
-        pipeline already persists for replay) and is an O(touched
-        cluster) recompute: filter the ledger to the removed docs'
-        clusters, drop edges incident to the removed docs, re-run
-        ``connected_components`` over just those clusters' remaining
-        edges, and upsert the relabel — the ``recompute_touched``
-        shape, run as an explicit audited maintenance pass, never
-        inline in the hot add path. Membership removal is the right
-        default for near-dup curation: remaining members' labels
-        stay a conservative over-grouping (docs once transitively
-        near-dup stay grouped), which biases toward MORE dedup,
-        never less."""
+        What this deliberately does NOT do: true label RETRACTION
+        (splitting a cluster whose members were only connected
+        through the removed doc) is impossible from the label table
+        alone — labels are the min-label fixpoint of the edge set,
+        and the index stores the fixpoint, not the edges; the same
+        economy that makes :meth:`apply` O(batch) forfeits the
+        information a split needs. That is :meth:`retract_docs`,
+        which takes the persisted pair LEDGER and runs the O(touched
+        clusters) recompute as an explicit audited maintenance pass.
+        Membership removal is the right default for near-dup
+        curation: remaining members' labels stay a conservative
+        over-grouping (docs once transitively near-dup stay
+        grouped), which biases toward MORE dedup, never less."""
         spark = keys.sparkSession
         return self.table.delete_keys(
             spark, keys.select("doc_id").distinct(), txn=txn
         )
+
+    @staticmethod
+    def _sub(txn: dict | None, part: str) -> dict | None:
+        if txn is None:
+            return None
+        return {"app": f"{txn['app']}.{part}", "epoch": txn["epoch"]}
+
+    def _applied(self, txn: dict | None, part: str) -> bool:
+        if txn is None:
+            return False
+        return self.table.txn_applied(f"{txn['app']}.{part}", txn["epoch"])
+
+    def retract_docs(
+        self,
+        pairs: DataFrame,
+        keys: DataFrame,
+        id_a: str = "doc_id_a",
+        id_b: str = "doc_id_b",
+        txn: dict | None = None,
+    ) -> dict:
+        """TRUE label retraction (takedown second half, round-13):
+        remove the docs AND split any cluster whose remaining members
+        were only connected through them, from the persisted pair
+        LEDGER the near-dup miners emitted (``pairs`` — the same
+        frame :meth:`apply` folded in, which the pipeline persists
+        for replay). An explicit audited maintenance pass, never
+        inline in the hot add path; O(touched clusters), never
+        O(ledger):
+
+        1. affected clusters = standing labels of the removed docs
+           (docs without a label row are implicit singletons — no
+           structure to retract);
+        2. the ledger is filtered to edges INSIDE those clusters
+           (clusters are closed under ledger edges, so a member
+           semi-join on both endpoints prunes the scan) minus edges
+           incident to a removed doc;
+        3. ``connected_components`` re-closes just those edges —
+           min-label CC over component-identical edge sets, so the
+           result equals one-shot CC over (full ledger − removed-
+           incident edges) restricted to the touched clusters (the
+           ``dup_clusters_retracted`` golden pins this hash-exact);
+        4. ONE keyed upsert rewrites only the labels that CHANGED
+           (non-bridge removal rewrites nothing — pinned by test),
+           then ONE ``delete_keys`` drops the removed docs and the
+           members the split left edgeless (singletons are implicit,
+           exactly as in :meth:`apply`).
+
+        Crash contract: relabel commits BEFORE delete (sub-stamps
+        ``.r`` / ``.d``, the ``TextIndex`` multi-commit pattern) —
+        after a crash between the two, the removed docs' rows still
+        exist and still carry their pre-retraction labels, so the
+        re-run re-derives the same affected set, re-lands the (now
+        value-equal, hence empty) relabel, and completes the delete;
+        after both stamps the replay returns without reading data."""
+        spark = keys.sparkSession
+        if (
+            txn is not None
+            and self._applied(txn, "r")
+            and self._applied(txn, "d")
+        ):
+            return {"version": self.table.latest_version(), "replayed": True}
+        removed = (
+            keys.select("doc_id").distinct().localCheckpoint(eager=True)
+        )
+        cur = self.labels(spark)
+        affected = (
+            cur.join(removed, "doc_id", "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        members = (
+            cur.join(F.broadcast(affected), "cluster_id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        mem_a = members.select(F.col("doc_id").alias("a"))
+        mem_b = members.select(F.col("doc_id").alias("b"))
+        edges = (
+            pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+            .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .where(F.col("a") != F.col("b"))
+            .join(mem_a, "a", "left_semi")
+            .join(mem_b, "b", "left_semi")
+            .join(removed.withColumnRenamed("doc_id", "a"), "a", "left_anti")
+            .join(removed.withColumnRenamed("doc_id", "b"), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if edges.isEmpty():
+            relabels = members.limit(0)
+            with_edges = members.select("doc_id").limit(0)
+        else:
+            comp = connected_components(
+                edges, src="a", dst="b", check_every=2
+            ).localCheckpoint(eager=True)
+            relabels = comp.select(
+                F.col("n").alias("doc_id"),
+                F.col("component").alias("cluster_id"),
+            )
+            with_edges = relabels.select("doc_id")
+        # write only labels that actually moved: a non-bridge removal
+        # leaves every survivor's component intact, so the relabel
+        # commit is an audited no-op (content byte-identical)
+        changed = (
+            relabels.join(
+                members.withColumnRenamed("cluster_id", "__old"), "doc_id"
+            )
+            .where(F.col("cluster_id") != F.col("__old"))
+            .select("doc_id", "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+        dels = (
+            removed.unionByName(
+                members.select("doc_id").join(with_edges, "doc_id", "left_anti")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_changed = changed.count()
+        if txn is None or not self._applied(txn, "r"):
+            self.table.upsert(spark, changed, txn=self._sub(txn, "r"))
+        if txn is None or not self._applied(txn, "d"):
+            v = self.table.delete_keys(spark, dels, txn=self._sub(txn, "d"))
+        else:
+            v = self.table.latest_version()
+        return {
+            "version": v,
+            "relabeled_nodes": int(n_changed),
+            "deleted_rows": int(dels.count()),
+        }
 
     def compact(self, spark: SparkSession, min_files: int = 2) -> int | None:
         """Fold upsert-accreted small files in the label table —

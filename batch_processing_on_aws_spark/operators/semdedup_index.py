@@ -88,6 +88,7 @@ class SemDedupIndex:
         vec_col: str = "embedding",
         n_buckets: int = 32,
         drift_threshold_micro: int = 250_000,
+        max_cell_population: int = 100_000,
     ):
         self.root = root
         self.n_cells = n_cells
@@ -98,6 +99,7 @@ class SemDedupIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self.drift_threshold_micro = drift_threshold_micro
+        self.max_cell_population = max_cell_population
         self.model_path = os.path.join(root, MODEL_DIR)
         self.drift_path = os.path.join(root, DRIFT_DIR)
         self.table = VersionedTable(
@@ -162,6 +164,37 @@ class SemDedupIndex:
             .distinct()
         )
 
+    def _guard_hot_cells(self, rows: DataFrame, where: str) -> None:
+        """Fail LOUD before a degenerate quantizer goes quadratic
+        silently (round-13: the PSI gate only flags drift AFTER the
+        expensive add): ``_dropped_ids`` joins within cells with
+        O(population²) pair candidates, so any touched cell whose
+        comparator population exceeds ``max_cell_population`` aborts
+        the fold with the cell ids and counts — the
+        ``max_bucket_size`` escape of the LSH miners, applied to
+        quantizer cells. One cheap hash-agg over the join input; the
+        caller's state is untouched (no commit has happened yet).
+        Recovery is the documented drift path: ``refresh()`` retrains
+        the quantizer (or raise the cap deliberately)."""
+        hot = (
+            rows.groupBy("cell")
+            .count()
+            .where(F.col("count") > self.max_cell_population)
+            .orderBy(F.col("count").desc())
+            .limit(5)
+            .collect()
+        )
+        if hot:
+            detail = ", ".join(f"cell {r['cell']}={r['count']}" for r in hot)
+            raise ValueError(
+                f"SemDedupIndex.{where}: touched-cell population exceeds "
+                f"max_cell_population={self.max_cell_population} "
+                f"({detail}) — the within-cell comparison would go "
+                "quadratic; the quantizer no longer matches the data. "
+                "Run refresh() to retrain, or raise max_cell_population "
+                "deliberately."
+            )
+
     def _flag(self, rows: DataFrame, dropped: DataFrame) -> DataFrame:
         return (
             rows.join(dropped.withColumn("__drop", F.lit(True)), "vec_id", "left")
@@ -224,6 +257,7 @@ class SemDedupIndex:
         comparators = assigned.unionByName(
             standing.select("vec_id", "c_vec", "cell")
         )
+        self._guard_hot_cells(comparators, "add")
         batch_rows = self._flag(
             assigned, self._dropped_ids(assigned, comparators, self.tau)
         )
@@ -336,18 +370,111 @@ class SemDedupIndex:
 
     # -- maintenance (the shared standing-index contract) ----------------
 
-    def delete(self, keys: DataFrame, txn: dict | None = None) -> int:
+    @staticmethod
+    def _sub(txn: dict | None, part: str) -> dict | None:
+        if txn is None:
+            return None
+        return {"app": f"{txn['app']}.{part}", "epoch": txn["epoch"]}
+
+    def _applied(self, txn: dict | None, part: str) -> bool:
+        if txn is None:
+            return False
+        return self.table.txn_applied(f"{txn['app']}.{part}", txn["epoch"])
+
+    def delete(
+        self,
+        keys: DataFrame,
+        txn: dict | None = None,
+        recompute: bool = False,
+    ) -> int:
         """Remove vectors from the ledger (corpus retention, takedown).
-        NOTE the asymmetry with :meth:`add`: removing a row does NOT
-        resurrect larger-id rows it once dropped — SemDeDup survivors
-        are a curation decision, and un-dropping would require the
-        full touched-cell recompute (run :meth:`add` semantics over
-        the affected cells from scratch if that matters). Documented,
-        explicit, audited — one ``delete_keys`` commit."""
+
+        Default (``recompute=False``): one ``delete_keys`` commit,
+        and the asymmetry with :meth:`add` stands — removing a row
+        does NOT resurrect larger-id rows it once shadowed (survivor
+        flags are a curation decision; cheapest, right for routine
+        retention).
+
+        ``recompute=True`` is the takedown-then-re-evaluate second
+        half (round-13): re-run the one-shot drop rule over ONLY the
+        affected cells' SURVIVING rows (:meth:`recompute_cells` —
+        cell-pruned read, same shape as :meth:`add`), so a row
+        shadowed solely by a removed vector resurfaces; unaffected
+        cells' flags are untouched (drop decisions never cross
+        cells). Crash contract mirrors ``ClusterIndex.retract_docs``:
+        the flag recompute commits BEFORE the delete (sub-stamps
+        ``.r`` / ``.d``) — between the two commits the deleted keys
+        still exist, so a re-run re-derives the same affected cells
+        and survivor set and converges; after both stamps the replay
+        returns without reading data. The ``semantic_corpus_after_
+        removal`` golden pins the result hash-exact against the
+        one-shot rule over the surviving union."""
         spark = keys.sparkSession
-        return self.table.delete_keys(
-            spark, keys.select(F.col(self.id_col).alias("vec_id")), txn=txn
+        k = (
+            keys.select(F.col(self.id_col).alias("vec_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
+        if not recompute:
+            return self.table.delete_keys(spark, k, txn=txn)
+        if (
+            txn is not None
+            and self._applied(txn, "r")
+            and self._applied(txn, "d")
+        ):
+            return self.table.latest_version()
+        cells = [
+            r["cell"]
+            for r in self.table.read(spark)
+            .join(k, "vec_id", "left_semi")
+            .select("cell")
+            .distinct()
+            .collect()
+        ]
+        if txn is None or not self._applied(txn, "r"):
+            self.recompute_cells(
+                spark, cells, exclude=k, txn=self._sub(txn, "r")
+            )
+        if txn is None or not self._applied(txn, "d"):
+            return self.table.delete_keys(spark, k, txn=self._sub(txn, "d"))
+        return self.table.latest_version()
+
+    def recompute_cells(
+        self,
+        spark: SparkSession,
+        cells: list,
+        exclude: DataFrame | None = None,
+        txn: dict | None = None,
+    ) -> int:
+        """Re-run the one-shot drop rule over the given cells' rows
+        (minus ``exclude`` keys — the about-to-be-deleted vectors,
+        threaded separately so the recompute can commit BEFORE the
+        delete) and upsert only the flags that CHANGED — the audited
+        O(affected cells) maintenance pass that closes the un-drop
+        gap. Cell predicate pushed to the parquet scan exactly as in
+        :meth:`add`; rows outside ``cells`` are never read or
+        written."""
+        rows = (
+            self.table.read(spark)
+            .where(F.col("cell").isin(list(cells)))
+            .select("vec_id", "c_vec", "cell", "kept")
+        )
+        if exclude is not None:
+            rows = rows.join(exclude, "vec_id", "left_anti")
+        rows = rows.localCheckpoint(eager=True)
+        self._guard_hot_cells(rows, "recompute_cells")
+        survivors = rows.select("vec_id", "c_vec", "cell")
+        new_flags = self._flag(
+            survivors, self._dropped_ids(survivors, survivors, self.tau)
+        )
+        changed = (
+            new_flags.join(
+                rows.select("vec_id", F.col("kept").alias("__old")), "vec_id"
+            )
+            .where(F.col("kept") != F.col("__old"))
+            .select("vec_id", "c_vec", "cell", "kept")
+        )
+        return self.table.upsert(spark, changed, txn=txn)
 
     def compact(self, spark: SparkSession, min_files: int = 2) -> int | None:
         """Fold upsert-accreted small files; content-identical."""

@@ -394,11 +394,14 @@ class TextIndex:
                 # df 0 rows persist as tombstones (read() hides them):
                 # ONE commit, so a replayed epoch skips atomically
                 self.stats.upsert(spark, folded, txn=self._sub(txn, "s"))
-            else:
+            elif txn is not None:
                 # empty delta (all re-deliveries value-equal): commit
                 # an empty upsert anyway so the `.s` stamp exists —
                 # without it every crash replay of this epoch
-                # re-derives the change feed and recomputes the delta
+                # re-derives the change feed and recomputes the delta.
+                # The stamp is this branch's ONLY purpose, so untxn'd
+                # folds skip the commit instead of minting a useless
+                # new version on every value-equal no-op add
                 self.stats.upsert(spark, delta.select(
                     "term", F.col("d_df").alias("df")
                 ), txn=self._sub(txn, "s"))

@@ -261,6 +261,18 @@ class VersionedTable:
         b = F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
         return df.withColumn(BUCKET_COL, b)
 
+    @staticmethod
+    def _schema_json(df: DataFrame) -> str:
+        """Manifest-recorded read schema: the DataFrame's schema minus
+        the bucket column (file-list parquet reads never surface the
+        hive-derived partition column, so this is exactly what
+        :meth:`read` returns for the same commit)."""
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [f for f in df.schema.fields if f.name != BUCKET_COL]
+        ).json()
+
     def _write_commit(self, df: DataFrame) -> dict[int, list[str]]:
         """Write ``df`` (already bucketed) under a fresh immutable
         commit dir; returns {bucket: [file, ...]} relative paths."""
@@ -351,6 +363,7 @@ class VersionedTable:
         committed_at: str | None = None,
         retry_touched: set[int] | None = None,
         max_retries: int = 3,
+        schema_json: str | None = None,
     ) -> int:
         fs = self._fs()
         # version = parent + 1, NOT latest+1: the data (survivor
@@ -379,12 +392,21 @@ class VersionedTable:
         # setTransaction-retention property, without a separate file.
         # Epochs are monotonic per app; max() keeps the defensive
         # invariant even if a replayed epoch somehow re-commits.
+        # fold the read SCHEMA forward alongside the txn stamps: every
+        # manifest records the table's read schema (writers pass the
+        # frame they just committed; metadata-only commits inherit), so
+        # read() of an EMPTY manifest — a fresh index whose first
+        # delivery contracted to nothing, or a delete of every
+        # remaining row — returns a schema-typed empty frame instead of
+        # bricking the table (round-13 ADVICE: the empty-manifest trap)
         txns: dict[str, int] = {}
         if parent > 0:
             try:
                 pm = self._manifest(parent)
             except FileNotFoundError:
                 pm = None  # legacy table vacuumed before fold-forward existed
+            if pm is not None and schema_json is None:
+                schema_json = pm.get("schema")
             if pm is not None and "txns" in pm:
                 txns.update(pm["txns"])
             elif pm is not None:
@@ -416,6 +438,8 @@ class VersionedTable:
                 else txn["epoch"]
         if txns:
             manifest["txns"] = txns
+        if schema_json is not None:
+            manifest["schema"] = schema_json
         # manifest rename IS the commit — EXCLUSIVE (fail-if-exists):
         # an existing destination means a second writer raced us.
         # Keyed bucket-local writes (upsert/replace_keys pass
@@ -452,6 +476,7 @@ class VersionedTable:
                 committed_at=committed_at,
                 retry_touched=retry_touched,
                 max_retries=max_retries - 1,
+                schema_json=schema_json,
             )
         # _latest is a read cache, refreshed after the commit; a crash
         # between the two leaves a stale pointer that latest_version()
@@ -474,7 +499,7 @@ class VersionedTable:
         files = self._write_commit(self._bucketed(df))
         return self._commit(
             files, parent, txn=txn, operation="overwrite",
-            committed_at=committed_at,
+            committed_at=committed_at, schema_json=self._schema_json(df),
         )
 
     def txn_applied(self, app_id: str, epoch: int) -> bool:
@@ -596,6 +621,7 @@ class VersionedTable:
             combined, parent, txn=txn, operation="upsert",
             committed_at=committed_at,
             retry_touched={int(b) for b in touched},
+            schema_json=self._schema_json(merged),
         )
 
     def replace_keys(
@@ -670,6 +696,7 @@ class VersionedTable:
             combined, parent, txn=txn, operation="replace_keys",
             retry_touched={int(b) for b in touched},
             committed_at=committed_at,
+            schema_json=self._schema_json(merged),
         )
 
     def read(
@@ -690,7 +717,21 @@ class VersionedTable:
             for f in fs
         ]
         if not paths:
-            raise ValueError(f"version {v} is empty")
+            # empty manifest (a fresh index whose first delivery
+            # contracted to nothing, or a delete of every remaining
+            # row): the manifest's folded-forward schema makes this a
+            # readable empty table, not a bricked one
+            sj = manifest.get("schema")
+            if sj is not None:
+                from pyspark.sql import types as T
+
+                return spark.createDataFrame([], T.StructType.fromJson(
+                    json.loads(sj)
+                ))
+            raise ValueError(
+                f"version {v} is empty (legacy manifest, no recorded "
+                "schema)"
+            )
         # mergeSchema: a version may span commits written before and
         # after a schema evolution; the union schema (evolution is
         # add-column only) null-fills older files' missing columns
@@ -747,7 +788,8 @@ class VersionedTable:
         # shared set and add only what the survivor write produced
         combined.update(files)
         return self._commit(
-            combined, parent, operation="delete", committed_at=committed_at
+            combined, parent, operation="delete", committed_at=committed_at,
+            schema_json=self._schema_json(survivors),
         )
 
     def delete_keys(
@@ -813,6 +855,7 @@ class VersionedTable:
             combined, parent, txn=txn, operation="delete_keys",
             retry_touched={int(b) for b in touched},
             committed_at=committed_at,
+            schema_json=self._schema_json(survivors),
         )
 
     def changes(
@@ -957,7 +1000,8 @@ class VersionedTable:
         }
         combined.update(files)
         return self._commit(
-            combined, parent, operation="compact", committed_at=committed_at
+            combined, parent, operation="compact", committed_at=committed_at,
+            schema_json=self._schema_json(rows),
         )
 
     def rollback(
@@ -966,10 +1010,11 @@ class VersionedTable:
         """Restore an old state as a NEW version (no files move — the
         new manifest simply points at the target's files), so the
         rollback itself is audited and reversible."""
-        target = self._manifest(to_version)["buckets"]
-        return self._commit({int(b): list(fs) for b, fs in target.items()},
+        tm = self._manifest(to_version)
+        return self._commit({int(b): list(fs) for b, fs in tm["buckets"].items()},
                             parent=self.latest_version(),
-                            operation="rollback", committed_at=committed_at)
+                            operation="rollback", committed_at=committed_at,
+                            schema_json=tm.get("schema"))
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Delete data files referenced ONLY by manifests older than

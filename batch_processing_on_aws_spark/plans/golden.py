@@ -1875,26 +1875,31 @@ def _streamed_semdedup_sql(
     seed: int = 42,
     max_iter: int = 8,
     n_train: int = 4096,
+    include_negative_clones: bool = True,
 ) -> str | None:
     """DuckDB twin of ``streamed_semantic_corpus`` — centroids from
     delivery-1 rows only (``_INCR_IVF_TRAIN_WHERE``, the frozen-
     quantizer contract), union includes both synthetic clone sets;
-    None → rows-only check."""
+    ``include_negative_clones=False`` is the post-takedown oracle of
+    ``semantic_corpus_after_removal`` (the smaller-id shadows deleted
+    and the drop rule replayed over the surviving union); None →
+    rows-only check."""
     vals = _oracle_centroid_values(
         n_cells, seed, max_iter, n_train,
         train_where=_INCR_IVF_TRAIN_WHERE,
     )
     if vals is None:
         return None
+    neg = """
+  UNION ALL
+  SELECT -(vec_id + 1), CAST(embedding AS DOUBLE[]) FROM embeddings
+  WHERE vec_id < 3""" if include_negative_clones else ""
     return f"""
 WITH cent(cell, centroid, half_sq) AS (VALUES
   {vals}
 ),
 c AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings
-  UNION ALL
-  SELECT -(vec_id + 1), CAST(embedding AS DOUBLE[]) FROM embeddings
-  WHERE vec_id < 3
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings{neg}
   UNION ALL
   SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) FROM embeddings
   WHERE vec_id < 3
@@ -1915,6 +1920,73 @@ SELECT a.vec_id, a.cell,
        ) AS kept
 FROM assigned a
 """
+
+
+def semantic_corpus_after_removal(spark, sf_dir):
+    """The un-drop half of takedown on the standing SemDeDup ledger
+    (round-13: ``SemDedupIndex.delete(recompute=True)`` →
+    ``recompute_cells``): the same two streamed deliveries as
+    ``streamed_semantic_corpus`` build the ledger — delivery 2's
+    three SMALLER-id re-embeds (−1,−2,−3) retroactively retract
+    their delivery-1 originals — then a takedown deletes exactly
+    those three shadows WITH the cell-pruned flag recompute: rows
+    dropped solely because of a removed vector resurface (vecs 0-2
+    flip back to kept unless another smaller-id in-ball neighbor
+    remains), the larger-id clones stay dropped (still shadowed by
+    their originals), and cells the deleted vectors never touched
+    are byte-identical (pinned by unit test). The oracle replays the
+    one-shot drop rule over the SURVIVING union under the same
+    frozen delivery-1 quantizer, so un-drop is hash-verified, not
+    just asserted. Two audited commits (flag upsert before keyed
+    delete — the crash-safe order). Scratch reuse contract as the
+    siblings (``$TMPDIR/spark_graft_semxr_*``)."""
+    import shutil
+
+    from ..operators.sampling import hash_bucket
+    from ..operators.semdedup_index import SemDedupIndex
+    from ..streaming.incremental import ingest_semantic_dedup_stream
+
+    root, inp, index_root, ckpt, done = _scratch_root(
+        sf_dir, "embeddings", "spark_graft_semxr"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        b = hash_bucket(F.col("vec_id"))
+        clones = emb.where(F.col("vec_id") < 3)
+        d2 = (
+            emb.where(b >= 50)
+            .unionByName(
+                clones.select(
+                    (-(F.col("vec_id") + 1)).alias("vec_id"), "embedding"
+                )
+            )
+            .unionByName(
+                clones.select(
+                    (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                    "embedding",
+                )
+            )
+        )
+        for delivery in (emb.where(b < 50), d2):
+            delivery.coalesce(1).write.mode("append").parquet(inp)
+            ingest_semantic_dedup_stream(
+                spark, inp, emb.schema, index_root, ckpt, tau=0.4
+            )
+        idx = SemDedupIndex(index_root, tau=0.4)
+        idx.delete(
+            spark.createDataFrame(
+                [(-1,), (-2,), (-3,)], "vec_id long"
+            ),
+            txn={"app": "semxr-rm", "epoch": 0},
+            recompute=True,
+        )
+        for scratch in (inp, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(os.path.basename(root))
+    idx = SemDedupIndex(index_root, tau=0.4)
+    return idx.audit(spark)
 
 
 def embedding_pq_topk(spark, sf_dir):
@@ -4356,6 +4428,87 @@ FROM reach WHERE n % 11 <> 5 GROUP BY n
 """
 
 
+def dup_clusters_retracted(spark, sf_dir):
+    """TRUE label retraction from the persisted pair ledger (round-13:
+    ``ClusterIndex.retract_docs`` — the second half of takedown that
+    :meth:`remove_docs` documents away): the same two streamed pair
+    deliveries build the standing assignment, then every
+    ``doc_id % 11 == 5`` doc is RETRACTED using the miners' pair
+    ledger — affected clusters' remaining edges are re-closed with
+    ``connected_components`` (O(touched clusters), never O(ledger)),
+    members left edgeless drop to implicit singletons, and docs
+    connected only THROUGH a removed doc split apart (what membership
+    removal can never do). Two audited commits (relabel upsert +
+    keyed delete, sub-stamped ``.r``/``.d``). The oracle is one-shot
+    CC over the ledger MINUS removed-incident edges, so the split
+    semantics are hash-verified end-to-end. Scratch reuse contract as
+    the siblings (``$TMPDIR/spark_graft_cidxt_*``)."""
+    import shutil
+
+    from ..operators.cluster_index import ClusterIndex
+    from ..operators.neardup import (
+        CURATION_MAX_BUCKET_SIZE,
+        minhash_lsh_pairs,
+    )
+    from ..operators.sampling import hash_bucket
+    from ..streaming.incremental import ingest_cluster_stream
+
+    root, inp, index_root, ckpt, done = _scratch_root(
+        sf_dir, "documents", "spark_graft_cidxt"
+    )
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(
+            docs,
+            max_bucket_size=CURATION_MAX_BUCKET_SIZE,
+            oversized="star",
+        ).select("doc_id_a", "doc_id_b").localCheckpoint(eager=True)
+        b = hash_bucket(
+            F.concat_ws(":", F.col("doc_id_a"), F.col("doc_id_b"))
+        )
+        for lo, hi in ((0, 50), (50, 100)):
+            pairs.where((b >= lo) & (b < hi)).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+            ingest_cluster_stream(
+                spark, inp, pairs.schema, index_root, ckpt
+            )
+        idx = ClusterIndex(index_root)
+        idx.retract_docs(
+            pairs,
+            docs.where(F.col("doc_id") % 11 == 5).select("doc_id"),
+            txn={"app": "cidxt-rt", "epoch": 0},
+        )
+        for scratch in (inp, ckpt):
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write(os.path.basename(root))
+    idx = ClusterIndex(index_root)
+    return idx.labels(spark)
+
+
+_INCR_CLUSTERS_RETRACTED_SQL = f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+fpairs AS (
+  SELECT doc_id_a, doc_id_b FROM pairs
+  WHERE doc_id_a % 11 <> 5 AND doc_id_b % 11 <> 5
+),
+edges AS (
+  SELECT doc_id_a AS s, doc_id_b AS d FROM fpairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM fpairs
+),
+reach(n, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT reach.n, e.d FROM reach JOIN edges e ON reach.r = e.s
+)
+SELECT n AS doc_id, LEAST(n, MIN(r)) AS cluster_id
+FROM reach GROUP BY n
+"""
+
+
 def jaccard_dup_pairs(spark, sf_dir):
     """Standalone n-gram Jaccard near-dup — the no-signature dedup
     method next to MinHash/SimHash — as rare-shingle (df-weighted)
@@ -4626,12 +4779,17 @@ def cdc_incremental_daily_events(spark, sf_dir):
     end-to-end. A VersionedTable holds per-event facts (event_date,
     is_click, value_cents — exact integers, so every sum is
     bit-portable); the per-day aggregate is seeded from the v1
-    snapshot with apply_batch, then maintained ONLY from
-    ``changes()`` feeds: an upsert that UPDATES click values (×2
-    cents) and INSERTS a disjoint view slice (v1→v2), then a DELETE of
-    the ``event_id % 10 = 5`` keys (v2→v3) — update and delete
-    retractions through ``apply_changes`` (signed deltas, companion
-    counts, tombstoned empty groups). The oracle recomputes the same
+    snapshot with apply_batch, then maintained ONLY from a
+    ``changes()`` feed: an upsert UPDATES click values (×2 cents) and
+    INSERTS a disjoint view slice (v1→v2), a DELETE drops the
+    ``event_id % 10 = 5`` keys (v2→v3), and ONE combined feed
+    ``changes(v1, v3)`` carries all three change types through
+    ``apply_changes`` (signed deltas, companion counts, tombstoned
+    empty groups) — round-13 trim: the two-fold lifecycle proved the
+    same retraction contract twice over and its commit I/O dominated
+    the suite (r12 verdict #6); sequential fold-after-fold
+    composability stays pinned by ``scd2_incremental_user_tier`` and
+    ``tests/test_incremental_agg.py``. The oracle recomputes the same
     aggregate over the FINAL v3 state in one shot: incremental-with-
     retractions == recompute, hash-exact. Cost shape: manifest-pruned
     CDC (O(changed buckets)) feeding touched-groups-only merges
@@ -4688,10 +4846,9 @@ def cdc_incremental_daily_events(spark, sf_dir):
         rowcount="n_events",
     )
     agg.apply_batch(spark, vt.read(spark, v1))
-    v2 = vt.upsert(spark, inc)
-    agg.apply_changes(spark, vt.changes(spark, v1, v2))
+    vt.upsert(spark, inc)
     v3 = vt.delete(spark, F.col("event_id") % 10 == 5)
-    agg.apply_changes(spark, vt.changes(spark, v2, v3))
+    agg.apply_changes(spark, vt.changes(spark, v1, v3))
     return agg.read(spark)
 
 
@@ -4736,8 +4893,10 @@ def cdc_incremental_minmax(spark, sf_dir):
     snapshot, only their state rows rewrite. Scenario: seed per-day
     (n_events, min/max/sum of exact cents) from v1; an upsert TRIPLES
     click values and inserts a disjoint view slice (v1→v2); a delete
-    drops the ``event_id % 10 = 5`` keys (v2→v3) — each fold passes
-    the feed + post-change snapshot. The DELETE is the proof load:
+    drops the ``event_id % 10 = 5`` keys (v2→v3); ONE combined
+    ``changes(v1, v3)`` feed + the v3 snapshot drive the fold
+    (round-13 trim, as ``cdc_incremental_daily_events``: same
+    contract, half the commit I/O). The DELETE is the proof load:
     dropped rows that WERE their day's min or max can't be restored by
     any algebraic path. Oracle recomputes over the final v3 state in
     one shot: incremental-with-recompute == recompute, hash-exact."""
@@ -4788,13 +4947,10 @@ def cdc_incremental_minmax(spark, sf_dir):
         rowcount="n_events",
     )
     agg.apply_batch(spark, vt.read(spark, v1))
-    v2 = vt.upsert(spark, inc)
-    agg.apply_changes(
-        spark, vt.changes(spark, v1, v2), fact=vt.read(spark, v2)
-    )
+    vt.upsert(spark, inc)
     v3 = vt.delete(spark, F.col("event_id") % 10 == 5)
     agg.apply_changes(
-        spark, vt.changes(spark, v2, v3), fact=vt.read(spark, v3)
+        spark, vt.changes(spark, v1, v3), fact=vt.read(spark, v3)
     )
     return agg.read(spark)
 
@@ -10130,7 +10286,9 @@ def source_distinct_sketches(spark, sf_dir):
     per-source sketches (no re-scan) — the incremental-statistics
     pattern for 100 TB corpora. Estimates are DataSketches-
     implementation-defined, so no SQL oracle (rows-only driver
-    check); the accuracy window vs exact counts is pinned in
+    check); the accuracy window vs exact counts is oracle-replayed
+    hash-exact by the round-13 companion
+    ``source_distinct_accuracy`` and pinned in
     tests/test_curation_ops.py."""
     from ..operators.sketches import distinct_sketches, union_distinct_estimate
 
@@ -10146,6 +10304,67 @@ def source_distinct_sketches(spark, sf_dir):
         .unionByName(total)
         .orderBy("source")
     )
+
+
+def source_distinct_accuracy(spark, sf_dir):
+    """Companion to ``source_distinct_sketches`` (round-13 verdict
+    task 7 — closing the registry's last rows-only cell): the HLL
+    ESTIMATE is implementation-defined bytes-in, bytes-out, but its
+    ACCURACY CONTRACT is oracle-replayable — emit each source's exact
+    distinct count next to a boolean asserting the sketch estimate
+    (per-source AND the union-merged ``__total__``) lands within the
+    documented window (±5 % = ~3× the lg_k=12 RSE of 1.6 %;
+    deterministic given the committed sketch bytes, and far beyond
+    any hash-collision slack at these cardinalities). The oracle
+    computes the same exact counts and literal TRUE, so a sketch
+    regression — wrong register math, broken union, bad
+    serialization — flips the boolean and fails the hash, making the
+    accuracy contract a standing parity row instead of a test-only
+    claim."""
+    from ..operators.sketches import distinct_sketches, union_distinct_estimate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("fp")
+    )
+    per_source = distinct_sketches(docs, key_col="fp", group_col="source")
+    total = union_distinct_estimate(per_source).select(
+        F.lit("__total__").alias("source"), "est_distinct"
+    )
+    est = per_source.select("source", "est_distinct").unionByName(total)
+    exact = (
+        docs.groupBy("source")
+        .agg(F.countDistinct("fp").alias("exact_distinct"))
+        .unionByName(
+            docs.agg(
+                F.lit("__total__").alias("source"),
+                F.countDistinct("fp").alias("exact_distinct"),
+            ).select("source", "exact_distinct")
+        )
+    )
+    return exact.join(est, "source").select(
+        "source",
+        "exact_distinct",
+        F.when(
+            F.col("exact_distinct") == 0, F.col("est_distinct") == 0
+        )
+        .otherwise(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        )
+        .alias("est_within_bound"),
+    )
+
+
+_SKETCH_ACCURACY_SQL = """
+WITH d AS (SELECT source, md5(text) AS fp FROM documents),
+per AS (
+  SELECT source, COUNT(DISTINCT fp) AS exact_distinct FROM d GROUP BY source
+  UNION ALL
+  SELECT '__total__', COUNT(DISTINCT fp) FROM d
+)
+SELECT source, exact_distinct, TRUE AS est_within_bound FROM per
+"""
 
 
 def semantic_contaminated_docs(spark, sf_dir):
@@ -13088,8 +13307,11 @@ QUERIES: list[QueryDef] = [
         rows_only_reason=(
             "HyperLogLog sketch binaries are engine-internal byte "
             "layouts with no DuckDB equivalent; the estimate-accuracy "
-            "contract is pinned by tests/test_approx_topk.py against "
-            "exact distinct counts"
+            "contract IS oracle-replayed by the hash-exact companion "
+            "golden source_distinct_accuracy (exact counts + "
+            "within-bound boolean per source and for the merged "
+            "__total__), and additionally pinned by "
+            "tests/test_approx_topk.py"
         ),
     ),
     QueryDef(
@@ -13194,6 +13416,28 @@ QUERIES: list[QueryDef] = [
         "dup_clusters_after_removal",
         dup_clusters_after_removal,
         _INCR_CLUSTERS_REMOVED_SQL,
+    ),
+    # (19) new in round 13 — the takedown second half: true retraction
+    QueryDef(
+        "dup_clusters_retracted",
+        dup_clusters_retracted,
+        _INCR_CLUSTERS_RETRACTED_SQL,
+    ),
+    QueryDef(
+        "semantic_corpus_after_removal",
+        semantic_corpus_after_removal,
+        _streamed_semdedup_sql(include_negative_clones=False),
+        rows_only_reason=(
+            "oracle requires k-means centroids generated from the "
+            "correctness-scale parquet (delivery-1 rows); when that "
+            "data is unreadable here the query drops to a rows-only "
+            "check"
+        ),
+    ),
+    QueryDef(
+        "source_distinct_accuracy",
+        source_distinct_accuracy,
+        _SKETCH_ACCURACY_SQL,
     ),
 ]
 

@@ -101,7 +101,9 @@ def run_probe(
         )
         samples.append(time.perf_counter() - t0)
         if (
-            len(samples) >= n_runs
+            # the agreement check compares the last TWO samples, so it
+            # needs at least two regardless of how small n_runs is
+            len(samples) >= max(n_runs, 2)
             and abs(samples[-1] - samples[-2])
             <= agree_tol * min(samples[-1], samples[-2])
         ):

@@ -219,3 +219,132 @@ def test_stream_replay_skips_applied_epoch(spark, root, tmp_path):
         _vectors(spark, n=10, start_id=100), txn={"app": "sx", "epoch": 1}
     )
     assert idx.table.latest_version() == v1 + 1
+
+
+# -- takedown-then-re-evaluate + hot-cell guard (round-13) -------------
+
+
+def test_delete_recompute_resurfaces_shadowed_rows(spark, root):
+    """The un-drop half of takedown: after deleting the smaller-id
+    shadow WITH recompute, a row dropped solely because of it
+    resurfaces; the default (no recompute) keeps the curation flag."""
+    d1 = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (20, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = SemDedupIndex(root, n_cells=1, tau=0.9, n_train=8)
+    idx.build(d1)
+    idx.add(spark.createDataFrame(
+        [(1, [1.0, 0.001, 0.0])], "vec_id long, embedding array<double>"
+    ))
+    assert _flags(idx, spark) == {1: True, 10: False, 20: True}
+    idx.delete(
+        spark.createDataFrame([(1,)], "vec_id long"), recompute=True
+    )
+    # 1 gone; 10 had no other smaller-id in-ball neighbor -> kept again
+    assert _flags(idx, spark) == {10: True, 20: True}
+
+
+def test_delete_default_keeps_curation_flags(spark, root):
+    """recompute=False (the routine-retention default) preserves the
+    documented asymmetry: the shadowed row stays dropped."""
+    d1 = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    idx = SemDedupIndex(root, n_cells=1, tau=0.9, n_train=8)
+    idx.build(d1)
+    idx.add(spark.createDataFrame(
+        [(1, [1.0, 0.001, 0.0])], "vec_id long, embedding array<double>"
+    ))
+    idx.delete(spark.createDataFrame([(1,)], "vec_id long"))
+    assert _flags(idx, spark) == {10: False}
+
+
+def test_delete_recompute_only_touches_affected_cells(spark, root):
+    """Flags outside the deleted vectors' cells are byte-identical
+    after the recompute — the drop rule never crosses cells, so the
+    cell-pruned pass must not rewrite them (checked via the audit
+    AND via the state rows' full content)."""
+    # two orthogonal blobs -> two cells under a 2-cell quantizer
+    rows = [(i, [1.0 + i * 0.001, 0.0, 0.0]) for i in (1, 10)] + [
+        (j, [0.0, 1.0 + j * 0.001, 0.0]) for j in (2, 20)
+    ]
+    d1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = SemDedupIndex(root, n_cells=2, tau=0.9, n_train=8)
+    idx.build(d1)
+    before = {
+        (r["vec_id"], r["cell"], r["kept"])
+        for r in idx.table.read(spark).collect()
+    }
+    cell_of = {r["vec_id"]: r["cell"] for r in idx.audit(spark).collect()}
+    other_cell = {v for v in (2, 20)}
+    idx.delete(
+        spark.createDataFrame([(1,)], "vec_id long"), recompute=True
+    )
+    after = {
+        (r["vec_id"], r["cell"], r["kept"])
+        for r in idx.table.read(spark).collect()
+    }
+    # 10 resurfaces in its cell; 2/20's rows are exactly as before
+    assert (10, cell_of[10], True) in after
+    for v in other_cell:
+        assert {t for t in before if t[0] == v} == {
+            t for t in after if t[0] == v
+        }
+
+
+def test_delete_recompute_crash_between_commits(spark, root):
+    """Sub-stamp crash contract: a crash between the flag-recompute
+    commit and the delete commit re-runs to the same final state; a
+    full replay skips without new versions."""
+    from batch_processing_on_aws_spark.operators import versioned as V
+
+    d1 = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (20, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = SemDedupIndex(root, n_cells=1, tau=0.9, n_train=8)
+    idx.build(d1)
+    idx.add(spark.createDataFrame(
+        [(1, [1.0, 0.001, 0.0])], "vec_id long, embedding array<double>"
+    ))
+    gone = spark.createDataFrame([(1,)], "vec_id long")
+
+    real = V.VersionedTable.delete_keys
+    calls = {"n": 0}
+
+    def boom(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before delete commit")
+        return real(self, *a, **k)
+
+    try:
+        V.VersionedTable.delete_keys = boom
+        with pytest.raises(RuntimeError, match="injected crash"):
+            idx.delete(gone, txn={"app": "td", "epoch": 0}, recompute=True)
+        idx.delete(gone, txn={"app": "td", "epoch": 0}, recompute=True)
+    finally:
+        V.VersionedTable.delete_keys = real
+    assert _flags(idx, spark) == {10: True, 20: True}
+    v = idx.table.latest_version()
+    idx.delete(gone, txn={"app": "td", "epoch": 0}, recompute=True)
+    assert idx.table.latest_version() == v
+
+
+def test_hot_cell_guard_trips_before_commit(spark, root):
+    """A degenerate quantizer concentrating everything into one cell
+    aborts add() loudly BEFORE any commit — the quadratic within-cell
+    join never runs and the standing state is untouched."""
+    d1 = _vectors(spark, n=8)
+    idx = SemDedupIndex(
+        root, n_cells=1, tau=0.95, n_train=8, max_cell_population=10
+    )
+    idx.build(d1)
+    v = idx.table.latest_version()
+    with pytest.raises(ValueError, match="max_cell_population"):
+        idx.add(_vectors(spark, n=5, start_id=100))
+    assert idx.table.latest_version() == v
+    # a healthy-sized delivery still folds
+    idx.add(_vectors(spark, n=1, start_id=200))
+    assert idx.table.read(spark).count() == 9

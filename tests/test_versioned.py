@@ -618,3 +618,39 @@ def test_delete_keys_semantics_txn_and_sharing(spark, tmp_path):
     empty = VersionedTable(str(tmp_path / "e"), keys=["id"])
     with pytest.raises(ValueError, match="no committed version"):
         empty.delete_keys(spark, ks)
+
+
+def test_empty_manifest_reads_typed_empty_frame(spark, tmp_path):
+    """The round-13 empty-manifest trap (ADVICE): a version with zero
+    data files — a fresh table whose first commit carried no rows, or
+    a delete of every remaining row — must read back as a schema-typed
+    EMPTY frame, not brick the table with ValueError. The manifest
+    folds the read schema forward like the txn stamps, so the shape
+    survives metadata-only commits and vacuum."""
+    # (a) first commit is empty: version 1 has no files but a schema
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
+    vt.overwrite(_df(spark, []).limit(0))
+    got = vt.read(spark)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "val"]
+    # the table is NOT bricked: a later upsert and read work
+    vt.upsert(spark, _df(spark, [(1, "a"), (2, "b")]))
+    assert _snap(spark, vt) == {(1, "a"), (2, "b")}
+
+    # (b) delete_keys of ALL remaining rows: same trap on the delete
+    # surfaces of every standing index
+    ks = spark.createDataFrame([(1,), (2,)], "id long")
+    vt.delete_keys(spark, ks)
+    got = vt.read(spark)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "val"]
+    # and the table keeps working after the wipe-out
+    vt.upsert(spark, _df(spark, [(3, "c")]))
+    assert _snap(spark, vt) == {(3, "c")}
+
+    # (c) the schema survives a rollback TO the empty version
+    empty_v = 3  # v1 empty, v2 upsert, v3 delete-all, v4 upsert
+    vt.rollback(empty_v)
+    got = vt.read(spark)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "val"]

@@ -155,6 +155,19 @@ QUERIES = [
     # incremental_ivf_topk over a delete_keys-filtered table).
     "streamed_semantic_corpus",
     "incremental_ivf_topk_deleted",
+    # round-13 additions: the takedown/retraction family (r12 verdict
+    # task 4 — the delete paths had no scale evidence). Scratch reuse
+    # means min-of-2 measures the standing READ after the maintenance
+    # pass (labels/state/postings scans over delete-folded tables,
+    # which must scale with the table); the first run pays the pass
+    # itself — pair-ledger cluster retraction (affected-cluster
+    # scoping must track the removed docs' clusters, never the
+    # ledger), membership removal, the post-delete BM25 search, and
+    # the SemDeDup un-drop recompute (touched-cell pruned).
+    "standing_bm25_after_delete",
+    "dup_clusters_after_removal",
+    "dup_clusters_retracted",
+    "semantic_corpus_after_removal",
 ]
 
 SCALES = {

@@ -115,6 +115,20 @@ QUERIES = [
     # copy needs only its one min-id witness); the standing-state read
     # side is cell-filtered so cold cells never join
     "streamed_semantic_corpus",
+    # round-13: the deletion/retraction family under the same hot
+    # fixtures (r12 verdict task 4). The hot template cluster is the
+    # adversarial case for retraction: the removed docs' affected
+    # cluster holds 20% of the corpus, so the ledger filter + CC
+    # re-close run over the star-capped hot cluster's edges (linear
+    # by the star contract, never C(m,2)); the SemDeDup un-drop
+    # recomputes the HOT cell (real quadratic-by-semantics candidate
+    # volume that must parallelize, exactly the streamed_semantic_
+    # corpus argument); the post-delete BM25 search and post-removal
+    # label read must stay scans of delete-folded state.
+    "standing_bm25_after_delete",
+    "dup_clusters_after_removal",
+    "dup_clusters_retracted",
+    "semantic_corpus_after_removal",
 ]
 
 
