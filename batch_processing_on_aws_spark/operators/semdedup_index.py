@@ -61,7 +61,6 @@ from .similarity import (
     _as_double,
     _assign_cells,
     _train_centroids,
-    cosine,
 )
 from .versioned import VersionedTable
 
@@ -145,24 +144,15 @@ class SemDedupIndex:
     @staticmethod
     def _dropped_ids(candidates: DataFrame, comparators: DataFrame, tau: float):
         """ids of ``candidates`` rows having SOME strictly-smaller-id
-        same-cell comparator within the cosine ball. Comparators
-        include dropped rows — SemDeDup's rule quantifies over all
-        smaller-id neighbors, not just survivors. Cosine rounded to 4
-        decimals before thresholding (the cross-engine reproducibility
-        convention shared with ``semantic_dedup``)."""
-        a = candidates.select(
-            F.col("vec_id").alias("a_id"), F.col("c_vec").alias("a_vec"), "cell"
-        )
-        b = comparators.select(
-            F.col("vec_id").alias("b_id"), F.col("c_vec").alias("b_vec"), "cell"
-        )
-        return (
-            a.join(b, "cell")
-            .where(F.col("b_id") < F.col("a_id"))
-            .where(F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4) >= tau)
-            .select(F.col("a_id").alias("vec_id"))
-            .distinct()
-        )
+        same-cell comparator within the cosine ball — the shared
+        salted-slice ball join (``similarity.ball_dropped_ids``;
+        round-13: a hot cell's quadratic compare splits across slice
+        tasks instead of serializing on one). Comparators include
+        dropped rows — SemDeDup's rule quantifies over all smaller-id
+        neighbors, not just survivors."""
+        from .similarity import ball_dropped_ids
+
+        return ball_dropped_ids(candidates, comparators, tau)
 
     def _guard_hot_cells(self, rows: DataFrame, where: str) -> None:
         """Fail LOUD before a degenerate quantizer goes quadratic

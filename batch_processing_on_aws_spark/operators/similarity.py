@@ -274,6 +274,70 @@ def _assign_cells(c: DataFrame, centers) -> DataFrame:
     return c.withColumn("cell", _cell("c_vec"))
 
 
+# within-cell compare parallelism: each cell's candidate rows split
+# into this many salted slices, so the join key is (cell, slice) and a
+# hot cell runs as `slices` tasks instead of one. Comparators replicate
+# ×slices (linear, bounded — they are batch/touched-cell-scale), the
+# pair set is unchanged (each candidate lives in exactly one slice).
+BALL_JOIN_SLICES = 16
+
+
+def ball_dropped_ids(
+    candidates: DataFrame,
+    comparators: DataFrame,
+    tau: float,
+    slices: int = BALL_JOIN_SLICES,
+    partitions: int | None = None,
+) -> DataFrame:
+    """ids of ``candidates`` rows having SOME strictly-smaller-id
+    same-cell comparator within the cosine ball — SemDeDup's drop
+    rule, shared by the one-shot :func:`semantic_dedup` and the
+    standing :class:`~.semdedup_index.SemDedupIndex`. Cosine rounded
+    to 4 decimals before thresholding (the cross-engine
+    reproducibility convention).
+
+    SALTED join (round-13): the naive equi-join on the cell id has at
+    most ``n_cells`` distinct keys, and AQE's skew-split keys on
+    shuffle INPUT bytes while the within-cell compare blows up in the
+    join OUTPUT — so a hot cell (legitimately dense, or a drifted
+    quantizer below the hot-cell guard) serializes its quadratic
+    compare on ONE task (observed live: a 30× fold pinned a single
+    core for minutes while 31 sat idle). Joining on (cell, slice)
+    with candidates hashed into ``slices`` salted groups and
+    comparators replicated per slice splits every cell's compare into
+    ``slices`` independent tasks; the candidate×comparator pair set —
+    and therefore the result — is identical. The candidate side is
+    repartitioned on the join key with an EXPLICIT partition count:
+    AQE coalescing ALSO keys on input bytes, so it would quietly fold
+    the salted shuffle back into one or two tasks (observed on the
+    same 30× fold — the blowup is invisible to it), and an explicit
+    count is the one shuffle AQE leaves alone; it simultaneously
+    fixes the inherited parallelism of a single-file delivery."""
+    spark = candidates.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    a = (
+        candidates.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("c_vec").alias("a_vec"),
+            "cell",
+        )
+        .withColumn("__slice", F.pmod(F.hash(F.col("a_id")), F.lit(slices)))
+        .repartition(n_part, F.col("cell"), F.col("__slice"))
+    )
+    b = comparators.select(
+        F.col("vec_id").alias("b_id"), F.col("c_vec").alias("b_vec"), "cell"
+    ).withColumn(
+        "__slice", F.explode(F.array(*[F.lit(i) for i in range(slices)]))
+    )
+    return (
+        a.join(b, ["cell", "__slice"])
+        .where(F.col("b_id") < F.col("a_id"))
+        .where(F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4) >= tau)
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -315,23 +379,9 @@ def semantic_dedup(
     # Arrow UDF per consumer — the plan shows 5 ArrowEvalPython evals
     # over 3 scans without this, 1 with it
     assigned = _assign_cells(c, centers).localCheckpoint()
-    a = fan_out(assigned, partitions).select(
-        F.col("vec_id").alias("a_id"), F.col("c_vec").alias("a_vec"), "cell"
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"), F.col("c_vec").alias("b_vec"), "cell"
-    )
-    # a row is DROPPED iff some smaller-id same-cell row sits within
-    # the cosine ball; rounded to 4 decimals before thresholding so
-    # the decision is reproducible cross-engine (same convention as
-    # embedding_neardup_pairs)
-    dropped = (
-        a.join(b, "cell")
-        .where(F.col("b_id") < F.col("a_id"))
-        .where(F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4) >= tau)
-        .select(F.col("a_id").alias("vec_id"))
-        .distinct()
-    )
+    # the ball join repartitions the candidate side itself (explicit
+    # count on the join key), so no fan_out hint is needed here
+    dropped = ball_dropped_ids(assigned, assigned, tau, partitions=partitions)
     return (
         assigned.join(dropped.withColumn("__drop", F.lit(True)), "vec_id", "left")
         .select(
