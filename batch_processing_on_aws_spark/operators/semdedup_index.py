@@ -443,7 +443,17 @@ class SemDedupIndex:
         O(affected cells) maintenance pass that closes the un-drop
         gap. Cell predicate pushed to the parquet scan exactly as in
         :meth:`add`; rows outside ``cells`` are never read or
-        written."""
+        written. An empty ``cells`` (the deleted keys were absent
+        from the ledger) is a no-op that still mints the txn stamp,
+        so the two-commit crash contract replays symmetrically."""
+        cells = list(cells)
+        if not cells:
+            empty = (
+                self.table.read(spark)
+                .select("vec_id", "c_vec", "cell", "kept")
+                .limit(0)
+            )
+            return self.table.upsert(spark, empty, txn=txn)
         rows = (
             self.table.read(spark)
             .where(F.col("cell").isin(list(cells)))

@@ -4432,17 +4432,22 @@ def dup_clusters_retracted(spark, sf_dir):
     """TRUE label retraction from the persisted pair ledger (round-13:
     ``ClusterIndex.retract_docs`` — the second half of takedown that
     :meth:`remove_docs` documents away): the same two streamed pair
-    deliveries build the standing assignment, then every
-    ``doc_id % 11 == 5`` doc is RETRACTED using the miners' pair
-    ledger — affected clusters' remaining edges are re-closed with
-    ``connected_components`` (O(touched clusters), never O(ledger)),
-    members left edgeless drop to implicit singletons, and docs
-    connected only THROUGH a removed doc split apart (what membership
-    removal can never do). Two audited commits (relabel upsert +
-    keyed delete, sub-stamped ``.r``/``.d``). The oracle is one-shot
-    CC over the ledger MINUS removed-incident edges, so the split
-    semantics are hash-verified end-to-end. Scratch reuse contract as
-    the siblings (``$TMPDIR/spark_graft_cidxt_*``)."""
+    deliveries build the standing assignment, then every HUB doc —
+    ledger degree ≥ 2: every chain middle, and on a star-capped pair
+    stream every oversized-bucket star CENTER — is RETRACTED using
+    the miners' pair ledger: affected clusters' remaining edges are
+    re-closed with ``connected_components`` (O(touched clusters),
+    never O(ledger)), members left edgeless drop to implicit
+    singletons, and docs connected only THROUGH a removed hub split
+    apart (what membership removal can never do; hub removal
+    GUARANTEES the split path runs on this corpus — its ledger is
+    isolated pairs plus a few degree-2 chain middles, so a modulo
+    removal set was verified to hit zero bridges and would have
+    exercised only the no-op contract). Two audited commits (relabel
+    upsert + keyed delete, sub-stamped ``.r``/``.d``). The oracle is
+    one-shot CC over the ledger MINUS removed-incident edges, so the
+    split semantics are hash-verified end-to-end. Scratch reuse
+    contract as the siblings (``$TMPDIR/spark_graft_cidxt_*``)."""
     import shutil
 
     from ..operators.cluster_index import ClusterIndex
@@ -4475,10 +4480,16 @@ def dup_clusters_retracted(spark, sf_dir):
                 spark, inp, pairs.schema, index_root, ckpt
             )
         idx = ClusterIndex(index_root)
+        hubs = (
+            pairs.select(F.col("doc_id_a").alias("doc_id"))
+            .unionAll(pairs.select(F.col("doc_id_b").alias("doc_id")))
+            .groupBy("doc_id")
+            .count()
+            .where(F.col("count") >= 2)
+            .select("doc_id")
+        )
         idx.retract_docs(
-            pairs,
-            docs.where(F.col("doc_id") % 11 == 5).select("doc_id"),
-            txn={"app": "cidxt-rt", "epoch": 0},
+            pairs, hubs, txn={"app": "cidxt-rt", "epoch": 0}
         )
         for scratch in (inp, ckpt):
             shutil.rmtree(scratch, ignore_errors=True)
@@ -4490,9 +4501,17 @@ def dup_clusters_retracted(spark, sf_dir):
 
 _INCR_CLUSTERS_RETRACTED_SQL = f"""
 WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+hubs AS (
+  SELECT doc_id FROM (
+    SELECT doc_id_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT doc_id_b FROM pairs
+  ) GROUP BY doc_id HAVING COUNT(*) >= 2
+),
 fpairs AS (
   SELECT doc_id_a, doc_id_b FROM pairs
-  WHERE doc_id_a % 11 <> 5 AND doc_id_b % 11 <> 5
+  WHERE doc_id_a NOT IN (SELECT doc_id FROM hubs)
+    AND doc_id_b NOT IN (SELECT doc_id FROM hubs)
 ),
 edges AS (
   SELECT doc_id_a AS s, doc_id_b AS d FROM fpairs

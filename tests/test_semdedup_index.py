@@ -348,3 +348,26 @@ def test_hot_cell_guard_trips_before_commit(spark, root):
     # a healthy-sized delivery still folds
     idx.add(_vectors(spark, n=1, start_id=200))
     assert idx.table.read(spark).count() == 9
+
+
+def test_delete_recompute_of_absent_keys_is_noop(spark, root):
+    """Takedown of keys that were never in the ledger: no cell is
+    affected, flags are untouched, and the txn'd two-commit pass
+    still replays cleanly (the recompute stamp is minted even for
+    the empty cell set)."""
+    idx = SemDedupIndex(root, n_cells=1, tau=0.9, n_train=8)
+    idx.build(_vectors(spark, n=6))
+    before = _flags(idx, spark)
+    idx.delete(
+        spark.createDataFrame([(999,)], "vec_id long"),
+        txn={"app": "absent", "epoch": 0},
+        recompute=True,
+    )
+    assert _flags(idx, spark) == before
+    v = idx.table.latest_version()
+    idx.delete(
+        spark.createDataFrame([(999,)], "vec_id long"),
+        txn={"app": "absent", "epoch": 0},
+        recompute=True,
+    )
+    assert idx.table.latest_version() == v  # full replay skips

@@ -202,6 +202,14 @@ def build(root: str = ROOT, src: str = SRC, hot_pct: int = 20) -> None:
 
 
 def main() -> None:
+    # positional names restrict the run (round-13, the scale_bench
+    # convention): targeted additions fold into the existing sidecar
+    # via the per-query merge below; unknown names are a hard error
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    unknown = sorted(set(only) - set(QUERIES))
+    if unknown:
+        raise SystemExit(f"unknown skew-bench queries: {unknown}")
+    queries = [q for q in QUERIES if not only or q in only]
     build()
     spark = get_spark(app_name="skew_bench")
     qs = dict(entrymod.queries())
@@ -237,10 +245,10 @@ def main() -> None:
         # the output size is the skew story
         "incremental_neardup_batch",
     }
-    times: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
-    rows: dict[str, dict[str, int]] = {q: {} for q in QUERIES}
+    times: dict[str, dict[str, float]] = {q: {} for q in queries}
+    rows: dict[str, dict[str, int]] = {q: {} for q in queries}
     for variant in ("uniform", "skewed"):
-        for q in QUERIES:
+        for q in queries:
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -265,20 +273,29 @@ def main() -> None:
             report[q]["out_rows_ratio"] = round(
                 r["skewed"] / max(r["uniform"], 1), 1
             )
+    # per-query merge into an existing sidecar (the scale_bench
+    # convention): a targeted run folds its rows in instead of
+    # clobbering prior coverage
+    doc = {
+        "hot_pct": 20,
+        "method": "min of 2, noop sink; skewed = 20% of docs "
+                  "near-dup one template / 20% of vectors in one "
+                  "cell (tools/skew_bench.py)",
+        "queries": report,
+    }
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+        all_queries = dict(merged.get("queries", {}))
+        all_queries.update(report)
+        merged.update(doc)
+        merged["queries"] = all_queries
+        doc = merged
     with open(out_path, "w") as f:
-        json.dump(
-            {
-                "hot_pct": 20,
-                "method": "min of 2, noop sink; skewed = 20% of docs "
-                          "near-dup one template / 20% of vectors in one "
-                          "cell (tools/skew_bench.py)",
-                "queries": report,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
-    print(json.dumps({q: r["skew_ratio"] for q, r in report.items()}))
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(json.dumps(
+        {q: r["skew_ratio"] for q, r in doc["queries"].items()}
+    ))
 
 
 if __name__ == "__main__":
