@@ -218,6 +218,10 @@ class SemDedupIndex:
         assigned = _assign_cells(c, centers).localCheckpoint(eager=True)
         base_hist = _cell_histogram(assigned, len(centers))
         self._write_model(spark, centers, base_hist)
+        # guard the FIRST delivery too (round-14): near-identical
+        # embeddings collapse the fresh quantizer into one cell, and
+        # build's within-cell compare is exactly as quadratic as add's
+        self._guard_hot_cells(assigned, "build")
         rows = self._flag(assigned, self._dropped_ids(assigned, assigned, self.tau))
         version = self.table.overwrite(rows, txn=txn)
         return {"version": version, "psi_micro": 0}
@@ -328,6 +332,10 @@ class SemDedupIndex:
         assigned = _assign_cells(current, centers).localCheckpoint(eager=True)
         base_hist = _cell_histogram(assigned, len(centers))
         self._write_model(spark, centers, base_hist)
+        # a retrain on genuinely degenerate data can still land one
+        # hot cell — same loud abort as build/add (raise the cap
+        # deliberately if the density is real)
+        self._guard_hot_cells(assigned, "refresh")
         rows = self._flag(
             assigned, self._dropped_ids(assigned, assigned, self.tau)
         )
@@ -445,9 +453,15 @@ class SemDedupIndex:
         :meth:`add`; rows outside ``cells`` are never read or
         written. An empty ``cells`` (the deleted keys were absent
         from the ledger) is a no-op that still mints the txn stamp,
-        so the two-commit crash contract replays symmetrically."""
+        so the two-commit crash contract replays symmetrically — but
+        ONLY under a txn: the stamp is the empty commit's sole
+        purpose, so an untxn'd empty recompute skips the commit
+        instead of minting a useless version (the ``TextIndex``
+        empty-delta convention)."""
         cells = list(cells)
         if not cells:
+            if txn is None:
+                return self.table.latest_version()
             empty = (
                 self.table.read(spark)
                 .select("vec_id", "c_vec", "cell", "kept")

@@ -274,20 +274,23 @@ def _assign_cells(c: DataFrame, centers) -> DataFrame:
     return c.withColumn("cell", _cell("c_vec"))
 
 
-# within-cell compare parallelism: each cell's candidate rows split
-# into this many salted slices, so the join key is (cell, slice) and a
-# hot cell runs as `slices` tasks instead of one. Comparators replicate
-# ×slices (linear, bounded — they are batch/touched-cell-scale), the
-# pair set is unchanged (each candidate lives in exactly one slice).
-BALL_JOIN_SLICES = 16
+# within-cell compare parallelism: a cell's candidate rows split into
+# salted slices, so the join key is (cell, slice) and a hot cell runs
+# as many tasks instead of one. Comparators replicate ×slices (linear,
+# bounded — slices ∝ cell population / TARGET rows), the pair set is
+# unchanged (each candidate lives in exactly one slice of its cell).
+BALL_SLICE_TARGET_ROWS = 2048
+BALL_JOIN_MAX_SLICES = 64
 
 
 def ball_dropped_ids(
     candidates: DataFrame,
     comparators: DataFrame,
     tau: float,
-    slices: int = BALL_JOIN_SLICES,
+    slices: int | None = None,
     partitions: int | None = None,
+    target_rows_per_slice: int = BALL_SLICE_TARGET_ROWS,
+    max_slices: int = BALL_JOIN_MAX_SLICES,
 ) -> DataFrame:
     """ids of ``candidates`` rows having SOME strictly-smaller-id
     same-cell comparator within the cosine ball — SemDeDup's drop
@@ -303,32 +306,86 @@ def ball_dropped_ids(
     quantizer below the hot-cell guard) serializes its quadratic
     compare on ONE task (observed live: a 30× fold pinned a single
     core for minutes while 31 sat idle). Joining on (cell, slice)
-    with candidates hashed into ``slices`` salted groups and
-    comparators replicated per slice splits every cell's compare into
-    ``slices`` independent tasks; the candidate×comparator pair set —
-    and therefore the result — is identical. The candidate side is
-    repartitioned on the join key with an EXPLICIT partition count:
-    AQE coalescing ALSO keys on input bytes, so it would quietly fold
-    the salted shuffle back into one or two tasks (observed on the
-    same 30× fold — the blowup is invisible to it), and an explicit
-    count is the one shuffle AQE leaves alone; it simultaneously
-    fixes the inherited parallelism of a single-file delivery."""
+    with candidates hashed into salted groups and comparators
+    replicated per slice splits every cell's compare into independent
+    tasks; the candidate×comparator pair set — and therefore the
+    result — is identical. The candidate side is repartitioned on the
+    join key with an EXPLICIT partition count: AQE coalescing ALSO
+    keys on input bytes, so it would quietly fold the salted shuffle
+    back into one or two tasks (observed on the same 30× fold — the
+    blowup is invisible to it), and an explicit count is the one
+    shuffle AQE leaves alone; it simultaneously fixes the inherited
+    parallelism of a single-file delivery.
+
+    ADAPTIVE slice count (round-14): a fixed slice count taxes the
+    common case — comparators replicate ×slices in EVERY cell, so a
+    uniform corpus of small cells shuffles slices× the vectors for
+    zero parallelism gain. The default (``slices=None``) instead
+    derives each cell's slice count from its OWN comparator
+    population (one cheap hash-agg, broadcast to both sides):
+    ``ceil(population / target_rows_per_slice)`` clamped to
+    [1, max_slices] — small cells pay NO replication, hot cells
+    still fan out. The pair set and result remain identical under
+    any slicing (each candidate lands in exactly one slice of its
+    cell; its cell's comparators are present in every slice). An
+    explicit ``slices`` pins a fixed fan-out (the skew harness uses
+    ``slices=1`` as the naive single-task baseline)."""
     spark = candidates.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
-    a = (
-        candidates.select(
-            F.col("vec_id").alias("a_id"),
-            F.col("c_vec").alias("a_vec"),
-            "cell",
-        )
-        .withColumn("__slice", F.pmod(F.hash(F.col("a_id")), F.lit(slices)))
-        .repartition(n_part, F.col("cell"), F.col("__slice"))
+    a = candidates.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("c_vec").alias("a_vec"),
+        "cell",
     )
     b = comparators.select(
         F.col("vec_id").alias("b_id"), F.col("c_vec").alias("b_vec"), "cell"
-    ).withColumn(
-        "__slice", F.explode(F.array(*[F.lit(i) for i in range(slices)]))
     )
+    if slices is None:
+        # per-cell slice counts: an n_cells-bounded frame (kilobytes —
+        # n_cells ∝ 0.1%·N), checkpointed so the agg runs once and
+        # broadcast so neither side's slice-count join shuffles
+        nsl = F.broadcast(
+            comparators.groupBy("cell")
+            .count()
+            .select(
+                "cell",
+                F.least(
+                    F.lit(max_slices),
+                    F.greatest(
+                        F.lit(1),
+                        F.ceil(
+                            F.col("count") / F.lit(target_rows_per_slice)
+                        ),
+                    ),
+                )
+                .cast("int")
+                .alias("__nsl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        a = (
+            a.join(nsl, "cell")
+            .withColumn(
+                "__slice", F.pmod(F.hash(F.col("a_id")), F.col("__nsl"))
+            )
+            .drop("__nsl")
+        )
+        b = (
+            b.join(nsl, "cell")
+            .withColumn(
+                "__slice",
+                F.explode(F.sequence(F.lit(0), F.col("__nsl") - F.lit(1))),
+            )
+            .drop("__nsl")
+        )
+    else:
+        a = a.withColumn(
+            "__slice", F.pmod(F.hash(F.col("a_id")), F.lit(slices))
+        )
+        b = b.withColumn(
+            "__slice", F.explode(F.array(*[F.lit(i) for i in range(slices)]))
+        )
+    a = a.repartition(n_part, F.col("cell"), F.col("__slice"))
     return (
         a.join(b, ["cell", "__slice"])
         .where(F.col("b_id") < F.col("a_id"))
@@ -361,7 +418,11 @@ def semantic_dedup(
     an equi-join ON THE CELL ID — the cross product the paper's
     within-cluster comparison implies never materializes globally,
     only per cell, and cells are sized by choosing ``n_cells ∝ N``
-    (the paper uses ~0.1% of N). Skewed cells split under AQE.
+    (the paper uses ~0.1% of N). Skewed (hot) cells do NOT split
+    under AQE — its skew handling keys on shuffle INPUT bytes while
+    the within-cell compare blows up in join OUTPUT — so the compare
+    runs through the salted :func:`ball_dropped_ids`, which splits a
+    hot cell's pairs across slice tasks explicitly.
 
     Output: (id, cell, kept) for every input vector — callers filter
     ``kept`` to materialize the survivors, or keep the full frame for

@@ -364,6 +364,7 @@ class VersionedTable:
         retry_touched: set[int] | None = None,
         max_retries: int = 3,
         schema_json: str | None = None,
+        inherit_schema: bool = True,
     ) -> int:
         fs = self._fs()
         # version = parent + 1, NOT latest+1: the data (survivor
@@ -405,7 +406,7 @@ class VersionedTable:
                 pm = self._manifest(parent)
             except FileNotFoundError:
                 pm = None  # legacy table vacuumed before fold-forward existed
-            if pm is not None and schema_json is None:
+            if pm is not None and schema_json is None and inherit_schema:
                 schema_json = pm.get("schema")
             if pm is not None and "txns" in pm:
                 txns.update(pm["txns"])
@@ -477,6 +478,7 @@ class VersionedTable:
                 retry_touched=retry_touched,
                 max_retries=max_retries - 1,
                 schema_json=schema_json,
+                inherit_schema=inherit_schema,
             )
         # _latest is a read cache, refreshed after the commit; a crash
         # between the two leaves a stale pointer that latest_version()
@@ -1009,12 +1011,22 @@ class VersionedTable:
     ) -> int:
         """Restore an old state as a NEW version (no files move — the
         new manifest simply points at the target's files), so the
-        rollback itself is audited and reversible."""
+        rollback itself is audited and reversible.
+
+        The new manifest records the TARGET's schema, never the
+        current latest's (round-14 ADVICE): a legacy target with no
+        recorded schema must not inherit the parent's — after an
+        add-column evolution that would stamp the pre-evolution state
+        with the newer schema, observable as wrong columns when
+        reading an empty rolled-back version. A schema-less non-empty
+        target still reads fine from its files; a schema-less EMPTY
+        target keeps the honest loud legacy error in :meth:`read`."""
         tm = self._manifest(to_version)
         return self._commit({int(b): list(fs) for b, fs in tm["buckets"].items()},
                             parent=self.latest_version(),
                             operation="rollback", committed_at=committed_at,
-                            schema_json=tm.get("schema"))
+                            schema_json=tm.get("schema"),
+                            inherit_schema=False)
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Delete data files referenced ONLY by manifests older than

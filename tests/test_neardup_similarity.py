@@ -797,3 +797,36 @@ def test_prefix_jaccard_shingle_mode_complete(spark):
             want.add((min(ia, ib), max(ia, ib)))
     assert got == want
     assert (1, 3) in got and (5, 6) in got
+
+
+def test_ball_join_slicing_invariant(spark):
+    """ball_dropped_ids returns the identical drop set under adaptive
+    slicing (default), a fixed fan-out, and the naive single-slice
+    join — the pair set is invariant to how cells are sliced, which
+    is what lets the adaptive path skip replication on small cells."""
+    from batch_processing_on_aws_spark.operators.similarity import (
+        ball_dropped_ids,
+    )
+
+    rows = []
+    for i in range(60):
+        base = 1.0 if i % 3 else 5.0
+        rows.append(
+            (i, [base + (i % 7) / 50.0, base, base - (i % 5) / 40.0], i % 4)
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, c_vec array<double>, cell int"
+    ).localCheckpoint(eager=True)
+
+    def ids(**kw):
+        return {
+            r["vec_id"]
+            for r in ball_dropped_ids(df, df, tau=0.999, **kw).collect()
+        }
+
+    adaptive = ids()
+    assert adaptive == ids(slices=4)
+    assert adaptive == ids(slices=1)
+    # tiny target forces multi-slice cells through the adaptive path
+    assert adaptive == ids(target_rows_per_slice=4, max_slices=8)
+    assert adaptive  # the fixture plants real in-ball neighbors

@@ -371,3 +371,31 @@ def test_delete_recompute_of_absent_keys_is_noop(spark, root):
         recompute=True,
     )
     assert idx.table.latest_version() == v  # full replay skips
+
+
+def test_hot_cell_guard_trips_on_build(spark, root):
+    """The guard covers the FIRST delivery too (round-14): a fresh
+    quantizer collapsing everything into one oversized cell aborts
+    build() loudly before the quadratic compare — and before any
+    commit, so the index simply does not exist afterwards."""
+    idx = SemDedupIndex(
+        root, n_cells=1, tau=0.95, n_train=8, max_cell_population=10
+    )
+    with pytest.raises(ValueError, match="max_cell_population"):
+        idx.build(_vectors(spark, n=20))
+    assert not idx.exists()
+
+
+def test_untxnd_empty_recompute_mints_no_version(spark, root):
+    """recompute_cells([]) without a txn skips the commit entirely —
+    the empty upsert's only purpose is the replay stamp, so an
+    untxn'd no-op must not churn a useless version (the TextIndex
+    empty-delta convention). With a txn the stamp is still minted."""
+    idx = SemDedupIndex(root, n_cells=1, tau=0.9, n_train=8)
+    idx.build(_vectors(spark, n=6))
+    v = idx.table.latest_version()
+    idx.recompute_cells(spark, [])
+    assert idx.table.latest_version() == v
+    idx.recompute_cells(spark, [], txn={"app": "er", "epoch": 0})
+    assert idx.table.latest_version() == v + 1
+    assert idx.table.txn_applied("er", 0)

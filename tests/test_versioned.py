@@ -654,3 +654,47 @@ def test_empty_manifest_reads_typed_empty_frame(spark, tmp_path):
     got = vt.read(spark)
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["id", "val"]
+
+
+def test_rollback_never_inherits_newer_schema(spark, tmp_path):
+    """rollback() records the TARGET's schema, not the current
+    latest's (round-14 ADVICE): after an add-column evolution, a
+    rolled-back pre-evolution EMPTY version must not read with the
+    evolved columns. A legacy target with no recorded schema stays
+    schema-less (loud legacy error on an empty read) instead of
+    silently inheriting the wrong one."""
+    import json
+    import os
+
+    import pytest
+
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=4)
+    v1 = vt.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    # v2: delete every row -> empty manifest carrying the (id, val)
+    # schema
+    v2 = vt.delete_keys(spark, _df(spark, [(1, "a"), (2, "b")]).select("id"))
+    # v3: add-column evolution
+    v3 = vt.upsert(
+        spark,
+        spark.createDataFrame([(5, "e", 9)], "id long, val string, extra long"),
+    )
+    # rollback to the schema-carrying empty version: reads empty with
+    # the PRE-evolution columns
+    v4 = vt.rollback(v2)
+    rolled = vt.read(spark, v4)
+    assert rolled.columns == ["id", "val"]
+    assert rolled.count() == 0
+    # simulate a LEGACY empty target: strip the recorded schema
+    mp = vt._manifest_path(v2)
+    m = json.loads(open(mp).read())
+    del m["schema"]
+    os.chmod(mp, 0o644)
+    with open(mp, "w") as f:
+        f.write(json.dumps(m))
+    v5 = vt.rollback(v2)
+    assert "schema" not in vt._manifest(v5)
+    with pytest.raises(ValueError, match="legacy manifest"):
+        vt.read(spark, v5)
+    # the non-empty history is untouched
+    assert _snap(spark, vt, v1) == {(1, "a"), (2, "b")}
+    assert {r["id"] for r in vt.read(spark, v3).collect()} == {5}
