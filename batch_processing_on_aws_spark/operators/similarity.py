@@ -320,16 +320,29 @@ def ball_dropped_ids(
     ADAPTIVE slice count (round-14): a fixed slice count taxes the
     common case — comparators replicate ×slices in EVERY cell, so a
     uniform corpus of small cells shuffles slices× the vectors for
-    zero parallelism gain. The default (``slices=None``) instead
-    derives each cell's slice count from its OWN comparator
-    population (one cheap hash-agg, broadcast to both sides):
-    ``ceil(population / target_rows_per_slice)`` clamped to
-    [1, max_slices] — small cells pay NO replication, hot cells
-    still fan out. The pair set and result remain identical under
-    any slicing (each candidate lands in exactly one slice of its
-    cell; its cell's comparators are present in every slice). An
-    explicit ``slices`` pins a fixed fan-out (the skew harness uses
-    ``slices=1`` as the naive single-task baseline)."""
+    zero parallelism gain. The default (``slices=None``) derives each
+    cell's slice count from its OWN comparator population via ONE
+    narrow hash-agg, then picks the cheapest attachment for what it
+    finds (measured at sf0.1: the first cut of this — per-cell counts
+    eagerly checkpointed and broadcast-joined into BOTH sides — cost
+    the uniform one-shot path ~2.5× in extra jobs and joins):
+
+    * NO hot cells (every population ≤ ``target_rows_per_slice``,
+      the common uniform corpus): plain equi-join on the cell id —
+      zero salting machinery, just the explicit-count repartition;
+    * a BOUNDED hot set (≤ 4096 hot cells — far above anything the
+      hot-cell guard admits): slice counts ride as a literal map in
+      the plan, so neither side pays a join — small cells hash to
+      slice 0 and replicate ×1, hot cells fan out;
+    * an UNBOUNDED hot set (pathological; the guard aborts first in
+      the index paths): the fully distributed fallback — per-cell
+      counts broadcast-joined into both sides.
+
+    The pair set and result are identical under any slicing (each
+    candidate lands in exactly one slice of its cell; its cell's
+    comparators are present in every slice). An explicit ``slices``
+    pins a fixed fan-out (the skew harness uses ``slices=1`` as the
+    naive single-task baseline)."""
     spark = candidates.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
     a = candidates.select(
@@ -341,43 +354,95 @@ def ball_dropped_ids(
         F.col("vec_id").alias("b_id"), F.col("c_vec").alias("b_vec"), "cell"
     )
     if slices is None:
-        # per-cell slice counts: an n_cells-bounded frame (kilobytes —
-        # n_cells ∝ 0.1%·N), checkpointed so the agg runs once and
-        # broadcast so neither side's slice-count join shuffles
-        nsl = F.broadcast(
+        max_hot_collect = 4096
+        hot = (
             comparators.groupBy("cell")
-            .count()
-            .select(
-                "cell",
-                F.least(
-                    F.lit(max_slices),
-                    F.greatest(
-                        F.lit(1),
-                        F.ceil(
-                            F.col("count") / F.lit(target_rows_per_slice)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .where(F.col("__cnt") > target_rows_per_slice)
+            .limit(max_hot_collect + 1)
+            .collect()
+        )
+        if not hot:
+            # uniform corpus: the join on the bare cell id IS the
+            # adaptive answer (1 slice everywhere) — no salt columns,
+            # no replication, no extra exchanges
+            a = a.repartition(n_part, F.col("cell"))
+            return (
+                a.join(b, ["cell"])
+                .where(F.col("b_id") < F.col("a_id"))
+                .where(
+                    F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4) >= tau
+                )
+                .select(F.col("a_id").alias("vec_id"))
+                .distinct()
+            )
+        if len(hot) <= max_hot_collect:
+            # bounded hot set: literal-map slice counts (plan-sized,
+            # not data-sized) — absent cells coalesce to 1 slice
+            from itertools import chain as _chain
+
+            pairs = {
+                r["cell"]: min(
+                    max_slices,
+                    -(-int(r["__cnt"]) // target_rows_per_slice),
+                )
+                for r in hot
+            }
+            nsl_map = F.create_map(
+                *_chain.from_iterable(
+                    (F.lit(int(c)), F.lit(int(n))) for c, n in pairs.items()
+                )
+            )
+            # try_element_at: absent keys are NULL (plain element_at
+            # throws under ANSI mode, the session default)
+            nsl = F.coalesce(
+                F.try_element_at(nsl_map, F.col("cell")), F.lit(1)
+            )
+            a = a.withColumn("__slice", F.pmod(F.hash(F.col("a_id")), nsl))
+            b = b.withColumn(
+                "__slice", F.explode(F.sequence(F.lit(0), nsl - F.lit(1)))
+            )
+        else:
+            # unbounded hot set: distributed per-cell counts,
+            # broadcast-joined into both sides (checkpointed so the
+            # agg runs once)
+            nsl_df = F.broadcast(
+                comparators.groupBy("cell")
+                .count()
+                .select(
+                    "cell",
+                    F.least(
+                        F.lit(max_slices),
+                        F.greatest(
+                            F.lit(1),
+                            F.ceil(
+                                F.col("count")
+                                / F.lit(target_rows_per_slice)
+                            ),
                         ),
+                    )
+                    .cast("int")
+                    .alias("__nsl"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            a = (
+                a.join(nsl_df, "cell")
+                .withColumn(
+                    "__slice", F.pmod(F.hash(F.col("a_id")), F.col("__nsl"))
+                )
+                .drop("__nsl")
+            )
+            b = (
+                b.join(nsl_df, "cell")
+                .withColumn(
+                    "__slice",
+                    F.explode(
+                        F.sequence(F.lit(0), F.col("__nsl") - F.lit(1))
                     ),
                 )
-                .cast("int")
-                .alias("__nsl"),
+                .drop("__nsl")
             )
-            .localCheckpoint(eager=True)
-        )
-        a = (
-            a.join(nsl, "cell")
-            .withColumn(
-                "__slice", F.pmod(F.hash(F.col("a_id")), F.col("__nsl"))
-            )
-            .drop("__nsl")
-        )
-        b = (
-            b.join(nsl, "cell")
-            .withColumn(
-                "__slice",
-                F.explode(F.sequence(F.lit(0), F.col("__nsl") - F.lit(1))),
-            )
-            .drop("__nsl")
-        )
     else:
         a = a.withColumn(
             "__slice", F.pmod(F.hash(F.col("a_id")), F.lit(slices))
