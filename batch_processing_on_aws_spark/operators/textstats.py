@@ -672,8 +672,20 @@ def phrase_snippets(
     if not terms:
         raise ValueError("empty phrase")
     k = len(terms)
+    # substring prefilter (round-14): a doc can only match if every
+    # term appears as a substring of the lowercased text — tokens are
+    # whitespace splits, so token equality implies containment. The
+    # contains() chain runs in whole-stage codegen BEFORE the
+    # tokenize + per-position enumeration, which is the expensive
+    # part; non-matching docs (the vast majority) never pay it.
+    # Conservative (never drops a match): false positives proceed to
+    # the exact positional compare below.
+    pre = df
+    low = F.lower(F.col(text_col))
+    for t in terms:
+        pre = pre.where(low.contains(F.lit(t)))
     toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
-    base = df.select(F.col(id_col), toks.alias("__t"))
+    base = pre.select(F.col(id_col), toks.alias("__t"))
     n = F.size("__t")
 
     def is_match(p):
@@ -687,8 +699,20 @@ def phrase_snippets(
     starts = F.when(
         n >= k, F.filter(F.sequence(F.lit(0), n - k), is_match)
     ).otherwise(F.array().cast("array<int>"))
+    # `__s` rides through a single-element explode (round-14): with a
+    # plain Project + `size(__s) > 0` filter, predicate pushdown
+    # substitutes the FULL tokenize+enumerate expression into the
+    # Filter — every element_at re-derives transform(split(text))
+    # from scratch below the projection (measured 14x the projection
+    # cost at sf0.1: 3.5 s vs 0.25 s; Spark 4 pushes through a
+    # Project even when the condition is nondeterministic-tainted).
+    # A filter on a GENERATOR output cannot be pushed below its
+    # Generate, so the enumeration runs exactly once per doc —
+    # the established shingle_index idiom (operators/neardup.py).
+    # explode(array(x)) emits exactly one row per doc: row set
+    # unchanged, still zero shuffle.
     with_starts = base.select(
-        F.col(id_col), F.col("__t"), starts.alias("__s")
+        F.col(id_col), F.col("__t"), F.explode(F.array(starts)).alias("__s")
     ).where(F.size("__s") > 0)
     first = F.array_min(F.col("__s"))
     win_start = F.greatest(first + F.lit(1 - context), F.lit(1))
