@@ -273,6 +273,25 @@ class VersionedTable:
             [f for f in df.schema.fields if f.name != BUCKET_COL]
         ).json()
 
+    def _files_reader(self, spark: SparkSession, manifest: dict | None):
+        """DataFrameReader for this table's data files (round-14): the
+        manifest's folded-forward schema — the exact union read schema
+        under add-column-only evolution — replaces the ``mergeSchema``
+        footer sweep, which re-derived on the DRIVER, one footer read
+        per file per query, a schema the manifest already records
+        (measured ~1 s of pure plan-build latency per CDC read at ~50
+        accreted files; at 100-TB file counts it is a driver
+        scale-killer). Explicit-schema parquet reads null-fill columns
+        absent from older files exactly as mergeSchema does. Legacy
+        manifests without a recorded schema keep the mergeSchema
+        fallback."""
+        sj = (manifest or {}).get("schema")
+        if sj is not None:
+            from pyspark.sql import types as T
+
+            return spark.read.schema(T.StructType.fromJson(json.loads(sj)))
+        return spark.read.option("mergeSchema", "true")
+
     def _write_commit(self, df: DataFrame) -> dict[int, list[str]]:
         """Write ``df`` (already bucketed) under a fresh immutable
         commit dir; returns {bucket: [file, ...]} relative paths."""
@@ -587,16 +606,15 @@ class VersionedTable:
         touched = [
             r[BUCKET_COL] for r in new_b.select(BUCKET_COL).distinct().collect()
         ]
-        old_manifest = self._manifest(parent)["buckets"]
+        pm = self._manifest(parent)
+        old_manifest = pm["buckets"]
         old_touched_files = [
             os.path.join(self.path, f)
             for b in touched
             for f in old_manifest.get(str(b), [])
         ]
         if old_touched_files:
-            old = spark.read.option("mergeSchema", "true").parquet(
-                *old_touched_files
-            )
+            old = self._files_reader(spark, pm).parquet(*old_touched_files)
             # file-list reads drop the hive-derived bucket column;
             # recompute it (pure function of the keys)
             if BUCKET_COL in old.columns:
@@ -659,7 +677,8 @@ class VersionedTable:
             )
         new_b = self._bucketed(new).localCheckpoint(eager=True)
         keyset = new_b.select(*mcols).distinct()
-        old_manifest = self._manifest(parent)["buckets"]
+        pm = self._manifest(parent)
+        old_manifest = pm["buckets"]
         cur = self._bucketed(self.read(spark, parent))
         touched = {
             r[BUCKET_COL]
@@ -675,9 +694,7 @@ class VersionedTable:
             for f in old_manifest.get(str(b), [])
         ]
         if old_touched_files:
-            old = spark.read.option("mergeSchema", "true").parquet(
-                *old_touched_files
-            )
+            old = self._files_reader(spark, pm).parquet(*old_touched_files)
             if BUCKET_COL in old.columns:
                 old = old.drop(BUCKET_COL)
             old = self._bucketed(old)
@@ -734,10 +751,11 @@ class VersionedTable:
                 f"version {v} is empty (legacy manifest, no recorded "
                 "schema)"
             )
-        # mergeSchema: a version may span commits written before and
-        # after a schema evolution; the union schema (evolution is
-        # add-column only) null-fills older files' missing columns
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        # the manifest's folded-forward schema null-fills older files'
+        # missing columns (evolution is add-column only) without the
+        # mergeSchema per-file footer sweep; schema-less legacy
+        # manifests fall back to mergeSchema inside _files_reader
+        return self._files_reader(spark, manifest).parquet(*paths)
 
     def delete(
         self, spark: SparkSession, condition,
@@ -755,7 +773,8 @@ class VersionedTable:
         parent = self.latest_version()
         if parent == 0:
             raise ValueError("delete on a table with no committed version")
-        manifest = self._manifest(parent)["buckets"]
+        pm = self._manifest(parent)
+        manifest = pm["buckets"]
         cond = condition.cast("boolean")
         cur = self._bucketed(self.read(spark, parent))
         touched = [
@@ -774,7 +793,7 @@ class VersionedTable:
             for f in manifest.get(str(b), [])
         ]
         survivors = self._bucketed(
-            spark.read.option("mergeSchema", "true").parquet(*touched_files)
+            self._files_reader(spark, pm).parquet(*touched_files)
         ).where(
             ~F.coalesce(cond, F.lit(False))
         )
@@ -824,7 +843,8 @@ class VersionedTable:
             raise ValueError(f"keys_df lacks key columns: {missing}")
         kb = self._bucketed(keys_df.select(*self.keys).distinct())
         kb = kb.localCheckpoint(eager=True)
-        manifest = self._manifest(parent)["buckets"]
+        pm = self._manifest(parent)
+        manifest = pm["buckets"]
         touched = {
             r[BUCKET_COL] for r in kb.select(BUCKET_COL).distinct().collect()
         }
@@ -839,7 +859,7 @@ class VersionedTable:
             for b in sorted(touched)
             for f in manifest.get(str(b), [])
         ]
-        old = spark.read.option("mergeSchema", "true").parquet(*touched_files)
+        old = self._files_reader(spark, pm).parquet(*touched_files)
         if BUCKET_COL in old.columns:
             old = old.drop(BUCKET_COL)
         old = self._bucketed(old)
@@ -878,8 +898,10 @@ class VersionedTable:
         classifies each row; carried-over rows that were rewritten
         with identical values are filtered out (value-equal ⇒ not a
         change)."""
-        mf_a = self._manifest(v_from)["buckets"]
-        mf_b = self._manifest(v_to)["buckets"]
+        m_a = self._manifest(v_from)
+        m_b = self._manifest(v_to)
+        mf_a = m_a["buckets"]
+        mf_b = m_b["buckets"]
         diff = _changed_buckets(mf_a, mf_b)
         a_files = [
             os.path.join(self.path, f) for b in diff for f in mf_a.get(b, [])
@@ -888,19 +910,19 @@ class VersionedTable:
             os.path.join(self.path, f) for b in diff for f in mf_b.get(b, [])
         ]
 
-        def side(files, other):
+        def side(files, manifest, other, other_manifest):
             if files:
-                return spark.read.option("mergeSchema", "true").parquet(*files)
+                return self._files_reader(spark, manifest).parquet(*files)
             if other:
                 return (
-                    spark.read.option("mergeSchema", "true")
+                    self._files_reader(spark, other_manifest)
                     .parquet(*other)
                     .limit(0)
                 )
             return self.read(spark, v_to).limit(0)  # schema-only probe
 
-        old = side(a_files, b_files)
-        new = side(b_files, a_files)
+        old = side(a_files, m_a, b_files, m_b)
+        new = side(b_files, m_b, a_files, m_a)
         # align across a schema evolution: a column present on only
         # one side (added after v_from) null-fills on the other, so
         # the diff sees it and reports old_<c>=NULL for pre-evolution
@@ -969,7 +991,8 @@ class VersionedTable:
         parent = self.latest_version()
         if parent == 0:
             return None
-        manifest = self._manifest(parent)["buckets"]
+        pm = self._manifest(parent)
+        manifest = pm["buckets"]
         fat = {b: fs for b, fs in manifest.items() if len(fs) >= min_files}
         if not fat:
             return None
@@ -977,7 +1000,7 @@ class VersionedTable:
             os.path.join(self.path, f) for fs in fat.values() for f in fs
         ]
         rows = self._bucketed(
-            spark.read.option("mergeSchema", "true").parquet(*paths)
+            self._files_reader(spark, pm).parquet(*paths)
         )
         # one output file per compacted bucket: partitionBy splits by
         # bucket again, so a single upstream partition per bucket is
