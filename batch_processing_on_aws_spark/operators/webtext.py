@@ -122,6 +122,7 @@ def extract_main_text(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, text, text_len, html_len, text_density) per document.
 
@@ -129,10 +130,17 @@ def extract_main_text(
     classic boilerplate signal (low density = navigation/markup-heavy
     pages worth dropping before the quality stages). Integer lengths,
     one rounded division; no shuffle at all — this is a projection.
+
+    ``keep`` appends passthrough input columns (round-14): when the
+    upstream frame is an opaque, expensive subplan (a mapInPandas WARC
+    parse), re-attaching its metadata with a self-join would execute
+    that subplan twice — carrying the columns through the projection
+    keeps it one pass.
     """
     text = strip_html(F.col(html_col))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         text.alias("text"),
         F.length(text).cast("long").alias("text_len"),
         F.length(F.col(html_col)).cast("long").alias("html_len"),

@@ -3373,10 +3373,13 @@ def warc_main_text(spark, sf_dir):
 
         cid = int(pdf["container_id"].iloc[0])
         out = bytearray()
-        for _, row in pdf.sort_values("doc_id").iterrows():
-            did = int(row["doc_id"])
+        srt = pdf.sort_values("doc_id")
+        # zip over columns, not iterrows(): iterrows materializes a
+        # pandas Series per row (measured ~10x the loop body here)
+        for did, text in zip(srt["doc_id"], srt["text"]):
+            did = int(did)
             body = (
-                _HTML_PREFIX + str(row["text"]) + _HTML_SUFFIX
+                _HTML_PREFIX + str(text) + _HTML_SUFFIX
             ).encode("utf-8")
             http = (
                 b"HTTP/1.1 200 OK\r\n"
@@ -3407,25 +3410,24 @@ def warc_main_text(spark, sf_dir):
         build, "path string, content binary"
     )
     recs = warc_records(containers)
+    # fetch_ts/http_status ride THROUGH the extraction projection
+    # (round-14): the old re-attach self-join on doc_id executed the
+    # whole opaque build+parse mapInPandas pipeline a second time —
+    # the plan showed two MapInPandas subtrees feeding one join
+    # (guide §2.4: a join of two projections of the same opaque
+    # subplan is an accidental double scan, not a shuffle problem)
     main = extract_main_text(
         recs.where(F.col("http_status") == 200).select(
             F.regexp_extract(F.col("url"), r"/doc/(\d+)$", 1)
             .cast("long")
             .alias("doc_id"),
             "fetch_ts",
+            "http_status",
             "html",
-        )
+        ),
+        keep=("fetch_ts", "http_status"),
     )
-    # extract_main_text keeps (id, text, text_len, html_len,
-    # text_density); re-attach fetch_ts through the projection
-    recs2 = recs.select(
-        F.regexp_extract(F.col("url"), r"/doc/(\d+)$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        "fetch_ts",
-        "http_status",
-    )
-    return main.join(recs2, "doc_id").select(
+    return main.select(
         "doc_id", "fetch_ts", "http_status",
         "text", "text_len", "html_len", "text_density",
     )
