@@ -54,10 +54,17 @@ def _count_matches(col: Column, pattern: str) -> Column:
     return (F.length(col) - F.length(F.regexp_replace(col, pattern, ""))).cast("long")
 
 
-def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+def text_quality(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Quality-scoring projection: length, token stats, punctuation /
     digit / uppercase ratios, mean word length. Heuristics follow the
-    public C4/Gopher-style filters (length + symbol ratios)."""
+    public C4/Gopher-style filters (length + symbol ratios).
+
+    ``keep`` appends passthrough input columns (round-14) so callers
+    composing several per-row gate projections (quality + fingerprint
+    + ...) can chain them in ONE scan instead of re-scanning and
+    joining per operator."""
     t = F.col(text_col)
     toks = tokens(t)
     n_chars = F.length(t).cast("long")
@@ -66,6 +73,7 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     safe_toks = F.greatest(n_tokens, F.lit(1)).cast("double")
     return df.select(
         "doc_id",
+        *[F.col(c) for c in keep],
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(
@@ -115,14 +123,18 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprint(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Document fingerprints: full-text md5 plus a normalized md5
     (lowercased, whitespace-collapsed) that catches
-    formatting-only duplicates."""
+    formatting-only duplicates. ``keep`` appends passthrough input
+    columns (see :func:`text_quality`)."""
     t = F.col(text_col)
     norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
     return df.select(
         "doc_id",
+        *[F.col(c) for c in keep],
         F.md5(t).alias("md5"),
         F.md5(norm).alias("md5_normalized"),
     )

@@ -4178,10 +4178,19 @@ def curation_funnel_report(spark, sf_dir):
     exact BIGINTs and the share is one division of two BIGINTs
     rounded in both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    q = text_quality(docs).select("doc_id", "n_tokens", "punct_ratio")
+    # quality + fingerprint are per-row projections of the same scan:
+    # chain them through keep= (ONE pass, round-14) instead of
+    # re-scanning documents per operator and joining three times —
+    # language_scores is a genuine aggregation (explode + groupBy) and
+    # stays the single join
+    qf = fingerprint(
+        text_quality(docs, keep=("text",)).select(
+            "doc_id", "text", "n_tokens", "punct_ratio"
+        ),
+        keep=("n_tokens", "punct_ratio"),
+    ).select("doc_id", "n_tokens", "punct_ratio", "md5_normalized")
     lang = language_scores(docs).select("doc_id", "pred_lang")
-    fp = fingerprint(docs).select("doc_id", "md5_normalized")
-    base = q.join(lang, "doc_id").join(fp, "doc_id")
+    base = qf.join(lang, "doc_id")
     # stages 0–3 as ONE conditional aggregate over one pass of the
     # gate chain: the nested-filter counts are sums of indicator
     # columns, and the exact-dedup CANONICAL count is a distinct

@@ -56,6 +56,14 @@ def main() -> None:
         except Exception:
             pass
 
+    # engine-independent host gauge bracketing the run (bench.py's
+    # probe): absolute numbers on this shared VM swing 2x within an
+    # hour, so every qtime reading is reported with the probe that
+    # accompanied it
+    import bench as _bench
+
+    probe_before = round(_bench.run_probe(spark), 3)
+
     # same warmup as bench.py: JVM/codegen + Python worker pool
     run(spark.range(0, 1_000_000).selectExpr("sum(id * 2) AS s"))
     from pyspark.sql.functions import pandas_udf
@@ -95,6 +103,11 @@ def main() -> None:
             f"all={[round(s, 3) for s in samples]}",
             flush=True,
         )
+    print(
+        f"probe: before={probe_before} "
+        f"after={round(_bench.run_probe(spark), 3)}",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
