@@ -1024,12 +1024,25 @@ def remove_spans_against_ledger(
     spans = _positional_spans(base, window)
     known = ledger.select("span_hash").distinct()
 
-    in_ledger = spans.join(known, "span_hash", "left_semi").select(
-        "doc_id", "pos"
+    # ONE pass over the corpus-scale ledger (round-14): the old
+    # semi-join (in-ledger spans) + anti-join (fresh spans) pair read
+    # `known` twice and re-generated the batch span stream per
+    # consumer. A single left join marks membership; the marked frame
+    # is BATCH-sized (one row per batch span — `known` is distinct,
+    # so the join never fans out) and is eagerly checkpointed so the
+    # in-ledger / fresh / keep-first consumers below all read it
+    # instead of re-running the ledger scan and the tokenize+span
+    # generation.
+    marked = (
+        spans.join(
+            known.withColumn("__in", F.lit(True)), "span_hash", "left"
+        )
+        .localCheckpoint(eager=True)
     )
+    in_ledger = marked.where(F.col("__in")).select("doc_id", "pos")
     cut_occ = in_ledger
     if within_batch:
-        fresh = spans.join(known, "span_hash", "left_anti")
+        fresh = marked.where(F.col("__in").isNull())
         batch_dups = (
             fresh.groupBy("span_hash")
             .agg(

@@ -235,19 +235,27 @@ def scd2_from_table_history(
     )
     for v_from, v_to in zip(versions, versions[1:]):
         ch = vt.changes(spark, v_from, v_to)
-        upserts = ch.where(F.col("change_type") != "delete").select(
-            *keys,
-            *[F.col(f"new_{c}").alias(c) for c in attrs],
-            F.lit(False).alias(deleted_col),
-            F.lit(v_to).cast("long").alias("__v"),
+        # ONE projection per version pair (round-14): the old
+        # upserts/deletes two-branch union filtered the SAME change
+        # feed twice, so each pair's CDC diff (a full-outer join over
+        # both versions' touched buckets) executed twice in the final
+        # plan — exchange reuse dedups the join inputs but not the
+        # join. Every change row lands in exactly one branch, so a
+        # CASE on change_type produces the identical row set in a
+        # single pass: delete → NULL attributes + tombstone flag,
+        # insert/update → the new values.
+        is_del = F.col("change_type") == "delete"
+        obs = obs.unionByName(
+            ch.select(
+                *keys,
+                *[
+                    F.when(~is_del, F.col(f"new_{c}")).alias(c)
+                    for c in attrs
+                ],
+                is_del.alias(deleted_col),
+                F.lit(v_to).cast("long").alias("__v"),
+            )
         )
-        deletes = ch.where(F.col("change_type") == "delete").select(
-            *keys,
-            *[F.lit(None).cast(ch.schema[f"old_{c}"].dataType).alias(c) for c in attrs],
-            F.lit(True).alias(deleted_col),
-            F.lit(v_to).cast("long").alias("__v"),
-        )
-        obs = obs.unionByName(upserts).unionByName(deletes)
 
     return scd2_collapse(
         obs,

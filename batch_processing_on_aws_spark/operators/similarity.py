@@ -470,6 +470,7 @@ def semantic_dedup(
     max_iter: int = 8,
     n_train: int = 4096,
     partitions: int | None = None,
+    ball_slices: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then
@@ -506,8 +507,13 @@ def semantic_dedup(
     # over 3 scans without this, 1 with it
     assigned = _assign_cells(c, centers).localCheckpoint()
     # the ball join repartitions the candidate side itself (explicit
-    # count on the join key), so no fan_out hint is needed here
-    dropped = ball_dropped_ids(assigned, assigned, tau, partitions=partitions)
+    # count on the join key), so no fan_out hint is needed here.
+    # ball_slices pins the within-cell slice fan-out (default None =
+    # adaptive); the skew harness passes 1 to time the naive
+    # single-task-per-cell baseline against the adaptive split.
+    dropped = ball_dropped_ids(
+        assigned, assigned, tau, slices=ball_slices, partitions=partitions
+    )
     return (
         assigned.join(dropped.withColumn("__drop", F.lit(True)), "vec_id", "left")
         .select(

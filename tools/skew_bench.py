@@ -129,6 +129,14 @@ QUERIES = [
     "dup_clusters_after_removal",
     "dup_clusters_retracted",
     "semantic_corpus_after_removal",
+    # round-14 (r13 verdict task 8): the salted ball join's OWN A/B —
+    # the same one-shot SemDeDup with the within-cell compare pinned
+    # to ONE slice per cell (the naive equi-join baseline whose hot
+    # cell serializes its quadratic compare on a single task) vs the
+    # default adaptive slicing above (semantic_dedup_kept). Committed
+    # evidence for the win that previously lived only in the r13
+    # commit message's 30x anecdote.
+    "semantic_dedup_kept_slices1",
 ]
 
 
@@ -225,6 +233,16 @@ def main() -> None:
 
     qs["doc_minhash_lsh_pairs"] = lambda s, d: minhash_lsh_pairs(
         load_table(s, d, "documents")
+    )
+    # naive single-slice ball-join baseline (round-14): the registry
+    # semantic_dedup_kept shape with the within-cell compare forced to
+    # one slice per cell
+    from batch_processing_on_aws_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    qs["semantic_dedup_kept_slices1"] = lambda s, d: semantic_dedup(
+        load_table(s, d, "embeddings"), n_cells=16, tau=0.4, ball_slices=1
     )
 
     def run(df):
