@@ -362,7 +362,7 @@ class IncrementalAgg:
                 for out, (kind, _) in self.aggs.items()
             ],
         )
-        self._fold(spark, part, self._merge_retract)
+        self._fold(spark, part, self._merge_retract, materialize=True)
 
     def apply_batch(self, spark: SparkSession, batch: DataFrame) -> None:
         """Fold one append-only batch into the stored aggregate.
@@ -380,23 +380,33 @@ class IncrementalAgg:
         """
         self._fold(spark, self._partial(batch), self._merge)
 
-    def _fold(self, spark: SparkSession, part: DataFrame, merge_fn) -> None:
+    def _fold(
+        self,
+        spark: SparkSession,
+        part: DataFrame,
+        merge_fn,
+        materialize: bool = False,
+    ) -> None:
         """Merge per-group partials into the state with touched-groups
-        pruning (shared by the append and retraction paths)."""
+        pruning (shared by the append and retraction paths).
+
+        ``materialize=True`` (the retraction path): `part` sits on top
+        of the CDC diff — a full-outer join over both versions'
+        touched buckets — and without an eager checkpoint the
+        touched-bucket collect below AND the merged-state checkpoint
+        each re-execute it from scratch (measured round-14: the diff
+        ran twice per fold, ~1.5 s of the 3.2 s apply_changes at
+        sf0.1). Group-level partials are touched-groups-sized, so the
+        checkpoint itself is tiny. The append path (apply_batch) keeps
+        the default: its partial is one hash-agg over the batch, and
+        an extra blocking job costs more than the recompute saves."""
         from .merge import BUCKET_COL
 
         if not self.writer._exists(spark):
             self.writer.overwrite(part)
             return
-        # materialize the partials ONCE (round-14): `part` sits on top
-        # of the caller's full plan (for apply_changes that is the CDC
-        # diff — a full-outer join over both versions' touched
-        # buckets), and without this the touched-bucket collect below
-        # AND the merged-state checkpoint each re-execute it from
-        # scratch (measured: the diff ran twice per fold, ~1.5 s of
-        # the 3.2 s apply_changes at sf0.1). Group-level partials are
-        # touched-groups-sized, so the checkpoint itself is tiny.
-        part = part.localCheckpoint(eager=True)
+        if materialize:
+            part = part.localCheckpoint(eager=True)
         # prune state read to the buckets the batch can touch, then
         # keep only the exact touched groups within those buckets
         part_b = self.writer._bucketed(part)
