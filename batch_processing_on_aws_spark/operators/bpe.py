@@ -179,6 +179,7 @@ def learn_bpe(
     min_pair_count: int = 2,
     checkpoint_every: int = 5,
     local_histogram_max_words: int = 500_000,
+    word_histogram: DataFrame | None = None,
 ) -> DataFrame:
     """Learn a BPE merge table from a corpus.
 
@@ -209,7 +210,18 @@ def learn_bpe(
     between merges (which both paths here do) is bit-faithful.
     """
     spark = df.sparkSession
-    hist = _word_histogram(df, text_col).localCheckpoint()
+    # ``word_histogram`` (round-15): callers training SEVERAL
+    # tokenizer families on the SAME corpus (tokenizer_family_report)
+    # pass the one materialized (word, n) histogram so the
+    # corpus-sized tokenize+explode+groupBy pass runs once, not once
+    # per family. Must be exactly _word_histogram(df, text_col),
+    # already materialized (localCheckpoint/persist). Default None
+    # keeps the single-trainer behavior unchanged.
+    hist = (
+        word_histogram
+        if word_histogram is not None
+        else _word_histogram(df, text_col).localCheckpoint()
+    )
     if (
         local_histogram_max_words
         and hist.count() <= local_histogram_max_words

@@ -369,6 +369,7 @@ def transitive_closure(
         .distinct()
     )
     rounds = max(1, math.ceil(math.log2(max_depth)))
+    prev_n: int | None = None
     for i in range(rounds):
         left = paths.select(
             F.col("node"), F.col("ancestor").alias("__mid"),
@@ -390,6 +391,21 @@ def transitive_closure(
         paths = paths.unionByName(longer).distinct()
         if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
             paths = paths.localCheckpoint(eager=True)
+            # EARLY EXIT on convergence (round-15, guide §2.4/§5 —
+            # attack job count): the round map is a UNION, so an
+            # unchanged count at two consecutive checkpoints means
+            # paths is a fixed point of the doubling step — every
+            # remaining round would re-shuffle the converged relation
+            # to produce itself. max_depth is a safety BOUND, not the
+            # actual depth; a shallow hierarchy converges in
+            # log2(true depth) rounds and skips the rest. The count
+            # is a cheap scan of the just-materialized checkpoint
+            # blocks. Result provably identical: superset + equal
+            # size ⇒ equal set.
+            n = paths.count()
+            if n == prev_n:
+                break
+            prev_n = n
     return paths
 
 
@@ -442,6 +458,7 @@ def strongly_connected_components(
     )
     r = e
     rounds = max(1, math.ceil(math.log2(max(2, max_diameter))))
+    prev_n: int | None = None
     for i in range(rounds):
         left = r.select(F.col("node"), F.col("reach").alias("__mid"))
         right = r.select(F.col("node").alias("__mid"), F.col("reach"))
@@ -449,6 +466,18 @@ def strongly_connected_components(
         r = r.unionByName(longer).distinct()
         if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
             r = r.localCheckpoint(eager=True)
+            # EARLY EXIT on convergence (round-15, see
+            # transitive_closure): unchanged count at two consecutive
+            # checkpoints ⇒ r is a fixed point of the doubling (the
+            # round map is a union, so superset + equal size ⇒ equal
+            # set) — every remaining round would re-derive the
+            # converged relation. max_diameter is a bound, not the
+            # graph's diameter; block-local graphs converge in
+            # log2(true diameter) rounds.
+            n = r.count()
+            if n == prev_n:
+                break
+            prev_n = n
     mutual = (
         r.alias("f")
         .join(

@@ -1028,17 +1028,22 @@ def remove_spans_against_ledger(
     # semi-join (in-ledger spans) + anti-join (fresh spans) pair read
     # `known` twice and re-generated the batch span stream per
     # consumer. A single left join marks membership; the marked frame
-    # is BATCH-sized (one row per batch span — `known` is distinct,
-    # so the join never fans out) and is eagerly checkpointed so the
-    # in-ledger / fresh / keep-first consumers below all read it
+    # is one row per POSITIONAL SPAN of the batch — roughly one row
+    # per batch token (span_hash + doc_id + pos ≈ 50 B/row), i.e. a
+    # small multiple of the batch TEXT size, never ledger/corpus-
+    # scale. It is persisted (spillable MEMORY_AND_DISK, lineage kept
+    # so an executor loss recomputes instead of failing the job —
+    # round-15, vs the prior localCheckpoint whose truncated lineage
+    # is unrecoverable) and materialized once by the count action, so
+    # the in-ledger / fresh / keep-first consumers below all read it
     # instead of re-running the ledger scan and the tokenize+span
     # generation.
-    marked = (
-        spans.join(
-            known.withColumn("__in", F.lit(True)), "span_hash", "left"
-        )
-        .localCheckpoint(eager=True)
-    )
+    from pyspark import StorageLevel
+
+    marked = spans.join(
+        known.withColumn("__in", F.lit(True)), "span_hash", "left"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    marked.count()
     in_ledger = marked.where(F.col("__in")).select("doc_id", "pos")
     cut_occ = in_ledger
     if within_batch:

@@ -342,7 +342,15 @@ def ball_dropped_ids(
     candidate lands in exactly one slice of its cell; its cell's
     comparators are present in every slice). An explicit ``slices``
     pins a fixed fan-out (the skew harness uses ``slices=1`` as the
-    naive single-task baseline)."""
+    naive single-task baseline).
+
+    CONTRACT (round-15): with ``slices=None`` the hot-cell detection
+    runs a driver-blocking aggregate over ``comparators`` BEFORE the
+    join plan executes — callers must pass a MATERIALIZED comparator
+    frame (localCheckpoint'd / persisted, as every in-repo caller
+    does), otherwise a non-trivial comparator subplan executes at
+    least twice (detection job + join) — the double-execution class
+    round 14 removed elsewhere."""
     spark = candidates.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
     a = candidates.select(

@@ -297,6 +297,7 @@ def train_unigram(
     max_word_len: int = 16,
     local_histogram_max_words: int = 500_000,
     target_vocab: int | None = None,
+    word_histogram: DataFrame | None = None,
 ) -> DataFrame:
     """Train the unigram-LM piece vocabulary.
 
@@ -317,7 +318,13 @@ def train_unigram(
     None keeps the full seed — the oracle-pinned registry
     configuration."""
     spark = df.sparkSession
-    hist = _word_histogram(df, text_col).localCheckpoint()
+    # shared-histogram passthrough (round-15): see learn_bpe — one
+    # corpus pass when several families train on the same corpus
+    hist = (
+        word_histogram
+        if word_histogram is not None
+        else _word_histogram(df, text_col).localCheckpoint()
+    )
     if (
         local_histogram_max_words
         and hist.count() <= local_histogram_max_words

@@ -273,6 +273,40 @@ class VersionedTable:
             [f for f in df.schema.fields if f.name != BUCKET_COL]
         ).json()
 
+    def _fold_schema_json(
+        self, parent_manifest: dict | None, committed: DataFrame
+    ) -> str:
+        """Manifest schema for a KEYED commit (upsert/replace_keys):
+        the committed frame's schema UNION the parent's recorded
+        schema. The committed frame alone is not enough: when the
+        touched buckets hold no existing files, ``merged`` is just the
+        increment, and an increment that legitimately omits a column
+        present elsewhere in the table (allowMissingColumns=True has
+        always null-filled it) would otherwise record a NARROWED
+        schema — and because every read now uses the recorded schema
+        instead of a mergeSchema footer sweep, the column would be
+        silently dropped from every older file and the narrowing would
+        propagate to all descendant commits. Add-column-only evolution
+        ⇒ a name-union suffices; committed-frame order is preserved and
+        parent-only columns append at the end (read() null-fills
+        them), so commits that don't narrow record exactly what they
+        always did."""
+        from pyspark.sql import types as T
+
+        new_fields = [
+            f for f in committed.schema.fields if f.name != BUCKET_COL
+        ]
+        sj = (parent_manifest or {}).get("schema")
+        if sj is None:
+            return T.StructType(new_fields).json()
+        new_names = {f.name for f in new_fields}
+        parent_only = [
+            f
+            for f in T.StructType.fromJson(json.loads(sj)).fields
+            if f.name not in new_names
+        ]
+        return T.StructType(new_fields + parent_only).json()
+
     def _files_reader(self, spark: SparkSession, manifest: dict | None):
         """DataFrameReader for this table's data files (round-14): the
         manifest's folded-forward schema — the exact union read schema
@@ -641,7 +675,7 @@ class VersionedTable:
             combined, parent, txn=txn, operation="upsert",
             committed_at=committed_at,
             retry_touched={int(b) for b in touched},
-            schema_json=self._schema_json(merged),
+            schema_json=self._fold_schema_json(pm, merged),
         )
 
     def replace_keys(
@@ -715,7 +749,7 @@ class VersionedTable:
             combined, parent, txn=txn, operation="replace_keys",
             retry_touched={int(b) for b in touched},
             committed_at=committed_at,
-            schema_json=self._schema_json(merged),
+            schema_json=self._fold_schema_json(pm, merged),
         )
 
     def read(

@@ -121,6 +121,7 @@ def learn_wordpiece(
     min_pair_count: int = 2,
     checkpoint_every: int = 5,
     local_histogram_max_words: int = 500_000,
+    word_histogram: DataFrame | None = None,
 ) -> DataFrame:
     """Learn a WordPiece merge table from a corpus.
 
@@ -136,7 +137,13 @@ def learn_wordpiece(
     argmax collect per round); set ``local_histogram_max_words=0`` to
     force the distributed path."""
     spark = df.sparkSession
-    hist = _word_histogram(df, text_col).localCheckpoint()
+    # shared-histogram passthrough (round-15): see learn_bpe — one
+    # corpus pass when several families train on the same corpus
+    hist = (
+        word_histogram
+        if word_histogram is not None
+        else _word_histogram(df, text_col).localCheckpoint()
+    )
     if (
         local_histogram_max_words
         and hist.count() <= local_histogram_max_words

@@ -8771,7 +8771,7 @@ def tokenizer_family_report(spark, sf_dir):
     rounds, WordPiece 12 likelihood merges) and reuses the exact
     per-source aggregation its standalone golden pins, so this
     union adds comparability, not new math."""
-    from ..operators.bpe import learn_bpe, tokenizer_fertility
+    from ..operators.bpe import _word_histogram, learn_bpe, tokenizer_fertility
     from ..operators.unigram import train_unigram, unigram_fertility
     from ..operators.wordpiece import learn_wordpiece, wordpiece_fertility
 
@@ -8780,15 +8780,19 @@ def tokenizer_family_report(spark, sf_dir):
         "source", "n_docs", "n_words", "n_pieces", "fertility",
         "chars_per_piece",
     ]
-    bpe = tokenizer_fertility(docs, learn_bpe(docs, n_merges=12)).select(
-        F.lit("bpe").alias("family"), *cols
-    )
-    uni = unigram_fertility(docs, train_unigram(docs)).select(
-        F.lit("unigram").alias("family"), *cols
-    )
-    wp = wordpiece_fertility(docs, learn_wordpiece(docs, n_merges=12)).select(
-        F.lit("wordpiece").alias("family"), *cols
-    )
+    # all three trainers reduce the SAME corpus to the SAME (word, n)
+    # histogram — materialize it once and pass it through (round-15):
+    # 3 corpus-sized tokenize+explode+groupBy passes → 1
+    hist = _word_histogram(docs, "text").localCheckpoint(eager=True)
+    bpe = tokenizer_fertility(
+        docs, learn_bpe(docs, n_merges=12, word_histogram=hist)
+    ).select(F.lit("bpe").alias("family"), *cols)
+    uni = unigram_fertility(
+        docs, train_unigram(docs, word_histogram=hist)
+    ).select(F.lit("unigram").alias("family"), *cols)
+    wp = wordpiece_fertility(
+        docs, learn_wordpiece(docs, n_merges=12, word_histogram=hist)
+    ).select(F.lit("wordpiece").alias("family"), *cols)
     return bpe.unionByName(uni).unionByName(wp)
 
 

@@ -92,6 +92,40 @@ def test_local_and_distributed_paths_agree(spark):
     assert len(local) >= 5
 
 
+def test_shared_word_histogram_passthrough(spark):
+    """A caller-supplied materialized (word, n) histogram (round-15,
+    the tokenizer_family_report one-corpus-pass share) must yield the
+    EXACT merge/vocab tables each trainer learns from its own
+    histogram — all three families."""
+    from batch_processing_on_aws_spark.operators.bpe import (
+        _word_histogram,
+        learn_bpe,
+    )
+    from batch_processing_on_aws_spark.operators.unigram import train_unigram
+    from batch_processing_on_aws_spark.operators.wordpiece import (
+        learn_wordpiece,
+    )
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    hist = _word_histogram(df, "text").localCheckpoint(eager=True)
+    assert [tuple(r) for r in learn_bpe(
+        df, n_merges=10, word_histogram=hist
+    ).orderBy("rank").collect()] == [
+        tuple(r) for r in learn_bpe(df, n_merges=10).orderBy("rank").collect()
+    ]
+    assert [tuple(r) for r in learn_wordpiece(
+        df, n_merges=10, word_histogram=hist
+    ).orderBy("rank").collect()] == [
+        tuple(r)
+        for r in learn_wordpiece(df, n_merges=10).orderBy("rank").collect()
+    ]
+    assert [tuple(r) for r in train_unigram(
+        df, word_histogram=hist
+    ).orderBy("piece").collect()] == [
+        tuple(r) for r in train_unigram(df).orderBy("piece").collect()
+    ]
+
+
 def test_learn_bpe_deterministic_under_repartition(spark):
     from batch_processing_on_aws_spark.operators.bpe import learn_bpe
 

@@ -95,6 +95,46 @@ def test_transitive_closure_chain_and_tree(spark):
     }
 
 
+def test_transitive_closure_early_exit_equals_exact_bound(spark):
+    """A max_depth far above the true depth must return EXACTLY the
+    closure the tight bound returns (round-15 convergence early-exit:
+    unchanged checkpoint counts stop the doubling loop; the bound is a
+    safety limit, not a work multiplier)."""
+    from batch_processing_on_aws_spark.operators.graph import (
+        strongly_connected_components,
+        transitive_closure,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "child long, parent long"
+    )
+    tight = {
+        tuple(r)
+        for r in transitive_closure(edges, max_depth=4).collect()
+    }
+    loose = {
+        tuple(r)
+        for r in transitive_closure(edges, max_depth=4096).collect()
+    }
+    assert tight == loose
+    scc_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    tight = {
+        tuple(r)
+        for r in strongly_connected_components(
+            scc_edges, max_diameter=4
+        ).collect()
+    }
+    loose = {
+        tuple(r)
+        for r in strongly_connected_components(
+            scc_edges, max_diameter=4096
+        ).collect()
+    }
+    assert tight == loose
+
+
 def test_transitive_closure_binary_tree_matches_python(spark):
     from batch_processing_on_aws_spark.operators.graph import (
         transitive_closure,

@@ -230,6 +230,56 @@ def test_schema_evolution_add_column(spark, tmp_path):
     }
 
 
+def test_upsert_into_empty_bucket_never_narrows_schema(spark, tmp_path):
+    """An increment that OMITS an evolved column and lands entirely in
+    buckets with no existing files must not narrow the recorded read
+    schema (round-15, the r14 ADVICE trap): with manifest-schema reads
+    replacing mergeSchema, a narrowed record would silently drop the
+    column from every older file and propagate to all descendants.
+    The folded schema is parent ∪ committed, add-column-only."""
+    vt = VersionedTable(str(tmp_path / "t"), keys=["id"], n_buckets=64)
+    base = spark.createDataFrame(
+        [(1, "a", "en")], "id long, val string, lang string"
+    )
+    vt.overwrite(base)
+    # pick an increment key whose bucket holds no files (hash differs
+    # from key 1's bucket) — the merged frame is then the increment
+    # alone, the exact narrowing path
+    used = set(vt._manifest(1)["buckets"])
+    key = next(
+        k
+        for k in range(2, 200)
+        if str(
+            spark.range(1)
+            .select(F.pmod(F.hash(F.lit(k).cast("long")), F.lit(64)))
+            .first()[0]
+        )
+        not in used
+    )
+    inc = spark.createDataFrame([(key, "b")], "id long, val string")
+    vt.upsert(spark, inc)
+    got = {
+        (r["id"], r["val"], r["lang"]) for r in vt.read(spark).collect()
+    }
+    assert got == {(1, "a", "en"), (key, "b", None)}
+    # the narrowing must also not propagate through a descendant commit
+    vt.upsert(spark, spark.createDataFrame([(key, "c")], "id long, val string"))
+    got = {
+        (r["id"], r["val"], r["lang"]) for r in vt.read(spark).collect()
+    }
+    assert got == {(1, "a", "en"), (key, "c", None)}
+    # same guarantee on the replace_keys path
+    vt.replace_keys(
+        spark,
+        spark.createDataFrame([(key, "d")], "id long, val string"),
+        match_cols=["id"],
+    )
+    got = {
+        (r["id"], r["val"], r["lang"]) for r in vt.read(spark).collect()
+    }
+    assert got == {(1, "a", "en"), (key, "d", None)}
+
+
 def test_randomized_lifecycle_matches_model(spark, tmp_path):
     """Model-based check: a seeded random sequence of
     upsert/delete/rollback/compact ops against a plain-dict model —
