@@ -715,15 +715,30 @@ def versioned_history_travel(spark, sf_dir):
     vt.delete(spark, F.col("event_id") % 10 == 5,
               committed_at="2026-03-03T00:00:00Z")
     vt.rollback(1, committed_at="2026-03-04T00:00:00Z")
+    # the four per-version counts are INDEPENDENT read-only jobs over
+    # already-committed snapshots: submit them from a small thread
+    # pool so each job's task tail back-fills the executors the
+    # previous job frees (guide §2.6) instead of serializing four
+    # small scans; row order is pinned by pool.map
+    from concurrent.futures import ThreadPoolExecutor
+
+    hist = vt.history()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        counts = list(
+            pool.map(
+                lambda h: vt.read(spark, as_of=h["committed_at"]).count(),
+                hist,
+            )
+        )
     rows = [
         (
             h["version"],
             h["parent"],
             h["operation"],
             h["committed_at"],
-            vt.read(spark, as_of=h["committed_at"]).count(),
+            n,
         )
-        for h in vt.history()
+        for h, n in zip(hist, counts)
     ]
     return spark.createDataFrame(
         rows,
@@ -4178,19 +4193,23 @@ def curation_funnel_report(spark, sf_dir):
     exact BIGINTs and the share is one division of two BIGINTs
     rounded in both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    # quality + fingerprint are per-row projections of the same scan:
-    # chain them through keep= (ONE pass, round-14) instead of
-    # re-scanning documents per operator and joining three times —
-    # language_scores is a genuine aggregation (explode + groupBy) and
-    # stays the single join
-    qf = fingerprint(
-        text_quality(docs, keep=("text",)).select(
-            "doc_id", "text", "n_tokens", "punct_ratio"
-        ),
-        keep=("n_tokens", "punct_ratio"),
-    ).select("doc_id", "n_tokens", "punct_ratio", "md5_normalized")
+    # Round-15 adjudication of the round-14 keep= fusion (quality +
+    # fingerprint chained in one scan): the fused plan had 2 fewer
+    # Exchanges and 2 fewer scans but measured consistently SLOWER —
+    # interleaved same-session min-of-5 at sf0.1: gates subplan 1.006 s
+    # (three scans, two joins) vs 1.085 s fused, full query 6.05 vs
+    # 6.70 s — matching the committed r14 sidecar's 5.50 → 6.94 s.
+    # Plan-better-but-slower: the separate per-row projections scan in
+    # parallel and join on a tiny key set, while the fused scan
+    # serializes the quality + fingerprint expression trees per row.
+    # Reverted to the r13 composition; the keep= operator API stays
+    # (it wins where it removes an opaque-pipeline re-execution, e.g.
+    # warc_main_text's mapInPandas parse — not here, where the scans
+    # are cheap codegen projections).
+    q = text_quality(docs).select("doc_id", "n_tokens", "punct_ratio")
     lang = language_scores(docs).select("doc_id", "pred_lang")
-    base = qf.join(lang, "doc_id")
+    fp = fingerprint(docs).select("doc_id", "md5_normalized")
+    base = q.join(lang, "doc_id").join(fp, "doc_id")
     # stages 0–3 as ONE conditional aggregate over one pass of the
     # gate chain: the nested-filter counts are sums of indicator
     # columns, and the exact-dedup CANONICAL count is a distinct
