@@ -1202,10 +1202,19 @@ def _shared_hash_pairs(
     hash by the cap — no cross product at any scale."""
     if min_shared <= 0:
         raise ValueError(f"min_shared must be positive, got {min_shared}")
+    # materialize the distinct (id, hash) table ONCE (round-15): it
+    # feeds the df-cap aggregate and BOTH self-join sides, and the
+    # upstream frame/fingerprint pipeline is an opaque Arrow decode
+    # (mapInPandas) that runtime exchange reuse measurably does NOT
+    # dedup across the three consumers — interleaved min-of-5 on
+    # video_shared_frame_pairs at sf0.1: 3.08 s → 1.81 s with this
+    # checkpoint. The table is decision-scale (one row per sampled
+    # hash, ≪ media bytes), the same trade the image miner makes.
     vh = (
         df.where(F.col(hash_col).isNotNull())
         .select(F.col(id_col).alias("vid"), F.col(hash_col).alias("ph"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     keep = (
         vh.groupBy("ph")
