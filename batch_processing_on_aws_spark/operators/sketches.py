@@ -229,6 +229,15 @@ def kmv_intersect_estimate(
     """
     from pyspark.sql import Window
 
+    # materialize the sketch table ONCE (round-15): it is referenced
+    # three times below (both pair-join legs + the group list), and a
+    # caller passing a freshly BUILT sketch — kmv_distinct over a
+    # corpus tokenize, the source_vocab_overlap shape — would
+    # otherwise re-execute that corpus pass per reference (24 scans /
+    # 37 Exchanges in one plan), defeating this function's whole
+    # "never rescan data" contract. The frame is sketch-sized
+    # (groups × k rows) by construction.
+    sketches = sketches.localCheckpoint(eager=True)
     ex = sketches.select(
         F.col(group_col).alias("grp"), F.explode(hashes_col).alias("h")
     )
