@@ -357,6 +357,16 @@ def mad_anomaly(
         partition_cols, bounded_input, "mad_anomaly"
     )
 
+    # materialize the input series ONCE (round-15): it is referenced
+    # by the count aggregate, both rank windows and both joins below,
+    # so a caller's upstream subplan (a daily rollup over events, or a
+    # whole seasonal_decompose) re-executed per consumer — measured 48
+    # scans / 72 Exchanges in calendar_adjusted_anomalies' plan and
+    # interleaved min-of-5 2.00 → 1.31 s with one checkpoint. The
+    # input is an AGGREGATED series by this module's contract
+    # (group×bucket-scale), so the materialization is bounded.
+    df = df.localCheckpoint(eager=True)
+
     def pick(n):  # lower median: the floor((n+1)/2)-th order statistic
         return F.floor((n + F.lit(1)) / F.lit(2))
 

@@ -12028,15 +12028,8 @@ def calendar_adjusted_anomalies(spark, sf_dir):
         daily, "value_micro", "epoch_day", ("event_type",),
         period=7, trend_window=7, broadcast_group_aggs=True,
     )
-    # materialize the decomposed series ONCE (round-15): mad_anomaly
-    # references its input in the count aggregate, both rank windows
-    # and both joins, so the whole decompose subplan (itself windows
-    # over the daily rollup over events) was re-executed per consumer
-    # — 48 scans / 72 Exchanges in one plan. The series is
-    # group×day-scale (tiny by construction, the module's own
-    # aggregated-series contract). Interleaved min-of-5 at sf0.1:
-    # 2.00 → 1.31 s.
-    dec = dec.localCheckpoint(eager=True)
+    # (round-15) mad_anomaly materializes its input internally now —
+    # the decompose subplan executes once; see operators/timeseries.py
     # event_type is schema-bounded (~5 groups): the per-group
     # aggregates are tiny by construction, so the hint is sound here
     return mad_anomaly(
